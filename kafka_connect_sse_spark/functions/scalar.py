@@ -1,0 +1,302 @@
+"""Scalar-function surface (SURVEY.md §2.4 `q_fn_*`): string / datetime /
+math / conditional / cast / array / map / json, each exercised as one
+multi-function query with a DuckDB oracle.
+
+The JSON tier is the heart of the reference's pipeline: the `FromJson` SMT
+(config/kafka-connect-sse.properties:12-16) and `ExtractField` projection
+become `get_json_object` / `from_json` here, JVM-side and codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io import load_table
+from ..registry import register
+
+
+@register(
+    "q_fn_string",
+    oracle="""
+    SELECT p_partkey,
+           substr(p_name, 1, 8) AS name8,
+           upper(p_brand) AS brand_u,
+           lower(p_type) AS type_l,
+           length(p_name) AS name_len,
+           trim('  ' || p_brand || ' ') AS brand_trim,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4,
+           replace(p_type, ' ', '_') AS type_us,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '*') AS devowel,
+           CASE WHEN p_type LIKE 'STANDARD%' THEN 1 ELSE 0 END AS is_std,
+           CASE WHEN p_type LIKE '%STEEL' THEN 1 ELSE 0 END AS is_steel
+    FROM part
+    """,
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function battery over `part`."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.upper("p_brand").alias("brand_u"),
+        F.lower("p_type").alias("type_l"),
+        F.length("p_name").alias("name_len"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit(" "))).alias("brand_trim"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_us"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("devowel"),
+        F.when(F.col("p_type").startswith("STANDARD"), 1).otherwise(0).alias("is_std"),
+        F.when(F.col("p_type").endswith("STEEL"), 1).otherwise(0).alias("is_steel"),
+    )
+
+
+@register(
+    "q_fn_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS od,
+           EXTRACT(year FROM o_orderdate) AS yr,
+           EXTRACT(month FROM o_orderdate) AS mo,
+           EXTRACT(day FROM o_orderdate) AS dom,
+           EXTRACT(quarter FROM o_orderdate) AS qtr,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01')
+               AS days_to_y2k,
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+    FROM orders
+    """,
+)
+def q_fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime battery over `orders` (ISO parsing/epoch mirror the reference
+    payload's `meta.dt` ISO-8601 and `timestamp` epoch fields, FIXTURES §2)."""
+    o = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        od.cast("date").alias("od"),
+        F.year(od).cast("long").alias("yr"),
+        F.month(od).cast("long").alias("mo"),
+        F.dayofmonth(od).cast("long").alias("dom"),
+        F.quarter(od).cast("long").alias("qtr"),
+        F.date_trunc("month", od).cast("date").alias("month_start"),
+        F.date_add(od.cast("date"), 30).alias("due_date"),
+        F.datediff(F.lit("2000-01-01").cast("date"), od.cast("date"))
+        .cast("long")
+        .alias("days_to_y2k"),
+        F.date_format(od, "yyyy-MM").alias("ym"),
+        F.unix_timestamp(od).alias("epoch_s"),
+    )
+
+
+@register(
+    "q_fn_math",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(o_totalprice, 1) AS price_r1,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+           CAST(CEIL(o_totalprice) AS BIGINT) AS price_ceil,
+           ABS(o_totalprice - 100000.0) AS dist_100k,
+           o_orderkey % 7 AS mod7,
+           ROUND(LN(o_totalprice), 6) AS ln_price,
+           ROUND(LOG10(o_totalprice), 6) AS log10_price,
+           ROUND(SQRT(o_totalprice), 6) AS sqrt_price,
+           CAST(SIGN(o_totalprice - 100000.0) AS BIGINT) AS sign_v,
+           CAST(POW(2, o_orderkey % 10) AS BIGINT) AS pow2
+    FROM orders
+    """,
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math battery; pow restricted to exact powers of two, transcendentals
+    rounded to 6 (abs error across libm implementations ≪ rounding grain)."""
+    o = load_table(spark, sf_dir, "orders")
+    tp = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.round(tp, 1).alias("price_r1"),
+        F.floor(tp).alias("price_floor"),
+        F.ceil(tp).alias("price_ceil"),
+        F.abs(tp - 100000.0).alias("dist_100k"),
+        (F.col("o_orderkey") % 7).alias("mod7"),
+        F.round(F.log(tp), 6).alias("ln_price"),
+        F.round(F.log10(tp), 6).alias("log10_price"),
+        F.round(F.sqrt(tp), 6).alias("sqrt_price"),
+        F.signum(tp - 100000.0).cast("long").alias("sign_v"),
+        F.pow(F.lit(2), F.col("o_orderkey") % 10).cast("long").alias("pow2"),
+    )
+
+
+@register(
+    "q_fn_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS size_band,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_nv,
+           LEAST(o_totalprice, 123456.78) AS capped,
+           GREATEST(o_totalprice, 1000.0) AS floored,
+           CASE WHEN o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+                THEN 1 ELSE 0 END AS urgent_done
+    FROM orders
+    """,
+)
+def q_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / nullif+coalesce (nvl) / least / greatest."""
+    o = load_table(spark, sf_dir, "orders")
+    tp = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.when(tp < 50000, "small")
+        .when(tp < 150000, "medium")
+        .otherwise("large")
+        .alias("size_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status_nv"
+        ),
+        F.least(tp, F.lit(123456.78)).alias("capped"),
+        F.greatest(tp, F.lit(1000.0)).alias("floored"),
+        F.when(
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderpriority") == "1-URGENT"),
+            1,
+        )
+        .otherwise(0)
+        .alias("urgent_done"),
+    )
+
+
+@register(
+    "q_fn_cast",
+    oracle="""
+    SELECT p_partkey,
+           CAST(p_partkey AS VARCHAR) AS key_str,
+           CAST(CAST(p_partkey AS VARCHAR) AS BIGINT) AS key_rt,
+           TRY_CAST(p_type AS INTEGER) AS bad_int,
+           TRY_CAST(substr(CAST(p_size AS VARCHAR), 1, 1) AS INTEGER) AS size_digit,
+           CAST(p_retailprice AS DECIMAL(12,2)) AS price_dec,
+           CAST(p_size AS DOUBLE) AS size_d
+    FROM part
+    """,
+)
+def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cast / try_cast incl. failure→NULL (ANSI mode stays on; try_cast is
+    the sanctioned lenient path)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_partkey").cast("string").alias("key_str"),
+        F.col("p_partkey").cast("string").cast("long").alias("key_rt"),
+        F.col("p_type").try_cast("int").alias("bad_int"),
+        F.substring(F.col("p_size").cast("string"), 1, 1).try_cast("int").alias(
+            "size_digit"
+        ),
+        F.col("p_retailprice").cast("decimal(12,2)").alias("price_dec"),
+        F.col("p_size").cast("double").alias("size_d"),
+    )
+
+
+@register(
+    "q_fn_array",
+    oracle="""
+    SELECT doc_id,
+           len(str_split(text, ' ')) AS n_tokens,
+           list_contains(str_split(text, ' '), 'spark') AS has_spark,
+           list_sort(list_distinct(list_slice(str_split(text, ' '), 1, 5)))
+               AS first5_sorted,
+           str_split(text, ' ')[1] AS first_tok,
+           len(list_distinct(str_split(text, ' '))) AS n_distinct_tokens
+    FROM documents
+    WHERE doc_id % 10 = 0
+    """,
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array battery over tokenized documents: size/contains/slice/distinct/
+    sort/indexing."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.sort_array(F.array_distinct(F.slice(toks, 1, 5))).alias("first5_sorted"),
+        F.get(toks, 0).alias("first_tok"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+@register("q_fn_map")
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + access (WEAK: map literals don't hash portably
+    across engines — rows-only check). Emits scalar projections of the map
+    so the run still exercises create_map/map_keys/element_at."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")
+    )
+    return e.select(
+        "event_id",
+        F.map_keys(m).alias("keys_sorted"),
+        m.getItem("type").alias("type_v"),
+        m.getItem("uid").alias("uid_v"),
+    )
+
+
+@register(
+    "q_fn_json",
+    oracle="""
+    SELECT event_id, event_type,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                THEN 'hi' ELSE 'lo' END AS k_band
+    FROM events
+    """,
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the event payload — the reference's
+    `FromJson`/`ExtractField` SMT tier (kafka-connect-sse.properties:9-16)
+    as JVM-codegen'd expressions."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return e.select(
+        "event_id",
+        "event_type",
+        k.alias("k_str"),
+        k.cast("long").alias("k_int"),
+        F.when(k.cast("long") > 50, "hi").otherwise("lo").alias("k_band"),
+    )
+
+
+@register(
+    "q_fn_json_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           event_type AS etype
+    FROM events
+    WHERE json_valid(props)
+    """,
+)
+def q_fn_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json into a typed struct + field access (schema-on-read, the
+    Tier-B payload model of FIXTURES.md §2); invalid JSON rows drop out
+    (PERMISSIVE null), mirroring the DLQ split predicate."""
+    e = load_table(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    j = F.from_json(F.col("props"), schema)
+    return (
+        e.withColumn("j", j)
+        .filter(F.col("j").isNotNull() & F.col("j.k").isNotNull())
+        .select(
+            "event_id",
+            F.col("j.k").alias("k_val"),
+            F.col("event_type").alias("etype"),
+        )
+    )

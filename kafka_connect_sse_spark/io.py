@@ -1,0 +1,45 @@
+"""Table loading over the driver-generated parquet fixtures (TESTDATA.md).
+
+Batch analogue of the reference's data model: the `events` table is the
+landed form of the SSE stream (envelope-ish: event_type/id/ts + JSON `props`
+payload), mirroring ServerSentEvent.java:29-34's event/id/data envelope; the
+TPC-H-ish star tables back the relational operator surface (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register each fixture table as a temp view so spark.sql() queries
+    (grouping sets, UDTF lateral joins, ...) can address them by name."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,292 @@
+"""Aggregation operators (SURVEY.md §2.4 aggregation tier).
+
+Scale posture: every groupBy below compiles to partial (map-side) + final
+hash aggregation — verify `partial_` in .explain() — so the shuffle carries
+pre-combined state, not raw rows.  Money sums go through DECIMAL so the
+result is independent of partial-aggregation order (FIXTURES.md §6).
+q_agg_bytes_by_type is the reference's metrics aggregation
+(ServerSentEventClient.java:764-803: events.total / events.bytes /
+events.byType) re-expressed as a query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table, register_views
+from ..registry import register
+
+
+@register(
+    "q_agg_global",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_price
+    FROM lineitem
+    """,
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped aggregate; avg derived from the exact decimal sum so both
+    engines divide identical numbers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sum_dec = F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        sum_dec.alias("sum_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(sum_dec.cast("double") / F.count("*"), 6).alias("avg_price"),
+    )
+
+
+@register(
+    "q_agg_groupby",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS count_order,
+           SUM(l_quantity) AS sum_qty,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+               AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style multi-measure hash aggregate (the engine's flagship
+    relational aggregate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sum_base = F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("count_order"),
+        F.sum("l_quantity").alias("sum_qty"),
+        sum_base.alias("sum_base_price"),
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("sum_disc_price"),
+        F.round(sum_base.cast("double") / F.count("*"), 6).alias("avg_price"),
+    )
+
+
+@register(
+    "q_agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregates (expand + two-phase aggregate in Spark)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+    )
+
+
+@register(
+    "q_agg_filtered",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           SUM(CASE WHEN o_orderstatus = 'F'
+                    THEN CAST(o_totalprice AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS finished_total,
+           COUNT(CASE WHEN o_totalprice > 100000 THEN 1 END) AS n_big
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregates in their portable CASE form."""
+    o = load_table(spark, sf_dir, "orders")
+    zero = F.lit(0).cast("decimal(18,2)")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(
+            F.when(
+                F.col("o_orderstatus") == "F",
+                F.col("o_totalprice").cast("decimal(18,2)"),
+            ).otherwise(zero)
+        ).alias("finished_total"),
+        F.count(F.when(F.col("o_totalprice") > 100000, F.lit(1))).alias("n_big"),
+    )
+
+
+@register(
+    "q_agg_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS cust_total
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation predicate (HAVING) — a filter above the aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("cust_total"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle="""
+    SELECT r_name, n_name,
+           GROUPING(r_name) * 2 + GROUPING(n_name) AS gid,
+           COUNT(*) AS n
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals; gid spelled as explicit GROUPING bits so both
+    engines agree on the encoding."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = n.join(r, n.n_regionkey == r.r_regionkey)
+    return j.rollup("r_name", "n_name").agg(
+        (F.grouping("r_name") * 2 + F.grouping("n_name")).alias("gid"),
+        F.count("*").alias("n"),
+    ).select("r_name", "n_name", "gid", "n")
+
+
+@register(
+    "q_agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           COUNT(*) AS n,
+           SUM(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two keys (all 4 grouping combinations)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).alias("gid"),
+        F.count("*").alias("n"),
+        F.sum("l_quantity").alias("sum_qty"),
+    ).select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+
+
+@register(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL over a registered view."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "q_agg_collect_sorted",
+    oracle="""
+    SELECT l_orderkey,
+           list(l_linenumber ORDER BY l_linenumber) AS lines,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    GROUP BY l_orderkey
+    """,
+)
+def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List aggregate, order-stabilized with sort_array (collect_list order
+    is otherwise nondeterministic under parallel execution)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_linenumber")).alias("lines"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register("q_agg_approx_distinct")
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate count-distinct (HyperLogLog++). Sketch values are
+    implementation-defined → WEAK rows-only check (no oracle); the engine's
+    scale path for distinct-cardinality on 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@register(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+           ROUND(var_samp(l_quantity), 4) AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates, rounded (both engines use numerically stable
+    single-pass updates; agreement far exceeds the rounding grain)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "q_agg_bytes_by_type",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           SUM(LENGTH(props)) AS total_bytes,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_bytes_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's metrics counters (events.total / events.bytes /
+    events.byType, ServerSentEventClient.java:764-803) as a declarative
+    aggregate over the landed event stream."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.length("props")).alias("total_bytes"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -1,0 +1,258 @@
+"""Deduplication operators for LLM-data pipelines (extension tier).
+
+Five dedup families, each with its 100 TB story:
+  * exact         — hash-groupBy on content digest: one shuffle on a 64-hex
+                    key, perfectly parallel, no skew (sha2 is uniform).
+  * minhash-LSH   — shingle → minhash signature → band buckets → join inside
+                    buckets only.  Candidate generation is O(n·bands) instead
+                    of O(n²); the bucket join shuffles on (band, bucket-hash).
+  * simhash       — 64-bit signed-projection fingerprint; near-dups share
+                    fingerprints at small hamming distance.
+  * n-gram Jaccard— exact pairwise verification, run only on LSH candidates
+                    (or a bounded sample) — never on the full cross product.
+  * embedding     — cosine near-dup over the embeddings table (see
+                    similarity.py for the top-k form).
+
+All candidate-pair hashing uses Spark's xxhash64 (JVM, codegen).  The
+clustering outputs are implementation-defined (WEAK check class) except
+x_dedup_exact / x_dedup_exact_hash / x_ngram_jaccard which have DuckDB
+oracles (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+N_MINHASH = 16  # permutations; grouped into bands for LSH
+N_BANDS = 4
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+SHINGLE_K = 3  # token-level 3-shingles
+
+
+@register(
+    "x_dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+)
+def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group identical content, keep the smallest doc_id.
+    (One hash shuffle on the text; at scale you'd group on sha2(text)
+    instead to shrink shuffle rows — see x_dedup_exact_hash.)"""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    ).select("keep_id", "n_copies")
+
+
+@register(
+    "x_dedup_exact_hash",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+)
+def x_dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content digest — the form that scales: the shuffle
+    carries 32-byte digests, not documents, and the digest is also the
+    cross-run dedup key for incremental pipelines."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.sha2("text", 256).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingles(text_col, k: int = SHINGLE_K):
+    """Token k-shingles as strings: join of k consecutive tokens."""
+    toks = F.split(text_col, " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )
+
+
+def minhash_signature(shingle_col, n_hashes: int = N_MINHASH):
+    """MinHash signature: min over shingles of seeded xxhash64 per
+    permutation.  Seeding via concat keeps everything JVM-side."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i))
+                )
+            )
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def minhash_candidates(docs: DataFrame) -> DataFrame:
+    """LSH candidate pairs: band the signature, bucket-join within bands.
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b."""
+    sig = docs.select(
+        "doc_id", minhash_signature(shingles(F.col("text"))).alias("sig")
+    )
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * ROWS_PER_BAND + r + 1).cast(
+                                    "string"
+                                )
+                                for r in range(ROWS_PER_BAND)
+                            ],
+                        )
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+@register("x_dedup_near_minhash")
+def x_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates, verified with exact shingle Jaccard
+    and thresholded.  WEAK (bucket structure is impl-defined), but the
+    verification step makes surviving pairs real near-duplicates."""
+    d = load_table(spark, sf_dir, "documents")
+    cand = minhash_candidates(d)
+    sh = d.select("doc_id", F.array_distinct(shingles(F.col("text"))).alias("sh"))
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    pairs = (
+        cand.join(a, cand.doc_a == F.col("sa.doc_id"))
+        .join(b, cand.doc_b == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sa.sh", "sb.sh")).cast("double")
+                / F.size(F.array_union("sa.sh", "sb.sh"))
+            ).alias("jaccard"),
+        )
+    )
+    return pairs.filter(F.col("jaccard") >= 0.5).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@register("x_dedup_simhash")
+def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints: 64-bit signed projection over token hashes.
+    Near-dups have small hamming distance; here we emit fingerprint buckets
+    (top-32 bits) and their sizes.  WEAK (hash-function-defined)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    bits = [
+        F.when(
+            F.size(
+                F.filter(
+                    toks,
+                    lambda t, i=i: F.xxhash64(t).bitwiseAND(F.lit(1 << i)) != 0,
+                )
+            )
+            * 2
+            > F.size(toks),
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i in range(32)
+    ]
+    fp = bits[0]
+    for b in bits[1:]:
+        fp = fp + b
+    return (
+        d.select("doc_id", fp.alias("simhash32"))
+        .groupBy("simhash32")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+@register(
+    "x_ngram_jaccard",
+    oracle="""
+    WITH sample_docs AS (SELECT doc_id, lang, text FROM documents WHERE doc_id < 150),
+    toks AS (
+      SELECT doc_id, lang, unnest(list_distinct(str_split(text, ' '))) AS tok
+      FROM sample_docs),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM toks a JOIN toks b
+        ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT i.doc_a, i.doc_b,
+           ROUND(CAST(i.n_common AS DOUBLE)
+                 / (sa.n + sb.n - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.8
+    """,
+)
+def x_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard over a bounded sample (doc_id < 150), blocked
+    by language — the *verification* operator.  At 100 TB this runs only on
+    LSH candidate pairs (x_dedup_near_minhash), never on a cross product;
+    the bounded sample keeps the oracle form O(sample²) at every SF."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok"),
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -1,0 +1,290 @@
+"""Join operators (SURVEY.md §2.4 joins tier).
+
+Physical-strategy posture for 100 TB (SURVEY.md §4.2): dimension tables
+(region/nation/customer at most SFs) are broadcast explicitly so the fact
+side never shuffles for them; fact-fact joins (orders⋈lineitem) shuffle on
+the join key and rely on AQE for skew splitting.  Semantics are identical
+either way, which is what the DuckDB oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..io import load_table
+from ..registry import register
+
+
+@register(
+    "q_join_inner_broadcast",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           COUNT(*) AS n_customers,
+           SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q_join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash inner join: fact side streams, dims ship to every task
+    (no shuffle of the big side — the scale-critical strategy)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "q_join_inner_shuffle",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus, l.l_linenumber, l.l_quantity
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_totalprice > 50000
+    """,
+)
+def q_join_inner_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle (sort-merge/shuffled-hash) fact-fact equi join; at 100 TB both
+    sides hash-partition on the key, AQE handles skewed orderkeys."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 50000)
+    li = load_table(spark, sf_dir, "lineitem")
+    return o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderkey", "o_orderstatus", "l_linenumber", "l_quantity"
+    )
+
+
+@register(
+    "q_join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 100000
+    """,
+)
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join incl. a pushed non-key condition in the ON clause
+    (semantically different from a post-join WHERE — preserved unmatched rows)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o, (c.c_custkey == o.o_custkey) & (o.o_totalprice > 100000), "left"
+    ).select("c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "q_join_full_outer",
+    oracle="""
+    WITH lo AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey < 100),
+         ro AS (SELECT o_custkey, COUNT(*) AS n_orders
+                FROM orders WHERE o_custkey >= 50 GROUP BY o_custkey)
+    SELECT lo.c_custkey, lo.c_acctbal, ro.o_custkey, ro.n_orders
+    FROM lo FULL OUTER JOIN ro ON lo.c_custkey = ro.o_custkey
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with unmatched rows on both sides."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    lo = c.filter(F.col("c_custkey") < 100).select("c_custkey", "c_acctbal")
+    ro = (
+        o.filter(F.col("o_custkey") >= 50)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return lo.join(ro, lo.c_custkey == ro.o_custkey, "full").select(
+        "c_custkey", "c_acctbal", "o_custkey", "n_orders"
+    )
+
+
+@register(
+    "q_join_left_semi",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    """,
+)
+def q_join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS): emits left rows once, never duplicates them."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "q_join_left_anti",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS): customers with no orders at all."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "q_join_cross",
+    oracle="""
+    SELECT r.r_name, s.o_orderstatus
+    FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded cross join (tiny dims only — never cross-join facts at scale)."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    s = load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(s)
+
+
+@register(
+    "q_join_theta_range",
+    oracle="""
+    SELECT b.band, COUNT(*) AS n_orders,
+           SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS band_total
+    FROM orders o
+    JOIN (VALUES ('low', 0.0, 50000.0),
+                 ('mid', 50000.0, 150000.0),
+                 ('high', 150000.0, 100000000.0)) AS b(band, lo, hi)
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta/range) join against a banding table. Spark plans this
+    as BroadcastNestedLoopJoin — fine because the band side is tiny; a
+    fact-fact range join would need bucketing by range first."""
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50000.0), ("mid", 50000.0, 150000.0), ("high", 150000.0, 1e8)],
+        "band string, lo double, hi double",
+    )
+    return (
+        o.join(
+            broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("band_total"),
+        )
+    )
+
+
+@register(
+    "q_join_self",
+    oracle="""
+    SELECT a.o_custkey, a.o_orderkey AS order_a, b.o_orderkey AS order_b
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+    WHERE a.o_orderstatus = 'F' AND b.o_orderstatus = 'F'
+    """,
+)
+def q_join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self join: pairs of finished orders from the same customer."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    a = o.alias("a")
+    b = o.alias("b")
+    return a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+    ).select(
+        F.col("a.o_custkey").alias("o_custkey"),
+        F.col("a.o_orderkey").alias("order_a"),
+        F.col("b.o_orderkey").alias("order_b"),
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           strftime(
+             MAX(CASE WHEN event_type = 'signup' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             '%Y-%m-%d %H:%M:%S') AS asof_signup_ts
+    FROM events
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (nearest past match per key), expressed shuffle-free as a
+    running conditional MAX over an ordered window — the portable emulation
+    from SURVEY.md §2.4 (one shuffle on the partition key, no join blowup;
+    this is also how you'd do it on 100 TB: a single hash partition by key)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    asof = F.max(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.date_format(asof, "yyyy-MM-dd HH:mm:ss").alias("asof_signup_ts"),
+    )
+
+
+@register(
+    "q_join_multiway",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           COUNT(*) AS n_lines,
+           SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+               AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus <> 'P'
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style star join: broadcast the dim chain, shuffle only
+    orders⋈lineitem; revenue summed exactly via DECIMAL."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "P")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("revenue"),
+        )
+    )

@@ -1,0 +1,128 @@
+"""Multimodal column handling (extension tier, SURVEY.md §2.4
+`x_multimodal_cols`).
+
+Design: media payloads are opaque `binary` columns + a typed metadata
+struct, exactly how a 100 TB training pipeline stores them (parquet binary
+chunks; decode only inside Arrow-batched Python workers).  The decode /
+feature-extract step is STUBBED deterministically — the image/audio codecs
+aren't in this container (per round-1 brief) — but every piece of Spark
+plumbing around it (schema, mapInPandas batch iteration, partition
+behavior, metadata projection) is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+FEATURE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, "
+    "width int, height int, checksum long"
+)
+
+
+def decode_media(payload: bytes, media_type: str) -> dict:
+    """STUB decode: a real implementation would dispatch to PIL/librosa/
+    ffmpeg here.  Deterministic fake: 'dimensions' derived from payload
+    length, checksum = byte sum.  Raises for unknown media types like a real
+    decoder would."""
+    if media_type not in ("image", "audio"):
+        raise NotImplementedError(f"no decoder for media_type={media_type!r}")
+    n = len(payload)
+    return {
+        "width": (n % 64) + 1,
+        "height": ((n // 64) % 64) + 1,
+        "checksum": sum(payload) if payload else 0,
+    }
+
+
+def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: Arrow batches in, feature rows out — the shape a
+    real decoder plugs into (one vectorized loop per batch, no per-row
+    Python dispatch overhead beyond the decode itself)."""
+    for pdf in batches:
+        feats = [decode_media(p, m) for p, m in zip(pdf["payload"], pdf["media_type"])]
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "media_type": pdf["media_type"].values,
+                "n_bytes": [len(p) for p in pdf["payload"]],
+                "width": [f["width"] for f in feats],
+                "height": [f["height"] for f in feats],
+                "checksum": [f["checksum"] for f in feats],
+            }
+        )
+        yield out
+
+
+def with_media_columns(docs: DataFrame) -> DataFrame:
+    """Mint the multimodal layout from the documents fixture: text bytes as
+    the opaque payload + a typed metadata struct (mirrors how the reference
+    treats `data` as an opaque string payload with an envelope,
+    ServerSentEvent.java:29-34)."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias(
+            "media_type"
+        ),
+        F.struct(
+            F.col("source").alias("origin"),
+            F.col("lang").alias("lang"),
+            F.length("text").alias("content_length"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "x_multimodal_cols",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+           strlen(text) AS n_bytes,
+           source AS origin
+    FROM documents
+    """,
+)
+def x_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + metadata struct projection (the storage layout
+    itself; byte length via octet_length on the binary column)."""
+    d = load_table(spark, sf_dir, "documents")
+    media = with_media_columns(d)
+    return media.select(
+        "doc_id",
+        "media_type",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.col("meta.origin").alias("origin"),
+    )
+
+
+@register(
+    "x_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+           strlen(text) AS n_bytes,
+           CAST((strlen(text) % 64) + 1 AS INTEGER) AS width,
+           CAST(((strlen(text) // 64) % 64) + 1 AS INTEGER) AS height
+    FROM documents
+    WHERE doc_id % 5 = 0
+    """,
+)
+def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction through mapInPandas over binary payloads (decode
+    stubbed; Arrow batch plumbing real).  Checksum column dropped from the
+    comparison surface only to keep the oracle in pure SQL."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    media = with_media_columns(d)
+    feats = media.select("doc_id", "payload", "media_type").mapInPandas(
+        extract_features, FEATURE_SCHEMA
+    )
+    return feats.select("doc_id", "media_type", "n_bytes", "width", "height")

@@ -1,0 +1,194 @@
+"""Projection / filter / predicate operators (SURVEY.md §2.4).
+
+These reproduce the reference's per-record transform semantics Spark-first:
+the Connect SMT chain `ExtractField → FromJson` (config/kafka-connect-sse
+.properties:9-16) is projection + parsing; the null-name drop
+(ServerSentEventClient.java:523-530) and null-coalescing defaults
+(ServerSentEventsSourceTask.java:111-114) are filters/coalesce.  All are
+declarative DataFrame ops so Catalyst fuses the whole chain into one
+WholeStageCodegen stage and pushes predicates into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+
+@register(
+    "src_parquet_scan",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+           l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+           CAST(l_shipdate AS DATE) AS l_shipdate
+    FROM lineitem
+    """,
+)
+def src_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch parquet scan of a full table (columnar, vectorized reader)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        F.col("l_shipdate").cast("date").alias("l_shipdate"),
+    )
+
+
+@register(
+    "q_project_rename",
+    oracle="""
+    SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+           l_returnflag AS flag, l_quantity AS qty
+    FROM lineitem
+    """,
+)
+def q_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column projection + rename; column pruning reaches the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_no"),
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").alias("qty"),
+    )
+
+
+@register(
+    "q_project_computed",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount), 4) AS net_price,
+           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4) AS charge,
+           'O' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+               AS line_key
+    FROM lineitem
+    """,
+)
+def q_project_computed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed columns: arithmetic + string concat (TPC-H Q1-style terms)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(net, 4).alias("net_price"),
+        F.round(net * (F.lit(1) + F.col("l_tax")), 4).alias("charge"),
+        F.concat(
+            F.lit("O"), F.col("l_orderkey").cast("string"),
+            F.lit("-"), F.col("l_linenumber").cast("string"),
+        ).alias("line_key"),
+    )
+
+
+@register(
+    "q_filter_basic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+    FROM lineitem
+    WHERE (l_quantity > 30 AND l_discount <= 0.05) OR l_returnflag = 'R'
+    """,
+)
+def q_filter_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison predicates + boolean connectives, pushed to the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = ((F.col("l_quantity") > 30) & (F.col("l_discount") <= 0.05)) | (
+        F.col("l_returnflag") == "R"
+    )
+    return li.filter(cond).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag"
+    )
+
+
+@register(
+    "q_filter_in_between",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_totalprice BETWEEN 1000 AND 150000
+    """,
+)
+def q_filter_in_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list + BETWEEN range predicates."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & F.col("o_totalprice").between(1000, 150000)
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+@register(
+    "q_filter_null",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           NULLIF(o_orderstatus, 'O') AS status_or_null
+    FROM orders
+    WHERE NULLIF(o_orderstatus, 'O') IS NOT NULL
+    """,
+)
+def q_filter_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS [NOT] NULL under 3-valued logic (nulls minted via NULLIF — the
+    fixtures carry no natural nulls)."""
+    o = load_table(spark, sf_dir, "orders")
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return (
+        o.withColumn("status_or_null", status_or_null)
+        .filter(F.col("status_or_null").isNotNull())
+        .select("o_orderkey", "o_orderstatus", "status_or_null")
+    )
+
+
+@register(
+    "q_filter_like_regex",
+    oracle="""
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE p_name LIKE '%red%' OR regexp_matches(p_type, '^STANDARD.*BRASS$')
+    """,
+)
+def q_filter_like_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE and regex predicates (the reference's planned event-name pattern
+    filter, ServerSentEventsSourceConnectorConfig.java:30 TODO)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").like("%red%") | F.col("p_type").rlike("^STANDARD.*BRASS$")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+@register(
+    "q_coalesce_defaults",
+    oracle="""
+    SELECT e.event_id,
+           COALESCE(NULLIF(e.event_type, 'view'), 'unknown') AS event_coalesced,
+           COALESCE(NULLIF(e.props, '{}'), '') AS data_coalesced
+    FROM events e
+    """,
+)
+def q_coalesce_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-default coalescing — mirrors the reference's
+    `event==null → "unknown"`, `data==null → ""` defaults
+    (ServerSentEventsSourceTask.java:111-114)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("view")), F.lit("unknown"))
+        .alias("event_coalesced"),
+        F.coalesce(F.nullif(F.col("props"), F.lit("{}")), F.lit("")).alias(
+            "data_coalesced"
+        ),
+    )
+
+
+@register(
+    "q_distinct",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate elimination (partial-aggregate dedup before the shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()

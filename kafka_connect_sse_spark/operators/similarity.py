@@ -1,0 +1,165 @@
+"""Similarity search over the embeddings table (extension tier).
+
+Two paths with identical semantics on fixture data:
+  * x_sim_topk_cosine — brute-force top-k cosine for a bounded query set:
+    O(|Q|·N) dot products, broadcast the queries, no N² blowup.  EXACT
+    (DuckDB list_dot_product oracle; scores rounded before ranking so FP
+    summation order can never flip a rank).
+  * x_sim_lsh_bucketed — random-hyperplane LSH bucketing: each vector gets a
+    sign-bit code from deterministic pseudo-random hyperplanes; candidates
+    only within the same bucket.  This is the 100 TB path: the join key is
+    the code, the shuffle is O(N), and recall is tuned by code width /
+    multi-probe.  WEAK (bucket assignment is impl-defined).
+
+Dot products run through `F.aggregate` over zipped arrays — JVM higher-order
+functions, no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..io import load_table
+from ..registry import register
+
+N_QUERIES = 10  # bounded query set: vec_id < 10
+TOP_K = 5
+N_PLANES = 8  # LSH code width
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b):
+    """Sequential fold over zipped arrays — same accumulation order as
+    DuckDB's list_dot_product, so results match bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a, b):
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+@register(
+    "x_sim_topk_cosine",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  ROUND(list_dot_product(q.v, c.v)
+                        / (sqrt(list_dot_product(q.v, q.v))
+                           * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+           FROM q JOIN c ON q.vec_id <> c.vec_id)
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM scored)
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def x_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for a bounded query set (the correctness
+    baseline; broadcast the queries, scan candidates once)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qv")
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double(F.col("embedding")).alias("cv"),
+    )
+    scored = (
+        c.join(broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    return (
+        scored.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+def lsh_code(vec_col, n_planes: int = N_PLANES, dim: int = 64):
+    """Sign-bit code from deterministic pseudo-random hyperplanes.  Plane
+    p's component j = hash(p, j) mapped to [-1, 1] — reproducible across
+    runs/engines without storing plane matrices."""
+    def plane_bit(p):
+        comp = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                F.pmod(F.xxhash64(F.lit(p), j), F.lit(10007)).cast("double")
+                / 5003.5
+                - 1.0
+            ),
+        )
+        proj = F.aggregate(
+            F.zip_with(vec_col, comp, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+
+    code = plane_bit(0)
+    for p in range(1, n_planes):
+        code = code + plane_bit(p)
+    return code
+
+
+@register("x_sim_lsh_bucketed")
+def x_sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: bucket stats + within-bucket candidate counts.
+    WEAK rows-only; the scale path for x_sim_topk_cosine (shuffle on the
+    8-bit code instead of an N×Q cross)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    coded = e.select(
+        "vec_id",
+        "label",
+        lsh_code(_as_double(F.col("embedding"))).alias("code"),
+    )
+    return coded.groupBy("code").agg(
+        F.count("*").alias("bucket_size"),
+        F.countDistinct("label").alias("n_labels"),
+        F.min("vec_id").alias("min_vec_id"),
+    )
+
+
+@register(
+    "x_embed_norms",
+    oracle="""
+    SELECT vec_id, label,
+           ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+               AS l2_norm,
+           ROUND(list_aggregate(embedding::DOUBLE[], 'sum'), 6) AS comp_sum,
+           len(embedding) AS dim
+    FROM embeddings
+    """,
+)
+def x_embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector hygiene pass: L2 norm, component sum, dimension — the cheap
+    full-scan validation stage before any ANN build."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = _as_double(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(F.sqrt(dot(v, v)), 6).alias("l2_norm"),
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("comp_sum"),
+        F.size("embedding").alias("dim"),
+    )

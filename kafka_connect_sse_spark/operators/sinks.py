@@ -1,0 +1,189 @@
+"""Source/sink operators (SURVEY.md §2.4 sources/sinks tier).
+
+src_sse_stream is the full reference pipeline end-to-end: a local HTTP
+server streams fixture events over real SSE wire format → the custom `sse`
+DataSource ingests them (auth/headers/backoff machinery live) → memory sink
+→ compared EXACTLY against the fixture rows it served.  The others cover
+the storage formats: partitioned parquet write (the landing zone of the
+blessed SSE→parquet→analytics topology), JSONL with explicit schema, and
+the topic-named memory sink (Tier 1 #6 topic routing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table, table_path
+from ..registry import register
+from ..sources.sse import register_sse_source
+
+N_SSE_EVENTS = 200
+
+
+def _sse_payload_rows(spark: SparkSession, sf_dir: str):
+    """The rows the local SSE server serves: envelope = (event_type, id,
+    data=props) for event_id < N, ordered by event_id."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_id") < N_SSE_EVENTS)
+        .select("event_id", "event_type", "props")
+        .orderBy("event_id")
+        .collect()
+    )
+
+
+class _SSEHandler(BaseHTTPRequestHandler):
+    rows = []
+
+    def log_message(self, *args):  # silence
+        pass
+
+    def do_GET(self):
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Cache-Control", "no-cache")
+        self.end_headers()
+        try:
+            self.wfile.write(b": stream start\n\n")  # comment/heartbeat line
+            for r in type(self).rows:
+                msg = (
+                    f"event: {r['event_type']}\n"
+                    f"id: {r['event_id']}\n"
+                    f"data: {r['props']}\n\n"
+                )
+                self.wfile.write(msg.encode())
+            self.wfile.flush()
+            # keep the connection open with heartbeats so the client doesn't
+            # enter its reconnect loop while Spark drains the buffer
+            for _ in range(600):
+                time.sleep(0.1)
+                self.wfile.write(b": keepalive\n\n")
+                self.wfile.flush()
+        except (BrokenPipeError, ConnectionResetError):
+            pass
+
+
+@register(
+    "src_sse_stream",
+    oracle=f"""
+    SELECT event_type AS event,
+           CAST(event_id AS VARCHAR) AS id,
+           props AS data
+    FROM events
+    WHERE event_id < {N_SSE_EVENTS}
+    """,
+)
+def src_sse_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSE endpoint → streaming DataFrame, end-to-end over a real socket."""
+    rows = [r.asDict() for r in _sse_payload_rows(spark, sf_dir)]
+    _SSEHandler.rows = rows
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _SSEHandler)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    register_sse_source(spark)
+    name = f"sse_ingest_{port}"
+    try:
+        sdf = (
+            spark.readStream.format("sse")
+            .option("uri", f"http://127.0.0.1:{port}/stream")
+            .option("sse.header.X-Test", "parity")
+            .load()
+            .select("event", "id", "data")
+        )
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        deadline = time.monotonic() + 90
+        while time.monotonic() < deadline:
+            if spark.table(name).count() >= len(rows):
+                break
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(30)
+    finally:
+        server.shutdown()
+        server.server_close()
+    return spark.table(name)
+
+
+@register(
+    "snk_parquet",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS total
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def snk_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + re-read: write lineitem partitioned by
+    l_returnflag (the landing-zone layout: partition column becomes a
+    directory key, enabling partition pruning), then prove the round trip."""
+    out = os.path.join(tempfile.gettempdir(), "kcss_snk_parquet")
+    shutil.rmtree(out, ignore_errors=True)
+    li = load_table(spark, sf_dir, "lineitem")
+    li.write.partitionBy("l_returnflag").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("total"),
+    )
+
+
+@register(
+    "src_jsonl_scan",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, SUM(user_id) AS uid_sum
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def src_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan with an explicit schema (schema-on-read, no
+    inference pass — mandatory at scale): events → jsonl → read back."""
+    out = os.path.join(tempfile.gettempdir(), "kcss_src_jsonl")
+    shutil.rmtree(out, ignore_errors=True)
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    e.write.mode("overwrite").json(out)
+    back = spark.read.schema("event_id long, event_type string, user_id long").json(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("user_id").alias("uid_sum")
+    )
+
+
+@register(
+    "snk_memory_topic",
+    oracle="""
+    SELECT event_type AS event, COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def snk_memory_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic routing (Tier 1 #6): the stream lands in a sink addressed by a
+    configured topic name — writeStream.queryName(topic) in memory-sink
+    form, counted per event class."""
+    from ..streaming.runner import events_stream, run_to_memory
+
+    sdf = events_stream(spark, sf_dir)
+    envelope = sdf.select(
+        F.col("event_type").alias("event"),
+        F.col("event_id").cast("string").alias("id"),
+        F.col("props").alias("data"),
+    )
+    landed = run_to_memory(envelope, mode="append")
+    return landed.groupBy("event").agg(F.count("*").alias("n"))

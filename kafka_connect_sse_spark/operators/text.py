@@ -1,0 +1,174 @@
+"""Text-analysis operators for LLM-data pipelines (extension tier,
+SURVEY.md §2.4): token counting, quality scoring, language heuristics,
+document fingerprinting.  All JVM-side built-ins — no Python UDFs in the hot
+path — so they scale to 100 TB as ordinary codegen'd projections.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_STOP_SQL = "['the','a','of','and','to','in']"
+
+
+@register(
+    "x_text_stats",
+    oracle="""
+    SELECT doc_id, lang, source,
+           length(text) AS n_chars,
+           len(str_split(text, ' ')) AS n_tokens,
+           ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(str_split(text, ' ')), 6) AS avg_tok_len,
+           len(list_distinct(str_split(text, ' '))) AS n_vocab
+    FROM documents
+    """,
+)
+def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char stats (whitespace tokenizer)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.size(toks),
+            6,
+        ).alias("avg_tok_len"),
+        F.size(F.array_distinct(toks)).alias("n_vocab"),
+    )
+
+
+@register(
+    "x_token_count_regex",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]+')) AS n_word_tokens,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_num_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_ish
+    FROM documents
+    """,
+)
+def x_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex (BPE-ish pre-tokenizer) token counting: words, numbers, and a
+    GPT-style word|number|punct split."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"))).alias("n_word_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"))).alias("n_num_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))).alias(
+            "n_bpe_ish"
+        ),
+    )
+
+
+@register(
+    "x_lang_like_filter",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE lang IN ('en', 'fr') AND regexp_matches(text, '(spark|query|stream)')
+    """,
+)
+def x_lang_like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language + content filter (the cheap pre-filter stage of a training-
+    data pipeline; predicate pushdown prunes parquet row groups)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(
+        F.col("lang").isin("en", "fr") & F.col("text").rlike("(spark|query|stream)")
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "x_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           ROUND(LEAST(1.0, len(str_split(text, ' ')) / 100.0), 6) AS len_score,
+           ROUND(CAST(len(list_filter(str_split(text, ' '),
+                                      t -> list_contains({_STOP_SQL!s}, t)))
+                      AS DOUBLE) / len(str_split(text, ' ')), 6) AS stop_ratio,
+           ROUND(CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g'))
+                      AS DOUBLE) / length(text), 6) AS punct_ratio
+    FROM documents
+    """,
+)
+def x_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality signals: length score, stopword ratio, non-letter
+    ratio — the standard C4/Gopher-style filters, all codegen'd."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return d.select(
+        "doc_id",
+        F.round(F.least(F.lit(1.0), F.size(toks) / 100.0), 6).alias("len_score"),
+        F.round(n_stop.cast("double") / F.size(toks), 6).alias("stop_ratio"),
+        F.round(
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", "[^a-z ]", ""))
+            ).cast("double")
+            / F.length("text"),
+            6,
+        ).alias("punct_ratio"),
+    )
+
+
+@register(
+    "x_langid_ngram",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN len(list_filter(str_split(text, ' '),
+                                     t -> list_contains({_STOP_SQL!s}, t))) * 10
+                     >= len(str_split(text, ' '))
+                THEN 'en_like' ELSE 'other' END AS langid_pred
+    FROM documents
+    """,
+)
+def x_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-density rule (≥10% English stopwords
+    → en_like).  A real n-gram profile model would be a broadcast-joined
+    profile table; the shape — pure per-row expression — is identical."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(n_stop * 10 >= F.size(toks), "en_like")
+        .otherwise("other")
+        .alias("langid_pred"),
+    )
+
+
+@register(
+    "x_fingerprint",
+    oracle="""
+    SELECT d.doc_id,
+           SUM((length(t.tok) * 31 + ascii(substr(t.tok, 1, 1))) * t.pos)
+               AS fingerprint
+    FROM documents d,
+         unnest(str_split(d.text, ' ')) WITH ORDINALITY AS t(tok, pos)
+    GROUP BY d.doc_id
+    """,
+)
+def x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint (position-weighted rolling hash
+    over tokens).  Integer arithmetic → exact in both engines; posexplode is
+    the Spark analogue of UNNEST WITH ORDINALITY."""
+    d = load_table(spark, sf_dir, "documents")
+    exploded = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok")
+    )
+    term = (F.length("tok") * 31 + F.ascii(F.col("tok"))) * (F.col("pos0") + 1)
+    return exploded.groupBy("doc_id").agg(F.sum(term).alias("fingerprint"))

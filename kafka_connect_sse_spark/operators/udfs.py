@@ -1,0 +1,136 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.4 `u_*`).
+
+The reference has no UDFs — Connect SMTs are its extension slot (Tier 2).
+Here the full Spark extension ladder is exercised, slowest to fastest:
+row-at-a-time Python UDF (u_py_udf, kept off hot paths), Arrow-vectorized
+pandas UDF (u_pandas_udf), grouped-map applyInPandas (u_grouped_map), and a
+Python UDTF (u_sql_udtf).  Each deterministic one carries a pure-SQL oracle
+reimplementation so the check stays EXACT.  UDF objects are built inside
+the query functions (registration needs an active SparkSession).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf, udtf
+
+from ..io import load_table
+from ..registry import register
+
+MIX_MULT = 2654435761  # Knuth multiplicative-hash constant
+MIX_MOD = 1000000007
+
+
+def _key_mix(k: int) -> int:
+    """Deterministic key mixer (python ints — no overflow)."""
+    return (k * MIX_MULT) % MIX_MOD
+
+
+@register(
+    "u_py_udf",
+    oracle=f"""
+    SELECT o_orderkey,
+           (o_orderkey * {MIX_MULT}) % {MIX_MOD} AS mixed
+    FROM orders
+    WHERE o_orderkey % 20 = 0
+    """,
+)
+def u_py_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (the slow path — bounded input on purpose;
+    at scale this exact expression would be a built-in column expression)."""
+    key_mix = udf(_key_mix, "long")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    return o.select("o_orderkey", key_mix("o_orderkey").alias("mixed"))
+
+
+def _log1p_series(v: pd.Series) -> pd.Series:
+    import numpy as np
+
+    return pd.Series(np.log1p(v.values))
+
+
+@register(
+    "u_pandas_udf",
+    oracle="""
+    SELECT o_orderkey, ROUND(LN(1 + o_totalprice), 6) AS log_price
+    FROM orders
+    """,
+)
+def u_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas UDF (numpy batch math, ~10-100x the
+    row-at-a-time path)."""
+    log1p_price = pandas_udf(_log1p_series, "double")
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", F.round(log1p_price("o_totalprice"), 6).alias("log_price")
+    )
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    m = pdf["o_totalprice"].mean()
+    s = pdf["o_totalprice"].std(ddof=1)
+    return pd.DataFrame(
+        {
+            "o_custkey": pdf["o_custkey"],
+            "o_orderkey": pdf["o_orderkey"],
+            "z": ((pdf["o_totalprice"] - m) / s).round(6),
+        }
+    )
+
+
+@register(
+    "u_grouped_map",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND((o_totalprice - AVG(o_totalprice) OVER w)
+                 / stddev_samp(o_totalprice) OVER w, 6) AS z
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey)
+    QUALIFY COUNT(*) OVER w >= 2
+    """,
+)
+def u_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (per-key pandas transform = the UDAF/UDTF
+    slot); per-customer z-score, oracle re-expressed as SQL windows."""
+    o = load_table(spark, sf_dir, "orders")
+    grouped = o.groupBy("o_custkey").applyInPandas(
+        _zscore_group, "o_custkey long, o_orderkey long, z double"
+    )
+    # groups of 1 have NULL stddev → drop via count filter to match QUALIFY
+    counts = o.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    return grouped.join(counts.filter(F.col("n") >= 2), "o_custkey").select(
+        "o_custkey", "o_orderkey", "z"
+    )
+
+
+@register(
+    "u_sql_udtf",
+    oracle="""
+    SELECT d.doc_id, CAST(t.pos AS INTEGER) AS pos, t.tok
+    FROM documents d,
+         unnest(str_split(d.text, ' ')) WITH ORDINALITY AS t(tok, pos)
+    WHERE d.doc_id < 50
+    """,
+)
+def u_sql_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): one row per token, lateral-joined over
+    a bounded document sample (cf. DuckDB UNNEST WITH ORDINALITY)."""
+
+    class TokenizeUDTF:
+        def eval(self, doc_id: int, text: str):
+            for i, tok in enumerate(text.split(" ")):
+                yield doc_id, i + 1, tok
+
+    tokenize = udtf(TokenizeUDTF, returnType="doc_id: bigint, pos: int, tok: string")
+    spark.udtf.register("tokenize_udtf", tokenize)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT t.doc_id, t.pos, t.tok
+        FROM udtf_docs, LATERAL tokenize_udtf(doc_id, text) t
+        """
+    )

@@ -1,0 +1,292 @@
+"""Window-function operators + sorts/limits (SURVEY.md §2.4).
+
+Each window spec shuffles once on its partition key and sorts within
+partitions; at 100 TB the partition key choice (per-flag, per-customer) is
+what bounds state per task.  Every ORDER BY carries a unique tiebreak so
+rank/lag outputs are deterministic across engines and retries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+
+@register(
+    "q_win_ranking",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER w AS rk,
+           DENSE_RANK() OVER w AS drk,
+           NTILE(4) OVER w AS quartile
+    FROM lineitem
+    WHERE l_orderkey % 10 = 0
+    WINDOW w AS (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+    """,
+)
+def q_win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank / ntile over one window spec."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "q_win_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS od,
+           LAG(o_totalprice, 1) OVER w AS prev_price,
+           LEAD(o_totalprice, 1) OVER w AS next_price,
+           LAG(o_totalprice, 2, -1.0) OVER w AS prev2_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics incl. explicit default value."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.lag("o_totalprice", 2, -1.0).over(w).alias("prev2_price"),
+    )
+
+
+@register(
+    "q_win_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+    FROM orders
+    """,
+)
+def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative (running) sum; DECIMAL keeps the prefix sums exact."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).alias(
+            "running_total"
+        ),
+    )
+
+
+@register(
+    "q_win_moving_avg",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(AVG(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3
+    FROM orders
+    """,
+)
+def q_win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 3-row moving average (frame order fixes the FP summation
+    order, so both engines produce bit-identical means)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w), 6).alias("ma3"),
+    )
+
+
+@register(
+    "q_win_range_frame",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+           COUNT(*) OVER (
+             PARTITION BY l_returnflag ORDER BY l_quantity
+             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS n_within_5
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+    """,
+)
+def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (value-based) frame: rows whose l_quantity is within 5 below."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rangeBetween(-5, Window.currentRow)
+    )
+    return li.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.count("*").over(w).alias("n_within_5"),
+    )
+
+
+@register(
+    "q_win_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           FIRST_VALUE(o_orderkey) OVER w AS cheapest_order,
+           LAST_VALUE(o_orderkey) OVER w AS priciest_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last value over an explicit full-partition frame (the default
+    frame would make LAST_VALUE degenerate)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.first("o_orderkey").over(w).alias("cheapest_order"),
+        F.last("o_orderkey").over(w).alias("priciest_order"),
+    )
+
+
+@register(
+    "q_win_pct",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+           ROUND(CUME_DIST() OVER w, 6) AS cd
+    FROM lineitem
+    WHERE l_orderkey % 25 = 0
+    WINDOW w AS (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+    """,
+)
+def q_win_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist (exact rationals — identical across engines)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 25 == 0)
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@register(
+    "q_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranked window + filter (Spark pushes the rn<=k
+    limit into the window sort as a per-partition top-k at scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "q_sort_multikey",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           NULLIF(o_orderpriority, '3-MEDIUM') AS prio_or_null,
+           o_totalprice
+    FROM orders
+    ORDER BY o_orderstatus DESC,
+             NULLIF(o_orderpriority, '3-MEDIUM') ASC NULLS LAST,
+             o_totalprice DESC
+    """,
+)
+def q_sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key global sort with desc + nulls-last (a range-partitioned
+    exchange; the value-hash is order-insensitive but the keys are in the
+    output so values are still fully checked)."""
+    o = load_table(spark, sf_dir, "orders")
+    prio = F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM"))
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            prio.alias("prio_or_null"),
+            "o_totalprice",
+        )
+        .orderBy(
+            F.col("o_orderstatus").desc(),
+            F.col("prio_or_null").asc_nulls_last(),
+            F.col("o_totalprice").desc(),
+        )
+    )
+
+
+@register(
+    "q_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark executes TakeOrderedAndProject (per-partition
+    heap + driver merge), never a full sort — the right plan at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )

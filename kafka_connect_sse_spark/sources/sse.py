@@ -1,0 +1,343 @@
+"""SSE streaming source as a PySpark `DataSource` (SURVEY.md §7 M3).
+
+Spark-first re-expression of the reference connector's Java tier:
+
+  reference (file:line)                          → here
+  ─────────────────────────────────────────────────────────────────────
+  ServerSentEventClient ctor/start (144-166,      SSEClient: stdlib-HTTP
+    247-316): Jersey SseEventSource + callbacks     reader thread + queue
+  getRecords drain (487-546) / poll loop          SimpleDataSourceStreamReader
+    (…SourceTask.java:85-103)                       .read(start) micro-batch
+  envelope Struct (ServerSentEvent.java:29-34)    schema event/id/data + ts
+  null-name drop (ServerSentEventClient:523-530)  drop in drain loop
+  null coalescing (…SourceTask.java:111-114)      event→'unknown', data→''
+  basic auth / headers / gzip (255-283)           options sse.user/password/
+                                                    sse.header.*/compression
+  rate limiter (218-239)                          min-interval connect gate
+  retry + expo backoff + 429 (587-676)            _backoff_delay + loop
+  health/idle watchdog (431-452,552-581)          staleness check in read()
+  single task (…Connector.java:61-63)             one driver-side reader
+                                                    (SSE = one TCP stream)
+
+Offsets: the SSE protocol has none usable for replay (README.md:175-184;
+IMPROVEMENT_PLAN.md:39-42) — the reader keeps a session-monotonic counter so
+Spark gets well-formed offset ranges, but a restart resumes from "now",
+exactly like the reference.  The blessed durable topology is therefore
+SSE → raw parquet landing (replayable) → analytics, mirroring the
+reference's SSE → Kafka → ksqlDB split.
+"""
+
+from __future__ import annotations
+
+import base64
+import gzip
+import threading
+import time
+import urllib.request
+from collections import deque
+from datetime import datetime, timezone
+
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+
+SSE_SCHEMA = StructType(
+    [
+        StructField("event", StringType(), nullable=False),
+        StructField("id", StringType(), nullable=True),
+        StructField("data", StringType(), nullable=False),
+        StructField("ts", TimestampType(), nullable=False),
+    ]
+)
+
+DEFAULT_USER_AGENT = "kafka-connect-sse-spark/0.1 (PySpark SSE source)"
+
+
+def backoff_delay_ms(
+    attempt: int,
+    initial_ms: int = 2000,
+    max_ms: int = 30000,
+    rate_limited: bool = False,
+) -> int:
+    """Exponential backoff: initial * 2^(attempt-1), capped; doubled again
+    (within cap) when the failure looked like HTTP 429.  Mirrors
+    calculateBackoffDelay / isRateLimitError
+    (ServerSentEventClient.java:646-676)."""
+    if attempt < 1:
+        attempt = 1
+    delay = initial_ms * (2 ** (attempt - 1))
+    if rate_limited:
+        delay *= 2
+    return min(delay, max_ms)
+
+
+class SSEClient:
+    """Background reader: one HTTP connection, async enqueue, bounded buffer.
+
+    Bounded buffer (vs the reference's unbounded LinkedBlockingDeque): when
+    full, oldest events are dropped and counted — backpressure never blocks
+    the socket thread into a zombie connection.
+    """
+
+    def __init__(
+        self,
+        uri: str,
+        user: str | None = None,
+        password: str | None = None,
+        headers: dict[str, str] | None = None,
+        compression: bool = False,
+        event_names: set[str] | None = None,
+        max_buffer: int = 100_000,
+        retry_initial_ms: int = 2000,
+        retry_max_ms: int = 30000,
+        retry_max_attempts: int = -1,
+        rate_limit_per_sec: float | None = None,
+        idle_timeout_s: float = 60.0,
+        connect_timeout_s: float = 10.0,
+    ):
+        self.uri = uri
+        self.user = user
+        self.password = password
+        self.headers = dict(headers or {})
+        self.compression = compression
+        self.event_names = event_names
+        self.max_buffer = max_buffer
+        self.retry_initial_ms = retry_initial_ms
+        self.retry_max_ms = retry_max_ms
+        self.retry_max_attempts = retry_max_attempts
+        self.rate_limit_per_sec = rate_limit_per_sec
+        self.idle_timeout_s = idle_timeout_s
+        self.connect_timeout_s = connect_timeout_s
+
+        self._buf: deque = deque()
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._error: Exception | None = None
+        self._thread: threading.Thread | None = None
+        self._last_event_time = time.monotonic()
+        self._last_connect_time = 0.0
+        # metrics mirror ServerSentEventClient.getMetrics (764-803)
+        self.metrics = {
+            "events.total": 0,
+            "events.bytes": 0,
+            "events.dropped": 0,
+            "connection.attempts": 0,
+            "connection.successful": 0,
+            "connection.failed": 0,
+            "connection.reconnections": 0,
+        }
+
+    # -- lifecycle ---------------------------------------------------------
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    # -- ingestion thread --------------------------------------------------
+    def _build_request(self) -> urllib.request.Request:
+        hdrs = {
+            "Accept": "text/event-stream",
+            "Cache-Control": "no-cache",
+            "User-Agent": DEFAULT_USER_AGENT,
+        }
+        if self.compression:
+            hdrs["Accept-Encoding"] = "gzip"
+        if self.user is not None:
+            token = base64.b64encode(
+                f"{self.user}:{self.password or ''}".encode()
+            ).decode()
+            hdrs["Authorization"] = f"Basic {token}"
+        hdrs.update(self.headers)  # custom sse.header.* win, like originals
+        return urllib.request.Request(self.uri, headers=hdrs)
+
+    def _apply_rate_limit(self) -> None:
+        """Enforce ≤ rate_limit_per_sec connection attempts (the reference
+        rate-limits connects, not events: ServerSentEventClient.java:218-239)."""
+        if not self.rate_limit_per_sec:
+            return
+        min_interval = 1.0 / self.rate_limit_per_sec
+        elapsed = time.monotonic() - self._last_connect_time
+        if elapsed < min_interval:
+            time.sleep(min_interval - elapsed)
+
+    def _run(self) -> None:
+        from .sse_wire import SSEParser, iter_sse_lines
+
+        attempt = 0
+        while not self._stop.is_set():
+            attempt += 1
+            if self.retry_max_attempts >= 0 and attempt > self.retry_max_attempts:
+                self._error = ConnectionError(
+                    f"giving up after {attempt - 1} attempts"
+                )
+                return
+            self._apply_rate_limit()
+            self._last_connect_time = time.monotonic()
+            self.metrics["connection.attempts"] += 1
+            rate_limited = False
+            try:
+                req = self._build_request()
+                with urllib.request.urlopen(req, timeout=self.connect_timeout_s) as resp:
+                    self.metrics["connection.successful"] += 1
+                    attempt = 0  # healthy connection resets the schedule
+                    parser = SSEParser()
+                    raw = resp
+                    if resp.headers.get("Content-Encoding") == "gzip":
+                        raw = gzip.GzipFile(fileobj=resp)
+                    chunks = iter(lambda: raw.read(1024), b"")
+                    for line in iter_sse_lines(chunks):
+                        if self._stop.is_set():
+                            return
+                        ev = parser.feed_line(line.rstrip("\r"))
+                        if ev is not None:
+                            self._on_event(ev)
+            except Exception as exc:  # noqa: BLE001 — any transport error retries
+                self.metrics["connection.failed"] += 1
+                rate_limited = "429" in str(exc)
+                self._error = exc
+            if self._stop.is_set():
+                return
+            self.metrics["connection.reconnections"] += 1
+            delay = backoff_delay_ms(
+                max(attempt, 1),
+                self.retry_initial_ms,
+                self.retry_max_ms,
+                rate_limited,
+            )
+            self._stop.wait(delay / 1000.0)
+
+    def _on_event(self, ev) -> None:
+        # event-name pushdown (the reference's planned filter,
+        # …ConnectorConfig.java:30 TODO): skip before buffering
+        if self.event_names and ev.event not in self.event_names:
+            return
+        now = datetime.now(timezone.utc)
+        with self._lock:
+            if len(self._buf) >= self.max_buffer:
+                self._buf.popleft()
+                self.metrics["events.dropped"] += 1
+            self._buf.append((ev.event or "unknown", ev.id, ev.data or "", now))
+        self.metrics["events.total"] += 1
+        self.metrics["events.bytes"] += len(ev.data or "")
+        self._last_event_time = time.monotonic()
+
+    # -- consumption side --------------------------------------------------
+    def drain(self, max_events: int | None = None):
+        """Drain buffered events (micro-batch semantics of getRecords,
+        ServerSentEventClient.java:487-546)."""
+        out = []
+        with self._lock:
+            while self._buf and (max_events is None or len(out) < max_events):
+                out.append(self._buf.popleft())
+        return out
+
+    def healthy(self) -> bool:
+        """Idle/zombie detection (ServerSentEventClient.java:431-452)."""
+        return (time.monotonic() - self._last_event_time) < self.idle_timeout_s
+
+
+def _parse_options(options) -> dict:
+    """Typed option parsing — the ConfigDef tier
+    (ServerSentEventsSourceConnectorConfig.java:94-173) in Python."""
+    def get(key, default=None):
+        v = options.get(key)
+        return default if v is None else v
+
+    uri = get("uri") or get("sse.uri")
+    if not uri:
+        raise ValueError("SSE source requires option 'uri' (or 'sse.uri')")
+    headers = {
+        k[len("sse.header."):]: v
+        for k, v in options.items()
+        if k.startswith("sse.header.")
+    }
+    event_names = get("sse.events")
+    cfg = {
+        "uri": uri,
+        "user": get("sse.user"),
+        "password": get("sse.password"),
+        "headers": headers,
+        "compression": str(get("sse.compression", "false")).lower() == "true",
+        "event_names": set(event_names.split(",")) if event_names else None,
+        "max_buffer": int(get("sse.buffer.max", "100000")),
+        "retry_initial_ms": int(get("retry.backoff.initial.ms", "2000")),
+        "retry_max_ms": int(get("retry.backoff.max.ms", "30000")),
+        "retry_max_attempts": int(get("retry.max.attempts", "-1")),
+        "rate_limit_per_sec": float(get("rate.limit.requests.per.second", "0")) or None,
+        "idle_timeout_s": float(get("sse.idle.timeout.s", "60")),
+    }
+    # accepted-but-inert in the reference (stored, never read:
+    # ServerSentEventClient.java:73,156) — validate and warn, per §2.5
+    if options.get("rate.limit.max.concurrent") is not None:
+        import warnings
+
+        warnings.warn(
+            "rate.limit.max.concurrent is accepted but not enforced "
+            "(parity with reference)", stacklevel=2,
+        )
+    return cfg
+
+
+class SSEStreamReader(SimpleDataSourceStreamReader):
+    """Driver-side micro-batch reader.  Offsets are session-monotonic event
+    counters — synthetic, because SSE has no replayable offsets (§1.3);
+    `readBetweenOffsets` replays only within the in-memory session cache."""
+
+    def __init__(self, options):
+        cfg = _parse_options(options)
+        self.max_events_per_batch = int(options.get("maxEventsPerBatch", "10000"))
+        self.client = SSEClient(**cfg)
+        self.client.start()
+        self._offset = 0
+        self._cache: dict[tuple[int, int], list] = {}
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def read(self, start: dict):
+        rows = self.client.drain(self.max_events_per_batch)
+        if self.client._error and not rows and not self.client.healthy():
+            # fail-stop propagation (ServerSentEventClient.java:720-756)
+            raise RuntimeError(
+                f"SSE connection unhealthy: {self.client._error}"
+            )
+        start_off = start.get("offset", 0)
+        end_off = start_off + len(rows)
+        self._cache[(start_off, end_off)] = rows
+        # bound the replay cache
+        if len(self._cache) > 64:
+            self._cache.pop(next(iter(self._cache)))
+        return iter(rows), {"offset": end_off}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        key = (start.get("offset", 0), end.get("offset", 0))
+        rows = self._cache.get(key)
+        if rows is None:
+            # session-replay only; a restarted query resumes from "now",
+            # matching the reference's documented non-guarantee
+            return iter(())
+        return iter(rows)
+
+    def stop(self) -> None:
+        self.client.stop()
+
+
+class SSEDataSource(DataSource):
+    """spark.readStream.format("sse").option("uri", ...).load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sse"
+
+    def schema(self):
+        return SSE_SCHEMA
+
+    def simpleStreamReader(self, schema):
+        return SSEStreamReader(self.options)
+
+
+def register_sse_source(spark) -> None:
+    spark.dataSource.register(SSEDataSource)

@@ -1,0 +1,297 @@
+"""Structured Streaming operators (SURVEY.md §2.4 `s_*` tier) — the
+SQL-on-stream surface the reference's docker-compose ships ksqlDB for
+(docker-compose.yml:86-107), plus the engine's improvements (watermarked
+dedup — the reference explicitly does not dedup, README.md:175-184).
+
+Each operator executes a real StreamingQuery to completion over a file
+stream of the fixture events (see runner.py) and returns the materialized
+result, so the driver's oracle can hold it to the batch-equivalent answer.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+from ..io import load_table
+from ..registry import register
+from .runner import events_stream, run_to_memory
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@register(
+    "s_window_tumbling",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_TS_FMT_DUCK}') AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def s_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregate (epoch-aligned 1h windows, same
+    alignment as DuckDB time_bucket)."""
+    sdf = events_stream(spark, sf_dir)
+    agg = (
+        sdf.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), _TS_FMT).alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return run_to_memory(agg, mode="complete")
+
+
+@register(
+    "s_window_sliding",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts)
+                    - o.off * INTERVAL '1 hour', '{_TS_FMT_DUCK}') AS win_start,
+           COUNT(*) AS n
+    FROM events, (VALUES (0), (1)) AS o(off)
+    GROUP BY 1
+    """,
+)
+def s_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h length, 1h slide): every event lands in two
+    overlapping windows."""
+    sdf = events_stream(spark, sf_dir)
+    agg = (
+        sdf.groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("window.start"), _TS_FMT).alias("win_start"),
+            "n",
+        )
+    )
+    return run_to_memory(agg, mode="complete")
+
+
+@register(
+    "s_window_session",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked)
+    SELECT user_id,
+           strftime(MIN(ts), '{_TS_FMT_DUCK}') AS sess_start,
+           strftime(MAX(ts) + INTERVAL '30 minutes', '{_TS_FMT_DUCK}') AS sess_end,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sess_id
+    """,
+)
+def s_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30 min) per user.  Spark session_window
+    end = last event + gap; the oracle reconstructs sessions with the
+    classic lag/cumsum idiom."""
+    sdf = events_stream(spark, sf_dir)
+    agg = (
+        sdf.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), _TS_FMT).alias("sess_start"),
+            F.date_format(F.col("session_window.end"), _TS_FMT).alias("sess_end"),
+            "n_events",
+        )
+    )
+    return run_to_memory(agg, mode="complete")
+
+
+@register("s_watermark_late")
+def s_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked windowed count in append mode: only windows the watermark
+    has passed are emitted (late-data drop).  WEAK rows-only — which windows
+    finalize depends on micro-batch boundaries, which Spark owns."""
+    sdf = events_stream(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("window.start"), _TS_FMT).alias("win_start"),
+            "n",
+        )
+    )
+    return run_to_memory(agg, mode="append")
+
+
+@register(
+    "s_dedup_watermarked",
+    oracle="""
+    SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS day
+    FROM events
+    """,
+)
+def s_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on (user, type, day) within a watermark — the
+    engine's improvement over the reference, which explicitly does NOT dedup
+    (README.md:184).  Key-only output keeps the result order-independent."""
+    sdf = events_stream(spark, sf_dir)
+    dd = (
+        sdf.withColumn("day", F.col("ts").cast("date"))
+        .withWatermark("ts", "1 day")
+        .dropDuplicates(["user_id", "event_type", "day"])
+        .select("user_id", "event_type", "day")
+    )
+    return run_to_memory(dd, mode="append")
+
+
+@register(
+    "s_join_stream_static",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment, e.event_type
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def s_join_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (dimension broadcast per micro-batch)."""
+    sdf = events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = (
+        sdf.join(F.broadcast(dim), sdf.user_id == dim.c_custkey)
+        .select("event_id", "user_id", "c_mktsegment", "event_type")
+    )
+    return run_to_memory(joined, mode="append")
+
+
+def _count_state(key, pdf_iter, state):
+    """applyInPandasWithState update function: running per-user counters —
+    the reference's metrics cadence (Tier 1 #10) as managed state."""
+    (user_id,) = key
+    n, total = state.get() if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+@register(
+    "s_stateful_counter",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def s_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState (running per-key
+    count/sum). value sums accumulate in one python float per key —
+    sequential, so round(…,2) matches the exact decimal oracle."""
+    sdf = events_stream(spark, sf_dir)
+    counted = sdf.groupBy("user_id").applyInPandasWithState(
+        _count_state,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_to_memory(counted, mode="update")
+    # update mode may emit a key multiple times across batches; keep the last
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.col("total_value").cast("decimal(18,2)").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "s_foreachbatch_dlq",
+    oracle="""
+    SELECT route, COUNT(*) AS n FROM (
+      SELECT CASE WHEN json_valid(props)
+                   AND CAST(json_extract_string(props, '$.k') AS BIGINT) <= 90
+                  THEN 'good' ELSE 'dlq' END AS route
+      FROM events)
+    GROUP BY route
+    """,
+)
+def s_foreachbatch_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter-queue split via foreachBatch — the reference's
+    errors.deadletterqueue config (kafka-connect-sse.properties:6-7):
+    records failing the payload contract divert to a DLQ sink instead of
+    failing the stream."""
+    sdf = events_stream(spark, sf_dir)
+    acc: dict[str, int] = {"good": 0, "dlq": 0}
+
+    def split_batch(batch_df: DataFrame, batch_id: int) -> None:
+        k = F.get_json_object("props", "$.k").try_cast("long")
+        good = batch_df.filter(k.isNotNull() & (k <= 90))
+        bad = batch_df.filter(k.isNull() | (k > 90))
+        acc["good"] += good.count()
+        acc["dlq"] += bad.count()
+
+    q = (
+        sdf.writeStream.foreachBatch(split_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.createDataFrame(
+        [("good", acc["good"]), ("dlq", acc["dlq"])], "route string, n long"
+    )
+
+
+@register(
+    "s_observe_metrics",
+    oracle="""
+    SELECT 'events.total' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM events
+    UNION ALL
+    SELECT 'events.bytes' AS metric, CAST(SUM(LENGTH(props)) AS BIGINT) AS value
+    FROM events
+    """,
+)
+def s_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's running counters (events.total / events.bytes,
+    ServerSentEventClient.java:764-803) via df.observe — metrics ride the
+    query itself, no second scan."""
+    from pyspark.sql import Observation
+
+    e = load_table(spark, sf_dir, "events")
+    obs = Observation("sse_metrics")
+    observed = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("events_total"),
+        F.sum(F.length("props")).alias("events_bytes"),
+    )
+    observed.foreach(lambda _: None)  # materialize once
+    got = obs.get
+    return spark.createDataFrame(
+        [("events.total", int(got["events_total"])),
+         ("events.bytes", int(got["events_bytes"]))],
+        "metric string, value long",
+    )
