@@ -30,7 +30,7 @@ from ..registry import register
            lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4,
            replace(p_type, ' ', '_') AS type_us,
            regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
-           regexp_replace(p_name, '[aeiou]', '*') AS devowel,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS devowel,
            CASE WHEN p_type LIKE 'STANDARD%' THEN 1 ELSE 0 END AS is_std,
            CASE WHEN p_type LIKE '%STEEL' THEN 1 ELSE 0 END AS is_steel
     FROM part
@@ -100,7 +100,7 @@ def q_fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_math",
     oracle="""
     SELECT o_orderkey,
-           ROUND(o_totalprice, 1) AS price_r1,
+           ROUND(o_totalprice, 2) AS price_r2,
            CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
            CAST(CEIL(o_totalprice) AS BIGINT) AS price_ceil,
            ABS(o_totalprice - 100000.0) AS dist_100k,
@@ -120,7 +120,8 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     tp = F.col("o_totalprice")
     return o.select(
         "o_orderkey",
-        F.round(tp, 1).alias("price_r1"),
+        # grain 2 = the column's true precision (see q_project_computed note)
+        F.round(tp, 2).alias("price_r2"),
         F.floor(tp).alias("price_floor"),
         F.ceil(tp).alias("price_ceil"),
         F.abs(tp - 100000.0).alias("dist_100k"),

@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -32,10 +33,25 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _convert_nanos(df: DataFrame) -> DataFrame:
+    """The fixture `events.ts` is parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; with nanosAsLong it arrives as bigint
+    nanoseconds.  Truncate to microseconds (integer div — doubles would lose
+    precision above 2^53 ns) to match DuckDB's ns→us truncation."""
+    out = df
+    for f in df.schema.fields:
+        if f.name == "ts" and f.dataType.typeName() == "long":
+            out = out.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+    return out
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    return spark.read.parquet(table_path(sf_dir, name))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _convert_nanos(spark.read.parquet(table_path(sf_dir, name)))
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:

@@ -180,7 +180,8 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(
                 F.filter(
                     toks,
-                    lambda t, i=i: F.xxhash64(t).bitwiseAND(F.lit(1 << i)) != 0,
+                    lambda t, mask=(1 << i): F.xxhash64(t).bitwiseAND(F.lit(mask))
+                    != 0,
                 )
             )
             * 2

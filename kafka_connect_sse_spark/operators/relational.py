@@ -61,7 +61,7 @@ def q_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            ROUND(l_extendedprice * (1 - l_discount), 4) AS net_price,
-           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4) AS charge,
+           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge,
            'O' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
                AS line_key
     FROM lineitem
@@ -74,8 +74,12 @@ def q_project_computed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
+        # rounding grain ≥ true decimal precision of the product (2dp×2dp=4dp,
+        # ×2dp=6dp): on-grid rounding is the only form both engines agree on
+        # for doubles (Spark rounds the shortest decimal repr, DuckDB the
+        # binary value — off-grid ties diverge)
         F.round(net, 4).alias("net_price"),
-        F.round(net * (F.lit(1) + F.col("l_tax")), 4).alias("charge"),
+        F.round(net * (F.lit(1) + F.col("l_tax")), 6).alias("charge"),
         F.concat(
             F.lit("O"), F.col("l_orderkey").cast("string"),
             F.lit("-"), F.col("l_linenumber").cast("string"),

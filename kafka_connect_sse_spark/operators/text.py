@@ -63,11 +63,15 @@ def x_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"))).alias("n_word_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"))).alias("n_num_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))).alias(
-            "n_bpe_ish"
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).alias(
+            "n_word_tokens"
         ),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).alias(
+            "n_num_tokens"
+        ),
+        F.size(
+            F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+        ).alias("n_bpe_ish"),
     )
 
 
@@ -154,12 +158,12 @@ def x_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x_fingerprint",
     oracle="""
-    SELECT d.doc_id,
-           SUM((length(t.tok) * 31 + ascii(substr(t.tok, 1, 1))) * t.pos)
+    WITH t AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents)
+    SELECT doc_id,
+           SUM((length(l[g.i]) * 31 + ascii(substr(l[g.i], 1, 1))) * g.i)
                AS fingerprint
-    FROM documents d,
-         unnest(str_split(d.text, ' ')) WITH ORDINALITY AS t(tok, pos)
-    GROUP BY d.doc_id
+    FROM t, UNNEST(generate_series(1, len(l))) AS g(i)
+    GROUP BY doc_id
     """,
 )
 def x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -109,10 +109,10 @@ def u_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "u_sql_udtf",
     oracle="""
-    SELECT d.doc_id, CAST(t.pos AS INTEGER) AS pos, t.tok
-    FROM documents d,
-         unnest(str_split(d.text, ' ')) WITH ORDINALITY AS t(tok, pos)
-    WHERE d.doc_id < 50
+    WITH t AS (SELECT doc_id, str_split(text, ' ') AS l
+               FROM documents WHERE doc_id < 50)
+    SELECT doc_id, CAST(g.i AS INTEGER) AS pos, l[g.i] AS tok
+    FROM t, UNNEST(generate_series(1, len(l))) AS g(i)
     """,
 )
 def u_sql_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -294,10 +294,19 @@ class SSEStreamReader(SimpleDataSourceStreamReader):
         self._offset = 0
         self._cache: dict[tuple[int, int], list] = {}
 
+    def __getstate__(self):
+        """Spark pickles the reader to executors for replay reads; the live
+        client (threads/locks/socket) stays driver-side.  The executor copy
+        serves readBetweenOffsets from the shipped row cache only."""
+        state = self.__dict__.copy()
+        state["client"] = None
+        return state
+
     def initialOffset(self) -> dict:
         return {"offset": 0}
 
     def read(self, start: dict):
+        assert self.client is not None, "read() must run on the driver"
         rows = self.client.drain(self.max_events_per_batch)
         if self.client._error and not rows and not self.client.healthy():
             # fail-stop propagation (ServerSentEventClient.java:720-756)
@@ -322,7 +331,8 @@ class SSEStreamReader(SimpleDataSourceStreamReader):
         return iter(rows)
 
     def stop(self) -> None:
-        self.client.stop()
+        if self.client is not None:
+            self.client.stop()
 
 
 class SSEDataSource(DataSource):

@@ -288,7 +288,7 @@ def s_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("events_total"),
         F.sum(F.length("props")).alias("events_bytes"),
     )
-    observed.foreach(lambda _: None)  # materialize once
+    observed.count()  # one action; metrics ride the QueryExecutionListener
     got = obs.get
     return spark.createDataFrame(
         [("events.total", int(got["events_total"])),

@@ -14,19 +14,41 @@ import itertools
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..io import load_table, table_path
+from ..io import _convert_nanos, table_path
 
 _counter = itertools.count()
 
 
+def _staged_events_dir(sf_dir: str) -> str:
+    """Spark's file stream source requires a *directory*; stage the single
+    events.parquet into a tmp dir (hardlink when possible, copy otherwise),
+    keyed by sf_dir so each scale factor stages once."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    src = table_path(sf_dir, "events")
+    key = hashlib.md5(src.encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"kcss_events_stream_{key}")
+    dst = os.path.join(d, "events.parquet")
+    if not os.path.exists(dst):
+        os.makedirs(d, exist_ok=True)
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copyfile(src, dst)
+    return d
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fixture events table as a bounded file stream (schema from the
-    batch reader; single parquet file ⇒ one deterministic micro-batch)."""
-    schema = load_table(spark, sf_dir, "events").schema
-    return (
-        spark.readStream.schema(schema)
-        .parquet(table_path(sf_dir, "events"))
-    )
+    batch reader; single parquet file ⇒ one deterministic micro-batch).
+    The raw schema carries ts as bigint nanos (see io._convert_nanos)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    sdf = spark.readStream.schema(raw_schema).parquet(_staged_events_dir(sf_dir))
+    return _convert_nanos(sdf)
 
 
 def run_to_memory(

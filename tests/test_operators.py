@@ -1,0 +1,84 @@
+"""Operator-level semantic tests at sf0.001 (fast sanity between full
+oracle runs; the authoritative check is tools/check_correctness.py)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafka_connect_sse_spark.io import load_table
+from kafka_connect_sse_spark.registry import oracle_sql, queries
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return queries()
+
+
+def test_registry_every_query_has_callable_and_doc(qs):
+    for name, fn in qs.items():
+        assert callable(fn)
+        assert fn.__doc__, f"{name} missing docstring"
+
+
+def test_registry_oracle_keys_subset_of_queries(qs):
+    assert set(oracle_sql()) <= set(qs)
+
+
+def test_dedup_exact_keeps_min_doc_id(spark, qs):
+    df = qs["x_dedup_exact"](spark, SF)
+    rows = df.collect()
+    docs = load_table(spark, SF, "documents")
+    assert sum(r.n_copies for r in rows) == docs.count()
+
+
+def test_minhash_candidates_self_similarity(spark):
+    """A document unioned with itself must be an LSH candidate pair."""
+    from kafka_connect_sse_spark.operators.dedup import minhash_candidates
+
+    d = load_table(spark, SF, "documents").limit(20).select("doc_id", "text")
+    clone = d.withColumn("doc_id", F.col("doc_id") + 1000)
+    pairs = minhash_candidates(d.union(clone)).collect()
+    found = {(p.doc_a, p.doc_b) for p in pairs}
+    assert all((i, i + 1000) in found for i in range(20)), found
+
+
+def test_cosine_topk_self_neighbor_excluded_and_k(spark, qs):
+    df = qs["x_sim_topk_cosine"](spark, SF).collect()
+    by_q = {}
+    for r in df:
+        assert r.query_id != r.neighbor_id
+        by_q.setdefault(r.query_id, []).append(r)
+    assert all(len(v) == 5 for v in by_q.values())
+    for v in by_q.values():
+        sims = [r.cos_sim for r in sorted(v, key=lambda r: r.rnk)]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_multimodal_decoder_rejects_unknown_type():
+    from kafka_connect_sse_spark.operators.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"bytes", "video")
+
+
+def test_asof_join_monotone_per_user(spark, qs):
+    df = qs["q_join_asof"](spark, SF)
+    rows = [r for r in df.collect() if r.asof_signup_ts is not None]
+    # as-of timestamp never exceeds the event's own timestamp
+    assert all(r.asof_signup_ts <= r.ts_s for r in rows)
+
+
+def test_salting_helpers_round_trip(spark):
+    from kafka_connect_sse_spark.plans import replicate_for_salt, salted
+
+    e = load_table(spark, SF, "events").select("event_type", "user_id")
+    dim = load_table(spark, SF, "customer").select("c_custkey", "c_mktsegment")
+    se = salted(e, "user_id", n_salts=4)
+    sd = replicate_for_salt(dim, n_salts=4)
+    joined = se.join(
+        sd, (se.user_id == sd.c_custkey) & (se._salt == sd._salt)
+    )
+    plain = e.join(dim, e.user_id == dim.c_custkey)
+    assert joined.count() == plain.count()

@@ -1,0 +1,85 @@
+"""Physical-plan assertions (the 100 TB posture checks of SURVEY.md §4):
+pushdown reaches the scan, pruning shrinks ReadSchema, dims broadcast,
+aggregates partial-combine, top-k avoids full sort."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafka_connect_sse_spark.io import load_table
+from kafka_connect_sse_spark.plans import (
+    formatted_plan,
+    pushed_filters,
+    read_schema_width,
+    uses_broadcast_join,
+    wholestage_codegen_spans,
+)
+from kafka_connect_sse_spark.registry import queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    li = load_table(spark, SF, "lineitem")
+    df = li.filter(F.col("l_quantity") > 30).select("l_orderkey")
+    pf = pushed_filters(df)
+    assert "l_quantity" in pf, pf
+
+
+def test_column_pruning_projects_only_needed_cols(spark):
+    li = load_table(spark, SF, "lineitem")
+    df = li.select("l_orderkey", "l_quantity")
+    assert read_schema_width(df) == 2
+
+
+def test_dim_join_is_broadcast(spark):
+    df = queries()["q_join_inner_broadcast"](spark, SF)
+    assert uses_broadcast_join(df)
+
+
+def test_multiway_join_broadcasts_dims(spark):
+    df = queries()["q_join_multiway"](spark, SF)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_groupby_has_partial_aggregation(spark):
+    df = queries()["q_agg_groupby"](spark, SF)
+    plan = formatted_plan(df)
+    assert "partial" in plan.lower(), plan
+
+
+def test_global_topk_uses_takeordered(spark):
+    df = queries()["q_limit_topk"](spark, SF)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_scalar_pipeline_is_single_codegen_stage(spark):
+    """Chained projection+filter+json-extract must fuse into one
+    WholeStageCodegen span — the Catalyst replacement for the reference's
+    per-record SMT interpretation (SURVEY.md §4.1)."""
+    e = load_table(spark, SF, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    df = (
+        e.filter(F.col("event_type") != "x")
+        .select("event_id", k.alias("k"))
+        .filter(F.col("k") >= 0)
+    )
+    assert wholestage_codegen_spans(df) >= 1
+
+
+def test_exact_queries_avoid_python_row_udfs(spark):
+    """Every hot-path relational operator stays JVM-side: no BatchEvalPython
+    (row-at-a-time Python) in any q_* plan."""
+    qs = queries()
+    offenders = []
+    for name, fn in qs.items():
+        if not name.startswith(("q_", "x_")):
+            continue
+        if name in ("x_multimodal_features",):  # mapInPandas by design
+            continue
+        df = fn(spark, SF)
+        if "BatchEvalPython" in formatted_plan(df):
+            offenders.append(name)
+    assert not offenders, offenders
