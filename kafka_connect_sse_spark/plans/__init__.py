@@ -47,7 +47,11 @@ def uses_broadcast_join(df: DataFrame) -> bool:
 
 
 def wholestage_codegen_spans(df: DataFrame) -> int:
-    return formatted_plan(df).count("WholeStageCodegen")
+    """Distinct WholeStageCodegen stages ('codegen id : N' in formatted
+    explain; the '*' operator prefix marks membership)."""
+    import re
+
+    return len(set(re.findall(r"codegen id : (\d+)", formatted_plan(df))))
 
 
 def salted(df: DataFrame, key: str, n_salts: int = 16, salt_col: str = "_salt"):
