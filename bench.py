@@ -41,8 +41,9 @@ HEADLINE = [
 ]
 
 RUNS = 3
-# outputs larger than this are forced via count() instead of collect()
-COLLECT_CAP_ROWS = 2_000_000
+# outputs larger than this are forced via count() instead of collect(), so
+# the bench measures engine execution, not Python row deserialization
+COLLECT_CAP_ROWS = 100_000
 
 
 def main() -> None:

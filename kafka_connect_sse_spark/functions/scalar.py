@@ -232,20 +232,29 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_fn_map")
+@register(
+    "q_fn_map",
+    oracle="""
+    SELECT event_id,
+           ['type', 'uid'] AS keys_sorted,
+           event_type AS type_v,
+           CAST(user_id AS VARCHAR) AS uid_v
+    FROM events
+    """,
+)
 def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map construction + access (WEAK: map literals don't hash portably
-    across engines — rows-only check). Emits scalar projections of the map
-    so the run still exercises create_map/map_keys/element_at."""
+    """Map construction + access; the map itself can't hash portably across
+    engines, so the comparison surface is its sorted key list + extracted
+    values (which fully pin create_map/map_keys/element_at semantics)."""
     e = load_table(spark, sf_dir, "events")
     m = F.create_map(
         F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")
     )
     return e.select(
         "event_id",
-        F.map_keys(m).alias("keys_sorted"),
-        m.getItem("type").alias("type_v"),
-        m.getItem("uid").alias("uid_v"),
+        F.sort_array(F.map_keys(m)).alias("keys_sorted"),
+        F.element_at(m, "type").alias("type_v"),
+        F.element_at(m, "uid").alias("uid_v"),
     )
 
 

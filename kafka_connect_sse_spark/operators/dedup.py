@@ -201,6 +201,44 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_dedup_near_embedding",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+               FROM embeddings WHERE vec_id < 300)
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+           ROUND(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.e, b.e)
+                / (sqrt(list_dot_product(a.e, a.e))
+                   * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.35
+    """,
+)
+def x_dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.35 — tuned to the fixture
+    distribution, whose max pairwise cosine is ~0.46) over a bounded
+    sample — the semantic-dedup family.  At 100 TB the pair generation runs
+    inside LSH buckets (x_sim_lsh_bucketed codes), never as a cross join;
+    the bounded sample keeps this EXACT form O(sample²) at every SF."""
+    from .similarity import _as_double, cosine
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    a = e.select(
+        F.col("vec_id").alias("doc_a"), _as_double(F.col("embedding")).alias("ea")
+    )
+    b = e.select(
+        F.col("vec_id").alias("doc_b"), _as_double(F.col("embedding")).alias("eb")
+    )
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a",
+        "doc_b",
+        F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
+    )
+    return pairs.filter(F.col("cos_sim") >= 0.35)
+
+
+@register(
     "x_ngram_jaccard",
     oracle="""
     WITH sample_docs AS (SELECT doc_id, lang, text FROM documents WHERE doc_id < 150),

@@ -104,6 +104,52 @@ def x_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas frame sampler: treat the binary payload as fixed-size
+    64-byte 'frames', keep every 4th (a real video sampler has the same
+    shape: payload in, list-of-frame-chunks out, one output row per kept
+    frame)."""
+    FRAME, STRIDE = 64, 4
+    for pdf in batches:
+        out_rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            frames = [
+                payload[i : i + FRAME] for i in range(0, len(payload), FRAME)
+            ]
+            for fi in range(0, len(frames), STRIDE):
+                out_rows.append((doc_id, fi, len(frames[fi]), frames[fi]))
+        yield pd.DataFrame(
+            out_rows, columns=["doc_id", "frame_idx", "frame_bytes", "frame"]
+        )
+
+
+@register(
+    "x_multimodal_framesample",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             (g.i - 1) * 4 AS frame_idx,
+             LEAST(64, strlen(text) - (g.i - 1) * 4 * 64) AS frame_bytes
+      FROM documents,
+           UNNEST(generate_series(1, CAST(ceil(ceil(strlen(text) / 64.0) / 4.0)
+                                          AS BIGINT))) AS g(i)
+      WHERE doc_id % 7 = 0)
+    SELECT doc_id, frame_idx, frame_bytes FROM f
+    """,
+)
+def x_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads via mapInPandas (every 4th
+    64-byte frame).  The frame bytes themselves stay Spark-side (binary);
+    the comparison surface is (doc_id, frame_idx, frame_bytes)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    media = with_media_columns(d).select("doc_id", "payload", "media_type")
+    frames = media.mapInPandas(
+        sample_frames,
+        "doc_id long, frame_idx long, frame_bytes long, frame binary",
+    )
+    return frames.select("doc_id", "frame_idx", "frame_bytes")
+
+
 @register(
     "x_multimodal_features",
     oracle="""
