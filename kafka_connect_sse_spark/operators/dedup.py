@@ -98,9 +98,19 @@ def minhash_signature(shingle_col, n_hashes: int = N_MINHASH):
     )
 
 
+MAX_BUCKET = 200  # degenerate-bucket cap (boilerplate guard); see docstring
+
+
 def minhash_candidates(docs: DataFrame) -> DataFrame:
-    """LSH candidate pairs: band the signature, bucket-join within bands.
-    Returns distinct (doc_a, doc_b) with doc_a < doc_b."""
+    """LSH candidate pairs: band the signature, expand pairs *within*
+    buckets via groupBy + collect_list — the signature pipeline runs once
+    and the only shuffle is on (band, bucket), instead of a self-join that
+    would recompute signatures on both branches.
+
+    Buckets larger than MAX_BUCKET docs are dropped (and would otherwise go
+    quadratic on boilerplate-heavy corpora); real near-dup clusters that
+    size are caught by x_dedup_exact_hash first.  Returns distinct
+    (doc_a, doc_b), doc_a < doc_b."""
     sig = docs.select(
         "doc_id", minhash_signature(shingles(F.col("text"))).alias("sig")
     )
@@ -125,20 +135,31 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
             )
         ).alias("band", "bucket"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= MAX_BUCKET))
     )
+    # all ordered pairs within a bucket: for each position i, pair ids[i]
+    # with every later element
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ids",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            "ids", i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))
+                        ),
+                        lambda y: F.struct(
+                            x.alias("doc_a"), y.alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 @register("x_dedup_near_minhash")
@@ -148,7 +169,11 @@ def x_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification step makes surviving pairs real near-duplicates."""
     d = load_table(spark, sf_dir, "documents")
     cand = minhash_candidates(d)
-    sh = d.select("doc_id", F.array_distinct(shingles(F.col("text"))).alias("sh"))
+    # persist: both sides of the verify join read the same shingle sets —
+    # without it each branch re-tokenizes the full corpus
+    sh = d.select(
+        "doc_id", F.array_distinct(shingles(F.col("text"))).alias("sh")
+    ).persist()
     a = sh.alias("sa")
     b = sh.alias("sb")
     pairs = (
