@@ -236,6 +236,55 @@ def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS "F",
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS "O",
+           CAST(SUM(CASE WHEN l_linestatus = 'P' THEN 1 END) AS BIGINT) AS "P"
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: status values become columns.  The value list is explicit —
+    at scale an implicit pivot triggers an extra discovery pass over the
+    data to enumerate columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+
+
+@register(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 1.2 * (SELECT AVG(i.o_totalprice)
+                                  FROM orders i
+                                  WHERE i.o_custkey = o.o_custkey)
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (orders 20% above their customer's mean).
+    Catalyst decorrelates this into an aggregate + rewritten join — no
+    per-row subquery re-execution."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders o
+        WHERE o.o_totalprice > 1.2 * (SELECT AVG(i.o_totalprice)
+                                      FROM orders i
+                                      WHERE i.o_custkey = o.o_custkey)
+        """
+    )
+
+
 @register("q_agg_approx_distinct")
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate count-distinct (HyperLogLog++). Sketch values are

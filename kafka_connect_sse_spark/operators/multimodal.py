@@ -104,6 +104,57 @@ def x_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def resize_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas resize stub: clamp 'dimensions' to 32×32 and emit a
+    payload truncated to w*h bytes (a real implementation calls
+    PIL.Image.resize here; the batch plumbing and output schema are what
+    Spark sees either way)."""
+    for pdf in batches:
+        feats = [decode_media(p, m) for p, m in zip(pdf["payload"], pdf["media_type"])]
+        w = [min(f["width"], 32) for f in feats]
+        h = [min(f["height"], 32) for f in feats]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "width": w,
+                "height": h,
+                "resized": [
+                    bytes(p[: wi * hi]) for p, wi, hi in zip(pdf["payload"], w, h)
+                ],
+            }
+        )
+
+
+@register(
+    "x_multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEAST((strlen(text) % 64) + 1, 32) AS INTEGER) AS width,
+           CAST(LEAST(((strlen(text) // 64) % 64) + 1, 32) AS INTEGER) AS height,
+           LEAST(strlen(text),
+                 LEAST((strlen(text) % 64) + 1, 32)
+                 * LEAST(((strlen(text) // 64) % 64) + 1, 32)) AS resized_bytes
+    FROM documents
+    WHERE doc_id % 3 = 0
+    """,
+)
+def x_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize through mapInPandas over binary payloads (decode/resize
+    stubbed deterministically; Arrow batch plumbing real).  Comparison
+    surface: doc_id + clamped dimensions + resized byte count."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    media = with_media_columns(d).select("doc_id", "payload", "media_type")
+    resized = media.mapInPandas(
+        resize_media, "doc_id long, width int, height int, resized binary"
+    )
+    return resized.select(
+        "doc_id",
+        "width",
+        "height",
+        F.octet_length("resized").cast("long").alias("resized_bytes"),
+    )
+
+
 def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas frame sampler: treat the binary payload as fixed-size
     64-byte 'frames', keep every 4th (a real video sampler has the same

@@ -138,6 +138,40 @@ def x_sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("x_sim_topk_lsh")
+def x_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k through the LSH index: queries probe only their own code
+    bucket, so the scored candidate set is O(bucket) instead of O(N).
+    WEAK (recall depends on the code; x_sim_topk_cosine is the exact
+    baseline the recall is measured against)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    coded = e.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v"),
+        lsh_code(_as_double(F.col("embedding"))).alias("code"),
+    )
+    q = coded.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("code").alias("qcode"),
+    )
+    scored = (
+        coded.join(broadcast(q), (F.col("code") == F.col("qcode"))
+                   & (F.col("vec_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    return (
+        scored.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
 @register(
     "x_embed_norms",
     oracle="""

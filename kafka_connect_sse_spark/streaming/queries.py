@@ -230,6 +230,51 @@ def s_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_join_stream_stream",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts <= p.ts
+    """,
+)
+def s_join_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time range condition (clicks
+    attributed to purchases within the previous hour).  Watermarks bound
+    the join state on both sides — without them this is a 100 TB state
+    leak; with them state is (watermark horizon × arrival rate)."""
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("purchase_id", "click_id", "user_id")
+    return run_to_memory(joined, mode="append")
+
+
+@register(
     "s_foreachbatch_dlq",
     oracle="""
     SELECT route, COUNT(*) AS n FROM (
