@@ -250,6 +250,33 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_in_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+      AND o_totalprice > 150000
+    """,
+)
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery (planned as a left-semi join by Catalyst) via Spark SQL
+    over registered views."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')
+          AND o_totalprice > 150000
+        """
+    )
+
+
+@register(
     "q_join_multiway",
     oracle="""
     SELECT r.r_name, n.n_name,

@@ -1,0 +1,101 @@
+"""SSE client resilience: reconnection with backoff, idle/zombie health
+detection — the behaviors behind ServerSentEventClient.java:587-676
+(attemptReconnection/backoff) and :431-452 (health check)."""
+
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from kafka_connect_sse_spark.sources.sse import SSEClient
+
+
+class FlakyHandler(BaseHTTPRequestHandler):
+    """Serves 2 events per connection, then closes — forces reconnects."""
+
+    connections = 0
+    lock = threading.Lock()
+
+    def log_message(self, *a):
+        pass
+
+    def do_GET(self):
+        with type(self).lock:
+            type(self).connections += 1
+            conn_id = type(self).connections
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.end_headers()
+        base = (conn_id - 1) * 2
+        for i in range(2):
+            self.wfile.write(
+                f"event: edit\nid: {base + i}\ndata: payload{base + i}\n\n".encode()
+            )
+        self.wfile.flush()
+        # close the connection (server-side stall/drop)
+
+
+@pytest.fixture()
+def flaky_server():
+    FlakyHandler.connections = 0
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), FlakyHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}/stream"
+    srv.shutdown()
+    srv.server_close()
+
+
+def wait_for(pred, timeout=15.0):
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        if pred():
+            return True
+        time.sleep(0.05)
+    return False
+
+
+def test_reconnects_and_keeps_consuming(flaky_server):
+    client = SSEClient(flaky_server, retry_initial_ms=50, retry_max_ms=100)
+    client.start()
+    try:
+        assert wait_for(lambda: client.metrics["events.total"] >= 6)
+        rows = client.drain()
+        ids = [r[1] for r in rows]
+        assert ids == sorted(ids, key=int)  # arrival order preserved
+        assert len(set(ids)) == len(ids)  # each event delivered once
+        assert client.metrics["connection.successful"] >= 3
+        assert client.metrics["connection.reconnections"] >= 2
+    finally:
+        client.stop()
+
+
+def test_healthy_flips_after_idle_timeout(flaky_server):
+    client = SSEClient(flaky_server, idle_timeout_s=0.5)
+    client.start()
+    try:
+        assert wait_for(lambda: client.metrics["events.total"] >= 2)
+        assert client.healthy()
+        # stop the flow by stopping the reader thread's consumption: just
+        # wait out the idle window (server closed; reconnects keep adding,
+        # so instead test the pure timer on a stopped client)
+    finally:
+        client.stop()
+    time.sleep(0.6)
+    assert not client.healthy()
+
+
+def test_rate_limit_paces_connection_attempts(flaky_server):
+    client = SSEClient(
+        flaky_server, rate_limit_per_sec=5.0, retry_initial_ms=1, retry_max_ms=1
+    )
+    t0 = time.monotonic()
+    client.start()
+    try:
+        assert wait_for(lambda: client.metrics["connection.attempts"] >= 4)
+        elapsed = time.monotonic() - t0
+        # 4 attempts at ≤5/s ⇒ at least ~0.6s of pacing
+        assert elapsed >= 0.5, elapsed
+    finally:
+        client.stop()
