@@ -246,19 +246,28 @@ def x_dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample — the semantic-dedup family.  At 100 TB the pair generation runs
     inside LSH buckets (x_sim_lsh_bucketed codes), never as a cross join;
     the bounded sample keeps this EXACT form O(sample²) at every SF."""
-    from .similarity import _as_double, cosine
+    from .similarity import _as_double, dot
 
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    a = e.select(
-        F.col("vec_id").alias("doc_a"), _as_double(F.col("embedding")).alias("ea")
+    norms = e.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    a = norms.select(
+        F.col("vec_id").alias("doc_a"),
+        F.col("v").alias("ea"),
+        F.col("nrm").alias("na"),
     )
-    b = e.select(
-        F.col("vec_id").alias("doc_b"), _as_double(F.col("embedding")).alias("eb")
+    b = norms.select(
+        F.col("vec_id").alias("doc_b"),
+        F.col("v").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
     pairs = a.join(b, F.col("doc_a") < F.col("doc_b")).select(
         "doc_a",
         "doc_b",
-        F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+        ).alias("cos_sim"),
     )
     return pairs.filter(F.col("cos_sim") >= 0.35)
 

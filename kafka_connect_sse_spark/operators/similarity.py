@@ -68,21 +68,25 @@ def cosine(a, b):
 )
 def x_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k for a bounded query set (the correctness
-    baseline; broadcast the queries, scan candidates once)."""
+    baseline; broadcast the queries, scan candidates once).  Norms are
+    precomputed per side before the join — cosine inside the join would
+    recompute dot(q,q) per *pair*, tripling the flops."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qv")
-    )
+    ).withColumn("qnorm", F.sqrt(dot(F.col("qv"), F.col("qv"))))
     c = e.select(
         F.col("vec_id").alias("neighbor_id"),
         _as_double(F.col("embedding")).alias("cv"),
-    )
+    ).withColumn("cnorm", F.sqrt(dot(F.col("cv"), F.col("cv"))))
     scored = (
         c.join(broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -148,11 +152,12 @@ def x_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     coded = e.select(
         "vec_id", _as_double(F.col("embedding")).alias("v"),
         lsh_code(_as_double(F.col("embedding"))).alias("code"),
-    )
+    ).withColumn("vnorm", F.sqrt(dot(F.col("v"), F.col("v"))))
     q = coded.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("code").alias("qcode"),
+        F.col("vnorm").alias("qnorm"),
     )
     scored = (
         coded.join(broadcast(q), (F.col("code") == F.col("qcode"))
@@ -160,7 +165,9 @@ def x_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("vnorm")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
