@@ -69,6 +69,25 @@ def test_scalar_pipeline_is_single_codegen_stage(spark):
     assert wholestage_codegen_spans(df) >= 1
 
 
+def test_scalar_subquery_is_decorrelated(spark):
+    """Correlated subquery must plan as aggregate+join, not per-row
+    re-execution."""
+    plan = formatted_plan(queries()["q_scalar_subquery"](spark, SF))
+    assert "Join" in plan
+    assert "SubqueryExec" not in plan
+
+
+def test_per_group_topk_uses_window_group_limit(spark):
+    """rn<=k filter must push a per-partition limit into the window sort."""
+    plan = formatted_plan(queries()["q_topk_per_group"](spark, SF))
+    assert "WindowGroupLimit" in plan
+
+
+def test_theta_join_broadcasts_the_band_side(spark):
+    plan = formatted_plan(queries()["q_join_theta_range"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
 def test_exact_queries_avoid_python_row_udfs(spark):
     """Every hot-path relational operator stays JVM-side: no BatchEvalPython
     (row-at-a-time Python) in any q_* plan."""
