@@ -40,6 +40,7 @@ _MODULES = (
     "kafka_connect_sse_spark.operators.multimodal",
     "kafka_connect_sse_spark.operators.udfs",
     "kafka_connect_sse_spark.streaming.queries",
+    "kafka_connect_sse_spark.streaming.landing",
     "kafka_connect_sse_spark.operators.sinks",
 )
 

@@ -1,0 +1,102 @@
+"""Landing-zone topology: SSE → raw parquet (replayable) → analytics.
+
+The live SSE source is non-replayable by protocol (no offsets:
+README.md:175-184, IMPROVEMENT_PLAN.md:39-42) — exactly like the reference,
+which solves durability by producing to Kafka.  This engine's equivalent is
+landing raw events to parquet immediately; every analytical query then runs
+over storage with full replay.  `snk_sse_landing` demonstrates the whole
+topology end-to-end against a live local SSE server.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.sse import register_sse_source
+
+
+def land_sse_to_parquet(
+    spark: SparkSession,
+    uri: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger_seconds: float = 0.5,
+    options: dict | None = None,
+):
+    """Start the landing stream: SSE source → append-mode parquet sink with
+    a checkpoint (exactly-once file sink semantics).  Returns the running
+    StreamingQuery; caller owns its lifecycle."""
+    register_sse_source(spark)
+    reader = spark.readStream.format("sse").option("uri", uri)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    sdf = reader.load()
+    return (
+        sdf.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(processingTime=f"{int(trigger_seconds * 1000)} milliseconds")
+        .start()
+    )
+
+
+@register(
+    "snk_sse_landing",
+    oracle="""
+    SELECT event_type AS event, COUNT(*) AS n, SUM(LENGTH(props)) AS data_bytes
+    FROM events
+    WHERE event_id < 200
+    GROUP BY event_type
+    """,
+)
+def snk_sse_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full landing topology under test: local SSE server streams 200
+    fixture events → `sse` source → checkpointed parquet landing zone →
+    batch analytics over the landed files."""
+    from ..operators.sinks import _SSEHandler, _sse_payload_rows
+
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    rows = [r.asDict() for r in _sse_payload_rows(spark, sf_dir)]
+    _SSEHandler.rows = rows
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _SSEHandler)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    base = os.path.join(tempfile.gettempdir(), f"kcss_landing_{port}")
+    out = os.path.join(base, "raw_events")
+    ckpt = os.path.join(base, "checkpoint")
+    shutil.rmtree(base, ignore_errors=True)
+
+    q = land_sse_to_parquet(
+        spark, f"http://127.0.0.1:{port}/stream", out, ckpt
+    )
+    try:
+        deadline = time.monotonic() + 90
+        while time.monotonic() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= len(rows):
+                    break
+            except Exception:
+                pass  # sink dir not created yet
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+        server.shutdown()
+        server.server_close()
+
+    landed = spark.read.parquet(out)
+    return landed.groupBy(F.col("event")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("data")).alias("data_bytes"),
+    )
