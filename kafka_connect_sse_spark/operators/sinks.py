@@ -11,7 +11,6 @@ the topic-named memory sink (Tier 1 #6 topic routing).
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 import tempfile
@@ -22,7 +21,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load_table, table_path
+from ..io import load_table
 from ..registry import register
 from ..sources.sse import register_sse_source
 

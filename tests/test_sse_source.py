@@ -115,8 +115,10 @@ def test_retry_gives_up_after_max_attempts():
         retry_max_attempts=2,
     )
     client.start()
-    assert wait_for(lambda: client._error is not None, timeout=15)
+    # terminal state = reader thread exits after exhausting attempts
+    assert wait_for(lambda: not client._thread.is_alive(), timeout=15)
     client.stop()
+    assert client._error is not None
     assert client.metrics["connection.attempts"] == 2
     assert client.metrics["connection.failed"] == 2
 
