@@ -1,0 +1,121 @@
+"""Self-validation for WEAK-checked operators: the driver only counts their
+rows, so these tests pin the semantics the oracle can't."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafka_connect_sse_spark.io import load_table
+from kafka_connect_sse_spark.registry import queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_lsh_topk_scores_match_exact_brute_force(spark):
+    """Every (query, neighbor) the LSH path returns must carry exactly the
+    cosine the brute-force path computes — LSH may miss neighbors (recall),
+    never mis-score them."""
+    qs = queries()
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in qs["x_sim_topk_cosine"](spark, SF).collect()
+    }
+    # brute-force keeps only top-5; rebuild full scores for checking
+    from kafka_connect_sse_spark.operators.similarity import (
+        _as_double,
+        dot,
+        N_QUERIES,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), _as_double(F.col("embedding")).alias("qv")
+    )
+    c = e.select(
+        F.col("vec_id").alias("nid"), _as_double(F.col("embedding")).alias("cv")
+    )
+    full = {
+        (r.qid, r.nid): r.cos
+        for r in q.join(c, F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                dot(F.col("qv"), F.col("cv"))
+                / (F.sqrt(dot(F.col("qv"), F.col("qv")))
+                   * F.sqrt(dot(F.col("cv"), F.col("cv")))),
+                6,
+            ).alias("cos"),
+        )
+        .collect()
+    }
+    lsh = qs["x_sim_topk_lsh"](spark, SF).collect()
+    assert len(lsh) > 0
+    for r in lsh:
+        assert full[(r.query_id, r.neighbor_id)] == pytest.approx(r.cos_sim, abs=1e-9)
+    # recall sanity: at least one LSH hit is also an exact top-5 hit
+    assert any((r.query_id, r.neighbor_id) in exact for r in lsh)
+
+
+def test_simhash_identical_docs_share_fingerprint(spark):
+    """Cloned documents must land in the same simhash bucket."""
+    d = load_table(spark, SF, "documents").limit(30).select("doc_id", "text")
+    clones = d.withColumn("doc_id", F.col("doc_id") + 10_000)
+    both = d.union(clones)
+    both.createOrReplaceTempView("simhash_input")
+
+    # rebuild the fingerprint expression over the combined set via the
+    # registered op's module internals
+    from kafka_connect_sse_spark.operators import dedup as dd
+
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    bits = [
+        F.when(
+            F.size(
+                F.filter(
+                    toks,
+                    lambda t, mask=(1 << i): F.xxhash64(t).bitwiseAND(F.lit(mask))
+                    != 0,
+                )
+            )
+            * 2
+            > F.size(toks),
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i in range(32)
+    ]
+    fp = bits[0]
+    for b in bits[1:]:
+        fp = fp + b
+    rows = both.select("doc_id", fp.alias("s")).collect()
+    by_id = {r.doc_id: r.s for r in rows}
+    for i in range(30):
+        if i in by_id:
+            assert by_id[i] == by_id[i + 10_000]
+
+
+def test_minhash_threshold_pairs_are_actually_similar(spark):
+    """Every pair surviving the verify step has true shingle Jaccard >= 0.5
+    (recomputed independently here)."""
+    qs = queries()
+    pairs = qs["x_dedup_near_minhash"](spark, SF).collect()
+    from kafka_connect_sse_spark.operators.dedup import shingles
+
+    d = load_table(spark, SF, "documents")
+    sh = {
+        r.doc_id: set(r.sh)
+        for r in d.select(
+            "doc_id", F.array_distinct(shingles(F.col("text"))).alias("sh")
+        ).collect()
+    }
+    for p in pairs:
+        a, b = sh[p.doc_a], sh[p.doc_b]
+        j = len(a & b) / len(a | b)
+        assert j >= 0.5
+        assert j == pytest.approx(p.jaccard, abs=1e-6)
+
+
+def test_approx_distinct_within_error_bound(spark):
+    qs = queries()
+    for r in qs["q_agg_approx_distinct"](spark, SF).collect():
+        assert r.approx_parts == pytest.approx(r.exact_parts, rel=0.1)
