@@ -137,7 +137,7 @@ class SSEClient:
             self._thread.join(timeout=5)
 
     # -- ingestion thread --------------------------------------------------
-    def _build_request(self) -> urllib.request.Request:
+    def _build_request(self, last_event_id: str | None = None) -> urllib.request.Request:
         hdrs = {
             "Accept": "text/event-stream",
             "Cache-Control": "no-cache",
@@ -150,6 +150,12 @@ class SSEClient:
                 f"{self.user}:{self.password or ''}".encode()
             ).decode()
             hdrs["Authorization"] = f"Basic {token}"
+        if last_event_id is not None:
+            # WHATWG SSE reconnection header.  The reference never resumes
+            # (IMPROVEMENT_PLAN.md:39-42) — we still *advertise* the last id;
+            # whether the server honors it is the server's choice, and our
+            # delivery semantics remain resume-from-now either way.
+            hdrs["Last-Event-ID"] = last_event_id
         hdrs.update(self.headers)  # custom sse.header.* win, like originals
         return urllib.request.Request(self.uri, headers=hdrs)
 
@@ -167,6 +173,7 @@ class SSEClient:
         from .sse_wire import SSEParser, iter_sse_lines
 
         attempt = 0
+        last_event_id: str | None = None
         while not self._stop.is_set():
             attempt += 1
             if self.retry_max_attempts >= 0 and attempt > self.retry_max_attempts:
@@ -179,11 +186,11 @@ class SSEClient:
             self.metrics["connection.attempts"] += 1
             rate_limited = False
             try:
-                req = self._build_request()
+                req = self._build_request(last_event_id)
                 with urllib.request.urlopen(req, timeout=self.connect_timeout_s) as resp:
                     self.metrics["connection.successful"] += 1
                     attempt = 0  # healthy connection resets the schedule
-                    parser = SSEParser()
+                    parser = SSEParser(last_event_id=last_event_id)
                     raw = resp
                     if resp.headers.get("Content-Encoding") == "gzip":
                         raw = gzip.GzipFile(fileobj=resp)
@@ -192,6 +199,7 @@ class SSEClient:
                         if self._stop.is_set():
                             return
                         ev = parser.feed_line(line.rstrip("\r"))
+                        last_event_id = parser.last_event_id
                         if ev is not None:
                             self._on_event(ev)
             except Exception as exc:  # noqa: BLE001 — any transport error retries
@@ -249,6 +257,10 @@ def _parse_options(options) -> dict:
     uri = get("uri") or get("sse.uri")
     if not uri:
         raise ValueError("SSE source requires option 'uri' (or 'sse.uri')")
+    params = get("sse.params")  # the reference's declared-but-unimplemented
+    if params:                  # URL-parameter TODO (…ConnectorConfig.java:29)
+        sep = "&" if "?" in uri else "?"
+        uri = f"{uri}{sep}{params}"
     headers = {
         k[len("sse.header."):]: v
         for k, v in options.items()

@@ -86,6 +86,77 @@ def test_healthy_flips_after_idle_timeout(flaky_server):
     assert not client.healthy()
 
 
+def test_last_event_id_sent_on_reconnect(flaky_server):
+    """After a drop, the reconnect request advertises the last seen id
+    (WHATWG SSE); delivery still resumes from 'now' like the reference."""
+    seen_ids = []
+    orig = FlakyHandler.do_GET
+
+    def patched(self):
+        seen_ids.append(self.headers.get("Last-Event-ID"))
+        orig(self)
+
+    FlakyHandler.do_GET = patched
+    try:
+        client = SSEClient(flaky_server, retry_initial_ms=50, retry_max_ms=100)
+        client.start()
+        assert wait_for(lambda: client.metrics["connection.successful"] >= 3)
+        client.stop()
+    finally:
+        FlakyHandler.do_GET = orig
+    assert seen_ids[0] is None  # first connect: no id yet
+    assert any(i is not None for i in seen_ids[1:])  # reconnects advertise
+
+
+def test_gzip_compression_roundtrip():
+    """sse.compression=true sends Accept-Encoding and transparently
+    decompresses a gzip SSE body (ServerSentEventClient.java:207-210,
+    264-267 parity)."""
+    import gzip as gz
+
+    class GzipHandler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            assert "gzip" in (self.headers.get("Accept-Encoding") or "")
+            body = gz.compress(b"event: edit\nid: 9\ndata: zipped\n\n")
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Content-Encoding", "gzip")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            self.wfile.flush()
+            time.sleep(1)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), GzipHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        client = SSEClient(
+            f"http://127.0.0.1:{srv.server_address[1]}/s",
+            compression=True,
+            retry_initial_ms=5000,
+        )
+        client.start()
+        assert wait_for(lambda: client.metrics["events.total"] >= 1)
+        rows = client.drain()
+        assert rows[0][:3] == ("edit", "9", "zipped")
+        client.stop()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_url_params_option_appended():
+    from kafka_connect_sse_spark.sources.sse import _parse_options
+
+    cfg = _parse_options({"uri": "http://x/s", "sse.params": "since=now&filter=edit"})
+    assert cfg["uri"] == "http://x/s?since=now&filter=edit"
+    cfg2 = _parse_options({"uri": "http://x/s?a=1", "sse.params": "b=2"})
+    assert cfg2["uri"] == "http://x/s?a=1&b=2"
+
+
 def test_rate_limit_paces_connection_attempts(flaky_server):
     client = SSEClient(
         flaky_server, rate_limit_per_sec=5.0, retry_initial_ms=1, retry_max_ms=1
