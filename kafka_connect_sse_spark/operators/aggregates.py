@@ -237,6 +237,30 @@ def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+           ROUND(quantile_cont(l_extendedprice, 0.1), 6) AS p10_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (SQL PERCENTILE_CONT semantics — same
+    linear-interpolation definition as DuckDB quantile_cont).  At 100 TB
+    exact percentiles require a full sort per group; the scale path is
+    percentile_approx (t-digest-style sketch, one pass, mergeable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", 0.5), 6).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", 0.9), 6).alias("p90_price"),
+        F.round(F.percentile("l_extendedprice", 0.1), 6).alias("p10_price"),
+    )
+
+
+@register(
     "q_agg_pivot",
     oracle="""
     SELECT l_returnflag,

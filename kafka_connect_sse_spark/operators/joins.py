@@ -250,6 +250,39 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_join_salted_skew",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_events,
+           SUM(CAST(e.value AS DECIMAL(18,2))) AS seg_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join: events.user_id spans only ~15 hot keys (an
+    extreme Zipf), so a plain hash join sends everything to 15 tasks.  The
+    fact side salts each row into N sub-keys, the dim side replicates N
+    ways, and the join runs on (key, salt) — identical semantics (the
+    oracle is the plain join), N× the parallelism.  At 100 TB this (or
+    AQE's skew split) is the difference between a straggler and a job."""
+    from ..plans import replicate_for_salt, salted
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "value")
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    n_salts = 16
+    se = salted(e, "user_id", n_salts=n_salts)
+    sd = replicate_for_salt(dim, n_salts=n_salts)
+    return (
+        se.join(sd, (se.user_id == sd.c_custkey) & (se._salt == sd._salt))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("seg_value"),
+        )
+    )
+
+
+@register(
     "q_in_subquery",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
