@@ -204,6 +204,33 @@ def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey | 4096 AS with_flag,
+           xor(o_orderkey, 21845) AS xored,
+           o_orderkey << 2 AS shl2,
+           o_orderkey >> 3 AS shr3
+    FROM orders
+    """,
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operations (the building blocks of the engine's own simhash/
+    LSH operators, exposed as a query surface)."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 3).alias("shr3"),
+    )
+
+
+@register(
     "q_fn_array",
     oracle="""
     SELECT doc_id,

@@ -273,6 +273,89 @@ def x_dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+          FROM embeddings WHERE vec_id < 300),
+    pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.e, b.e)
+                  / (sqrt(list_dot_product(a.e, a.e))
+                     * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.35),
+    edges AS (SELECT src, dst FROM pairs
+              UNION ALL SELECT dst, src FROM pairs),
+    reach (id, lbl) AS (
+      SELECT vec_id, vec_id FROM v
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS vec_id, MIN(lbl) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+)
+def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components clustering of near-duplicate pairs → one
+    canonical id (min member) per cluster — the step that turns pairwise
+    near-dup evidence into keep/drop decisions.
+
+    Distributed iterative label propagation: each round every node adopts
+    the minimum label among itself and its neighbors; converges in
+    O(diameter) rounds.  Lineage is truncated per round with
+    localCheckpoint — the survival requirement for iterative algorithms on
+    Spark (unbounded lineage otherwise re-executes every prior round).
+    Oracle: the same fixpoint as a DuckDB recursive CTE (EXACT — an
+    iterative algorithm with a value-checked result)."""
+    from .similarity import _as_double, dot
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    norms = e.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    a = norms.select(
+        F.col("vec_id").alias("src"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = norms.select(
+        F.col("vec_id").alias("dst"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    pairs = (
+        a.join(b, F.col("src") < F.col("dst"))
+        .filter(
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            )
+            >= 0.35
+        )
+        .select("src", "dst")
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = e.select(
+        F.col("vec_id").alias("id"), F.col("vec_id").alias("lbl")
+    ).localCheckpoint()
+
+    for _ in range(32):  # diameter bound; converges far earlier
+        prop = edges.join(labels, edges.src == labels.id).select(
+            F.col("dst").alias("id"), F.col("lbl")
+        )
+        new_labels = (
+            labels.union(prop).groupBy("id").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("vec_id"), F.col("lbl").alias("cluster_id"))
+
+
+@register(
     "x_ngram_jaccard",
     oracle="""
     WITH sample_docs AS (SELECT doc_id, lang, text FROM documents WHERE doc_id < 150),
