@@ -45,6 +45,75 @@ RUNS = 3
 # the bench measures engine execution, not Python row deserialization
 COLLECT_CAP_ROWS = 100_000
 
+N_INGEST_EVENTS = 50_000
+
+
+def sse_ingest_bench(spark) -> float:
+    """Ingest throughput of the custom SSE source: serve N synthetic events
+    over a localhost socket, measure wall-clock until all are landed in a
+    memory sink.  (The reference's deployed rate is network-bound at tens
+    of events/s — wikipedia-connector.json:10-13; this measures the
+    engine-side ceiling.)"""
+    import threading
+    import time as _t
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from kafka_connect_sse_spark.sources.sse import register_sse_source
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.end_headers()
+            buf = []
+            for i in range(N_INGEST_EVENTS):
+                buf.append(f"event: e\nid: {i}\ndata: {{\"k\": {i}}}\n\n")
+                if len(buf) >= 500:
+                    self.wfile.write("".join(buf).encode())
+                    buf = []
+            self.wfile.write("".join(buf).encode())
+            self.wfile.flush()
+            try:
+                for _ in range(600):
+                    _t.sleep(0.1)
+                    self.wfile.write(b": ka\n\n")
+                    self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    register_sse_source(spark)
+    t0 = time.perf_counter()
+    sdf = (
+        spark.readStream.format("sse")
+        .option("uri", f"http://127.0.0.1:{srv.server_address[1]}/s")
+        .option("maxEventsPerBatch", "100000")
+        .option("sse.buffer.max", "200000")
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("bench_sse_ingest")
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        while spark.table("bench_sse_ingest").count() < N_INGEST_EVENTS:
+            if time.perf_counter() - t0 > 120:
+                break
+            time.sleep(0.2)
+        dt = time.perf_counter() - t0
+    finally:
+        q.stop()
+        srv.shutdown()
+        srv.server_close()
+    return dt
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -76,6 +145,14 @@ def main() -> None:
                 times.append(dt)
         results[name] = round(statistics.median(times), 3)
         print(f"# {name}: {results[name]}s (n={n})", file=sys.stderr)
+
+    ingest_sec = round(sse_ingest_bench(spark), 3)
+    results["sse_ingest_50k_events"] = ingest_sec
+    print(
+        f"# sse_ingest: {N_INGEST_EVENTS} events in {ingest_sec}s "
+        f"(~{int(N_INGEST_EVENTS / max(ingest_sec, 1e-9))} ev/s)",
+        file=sys.stderr,
+    )
 
     total = round(sum(results.values()), 3)
     print(

@@ -194,7 +194,10 @@ class SSEClient:
                     raw = resp
                     if resp.headers.get("Content-Encoding") == "gzip":
                         raw = gzip.GzipFile(fileobj=resp)
-                    chunks = iter(lambda: raw.read(1024), b"")
+                    # read1 = "up to n bytes, whatever is available" —
+                    # read(n) would block until exactly n bytes, letting a
+                    # slow stream stall mid-event behind heartbeat traffic
+                    chunks = iter(lambda: raw.read1(8192), b"")
                     for line in iter_sse_lines(chunks):
                         if self._stop.is_set():
                             return
@@ -332,6 +335,15 @@ class SSEStreamReader(SimpleDataSourceStreamReader):
         if len(self._cache) > 64:
             self._cache.pop(next(iter(self._cache)))
         return iter(rows), {"offset": end_off}
+
+    def commit(self, end: dict) -> None:
+        """Spark has durably committed everything up to `end`: drop cached
+        batches at or below it so the replay cache (which rides along when
+        the reader is pickled per batch) stays O(uncommitted)."""
+        committed = end.get("offset", 0)
+        self._cache = {
+            k: v for k, v in self._cache.items() if k[1] > committed
+        }
 
     def readBetweenOffsets(self, start: dict, end: dict):
         key = (start.get("offset", 0), end.get("offset", 0))

@@ -121,11 +121,24 @@ def s_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, mode="complete")
 
 
-@register("s_watermark_late")
+@register(
+    "s_watermark_late",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_TS_FMT_DUCK}')
+               AS win_start,
+           COUNT(*) AS n
+    FROM events
+    WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+          <= (SELECT max(ts) - INTERVAL '10 minutes' FROM events)
+    GROUP BY 1
+    """,
+)
 def s_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked windowed count in append mode: only windows the watermark
-    has passed are emitted (late-data drop).  WEAK rows-only — which windows
-    finalize depends on micro-batch boundaries, which Spark owns."""
+    """Watermarked windowed count in append mode: only windows the final
+    watermark (max event time − 10 min) has passed are emitted.  The single
+    staged fixture file ⇒ one deterministic micro-batch ⇒ the emitted set
+    is exactly the closed windows, which the oracle expresses directly
+    (verified equal at sf0.001 and sf0.01)."""
     sdf = events_stream(spark, sf_dir)
     agg = (
         sdf.withWatermark("ts", "10 minutes")
