@@ -57,6 +57,70 @@ def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_fn_string2",
+    oracle="""
+    SELECT p_partkey,
+           reverse(p_brand) AS brand_rev,
+           repeat(substr(p_name, 1, 2), 3) AS rep2x3,
+           strpos(p_name, 'a') AS a_pos,
+           left(p_type, 4) AS type_l4,
+           right(p_type, 4) AS type_r4,
+           translate(p_brand, '#123456789', '-NNNNNNNNN') AS brand_masked,
+           contains(p_name, 'ol') AS has_ol,
+           split_part(p_type, ' ', 1) AS type_word1
+    FROM part
+    """,
+)
+def q_fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string battery: reverse/repeat/locate/left/right/translate/
+    contains/split_part."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat(F.substring("p_name", 1, 2), 3).alias("rep2x3"),
+        F.locate("a", F.col("p_name")).cast("long").alias("a_pos"),
+        F.substring("p_type", 1, 4).alias("type_l4"),
+        F.substring(F.col("p_type"), -4, 4).alias("type_r4"),
+        F.translate("p_brand", "#123456789", "-NNNNNNNNN").alias("brand_masked"),
+        F.contains("p_name", F.lit("ol")).alias("has_ol"),
+        F.split_part("p_type", F.lit(" "), F.lit(1)).alias("type_word1"),
+    )
+
+
+@register(
+    "q_fn_datetime2",
+    oracle="""
+    SELECT o_orderkey,
+           last_day(o_orderdate)::DATE AS month_end,
+           (o_orderdate + INTERVAL 3 MONTH)::DATE AS plus3mo,
+           CAST(EXTRACT(week FROM o_orderdate) AS INTEGER) AS wk,
+           CAST(EXTRACT(isodow FROM o_orderdate) AS INTEGER) AS iso_dow,
+           CAST(EXTRACT(doy FROM o_orderdate) AS INTEGER) AS doy,
+           make_date(CAST(EXTRACT(year FROM o_orderdate) AS INTEGER), 12, 31)
+               AS year_end
+    FROM orders
+    """,
+)
+def q_fn_datetime2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second datetime battery: last_day/add_months/weekofyear/ISO
+    day-of-week/day-of-year/make_date.  Day-of-week pinned to the ISO
+    convention (Mon=1) — Spark's default dayofweek is Sun=1, DuckDB's is
+    Sun=0; `weekday` in Spark is Mon=0, hence +1."""
+    o = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.last_day(od).alias("month_end"),
+        F.add_months(od, 3).alias("plus3mo"),
+        F.weekofyear(od).alias("wk"),
+        (F.weekday(od) + 1).alias("iso_dow"),
+        F.dayofyear(od).alias("doy"),
+        F.make_date(F.year(od), F.lit(12), F.lit(31)).alias("year_end"),
+    )
+
+
+@register(
     "q_fn_datetime",
     oracle="""
     SELECT o_orderkey,

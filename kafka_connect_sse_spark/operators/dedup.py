@@ -356,6 +356,59 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_dedup_keep_best",
+    oracle="""
+    WITH RECURSIVE
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+          FROM embeddings WHERE vec_id < 300),
+    pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.e, b.e)
+                  / (sqrt(list_dot_product(a.e, a.e))
+                     * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.35),
+    edges AS (SELECT src, dst FROM pairs
+              UNION ALL SELECT dst, src FROM pairs),
+    reach (id, lbl) AS (
+      SELECT vec_id, vec_id FROM v
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+    clusters AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+    scored AS (
+      SELECT c.cluster_id, c.id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, c.id) AS rn
+      FROM clusters c JOIN documents d ON d.doc_id = c.id)
+    SELECT cluster_id, id AS keep_id, n_chars AS keep_n_chars
+    FROM scored WHERE rn = 1
+    """,
+)
+def x_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup pipeline composition: near-dup pairs → connected
+    components → per-cluster keep-policy (longest document wins, id
+    tiebreak).  This is the full shape of a production semantic-dedup
+    stage: evidence → clustering → a deterministic survivor per cluster."""
+    from pyspark.sql import Window
+
+    clusters = x_dedup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    joined = clusters.join(docs, clusters.vec_id == docs.doc_id)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("vec_id")
+    )
+    return (
+        joined.select(
+            "cluster_id",
+            F.col("vec_id").alias("keep_id"),
+            F.col("n_chars").alias("keep_n_chars"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
     "x_ngram_jaccard",
     oracle="""
     WITH sample_docs AS (SELECT doc_id, lang, text FROM documents WHERE doc_id < 150),

@@ -211,6 +211,34 @@ def q_win_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_win_nth_value",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           nth_value(o_orderkey, 2) OVER w AS second_cheapest,
+           LAST_VALUE(o_orderkey IGNORE NULLS) OVER w AS last_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value + last_value(ignore nulls) over a full-partition frame."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.nth_value("o_orderkey", 2).over(w).alias("second_cheapest"),
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("last_key"),
+    )
+
+
+@register(
     "q_topk_per_group",
     oracle="""
     SELECT * FROM (
