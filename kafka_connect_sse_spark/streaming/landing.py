@@ -29,23 +29,28 @@ def land_sse_to_parquet(
     checkpoint_dir: str,
     trigger_seconds: float = 0.5,
     options: dict | None = None,
+    partition_by: list[str] | None = None,
 ):
     """Start the landing stream: SSE source → append-mode parquet sink with
-    a checkpoint (exactly-once file sink semantics).  Returns the running
-    StreamingQuery; caller owns its lifecycle."""
+    a checkpoint (exactly-once file sink semantics).  `partition_by` (e.g.
+    ["event"]) gives the landing zone a partition-pruned layout — the
+    storage posture SCALE.md assumes.  Returns the running StreamingQuery;
+    caller owns its lifecycle."""
     register_sse_source(spark)
     reader = spark.readStream.format("sse").option("uri", uri)
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
     sdf = reader.load()
-    return (
+    writer = (
         sdf.writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
         .trigger(processingTime=f"{int(trigger_seconds * 1000)} milliseconds")
-        .start()
     )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    return writer.start()
 
 
 @register(
