@@ -268,6 +268,30 @@ def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_fn_hash",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           sha256(text) AS text_sha256,
+           md5(CAST(doc_id AS VARCHAR) || ':' || source) AS key_md5
+    FROM documents
+    """,
+)
+def q_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic digests (content addressing for dedup/lineage);
+    lowercase hex in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source"))
+        ).alias("key_md5"),
+    )
+
+
+@register(
     "q_fn_bitwise",
     oracle="""
     SELECT o_orderkey,

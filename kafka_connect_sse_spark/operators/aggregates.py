@@ -237,6 +237,31 @@ def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_min_max_by",
+    oracle="""
+    SELECT o_orderstatus,
+           arg_max(o_orderkey, o_totalprice) AS priciest_order,
+           arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+           MAX(o_totalprice) AS max_price,
+           MIN(o_totalprice) AS min_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax/argmin) aggregates.  Deterministic here
+    because o_totalprice has no duplicates within a status group at the
+    tested SFs (ties would be engine-defined)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+    )
+
+
+@register(
     "q_agg_percentile",
     oracle="""
     SELECT l_returnflag,

@@ -156,6 +156,46 @@ def x_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_text_top_bigrams",
+    oracle="""
+    WITH t AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents),
+    bg AS (
+      SELECT l[g.i] || ' ' || l[g.i + 1] AS bigram
+      FROM t, UNNEST(generate_series(1, len(l) - 1)) AS g(i))
+    SELECT bigram, n FROM (
+      SELECT bigram, COUNT(*) AS n,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bigram) AS rn
+      FROM bg GROUP BY bigram)
+    WHERE rn <= 25
+    """,
+)
+def x_text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-25 bigrams: n-gram explode → count → top-k.  The
+    n-gram vocabulary pass of a tokenizer-training / contamination-check
+    pipeline; partial aggregation absorbs the explode before the shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    counts = (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), "bigram")
+    return (
+        counts.select("bigram", "n", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 25)
+        .drop("rn")
+    )
+
+
+@register(
     "x_fingerprint",
     oracle="""
     WITH t AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents)
