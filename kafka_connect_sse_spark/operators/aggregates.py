@@ -237,6 +237,30 @@ def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_unpivot",
+    oracle="""
+    SELECT o_orderkey, 'o_totalprice' AS measure, o_totalprice AS value
+    FROM orders WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT o_orderkey, 'o_custkey_d' AS measure, CAST(o_custkey AS DOUBLE)
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long melt); the oracle is its UNION ALL expansion —
+    which is also the physical plan (Expand), so no shuffle at all."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    return o.withColumn(
+        "o_custkey_d", F.col("o_custkey").cast("double")
+    ).unpivot(
+        ids=["o_orderkey"],
+        values=["o_totalprice", "o_custkey_d"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+@register(
     "q_agg_min_max_by",
     oracle="""
     SELECT o_orderstatus,

@@ -283,6 +283,69 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_join_range_banded",
+    oracle="""
+    SELECT e.event_id AS error_id, COUNT(c.event_id) AS clicks_nearby
+    FROM events e
+    JOIN events c
+      ON c.user_id = e.user_id
+     AND c.event_type = 'click'
+     AND c.ts BETWEEN e.ts - INTERVAL '30 minutes'
+                  AND e.ts + INTERVAL '30 minutes'
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id
+    """,
+)
+def q_join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact range join via banding — the technique SCALE.md prescribes
+    when neither side broadcasts: assign both sides to hour buckets, join
+    on (user, bucket) with each left row probing buckets {h-1, h, h+1},
+    then apply the exact ±30 min predicate.  The shuffle is an equi join on
+    the band key; the nested loop only runs inside (user, bucket) cells.
+    Oracle = the plain theta join (identical semantics)."""
+    e = load_table(spark, sf_dir, "events")
+    errors = (
+        e.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id"),
+            F.col("ts").alias("e_ts"),
+        )
+        # probe own bucket and both neighbors: a ±30 min window can only
+        # span two adjacent hour buckets
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.floor(F.unix_timestamp("e_ts") / 3600) - 1,
+                    F.floor(F.unix_timestamp("e_ts") / 3600),
+                    F.floor(F.unix_timestamp("e_ts") / 3600) + 1,
+                )
+            ),
+        )
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withColumn("bucket", F.floor(F.unix_timestamp("c_ts") / 3600))
+    )
+    joined = errors.join(
+        clicks,
+        (errors.user_id == clicks.c_user_id)
+        & (errors.bucket == clicks.bucket)
+        & (clicks.c_ts >= errors.e_ts - F.expr("INTERVAL 30 MINUTES"))
+        & (clicks.c_ts <= errors.e_ts + F.expr("INTERVAL 30 MINUTES")),
+    )
+    return joined.groupBy("error_id").agg(
+        F.count("click_id").alias("clicks_nearby")
+    )
+
+
+@register(
     "q_in_subquery",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice

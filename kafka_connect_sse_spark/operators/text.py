@@ -156,6 +156,101 @@ def x_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_tfidf_top_term",
+    oracle="""
+    WITH t AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents),
+    tf AS (
+      SELECT doc_id, l[g.i] AS term, COUNT(*) AS tf
+      FROM t, UNNEST(generate_series(1, len(l))) AS g(i)
+      GROUP BY doc_id, l[g.i]),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n)
+    SELECT doc_id, term AS top_term, tfidf FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rn
+      FROM scored)
+    WHERE rn = 1
+    """,
+)
+def x_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top term per document (keyword extraction).  Two aggregations
+    (term frequency, document frequency) + a broadcast of the tiny df/N
+    sides; ranking deterministic via (score desc, term)."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.select(
+            "doc_id",
+            F.col("term").alias("top_term"),
+            "tfidf",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "x_decontaminate",
+    oracle="""
+    WITH t AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents),
+    sh AS (
+      SELECT doc_id,
+             l[g.i] || ' ' || l[g.i + 1] || ' ' || l[g.i + 2] || ' '
+               || l[g.i + 3] || ' ' || l[g.i + 4] AS gram
+      FROM t, UNNEST(generate_series(1, len(l) - 4)) AS g(i)),
+    bench AS (SELECT DISTINCT gram FROM sh WHERE doc_id < 20)
+    SELECT s.doc_id, COUNT(DISTINCT s.gram) AS n_hits
+    FROM sh s JOIN bench b ON s.gram = b.gram
+    WHERE s.doc_id >= 20
+    GROUP BY s.doc_id
+    """,
+)
+def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    5-gram with the held-out set (doc_id < 20 stands in for the benchmark).
+    The canonical pretraining hygiene pass — at 100 TB the benchmark-gram
+    set is small and broadcast, so the scan stays single-pass with no
+    shuffle of the corpus side."""
+    from pyspark.sql.functions import broadcast
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    k = 5
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    sh = d.select("doc_id", F.explode(grams).alias("gram"))
+    bench = sh.filter(F.col("doc_id") < 20).select("gram").distinct()
+    return (
+        sh.filter(F.col("doc_id") >= 20)
+        .join(broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_hits"))
+    )
+
+
+@register(
     "x_text_top_bigrams",
     oracle="""
     WITH t AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents),
