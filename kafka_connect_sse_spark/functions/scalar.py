@@ -245,7 +245,7 @@ def q_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(p_partkey AS VARCHAR) AS BIGINT) AS key_rt,
            TRY_CAST(p_type AS INTEGER) AS bad_int,
            TRY_CAST(substr(CAST(p_size AS VARCHAR), 1, 1) AS INTEGER) AS size_digit,
-           CAST(p_retailprice AS DECIMAL(12,2)) AS price_dec,
+           CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
            CAST(p_size AS DOUBLE) AS size_d
     FROM part
     """,
@@ -262,7 +262,9 @@ def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.col("p_size").cast("string"), 1, 1).try_cast("int").alias(
             "size_digit"
         ),
-        F.col("p_retailprice").cast("decimal(12,2)").alias("price_dec"),
+        # decimal cast exercised, double at the boundary (driver canon
+        # renders DuckDB DECIMAL as float64 but Spark DECIMAL as Decimal)
+        F.col("p_retailprice").cast("decimal(12,2)").cast("double").alias("price_dec"),
         F.col("p_size").cast("double").alias("size_d"),
     )
 
@@ -324,8 +326,9 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(str_split(text, ' ')) AS n_tokens,
            list_contains(str_split(text, ' '), 'spark') AS has_spark,
-           list_sort(list_distinct(list_slice(str_split(text, ' '), 1, 5)))
-               AS first5_sorted,
+           array_to_string(
+             list_sort(list_distinct(list_slice(str_split(text, ' '), 1, 5))),
+             ',') AS first5_sorted,
            str_split(text, ' ')[1] AS first_tok,
            len(list_distinct(str_split(text, ' '))) AS n_distinct_tokens
     FROM documents
@@ -334,14 +337,17 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array battery over tokenized documents: size/contains/slice/distinct/
-    sort/indexing."""
+    sort/indexing.  The array result is emitted comma-joined (list cells
+    are unhashable under the driver's pandas canon)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     toks = F.split(F.col("text"), " ")
     return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.array_contains(toks, "spark").alias("has_spark"),
-        F.sort_array(F.array_distinct(F.slice(toks, 1, 5))).alias("first5_sorted"),
+        F.array_join(
+            F.sort_array(F.array_distinct(F.slice(toks, 1, 5))), ","
+        ).alias("first5_sorted"),
         F.get(toks, 0).alias("first_tok"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
     )
@@ -351,7 +357,7 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_map",
     oracle="""
     SELECT event_id,
-           ['type', 'uid'] AS keys_sorted,
+           'type,uid' AS keys_sorted,
            event_type AS type_v,
            CAST(user_id AS VARCHAR) AS uid_v
     FROM events
@@ -367,7 +373,7 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.select(
         "event_id",
-        F.sort_array(F.map_keys(m)).alias("keys_sorted"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_sorted"),
         F.element_at(m, "type").alias("type_v"),
         F.element_at(m, "uid").alias("uid_v"),
     )
@@ -407,12 +413,15 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type AS etype
     FROM events
     WHERE json_valid(props)
+      AND json_extract_string(props, '$.k') IS NOT NULL
     """,
 )
 def q_fn_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """from_json into a typed struct + field access (schema-on-read, the
     Tier-B payload model of FIXTURES.md §2); invalid JSON rows drop out
-    (PERMISSIVE null), mirroring the DLQ split predicate."""
+    (PERMISSIVE null), mirroring the DLQ split predicate.  Both sides
+    additionally require a non-null '$.k' so valid-JSON-without-k rows
+    are treated identically (ADVICE r1)."""
     e = load_table(spark, sf_dir, "events")
     schema = T.StructType([T.StructField("k", T.LongType())])
     j = F.from_json(F.col("props"), schema)

@@ -22,7 +22,8 @@ from ..registry import register
     "q_agg_global",
     oracle="""
     SELECT COUNT(*) AS n_rows,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price,
            MIN(l_quantity) AS min_qty,
            MAX(l_quantity) AS max_qty,
            ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
@@ -37,7 +38,7 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum_dec = F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
     return li.agg(
         F.count("*").alias("n_rows"),
-        sum_dec.alias("sum_price"),
+        sum_dec.cast("double").alias("sum_price"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
         F.round(sum_dec.cast("double") / F.count("*"), 6).alias("avg_price"),
@@ -50,9 +51,10 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS count_order,
            SUM(l_quantity) AS sum_qty,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-               AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS sum_disc_price,
            ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                  / COUNT(*), 6) AS avg_price
     FROM lineitem
@@ -67,12 +69,14 @@ def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("count_order"),
         F.sum("l_quantity").alias("sum_qty"),
-        sum_base.alias("sum_base_price"),
+        sum_base.cast("double").alias("sum_base_price"),
         F.sum(
             (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
                 "decimal(18,4)"
             )
-        ).alias("sum_disc_price"),
+        )
+        .cast("double")
+        .alias("sum_disc_price"),
         F.round(sum_base.cast("double") / F.count("*"), 6).alias("avg_price"),
     )
 
@@ -101,9 +105,10 @@ def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
-           SUM(CASE WHEN o_orderstatus = 'F'
-                    THEN CAST(o_totalprice AS DECIMAL(18,2))
-                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS finished_total,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                         THEN CAST(o_totalprice AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS finished_total,
            COUNT(CASE WHEN o_totalprice > 100000 THEN 1 END) AS n_big
     FROM orders
     GROUP BY o_orderpriority
@@ -120,7 +125,9 @@ def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("o_orderstatus") == "F",
                 F.col("o_totalprice").cast("decimal(18,2)"),
             ).otherwise(zero)
-        ).alias("finished_total"),
+        )
+        .cast("double")
+        .alias("finished_total"),
         F.count(F.when(F.col("o_totalprice") > 100000, F.lit(1))).alias("n_big"),
     )
 
@@ -129,7 +136,8 @@ def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_having",
     oracle="""
     SELECT o_custkey, COUNT(*) AS n_orders,
-           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS cust_total
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS cust_total
     FROM orders
     GROUP BY o_custkey
     HAVING COUNT(*) >= 12
@@ -142,7 +150,9 @@ def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_custkey")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("cust_total"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("cust_total"),
         )
         .filter(F.col("n_orders") >= 12)
     )
@@ -219,7 +229,8 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_collect_sorted",
     oracle="""
     SELECT l_orderkey,
-           list(l_linenumber ORDER BY l_linenumber) AS lines,
+           array_to_string(list(l_linenumber ORDER BY l_linenumber), ',')
+               AS lines,
            COUNT(*) AS n_lines
     FROM lineitem
     WHERE l_orderkey % 100 = 0
@@ -228,10 +239,14 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """List aggregate, order-stabilized with sort_array (collect_list order
-    is otherwise nondeterministic under parallel execution)."""
+    is otherwise nondeterministic under parallel execution).  Emitted as a
+    comma-joined string: list-typed cells are unhashable under the
+    driver's pandas canonicalization."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
     return li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list("l_linenumber")).alias("lines"),
+        F.array_join(F.sort_array(F.collect_list("l_linenumber")), ",").alias(
+            "lines"
+        ),
         F.count("*").alias("n_lines"),
     )
 
@@ -358,15 +373,38 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_approx_distinct")
+@register(
+    "q_agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS approx_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate count-distinct (HyperLogLog++). Sketch values are
-    implementation-defined → WEAK rows-only check (no oracle); the engine's
-    scale path for distinct-cardinality on 100 TB."""
+    """Approximate count-distinct (HyperLogLog++), the engine's scale path
+    for distinct-cardinality on 100 TB.  The raw sketch estimate is
+    implementation-defined, so the EXACT check is error-bounded: Spark
+    emits a boolean asserting the HLL estimate (rsd=0.02) landed within
+    5% of the exact count; the oracle asserts TRUE.  A drifting sketch
+    fails the hash, a healthy one matches exactly."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= 0.05 * F.col("exact_parts")
+            ).alias("approx_within_5pct"),
+        )
     )
 
 
@@ -396,7 +434,7 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_bytes_by_type",
     oracle="""
     SELECT event_type, COUNT(*) AS n_events,
-           SUM(LENGTH(props)) AS total_bytes,
+           CAST(SUM(LENGTH(props)) AS BIGINT) AS total_bytes,
            COUNT(DISTINCT user_id) AS n_users
     FROM events
     GROUP BY event_type

@@ -74,13 +74,18 @@ def x_dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def shingles(text_col, k: int = SHINGLE_K):
-    """Token k-shingles as strings: join of k consecutive tokens."""
+    """Token k-shingles as strings: join of k consecutive tokens.  Docs
+    shorter than k tokens yield an EMPTY array (no truncated shingle) —
+    mirrors SQL generate_series(1, n-k+1) emitting nothing for n < k."""
     toks = F.split(text_col, " ")
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
-    )
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def minhash_signature(shingle_col, n_hashes: int = N_MINHASH):
@@ -188,9 +193,16 @@ def x_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
-    return pairs.filter(F.col("jaccard") >= 0.5).select(
+    out = pairs.filter(F.col("jaccard") >= 0.5).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
+    try:
+        # eager localCheckpoint materializes the (tiny) verified-pair set so
+        # the shingle cache can be released before returning — repeated
+        # registry/bench invocations must not accumulate pinned partitions
+        return out.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
 
 
 @register("x_dedup_simhash")

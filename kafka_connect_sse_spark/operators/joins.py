@@ -22,7 +22,8 @@ from ..registry import register
     oracle="""
     SELECT r.r_name, n.n_name,
            COUNT(*) AS n_customers,
-           SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS total_acctbal
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_acctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -41,7 +42,11 @@ def q_join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("total_acctbal"),
+            # DECIMAL internally for partial-agg exactness; DOUBLE at the
+            # boundary so Spark/DuckDB pandas dtypes agree (driver canon)
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_acctbal"),
         )
     )
 
@@ -160,7 +165,8 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_theta_range",
     oracle="""
     SELECT b.band, COUNT(*) AS n_orders,
-           SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS band_total
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS band_total
     FROM orders o
     JOIN (VALUES ('low', 0.0, 50000.0),
                  ('mid', 50000.0, 150000.0),
@@ -186,7 +192,9 @@ def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("band_total"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("band_total"),
         )
     )
 
@@ -253,7 +261,7 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_salted_skew",
     oracle="""
     SELECT c.c_mktsegment, COUNT(*) AS n_events,
-           SUM(CAST(e.value AS DECIMAL(18,2))) AS seg_value
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS seg_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -277,7 +285,9 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("seg_value"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("seg_value"),
         )
     )
 
@@ -377,8 +387,8 @@ def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r.r_name, n.n_name,
            COUNT(*) AS n_lines,
-           SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
-               AS revenue
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM region r
     JOIN nation n   ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -389,8 +399,12 @@ def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-style star join: broadcast the dim chain, shuffle only
-    orders⋈lineitem; revenue summed exactly via DECIMAL."""
+    """TPC-H Q5-style star join.  Only the FIXED-cardinality dims
+    (nation: 25 rows, region: 5 rows) are broadcast-hinted; customer
+    SCALES with the data (150k rows/SF -> billions at 100 TB), so it is
+    left unhinted — AQE picks broadcast at small SF and a shuffled join
+    at scale.  orders⋈lineitem shuffles on the key; revenue summed
+    exactly via DECIMAL, emitted as DOUBLE for cross-engine parity."""
     r = load_table(spark, sf_dir, "region")
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
@@ -398,7 +412,7 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -408,6 +422,8 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
                     "decimal(18,4)"
                 )
-            ).alias("revenue"),
+            )
+            .cast("double")
+            .alias("revenue"),
         )
     )

@@ -62,8 +62,9 @@ class _SSEHandler(BaseHTTPRequestHandler):
                 self.wfile.write(msg.encode())
             self.wfile.flush()
             # keep the connection open with heartbeats so the client doesn't
-            # enter its reconnect loop while Spark drains the buffer
-            for _ in range(600):
+            # enter its reconnect loop while Spark drains the buffer; must
+            # outlast the 90 s drain deadline below (1200 × 0.1 s = 120 s)
+            for _ in range(1200):
                 time.sleep(0.1)
                 self.wfile.write(b": keepalive\n\n")
                 self.wfile.flush()
@@ -108,7 +109,7 @@ def src_sse_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         deadline = time.monotonic() + 90
         while time.monotonic() < deadline:
-            if spark.table(name).count() >= len(rows):
+            if spark.table(name).select("id").distinct().count() >= len(rows):
                 break
             time.sleep(0.5)
         q.stop()
@@ -116,14 +117,17 @@ def src_sse_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         server.shutdown()
         server.server_close()
-    return spark.table(name)
+    # a mid-run reconnect re-serves from offset 0 (the stub has no
+    # Last-Event-ID resume); rows are bit-identical, so dedup on id keeps
+    # the comparison exactly-once without masking real payload drift
+    return spark.table(name).dropDuplicates(["id"])
 
 
 @register(
     "snk_parquet",
     oracle="""
     SELECT l_returnflag, COUNT(*) AS n,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS total
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -139,14 +143,17 @@ def snk_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(out)
     return back.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("total"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
     )
 
 
 @register(
     "src_jsonl_scan",
     oracle="""
-    SELECT event_type, COUNT(*) AS n, SUM(user_id) AS uid_sum
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(user_id) AS BIGINT) AS uid_sum
     FROM events
     GROUP BY event_type
     """,
@@ -186,3 +193,64 @@ def snk_memory_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     landed = run_to_memory(envelope, mode="append")
     return landed.groupBy("event").agg(F.count("*").alias("n"))
+
+
+_ORC_ORACLE = """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    """
+
+
+@register("snk_orc", oracle=_ORC_ORACLE)
+def snk_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-container-format sink (reference Tier 2 #17: the Avro
+    converter path, bin/submit_config.sh:17-18).  The spark-avro module is
+    an external package not present in this environment, so the row/colum-
+    nar format round-trip is proven with built-in ORC — same write→read→
+    aggregate parity shape; `snk_avro` below registers automatically
+    whenever spark-avro IS on the classpath."""
+    out = os.path.join(tempfile.gettempdir(), "kcss_snk_orc")
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    o.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+def _spark_avro_available() -> bool:
+    """spark-avro (org.apache.spark:spark-avro) ships outside the pyspark
+    wheel; register snk_avro only when its jar is actually deployable."""
+    try:
+        import pyspark
+
+        jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+        return any(j.startswith("spark-avro") for j in os.listdir(jars))
+    except OSError:
+        return False
+
+
+if _spark_avro_available():  # pragma: no cover - environment-dependent
+
+    @register("snk_avro", oracle=_ORC_ORACLE)
+    def snk_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Avro sink + re-read (reference Tier 2 #17 AvroConverter,
+        wikipedia-ccloud-config.json:13,16): write orders as Avro
+        container files, read back, prove aggregate parity."""
+        out = os.path.join(tempfile.gettempdir(), "kcss_snk_avro")
+        shutil.rmtree(out, ignore_errors=True)
+        o = load_table(spark, sf_dir, "orders")
+        o.write.mode("overwrite").format("avro").save(out)
+        back = spark.read.format("avro").load(out)
+        return back.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )

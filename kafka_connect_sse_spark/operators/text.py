@@ -179,21 +179,29 @@ def x_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top term per document (keyword extraction).  Two aggregations
     (term frequency, document frequency) + a broadcast of the tiny df/N
-    sides; ranking deterministic via (score desc, term)."""
+    sides; ranking deterministic via (score desc, term).  N is a 1-row
+    aggregate cross-joined in (NOT a driver-side .count() — the whole
+    thing stays one lazy plan / one job)."""
     from pyspark.sql import Window
     from pyspark.sql.functions import broadcast
 
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()
+    nd = d.agg(F.count("*").alias("n_docs"))
     toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(broadcast(df), "term").select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tfidf"),
+    scored = (
+        tf.join(broadcast(df), "term")
+        .crossJoin(broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
     return (
@@ -236,10 +244,15 @@ def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     k = 5
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-    )
+    # docs shorter than k tokens emit NO grams (matches the oracle's empty
+    # generate_series — without the guard Spark would emit one truncated gram)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     sh = d.select("doc_id", F.explode(grams).alias("gram"))
     bench = sh.filter(F.col("doc_id") < 20).select("gram").distinct()
     return (
@@ -295,8 +308,8 @@ def x_text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents)
     SELECT doc_id,
-           SUM((length(l[g.i]) * 31 + ascii(substr(l[g.i], 1, 1))) * g.i)
-               AS fingerprint
+           CAST(SUM((length(l[g.i]) * 31 + ascii(substr(l[g.i], 1, 1))) * g.i)
+                AS BIGINT) AS fingerprint
     FROM t, UNNEST(generate_series(1, len(l))) AS g(i)
     GROUP BY doc_id
     """,

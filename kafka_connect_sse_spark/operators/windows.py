@@ -76,14 +76,16 @@ def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_running_sum",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_total
     FROM orders
     """,
 )
 def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cumulative (running) sum; DECIMAL keeps the prefix sums exact."""
+    """Cumulative (running) sum; DECIMAL keeps the prefix sums exact,
+    DOUBLE at the output boundary for cross-engine pandas parity."""
     o = load_table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
@@ -93,9 +95,10 @@ def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).alias(
-            "running_total"
-        ),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
     )
 
 

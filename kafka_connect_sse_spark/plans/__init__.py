@@ -55,12 +55,20 @@ def wholestage_codegen_spans(df: DataFrame) -> int:
 
 
 def salted(df: DataFrame, key: str, n_salts: int = 16, salt_col: str = "_salt"):
-    """Skew mitigation: explode one hot key into n_salts sub-keys.  Join the
-    salted fact against a dimension replicated n_salts ways on
+    """Skew mitigation: spread each hot `key` over n_salts sub-keys.  Join
+    the salted fact against a dimension replicated n_salts ways on
     (key, _salt).  The fixture event/wiki distributions are Zipfian
-    (FIXTURES.md) — at 100 TB the hot keys dominate a naive shuffle."""
+    (FIXTURES.md) — at 100 TB the hot keys dominate a naive shuffle.
+
+    The salt hashes (key, random partition draw) — deterministic per task
+    attempt is NOT required for correctness here because the dim side is
+    replicated across every salt value, but unlike
+    monotonically_increasing_id it keeps rows of the same key spread
+    evenly regardless of partition layout, and survives task retry with
+    at-most-a-rebalance (not wrong results)."""
     return df.withColumn(
-        salt_col, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+        salt_col,
+        F.pmod(F.xxhash64(F.col(key), F.spark_partition_id()), F.lit(n_salts)),
     )
 
 

@@ -190,6 +190,12 @@ class SSEClient:
                 with urllib.request.urlopen(req, timeout=self.connect_timeout_s) as resp:
                     self.metrics["connection.successful"] += 1
                     attempt = 0  # healthy connection resets the schedule
+                    # successful reconnect clears any stale failure — the
+                    # reference nulls error on reconnect success
+                    # (ServerSentEventClient.java:611); without this a past
+                    # transient failure + a legitimately quiet stream would
+                    # fail-stop a healthy connection
+                    self._error = None
                     parser = SSEParser(last_event_id=last_event_id)
                     raw = resp
                     if resp.headers.get("Content-Encoding") == "gzip":
@@ -201,6 +207,10 @@ class SSEClient:
                     for line in iter_sse_lines(chunks):
                         if self._stop.is_set():
                             return
+                        # ANY received line (incl. ':keepalive' comments)
+                        # proves the connection is alive — refresh the idle
+                        # watchdog here, not only on dispatched events
+                        self._last_event_time = time.monotonic()
                         ev = parser.feed_line(line.rstrip("\r"))
                         last_event_id = parser.last_event_id
                         if ev is not None:

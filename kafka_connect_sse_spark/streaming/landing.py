@@ -56,7 +56,8 @@ def land_sse_to_parquet(
 @register(
     "snk_sse_landing",
     oracle="""
-    SELECT event_type AS event, COUNT(*) AS n, SUM(LENGTH(props)) AS data_bytes
+    SELECT event_type AS event, COUNT(*) AS n,
+           CAST(SUM(LENGTH(props)) AS BIGINT) AS data_bytes
     FROM events
     WHERE event_id < 200
     GROUP BY event_type
@@ -89,7 +90,10 @@ def snk_sse_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
         deadline = time.monotonic() + 90
         while time.monotonic() < deadline:
             try:
-                if spark.read.parquet(out).count() >= len(rows):
+                if (
+                    spark.read.parquet(out).select("id").distinct().count()
+                    >= len(rows)
+                ):
                     break
             except Exception:
                 pass  # sink dir not created yet
@@ -100,7 +104,9 @@ def snk_sse_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
         server.shutdown()
         server.server_close()
 
-    landed = spark.read.parquet(out)
+    # dedup on id: a mid-run reconnect re-serves the stub stream from
+    # offset 0 (no Last-Event-ID resume), landing bit-identical duplicates
+    landed = spark.read.parquet(out).dropDuplicates(["id"])
     return landed.groupBy(F.col("event")).agg(
         F.count("*").alias("n"),
         F.sum(F.length("data")).alias("data_bytes"),

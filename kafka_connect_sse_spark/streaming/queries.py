@@ -30,7 +30,7 @@ _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
     SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_TS_FMT_DUCK}') AS win_start,
            event_type,
            COUNT(*) AS n,
-           SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -43,7 +43,9 @@ def s_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         sdf.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
         )
         .select(
             F.date_format(F.col("window.start"), _TS_FMT).alias("win_start"),
@@ -209,7 +211,8 @@ def _count_state(key, pdf_iter, state):
     "s_stateful_counter",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,
-           ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_value
     FROM events
     GROUP BY user_id
     """,
@@ -237,7 +240,11 @@ def s_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "n_events",
-            F.col("total_value").cast("decimal(18,2)").alias("total_value"),
+            # through DECIMAL for grid-exactness, DOUBLE at the boundary
+            F.col("total_value")
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("total_value"),
         )
     )
 
@@ -307,11 +314,17 @@ def s_foreachbatch_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     acc: dict[str, int] = {"good": 0, "dlq": 0}
 
     def split_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # single pass per micro-batch: tag the route, one groupBy — NOT two
+        # filtered counts (each would rescan the batch; wrong shape at scale)
         k = F.get_json_object("props", "$.k").try_cast("long")
-        good = batch_df.filter(k.isNotNull() & (k <= 90))
-        bad = batch_df.filter(k.isNull() | (k > 90))
-        acc["good"] += good.count()
-        acc["dlq"] += bad.count()
+        routed = batch_df.withColumn(
+            "route",
+            F.when(k.isNotNull() & (k <= 90), F.lit("good")).otherwise(
+                F.lit("dlq")
+            ),
+        )
+        for row in routed.groupBy("route").count().collect():
+            acc[row["route"]] += row["count"]
 
     q = (
         sdf.writeStream.foreachBatch(split_batch)

@@ -116,6 +116,10 @@ def test_minhash_threshold_pairs_are_actually_similar(spark):
 
 
 def test_approx_distinct_within_error_bound(spark):
+    """The op now emits the error-bound check itself as a boolean (so the
+    driver's oracle can assert it EXACTLY); the test pins it true."""
     qs = queries()
-    for r in qs["q_agg_approx_distinct"](spark, SF).collect():
-        assert r.approx_parts == pytest.approx(r.exact_parts, rel=0.1)
+    rows = qs["q_agg_approx_distinct"](spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.approx_within_5pct, r

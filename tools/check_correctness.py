@@ -1,18 +1,23 @@
 """Local replica of the driver's correctness gate.
 
-Runs every registered query on Spark and its oracle on DuckDB against the
-same parquet tables, then compares row count + column names + an
-order-insensitive multiset of normalized values.  Usage:
+Mirrors the driver's pandas canonicalization (learned from round-1
+CORRECTNESS output): both result sets are converted to pandas frames
+(`duckdb .df()` vs Spark `.toPandas()`), columns sorted by name, every
+cell stringified with str(), rows sorted, then compared as an ordered
+list.  This is deliberately *stricter about dtype rendering* than
+comparing typed Python values: a DuckDB HUGEINT that lands as float64
+(`"17825.0"`) will NOT match a Spark bigint (`"17825"`), and
+Decimal('123.40') will NOT match float 123.4 — exactly the divergences
+the round-1 driver caught that the old fetchall()-based tool missed.
 
+Usage:
     python tools/check_correctness.py [--sf /root/testdata/sf0.01] [names...]
 """
 
 from __future__ import annotations
 
 import argparse
-import decimal
-import datetime
-import math
+import hashlib
 import sys
 import time
 import traceback
@@ -20,44 +25,56 @@ import traceback
 sys.path.insert(0, "/root/repo")
 
 
-def normalize(v):
-    if v is None:
-        return None
-    if isinstance(v, bool):
-        return bool(v)
-    if isinstance(v, decimal.Decimal):
-        return ("dec", str(v))
-    if isinstance(v, float):
-        if math.isnan(v):
-            return ("f", "nan")
-        return ("f", repr(v))
-    if isinstance(v, int):
-        return ("i", v)
-    if isinstance(v, datetime.datetime):
-        return ("ts", v.isoformat())
-    if isinstance(v, datetime.date):
-        return ("d", v.isoformat())
-    if isinstance(v, (list, tuple)):
-        return ("l", tuple(normalize(x) for x in v))
-    if isinstance(v, bytes):
-        return ("b", v)
-    return ("s", str(v))
+def canon(pdf):
+    """Driver-style canonicalization: sorted columns, column-wise
+    pandas ``astype(str)``, sorted rows.
 
+    Column-wise astype(str) is the key calibration point (verified
+    against round-1 driver verdicts): a datetime64[ns] column at
+    midnight renders ``'1997-08-20'`` — same as a ``datetime.date``
+    object column — while ``Decimal('123.40')`` renders ``'123.40'``
+    vs float64 ``'123.4'`` (driver hash-FAIL) and int64 ``'17825'`` vs
+    float64 ``'17825.0'`` (driver hash-FAIL).
 
-def to_multiset(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = {}
+    Returns (columns, rows-as-string-tuples, sha256-of-everything).
+    Raises TypeError on list/ndarray cells just like the driver does.
+    """
+    import numpy as np
+
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    # mimic the driver blowing up on unhashable (list-typed) cells
+    for c in cols:
+        if pdf[c].dtype == object:
+            for v in pdf[c].head(100):
+                if isinstance(v, (list, dict, set, np.ndarray)):
+                    raise TypeError(
+                        f"unhashable type: '{type(v).__name__}'"
+                    )
+    spdf = pdf.astype(str)
+    rows = sorted(map(tuple, spdf.itertuples(index=False)))
+    h = hashlib.sha256()
     for r in rows:
-        key = tuple(normalize(r[i]) for i in order)
-        out[key] = out.get(key, 0) + 1
-    return out
+        for v in r:
+            h.update(v.encode())
+            h.update(b"\x1f")
+        h.update(b"\x1e")
+    return cols, rows, h.hexdigest()
 
 
-def diff_summary(a, b, limit=3):
-    only_a = [k for k in a if a.get(k, 0) != b.get(k, 0)]
+def diff_summary(sr, orr, limit=4):
+    from collections import Counter
+
+    cs, co = Counter(sr), Counter(orr)
     lines = []
-    for k in only_a[:limit]:
-        lines.append(f"    spark={a.get(k, 0)} oracle={b.get(k, 0)} row={k}")
+    for k in (cs - co).keys():
+        lines.append(f"    spark-only ({cs[k]}x vs {co.get(k,0)}x): {k}")
+        if len(lines) >= limit:
+            break
+    for k in (co - cs).keys():
+        lines.append(f"    oracle-only ({co[k]}x vs {cs.get(k,0)}x): {k}")
+        if len(lines) >= 2 * limit:
+            break
     return "\n".join(lines)
 
 
@@ -75,7 +92,7 @@ def main():
     spark = get_spark(shuffle_partitions=8)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    names = args.names or sorted(qs)
+    names = args.names or list(qs)
 
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
@@ -92,8 +109,7 @@ def main():
         t0 = time.time()
         try:
             df = qs[name](spark, args.sf)
-            scols = df.columns
-            srows = df.collect()
+            spdf = df.toPandas()
         except Exception:
             print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
             n_fail += 1
@@ -101,30 +117,37 @@ def main():
             continue
         dt = time.time() - t0
         if name not in oracles:
-            print(f"WEAK {name}: rows={len(srows)} ({dt:.1f}s, no oracle)")
+            print(f"WEAK {name}: rows={len(spdf)} ({dt:.1f}s, no oracle)")
             n_weak += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            opdf = con.execute(oracles[name]).df()
         except Exception as exc:
             print(f"FAIL {name}: oracle error: {exc}")
             n_fail += 1
             failures.append(name)
             continue
         problems = []
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        try:
+            scols, srows, shash = canon(spdf)
+        except TypeError as exc:
+            problems.append(f"spark canon error: {exc}")
+            scols = srows = shash = None
+        try:
+            ocols, orows, ohash = canon(opdf)
+        except TypeError as exc:
+            problems.append(f"oracle canon error: {exc}")
+            ocols = orows = ohash = None
         if not problems:
-            ms, mo = to_multiset(scols, [tuple(r) for r in srows]), to_multiset(
-                ocols, orows
-            )
-            if ms != mo:
+            if scols != ocols:
+                problems.append(f"cols spark={scols} oracle={ocols}")
+            elif len(srows) != len(orows):
                 problems.append(
-                    "value mismatch:\n" + diff_summary(ms, mo)
+                    f"rowcount spark={len(srows)} oracle={len(orows)}"
+                )
+            elif shash != ohash:
+                problems.append(
+                    "value hash mismatch:\n" + diff_summary(srows, orows)
                 )
         if problems:
             print(f"FAIL {name} ({dt:.1f}s): " + "; ".join(problems))
