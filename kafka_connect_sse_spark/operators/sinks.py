@@ -254,3 +254,41 @@ if _spark_avro_available():  # pragma: no cover - environment-dependent
             .cast("double")
             .alias("total"),
         )
+
+
+@register(
+    "src_parquet_evolve",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END)
+               AS n_with_status,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    """,
+)
+def src_parquet_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the landing zone (IMPROVEMENT_PLAN.md:65-68 —
+    declared out of scope by the reference; here it costs one reader
+    option): batch 1 lands (o_orderkey, o_totalprice), batch 2 adds an
+    o_orderstatus column, `mergeSchema=true` unifies them at read time —
+    old files surface NULL for the new column.  At 100 TB the same knob
+    governs footer-schema reconciliation across years of landed files;
+    turn it OFF for hot paths (footer merge is a per-file planning cost)
+    and keep evolved columns append-only."""
+    out = os.path.join(tempfile.gettempdir(), "kcss_src_evolve")
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(out)
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    ).write.mode("append").parquet(out)
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_orderstatus").alias("n_with_status"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )

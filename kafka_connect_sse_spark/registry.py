@@ -107,6 +107,7 @@ _PRIORITY = (
     "snk_parquet",
     "snk_orc",
     "snk_avro",
+    "src_parquet_evolve",
     "snk_memory_topic",
     "snk_sse_landing",
     # UDF surface
