@@ -1,0 +1,252 @@
+"""Training-data pipeline operators beyond the dedup/similarity/text core
+(extension tier, SURVEY.md §2.4b): PII scrubbing, document chunking,
+deterministic stratified sampling, IVF-style ANN, and sequence packing.
+
+Everything is JVM-side built-ins (regex, higher-order array functions,
+windows) — no Python in the hot path — and every op carries a DuckDB
+oracle, so the whole tier is EXACT-checked like the relational surface.
+
+100 TB posture per op is in its docstring; the common thread: each is a
+single scan plus at most one key-partitioned shuffle, no driver-side
+loops, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..io import load_table
+from ..registry import register
+from .similarity import N_QUERIES, TOP_K, _as_double, dot
+
+# chunking parameters: 50-token windows, stride 25 (50% overlap)
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 25
+
+# sequence packing: token budget per packed training sequence
+PACK_BUDGET = 256
+
+
+@register(
+    "x_pii_scrub",
+    oracle="""
+    SELECT doc_id,
+           length(regexp_replace(
+             regexp_replace(text, '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+             '[0-9]+', '<NUM>', 'g')) AS scrubbed_len,
+           len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.-]+'))
+               AS n_emails,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_numbers
+    FROM documents
+    """,
+)
+def x_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: redact email-shaped spans then digit runs, and count
+    what was redacted (the audit trail a compliance pass needs).  Pure
+    codegen'd regexp_replace — at 100 TB this is a map-only pass with no
+    shuffle at all; emitting lengths keeps the oracle comparison compact
+    while still pinning every replacement (a single missed span shifts
+    the length)."""
+    d = load_table(spark, sf_dir, "documents")
+    email = "[a-z0-9._]+@[a-z0-9.-]+"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email, "<EMAIL>"),
+        "[0-9]+",
+        "<NUM>",
+    )
+    return d.select(
+        "doc_id",
+        F.length(scrubbed).alias("scrubbed_len"),
+        F.size(F.regexp_extract_all("text", F.lit(email), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).alias(
+            "n_numbers"
+        ),
+    )
+
+
+@register(
+    "x_doc_chunk",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents),
+    starts AS (
+      SELECT doc_id, l, g.s
+      FROM t, UNNEST(generate_series(1, len(l), {CHUNK_STRIDE})) AS g(s))
+    SELECT doc_id,
+           CAST((s - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           len(list_slice(l, s, s + {CHUNK_TOKENS} - 1)) AS chunk_tokens,
+           md5(array_to_string(list_slice(l, s, s + {CHUNK_TOKENS} - 1), ' '))
+               AS chunk_md5
+    FROM starts
+    """,
+)
+def x_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking ({CHUNK_TOKENS}-token windows,
+    stride {CHUNK_STRIDE}) — the context-window prep stage of a training
+    pipeline.  Chunk content is pinned by md5 so the oracle checks the
+    exact text of every chunk without shipping it.  Explode + projection
+    only: map-side, no shuffle; at 100 TB chunk rows inherit the input
+    partitioning and flow straight into the tokenizer."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), n - 1, F.lit(CHUNK_STRIDE))
+    chunked = d.select(
+        "doc_id",
+        toks.alias("l"),
+        F.explode(starts).alias("s0"),
+    )
+    chunk = F.slice(F.col("l"), F.col("s0") + 1, CHUNK_TOKENS)
+    return chunked.select(
+        "doc_id",
+        (F.col("s0") / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        F.size(chunk).alias("chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+@register(
+    "x_sample_stratified",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_total,
+           COUNT(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                           IN ('0','1','2','3') THEN 1 END) AS n_sampled
+    FROM documents
+    GROUP BY source
+    """,
+)
+def x_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: a content-independent hash of the
+    stable key (md5 of doc_id) selects ~4/16 = 25% per source stratum.
+    Unlike df.sample(), the decision is reproducible across runs, engines
+    and partitionings — the property an incremental 100 TB pipeline needs
+    so re-runs keep the same sample.  One partial-agg shuffle on source."""
+    d = load_table(spark, sf_dir, "documents")
+    picked = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1", "2", "3"
+    )
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(picked, F.lit(1))).alias("n_sampled"),
+    )
+
+
+@register(
+    "x_sim_topk_ivf",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+         c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  ROUND(list_dot_product(q.v, c.v)
+                        / (sqrt(list_dot_product(q.v, q.v))
+                           * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+           FROM q JOIN c ON q.label = c.label AND q.vec_id <> c.vec_id)
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM scored)
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def x_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: probe only the query's coarse cell instead of the
+    full corpus.  The `label` column stands in for the coarse-quantizer
+    assignment (in a real IVF index the assignment is computed once at
+    index build and stored exactly like this).  The join key is the cell
+    id, so the shuffle is O(N) and each query scans ~N/cells candidates —
+    the standard recall/cost trade against x_sim_topk_cosine's O(|Q|·N).
+    EXACT: cell membership is data, so DuckDB reproduces it verbatim."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("q_label"),
+            _as_double(F.col("embedding")).alias("qv"),
+        )
+        .withColumn("qnorm", F.sqrt(dot(F.col("qv"), F.col("qv"))))
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
+        _as_double(F.col("embedding")).alias("cv"),
+    ).withColumn("cnorm", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+    scored = (
+        c.join(
+            broadcast(q),
+            (F.col("q_label") == F.col("c_label"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    return scored.select("*", F.row_number().over(w).alias("rnk")).filter(
+        F.col("rnk") <= TOP_K
+    )
+
+
+@register(
+    "x_seq_pack",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, lang, len(str_split(text, ' ')) AS n_tokens
+      FROM documents),
+    cum AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM sized)
+    SELECT lang,
+           CAST((cum_tokens - n_tokens) // {PACK_BUDGET} AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_in_pack
+    FROM cum
+    GROUP BY lang, (cum_tokens - n_tokens) // {PACK_BUDGET}
+    """,
+)
+def x_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: fill {PACK_BUDGET}-token training sequences with
+    consecutive documents per language (contiguous-fill packing — a doc
+    starts a new pack when the running total crosses the budget, so a pack
+    can overflow by at most one document; the deterministic SQL-expressible
+    variant of greedy bin packing).  One window shuffle on the stratum key
+    + one partial agg: at 100 TB both partition by `lang`, and the running
+    sum is exactly how a distributed packer assigns sequence ids without
+    coordination."""
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    # floor division on longs (DuckDB CAST(double AS BIGINT) ROUNDS — the
+    # oracle must use // so both engines floor)
+    pack = F.floor(
+        (F.col("cum_tokens") - F.col("n_tokens")) / PACK_BUDGET
+    ).cast("long")
+    return (
+        cum.withColumn("pack_id", pack)
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_in_pack"),
+        )
+    )

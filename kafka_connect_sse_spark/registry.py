@@ -38,6 +38,7 @@ _MODULES = (
     "kafka_connect_sse_spark.operators.similarity",
     "kafka_connect_sse_spark.operators.text",
     "kafka_connect_sse_spark.operators.multimodal",
+    "kafka_connect_sse_spark.operators.pipeline",
     "kafka_connect_sse_spark.operators.udfs",
     "kafka_connect_sse_spark.streaming.queries",
     "kafka_connect_sse_spark.streaming.landing",

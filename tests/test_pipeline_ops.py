@@ -1,0 +1,138 @@
+"""Semantic tests for the training-pipeline extension ops
+(operators/pipeline.py) — properties the DuckDB oracle parity check
+can't express: chunk reconstruction, sampling determinism, IVF cell
+containment and agreement with the exact twin, packing budget bounds.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafka_connect_sse_spark.io import load_table
+from kafka_connect_sse_spark.registry import queries
+from kafka_connect_sse_spark.operators.pipeline import (
+    CHUNK_STRIDE,
+    CHUNK_TOKENS,
+    PACK_BUDGET,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from kafka_connect_sse_spark.session import get_spark
+
+    return get_spark(shuffle_partitions=8)
+
+
+def test_doc_chunk_reconstructs_document(spark):
+    """Chunk 0's md5 must equal the md5 of the doc's first CHUNK_TOKENS
+    tokens, and the number of chunks must be ceil(n_tokens/stride)."""
+    doc = (
+        load_table(spark, SF, "documents")
+        .filter(F.col("doc_id") == 0)
+        .collect()[0]
+    )
+    toks = doc.text.split(" ")
+    chunks = (
+        queries()["x_doc_chunk"](spark, SF)
+        .filter(F.col("doc_id") == 0)
+        .orderBy("chunk_id")
+        .collect()
+    )
+    expect_n = (len(toks) + CHUNK_STRIDE - 1) // CHUNK_STRIDE
+    assert len(chunks) == expect_n
+    first = " ".join(toks[:CHUNK_TOKENS])
+    assert chunks[0].chunk_md5 == hashlib.md5(first.encode()).hexdigest()
+    assert chunks[0].chunk_tokens == min(CHUNK_TOKENS, len(toks))
+    # stride: chunk i starts at i*stride → last chunk covers the tail
+    assert chunks[-1].chunk_tokens == len(toks) - (expect_n - 1) * CHUNK_STRIDE
+
+
+def test_stratified_sample_is_deterministic_and_near_rate(spark):
+    a = {
+        (r.source): (r.n_total, r.n_sampled)
+        for r in queries()["x_sample_stratified"](spark, SF).collect()
+    }
+    b = {
+        (r.source): (r.n_total, r.n_sampled)
+        for r in queries()["x_sample_stratified"](spark, SF).collect()
+    }
+    assert a == b  # reproducible across runs (hash-based, not rand())
+    n_total = sum(t for t, _ in a.values())
+    n_samp = sum(s for _, s in a.values())
+    assert n_samp / n_total == pytest.approx(4 / 16, abs=0.08)
+
+
+def test_ivf_probes_own_cell_and_matches_exact_twin(spark):
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, SF, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in queries()["x_sim_topk_cosine"](spark, SF).collect()
+    }
+    ivf = queries()["x_sim_topk_ivf"](spark, SF).collect()
+    assert len(ivf) > 0
+    for r in ivf:
+        assert labels[r.query_id] == labels[r.neighbor_id]  # own cell only
+        if (r.query_id, r.neighbor_id) in exact:
+            assert exact[(r.query_id, r.neighbor_id)] == pytest.approx(
+                r.cos_sim, abs=1e-9
+            )
+    # recall sanity: IVF finds at least one of each query's exact top-k
+    hits = sum(1 for r in ivf if (r.query_id, r.neighbor_id) in exact)
+    assert hits > 0
+
+
+def test_seq_pack_budget_bound(spark):
+    """Contiguous-fill packing: a pack overflows the budget by at most one
+    document, and pack ids start at 0 per stratum."""
+    packs = queries()["x_seq_pack"](spark, SF).collect()
+    max_doc = (
+        load_table(spark, SF, "documents")
+        .select(F.max(F.size(F.split("text", " "))).alias("m"))
+        .collect()[0]
+        .m
+    )
+    by_lang: dict[str, list] = {}
+    for r in packs:
+        by_lang.setdefault(r.lang, []).append(r)
+        assert r.tokens_in_pack <= PACK_BUDGET + max_doc
+        assert r.n_docs >= 1
+    for lang, rows in by_lang.items():
+        ids = sorted(r.pack_id for r in rows)
+        assert ids[0] == 0
+        assert ids == list(range(len(ids)))  # contiguous
+
+
+def test_pii_scrub_counts_match_python(spark):
+    import re
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF, "documents").limit(50).collect()
+    }
+    got = {
+        r.doc_id: r
+        for r in queries()["x_pii_scrub"](spark, SF)
+        .filter(F.col("doc_id").isin(*docs))
+        .collect()
+    }
+    for doc_id, text in docs.items():
+        r = got[doc_id]
+        assert r.n_numbers == len(re.findall(r"[0-9]+", text))
+        scrub = re.sub(
+            r"[0-9]+",
+            "<NUM>",
+            re.sub(r"[a-z0-9._]+@[a-z0-9.-]+", "<EMAIL>", text),
+        )
+        assert r.scrubbed_len == len(scrub)
