@@ -321,3 +321,39 @@ def q_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(10)
     )
+
+
+@register(
+    "q_compact_latest",
+    oracle="""
+    SELECT user_id, event_type, event_id AS last_event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def q_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log compaction as a query: keep only the LATEST record per key —
+    the semantics of a compacted Kafka topic, which is where the
+    reference's producer durably lands its stream (README.md topology).
+    One window shuffle on the key; at 100 TB this is the standard
+    CDC/upsert materialization (ROW_NUMBER ... rn=1), and Spark pushes
+    the rn<=1 filter into the sort as a per-key top-1."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -366,3 +366,90 @@ def s_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
          ("events.bytes", int(got["events_bytes"]))],
         "metric string, value long",
     )
+
+
+def _twis_available() -> bool:
+    """transformWithStateInPandas needs the python protobuf runtime for its
+    state-server protocol; register the op only where it can actually run
+    (the module is absent in this container — same conditional-surface
+    pattern as snk_avro)."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # parent 'google' namespace absent
+        return False
+
+
+if _twis_available():  # pragma: no cover - environment-dependent
+    @register(
+        "s_transform_with_state",
+        oracle="""
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+                   AS total_value
+        FROM events
+        GROUP BY user_id
+        """,
+    )
+    def s_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Running per-user counters via transformWithStateInPandas — the
+        Spark 4 arbitrary-stateful API (successor to applyInPandasWithState,
+        s_stateful_counter above): typed ValueState managed by the state
+        store, Arrow-batched input, update-mode emission.  Same oracle as the
+        old-API twin, so the two stateful surfaces are pinned to identical
+        semantics."""
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class CounterProcessor(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._state = handle.getValueState(
+                    "counts", "n long, total double"
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                n, total = (
+                    self._state.get() if self._state.exists() else (0, 0.0)
+                )
+                for pdf in rows:
+                    n += len(pdf)
+                    total += float(pdf["value"].sum())
+                self._state.update((n, total))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events": [n],
+                        "total_value": [round(total, 2)],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        sdf = events_stream(spark, sf_dir)
+        counted = sdf.groupBy("user_id").transformWithStateInPandas(
+            CounterProcessor(),
+            outputStructType="user_id long, n_events long, total_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+        out = run_to_memory(counted, mode="update")
+        # update mode may emit a key several times across batches; keep the last
+        return (
+            out.groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max_by("total_value", "n_events").alias("total_value"),
+            )
+            .select(
+                "user_id",
+                "n_events",
+                F.col("total_value")
+                .cast("decimal(18,2)")
+                .cast("double")
+                .alias("total_value"),
+            )
+        )

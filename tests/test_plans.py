@@ -110,3 +110,20 @@ def test_exact_queries_avoid_python_row_udfs(spark):
         if "BatchEvalPython" in formatted_plan(df):
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_chunk_and_scrub_are_map_only(spark):
+    """x_doc_chunk / x_pii_scrub must stay shuffle-free: explode +
+    projection inherit input partitioning (the 100 TB property)."""
+    for name in ("x_doc_chunk", "x_pii_scrub"):
+        plan = formatted_plan(queries()[name](spark, SF))
+        assert "Exchange" not in plan, (name, plan)
+
+
+def test_ivf_broadcasts_queries_not_corpus(spark):
+    df = queries()["x_sim_topk_ivf"](spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # the bounded query set broadcasts; the corpus side must not
+    logical = str(df._jdf.queryExecution().logical()).lower()
+    assert logical.count("broadcast") == 1, logical
