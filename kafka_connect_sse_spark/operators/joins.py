@@ -427,3 +427,61 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@register(
+    "q_join_bucketed",
+    oracle="""
+    SELECT o.o_orderstatus, COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located (bucketed) fact-fact join — the SCALE.md §Joins claim made
+    executable: write both sides bucketed+sorted by the join key, and the
+    SortMergeJoin reads buckets pairwise with NO exchange on either side
+    (tests/test_plans.py asserts it).  At 100 TB this is how a recurring
+    orders⋈lineitem pipeline amortizes its shuffle to zero: pay the
+    bucketing once at landing time, join shuffle-free forever after.
+    A MERGE join hint (not a session conf, which would leak past this
+    query) pins SortMergeJoin so the plan demonstrates the bucketed path
+    even at fixture scale where broadcast would otherwise win."""
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), "kcss_bucketed")
+    shutil.rmtree(base, ignore_errors=True)
+    spark.sql("DROP TABLE IF EXISTS kcss_orders_bucketed")
+    spark.sql("DROP TABLE IF EXISTS kcss_lineitem_bucketed")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    (
+        o.write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", os.path.join(base, "orders"))
+        .mode("overwrite")
+        .saveAsTable("kcss_orders_bucketed")
+    )
+    (
+        li.write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", os.path.join(base, "lineitem"))
+        .mode("overwrite")
+        .saveAsTable("kcss_lineitem_bucketed")
+    )
+    ob = spark.table("kcss_orders_bucketed").hint("merge")
+    lb = spark.table("kcss_lineitem_bucketed")
+    return (
+        ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+    )

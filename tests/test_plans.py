@@ -127,3 +127,15 @@ def test_ivf_broadcasts_queries_not_corpus(spark):
     # the bounded query set broadcasts; the corpus side must not
     logical = str(df._jdf.queryExecution().logical()).lower()
     assert logical.count("broadcast") == 1, logical
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    """Both bucketed scans feed the SortMergeJoin directly; the only
+    Exchange in the plan is the post-join aggregation shuffle."""
+    import re
+
+    df = queries()["q_join_bucketed"](spark, SF)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
+    assert len(set(re.findall(r"\((\d+)\) Exchange", plan))) == 1, plan
