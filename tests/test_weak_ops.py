@@ -66,24 +66,10 @@ def test_simhash_identical_docs_share_fingerprint(spark):
 
     # rebuild the fingerprint expression over the combined set via the
     # registered op's module internals
-    from kafka_connect_sse_spark.operators import dedup as dd
+    from kafka_connect_sse_spark.operators.dedup import _simhash_bit
 
     toks = F.array_distinct(F.split(F.col("text"), " "))
-    bits = [
-        F.when(
-            F.size(
-                F.filter(
-                    toks,
-                    lambda t, mask=(1 << i): F.xxhash64(t).bitwiseAND(F.lit(mask))
-                    != 0,
-                )
-            )
-            * 2
-            > F.size(toks),
-            F.lit(1 << i),
-        ).otherwise(F.lit(0))
-        for i in range(32)
-    ]
+    bits = [_simhash_bit(toks, i) for i in range(32)]
     fp = bits[0]
     for b in bits[1:]:
         fp = fp + b
@@ -92,6 +78,9 @@ def test_simhash_identical_docs_share_fingerprint(spark):
     for i in range(30):
         if i in by_id:
             assert by_id[i] == by_id[i + 10_000]
+    # anti-degeneracy: distinct docs must spread over many fingerprints
+    # (the round-1 arity-2-lambda bug collapsed the corpus into 2 buckets)
+    assert len(set(by_id.values())) > 10
 
 
 def test_minhash_threshold_pairs_are_actually_similar(spark):
