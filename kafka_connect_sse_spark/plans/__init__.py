@@ -76,3 +76,16 @@ def replicate_for_salt(dim: DataFrame, n_salts: int = 16, salt_col: str = "_salt
     """Dimension-side expansion matching `salted`."""
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias(salt_col)
     return dim.select("*", salts)
+
+
+def spread(df: DataFrame, key: str):
+    """Raise a DataFrame to the session's default parallelism when the
+    source read produced fewer partitions (a single small parquet file
+    scans as ONE task, serializing every downstream map until the first
+    shuffle).  Hash-partitions on `key`; no-op when the input already has
+    enough partitions, so at real scale (thousands of input splits) this
+    adds nothing."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(key))
+    return df
