@@ -292,3 +292,71 @@ def src_parquet_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+@register(
+    "snk_csv",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def snk_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + schema'd re-read (the interchange format the reference's
+    StringConverter tier implies).  Header on write, EXPLICIT schema on
+    read — schema inference over CSV is a full extra pass at scale and is
+    never acceptable at 100 TB; quoting round-trips embedded delimiters."""
+    out = os.path.join(tempfile.gettempdir(), "kcss_snk_csv")
+    shutil.rmtree(out, ignore_errors=True)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    e.write.mode("overwrite").option("header", "true").csv(out)
+    back = spark.read.schema(
+        "event_id long, event_type string, user_id long, value double"
+    ).option("header", "true").csv(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+@register(
+    "snk_compact_small_files",
+    oracle="""
+    SELECT 4 AS n_files, COUNT(*) AS n_rows,
+           CAST(SUM(user_id) AS BIGINT) AS uid_sum
+    FROM events
+    """,
+)
+def snk_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction — the landing-zone maintenance job every
+    streaming sink needs: a micro-batch writer leaves one file per
+    trigger per partition (here simulated with a 64-way write), and the
+    compactor rewrites them into a few scan-friendly files (here 4 via
+    repartition — at 100 TB you size this to ~target_bytes/file, e.g.
+    128 MB－1 GB, from the table's measured bytes).  Emits the resulting
+    file count as data so the oracle pins the compaction actually
+    happened, plus content aggregates proving nothing was lost."""
+    base = os.path.join(tempfile.gettempdir(), "kcss_compact")
+    frag = os.path.join(base, "fragmented")
+    comp = os.path.join(base, "compacted")
+    shutil.rmtree(base, ignore_errors=True)
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    e.repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(
+        comp
+    )
+    n_files = len(
+        [f for f in os.listdir(comp) if f.endswith(".parquet")]
+    )
+    back = spark.read.parquet(comp)
+    return back.agg(
+        F.lit(n_files).alias("n_files"),
+        F.count("*").alias("n_rows"),
+        F.sum("user_id").alias("uid_sum"),
+    )
