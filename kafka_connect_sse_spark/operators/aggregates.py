@@ -450,3 +450,38 @@ def q_agg_bytes_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("props")).alias("total_bytes"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "q_agg_percentile_approx",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+           TRUE AS approx_within_1pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile (Greenwald-Khanna sketch) — the one-pass
+    mergeable scale path that q_agg_percentile's full-sort exact form
+    documents.  Like q_agg_approx_distinct, the sketch value itself is
+    implementation-defined, so the EXACT check is error-bounded: Spark
+    emits a boolean asserting the sketch median landed within 1% of the
+    exact interpolated median; the oracle asserts TRUE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx"),
+            F.round(F.percentile("l_extendedprice", 0.5), 6).alias("exact_p50"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_p50",
+            (
+                F.abs(F.col("approx") - F.col("exact_p50"))
+                <= 0.01 * F.abs(F.col("exact_p50"))
+            ).alias("approx_within_1pct"),
+        )
+    )
