@@ -434,3 +434,45 @@ def q_fn_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("etype"),
         )
     )
+
+
+@register(
+    "q_fn_struct",
+    oracle="""
+    SELECT o_orderkey,
+           struct_extract(struct_pack(v1 := o_orderstatus,
+                                      v2 := o_totalprice), 'v1')
+               AS st_status,
+           struct_extract(struct_pack(v1 := o_orderstatus,
+                                      v2 := o_totalprice), 'v2')
+               AS st_price,
+           struct_extract(
+             struct_pack(status := o_orderstatus,
+                         band := CASE WHEN o_totalprice > 100000
+                                      THEN 'big' ELSE 'small' END),
+             'band') AS named_band
+    FROM orders
+    """,
+)
+def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction + field extraction (the nested-record surface
+    of the reference's envelope payloads).  Struct columns themselves are
+    unhashable under the driver canon, so the comparison surface is the
+    extracted scalar fields — which fully pin struct/named_struct/
+    getField semantics."""
+    o = load_table(spark, sf_dir, "orders")
+    anon = F.struct(
+        F.col("o_orderstatus").alias("v1"), F.col("o_totalprice").alias("v2")
+    )
+    named = F.named_struct(
+        F.lit("status"),
+        F.col("o_orderstatus"),
+        F.lit("band"),
+        F.when(F.col("o_totalprice") > 100000, "big").otherwise("small"),
+    )
+    return o.select(
+        "o_orderkey",
+        anon.getField("v1").alias("st_status"),
+        anon.getField("v2").alias("st_price"),
+        named.getField("band").alias("named_band"),
+    )

@@ -485,3 +485,28 @@ def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_within_1pct"),
         )
     )
+
+
+@register(
+    "q_agg_bool_bit",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_totalprice > 400000) AS any_over_400k,
+           CAST(bit_and(o_orderkey) AS BIGINT) AS keys_bit_and,
+           CAST(bit_or(o_orderkey % 16) AS BIGINT) AS mod_bit_or
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean (every/some) and bitwise (bit_and/bit_or) aggregates — the
+    predicate-summary surface used for data-quality assertions at scale
+    (one partial-agg shuffle; each carries constant state per group)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.some(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.bit_and("o_orderkey").alias("keys_bit_and"),
+        F.bit_or(F.col("o_orderkey") % 16).alias("mod_bit_or"),
+    )

@@ -250,3 +250,110 @@ def x_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("tokens_in_pack"),
         )
     )
+
+
+LANG_QUOTA = 50  # per-language document cap for balanced sampling
+
+
+@register(
+    "x_lang_balance",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                 AS rk
+      FROM documents)
+    SELECT lang,
+           COUNT(*) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS kept_ids_sum
+    FROM ranked
+    WHERE rk <= {LANG_QUOTA}
+    GROUP BY lang
+    """,
+)
+def x_lang_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced corpus capping: keep at most LANG_QUOTA documents
+    per language, chosen by rank over a content-independent hash of the
+    stable key (md5, identical in both engines) — the deterministic,
+    repartition-proof version of per-stratum downsampling that corpus
+    mixture tuning needs.  One window shuffle on lang; the kept-ids
+    checksum pins that both engines selected the SAME documents, not just
+    the same counts."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= LANG_QUOTA)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("doc_id").alias("kept_ids_sum"),
+        )
+    )
+
+
+@register(
+    "x_doc_concat",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, lang, text, len(str_split(text, ' ')) AS n_tokens
+      FROM documents),
+    cum AS (
+      SELECT doc_id, lang, text, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM sized)
+    SELECT lang,
+           CAST((cum_tokens - n_tokens) // {PACK_BUDGET} AS BIGINT) AS pack_id,
+           md5(string_agg(text, '<|endoftext|>' ORDER BY doc_id))
+               AS sequence_md5,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM cum
+    GROUP BY lang, CAST((cum_tokens - n_tokens) // {PACK_BUDGET} AS BIGINT)
+    """,
+)
+def x_doc_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the packed training sequences that x_seq_pack plans:
+    concatenate each pack's documents in deterministic (doc_id) order with
+    an end-of-text separator.  The sequence content is pinned by md5 so
+    the oracle checks byte-exact sequence construction without shipping
+    the text.  Same single window shuffle as x_seq_pack plus an ordered
+    string aggregation per pack — at 100 TB the concat runs inside the
+    partial aggregate, and sequences stream straight to the tokenizer."""
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    pack = F.floor(
+        (F.col("cum_tokens") - F.col("n_tokens")) / PACK_BUDGET
+    ).cast("long")
+    return (
+        cum.withColumn("pack_id", pack)
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("doc_id", "text"))
+                        ),
+                        lambda s: s.getField("text"),
+                    ),
+                    "<|endoftext|>",
+                )
+            ).alias("sequence_md5"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
