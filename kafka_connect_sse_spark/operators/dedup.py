@@ -271,39 +271,75 @@ def x_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.unpersist()
 
 
-def _simhash_bit(toks, i: int):
-    """Bit i of the simhash: set when the majority of token hashes have
-    bit i set.  The filter lambda MUST be arity-1 — a second defaulted
-    parameter would be bound to the ARRAY INDEX by Spark's higher-order
-    filter, collapsing every bit to one identical condition (the round-1
-    bug: the whole corpus landed in 2 fingerprint buckets)."""
-    mask = 1 << i
+def _simhash_bit_hex(hexes, i: int):
+    """Bit i of the simhash over precomputed md5-hex token hashes: set
+    when the majority of tokens have hex char i of their md5 >= '8'
+    (i.e. the high bit of that hex digit).  The filter lambda MUST be
+    arity-1 — a second defaulted parameter would be bound to the ARRAY
+    INDEX by Spark's higher-order filter, collapsing every bit to one
+    identical condition (the round-1 bug: the whole corpus landed in 2
+    fingerprint buckets)."""
     return F.when(
         F.size(
             F.filter(
-                toks,
-                lambda t: F.xxhash64(t).bitwiseAND(F.lit(mask)) != 0,
+                hexes,
+                lambda h: F.substring(h, i + 1, 1) >= F.lit("8"),
             )
         )
         * 2
-        > F.size(toks),
+        > F.size(hexes),
         F.lit(1 << i),
     ).otherwise(F.lit(0))
 
 
-@register("x_dedup_simhash")
+def _simhash_bit(toks, i: int):
+    """Bit i of the simhash from raw tokens (test/backcompat shim —
+    hashes every call; the registered op materializes the hex array once
+    and uses _simhash_bit_hex)."""
+    return _simhash_bit_hex(F.transform(toks, lambda t: F.md5(t)), i)
+
+
+@register(
+    "x_dedup_simhash",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(list_distinct(str_split(text, ' ')),
+                            x -> md5(x)) AS hx
+      FROM documents)
+    SELECT simhash32,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS keep_id
+    FROM (SELECT doc_id, CAST(__FP__ AS BIGINT) AS simhash32 FROM t)
+    GROUP BY simhash32
+    """.replace(
+        "__FP__",
+        " + ".join(
+            f"(CASE WHEN 2 * len(list_filter(hx, h -> substr(h, {i + 1}, 1)"
+            f" >= '8')) > len(hx) THEN {1 << i} ELSE 0 END)"
+            for i in range(32)
+        ),
+    ),
+)
 def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints: 32-bit majority projection over token hashes.
     Near-dups have small hamming distance; here we emit fingerprint buckets
-    and their sizes.  WEAK (hash-function-defined)."""
+    and their sizes.  EXACT since round 2: bit i is the majority vote of
+    md5-hex digit i's high bit — md5 is identical in Spark and DuckDB, so
+    the oracle replays the whole fingerprint construction.  The md5 hex
+    array is materialized in its OWN select so the 32 bit expressions
+    share one hash pass (no CSE across expression branches otherwise)."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.array_distinct(F.split(F.col("text"), " "))
-    bits = [_simhash_bit(toks, i) for i in range(32)]
+    hashed = d.select(
+        "doc_id", F.transform(toks, lambda t: F.md5(t)).alias("hx")
+    )
+    bits = [_simhash_bit_hex(F.col("hx"), i) for i in range(32)]
     fp = bits[0]
     for b in bits[1:]:
         fp = fp + b
     return (
-        d.select("doc_id", fp.alias("simhash32"))
+        hashed.select("doc_id", fp.cast("long").alias("simhash32"))
         .groupBy("simhash32")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
     )

@@ -9,13 +9,16 @@ Two paths with identical semantics on fixture data:
     sign-bit code from deterministic pseudo-random hyperplanes; candidates
     only within the same bucket.  This is the 100 TB path: the join key is
     the code, the shuffle is O(N), and recall is tuned by code width /
-    multi-probe.  WEAK (bucket assignment is impl-defined).
+    multi-probe.  EXACT: the planes are literal constants generated
+    driver-side (hashlib md5), identical in the DuckDB oracle.
 
 Dot products run through `F.aggregate` over zipped arrays — JVM higher-order
 functions, no Python in the loop.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -98,37 +101,69 @@ def x_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _plane_components(p: int, dim: int = 64) -> list[float]:
+    """Component j of hyperplane p: first 4 hex chars of md5('p:j') mapped
+    to [-1, 1].  Generated driver-side at plan-build time (hashlib — no
+    engine hash needed), inlined as literals into BOTH the Spark plan and
+    the DuckDB oracle, so bucket assignment is engine-independent.  The
+    matrix is n_planes x dim doubles — trivially broadcastable at any
+    scale; at 100 TB the codes shuffle O(N) on an 8-bit key."""
+    return [
+        int(hashlib.md5(f"{p}:{j}".encode()).hexdigest()[:4], 16) / 32767.5
+        - 1.0
+        for j in range(dim)
+    ]
+
+
 def lsh_code(vec_col, n_planes: int = N_PLANES, dim: int = 64):
-    """Sign-bit code from deterministic pseudo-random hyperplanes.  Plane
-    p's component j = hash(p, j) mapped to [-1, 1] — reproducible across
-    runs/engines without storing plane matrices."""
-    def plane_bit(p):
-        comp = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda j: (
-                F.pmod(F.xxhash64(F.lit(p), j), F.lit(10007)).cast("double")
-                / 5003.5
-                - 1.0
-            ),
-        )
+    """Sign-bit code from deterministic pseudo-random hyperplanes: bit p is
+    the sign of the projection onto plane p.  Literal plane components keep
+    the whole expression inside whole-stage codegen."""
+    code = None
+    for p in range(n_planes):
+        comp = F.array(*[F.lit(x) for x in _plane_components(p, dim)])
         proj = F.aggregate(
             F.zip_with(vec_col, comp, lambda x, y: x * y),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        return F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-
-    code = plane_bit(0)
-    for p in range(1, n_planes):
-        code = code + plane_bit(p)
+        bit = F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        code = bit if code is None else code + bit
     return code
 
 
-@register("x_sim_lsh_bucketed")
+def _sql_code_expr(vec: str, n_planes: int = N_PLANES, dim: int = 64) -> str:
+    """The DuckDB rendering of lsh_code over column `vec` — same literal
+    planes, same left-to-right accumulation (list_dot_product), same sign
+    rule, so codes match the Spark side bit-for-bit."""
+    terms = []
+    for p in range(n_planes):
+        arr = "[" + ", ".join(repr(x) for x in _plane_components(p, dim)) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec}, {arr}) >= 0"
+            f" THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "x_sim_lsh_bucketed",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    coded AS (SELECT vec_id, label, {_sql_code_expr('v')} AS code FROM e)
+    SELECT code,
+           COUNT(*) AS bucket_size,
+           COUNT(DISTINCT label) AS n_labels,
+           MIN(vec_id) AS min_vec_id
+    FROM coded GROUP BY code
+    """,
+)
 def x_sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN: bucket stats + within-bucket candidate counts.
-    WEAK rows-only; the scale path for x_sim_topk_cosine (shuffle on the
-    8-bit code instead of an N×Q cross)."""
+    EXACT since round 2 (literal hyperplanes make the code
+    engine-independent); the scale path for x_sim_topk_cosine (shuffle on
+    the 8-bit code instead of an N×Q cross)."""
     e = load_table(spark, sf_dir, "embeddings")
     coded = e.select(
         "vec_id",
@@ -142,12 +177,34 @@ def x_sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x_sim_topk_lsh")
+@register(
+    "x_sim_topk_lsh",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, {_sql_code_expr('v')} AS code,
+                 sqrt(list_dot_product(v, v)) AS nrm
+          FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, code AS qcode, nrm AS qnorm
+          FROM n WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.qv, c.v) / (q.qnorm * c.nrm), 6)
+                 AS cos_sim
+      FROM n c JOIN q ON c.code = q.qcode AND c.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM scored)
+    WHERE rnk <= {TOP_K}
+    """,
+)
 def x_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k through the LSH index: queries probe only their own code
     bucket, so the scored candidate set is O(bucket) instead of O(N).
-    WEAK (recall depends on the code; x_sim_topk_cosine is the exact
-    baseline the recall is measured against)."""
+    EXACT since round 2: the oracle replays bucketing + scoring with the
+    same literal planes, so it checks the LSH path end-to-end (recall vs
+    the exact twin x_sim_topk_cosine is pinned separately in
+    tests/test_weak_ops.py)."""
     e = load_table(spark, sf_dir, "embeddings")
     coded = e.select(
         "vec_id", _as_double(F.col("embedding")).alias("v"),
