@@ -48,7 +48,8 @@ COLLECT_CAP_ROWS = 100_000
 N_INGEST_EVENTS = 50_000
 
 
-def sse_ingest_bench(spark) -> float:
+def sse_ingest_bench(spark, n_events: int = N_INGEST_EVENTS,
+                     name: str = "bench_sse_ingest") -> float:
     """Ingest throughput of the custom SSE source: serve N synthetic events
     over a localhost socket, measure wall-clock until all are landed in a
     memory sink.  (The reference's deployed rate is network-bound at tens
@@ -69,7 +70,7 @@ def sse_ingest_bench(spark) -> float:
             self.send_header("Content-Type", "text/event-stream")
             self.end_headers()
             buf = []
-            for i in range(N_INGEST_EVENTS):
+            for i in range(n_events):
                 buf.append(f"event: e\nid: {i}\ndata: {{\"k\": {i}}}\n\n")
                 if len(buf) >= 500:
                     self.wfile.write("".join(buf).encode())
@@ -97,13 +98,13 @@ def sse_ingest_bench(spark) -> float:
     )
     q = (
         sdf.writeStream.format("memory")
-        .queryName("bench_sse_ingest")
+        .queryName(name)
         .outputMode("append")
         .trigger(processingTime="200 milliseconds")
         .start()
     )
     try:
-        while spark.table("bench_sse_ingest").count() < N_INGEST_EVENTS:
+        while spark.table(name).count() < n_events:
             if time.perf_counter() - t0 > 120:
                 break
             time.sleep(0.2)
@@ -146,6 +147,10 @@ def main() -> None:
         results[name] = round(statistics.median(times), 3)
         print(f"# {name}: {results[name]}s (n={n})", file=sys.stderr)
 
+    # same protocol as the batch queries: one warm-up run (tiny event
+    # count — first streaming query pays one-time class-loading and
+    # Python-data-source bridge startup), then the timed run
+    sse_ingest_bench(spark, n_events=2_000, name="bench_sse_warmup")
     ingest_sec = round(sse_ingest_bench(spark), 3)
     results["sse_ingest_50k_events"] = ingest_sec
     print(
