@@ -11,7 +11,7 @@ events.byType) re-expressed as a query.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table, register_views
@@ -509,4 +509,135 @@ def q_agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.some(F.col("o_totalprice") > 400000).alias("any_over_400k"),
         F.bit_and("o_orderkey").alias("keys_bit_and"),
         F.bit_or(F.col("o_orderkey") % 16).alias("mod_bit_or"),
+    )
+
+
+@register(
+    "q_ts_gapfill",
+    oracle="""
+    WITH e AS (SELECT event_type, CAST(ts AS DATE) AS d, user_id
+               FROM events),
+    b AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM e),
+    days AS (SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))
+                         AS DATE) AS d
+             FROM b),
+    types AS (SELECT DISTINCT event_type FROM e),
+    daily AS (SELECT event_type, d,
+                     COUNT(*) AS n_events,
+                     COUNT(DISTINCT user_id) AS n_users
+              FROM e GROUP BY event_type, d)
+    SELECT t.event_type,
+           CAST(days.d AS VARCHAR) AS day,
+           COALESCE(daily.n_events, 0) AS n_events,
+           COALESCE(daily.n_users, 0) AS n_users
+    FROM types t CROSS JOIN days
+    LEFT JOIN daily ON daily.event_type = t.event_type AND daily.d = days.d
+    """,
+)
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: a complete (event_type x day) date spine with
+    zero-filled missing days — the dense-calendar shape dashboards and
+    window functions need.  The spine is built from two 1-row/short
+    aggregates (global min/max date, distinct types) cross-joined
+    broadcast-side, so the only real shuffle is the daily aggregate of the
+    fact table; the spine join is broadcast at any corpus scale because
+    the spine is |types| x |days|, independent of row count."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d"), "user_id"
+    )
+    bounds = e.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    types = e.select("event_type").distinct()
+    daily = e.groupBy("event_type", "d").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    spine = types.crossJoin(F.broadcast(days))
+    return (
+        spine.join(F.broadcast(daily), ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            F.col("d").cast("string").alias("day"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("n_users", F.lit(0)).alias("n_users"),
+        )
+    )
+
+
+@register(
+    "q_agg_median_mode",
+    oracle="""
+    WITH counted AS (
+      SELECT l_returnflag, l_quantity, COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag, l_quantity),
+    best AS (
+      SELECT l_returnflag, l_quantity, n,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY n DESC, l_quantity) AS rk
+      FROM counted)
+    SELECT m.l_returnflag,
+           m.median_qty,
+           b.l_quantity AS mode_qty,
+           b.n AS mode_n
+    FROM (SELECT l_returnflag, median(l_quantity) AS median_qty
+          FROM lineitem GROUP BY l_returnflag) m
+    JOIN best b ON b.l_returnflag = m.l_returnflag AND b.rk = 1
+    """,
+)
+def q_agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median plus DETERMINISTIC mode (most frequent value, ties
+    broken by smallest value — engine mode() functions break ties
+    arbitrarily, so the mode is computed as count + rank, which also keeps
+    it a two-shuffle mergeable plan instead of a full-sort per group).
+    l_quantity is integral-valued, so median midpoints (.5) are exact in
+    both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("median_qty")
+    )
+    counted = li.groupBy("l_returnflag", "l_quantity").count()
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("count").desc(), "l_quantity"
+    )
+    best = (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("count").alias("mode_n"),
+        )
+    )
+    return med.join(best, "l_returnflag")
+
+
+@register(
+    "q_agg_histogram",
+    oracle="""
+    SELECT CAST(LEAST(FLOOR(o_totalprice / 25000), 20) AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS lo_price,
+           MAX(o_totalprice) AS hi_price
+    FROM orders
+    GROUP BY CAST(LEAST(FLOOR(o_totalprice / 25000), 20) AS BIGINT)
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning (floor division, top bucket clamped)
+    — the profile-a-column primitive.  Pure partial+final aggregate on the
+    bucket expression; FLOOR runs before the BIGINT cast on both sides
+    because DuckDB's double->int cast ROUNDS while Spark's truncates."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 25000), F.lit(20)).cast(
+        "long"
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("lo_price"),
+            F.max("o_totalprice").alias("hi_price"),
+        )
     )

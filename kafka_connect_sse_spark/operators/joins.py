@@ -485,3 +485,32 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_qty"),
         )
     )
+
+
+@register(
+    "q_exists_correlated",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 150000)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
+    """,
+)
+def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS — planned as LEFT SEMI and LEFT ANTI
+    joins on the correlation key, so neither subquery materializes a
+    result wider than the key and both sides keep partial-agg-free
+    single-shuffle plans (the decorrelation Catalyst applies to
+    EXISTS-shaped SQL, expressed directly)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 150000).select("o_custkey")
+    fin = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        c.join(hi, c.c_custkey == hi.o_custkey, "left_semi")
+        .join(fin, F.col("c_custkey") == fin.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )

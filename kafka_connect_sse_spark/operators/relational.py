@@ -196,3 +196,26 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate elimination (partial-aggregate dedup before the shuffle)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "q_lateral_explode",
+    oracle="""
+    WITH t AS (SELECT doc_id, str_split(text, ' ') AS l
+               FROM documents WHERE doc_id < 40)
+    SELECT doc_id, g.i AS pos, l[g.i] AS tok
+    FROM t, UNNEST(generate_series(1, len(l))) AS g(i)
+    """,
+)
+def q_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral array explosion with ordinality (posexplode) — the
+    table-function surface for array-valued payloads.  The explode runs
+    inside the same stage as the scan (generator node, no shuffle); the
+    1-based position matches SQL ordinality."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok"),
+    ).select(
+        "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok"
+    )

@@ -57,3 +57,29 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT ALL (bag difference)."""
     return _hi(spark, sf_dir).exceptAll(_urgent(spark, sf_dir))
+
+
+@register(
+    "q_set_union_by_name",
+    oracle="""
+    SELECT o_orderkey AS k, o_totalprice AS amount, 'ord' AS src FROM orders
+    UNION ALL BY NAME
+    SELECT c_custkey AS k, 'cust' AS src, c_acctbal AS bal FROM customer
+    """,
+)
+def q_set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-aligned union: branches with different column sets combine
+    by NAME (missing columns null-filled) — the schema-drift-tolerant
+    append a long-lived ingest pipeline needs (vs positional UNION, which
+    silently misaligns).  Still a pure concatenation — no shuffle."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("amount"),
+        F.lit("ord").alias("src"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.lit("cust").alias("src"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    return o.unionByName(c, allowMissingColumns=True)
