@@ -139,3 +139,23 @@ def test_bucketed_join_is_exchange_free(spark):
     assert "SortMergeJoin" in plan, plan
     assert plan.count("Bucketed: true") == 2, plan
     assert len(set(re.findall(r"\((\d+)\) Exchange", plan))) == 1, plan
+
+
+def test_exists_correlated_plans_semi_and_anti(spark):
+    """EXISTS/NOT EXISTS decorrelate to LeftSemi + LeftAnti with the
+    subquery filters pushed into the scans; no forced broadcast (AQE may
+    pick one at small SF, but a scaling table must not be hint-pinned)."""
+    qs = queries()
+    plan = formatted_plan(qs["q_exists_correlated"](spark, SF))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "150000" in plan  # subquery predicate reached the orders scan
+
+
+def test_gapfill_broadcasts_spine_not_fact(spark):
+    """The date spine (types x days, metadata-sized) broadcasts; the only
+    fact-table shuffles are the daily aggregate's."""
+    qs = queries()
+    plan = formatted_plan(qs["q_ts_gapfill"](spark, SF))
+    assert "BroadcastExchange" in plan
+    # the fact scan must feed a partial aggregate, not a join build side
+    assert "partial_count" in plan
