@@ -357,3 +357,81 @@ def x_doc_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("n_tokens"),
         )
     )
+
+
+PREP_QUOTA = 100  # per-language cap in the composite prep pipeline
+
+
+@register(
+    "x_corpus_prep",
+    oracle=f"""
+    WITH filtered AS (
+      SELECT doc_id, lang, text,
+             len(str_split(text, ' ')) AS n_tokens
+      FROM documents
+      WHERE n_chars >= 100 AND lang IN ('en', 'fr', 'de', 'es', 'ja')),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS dup_rk
+        FROM filtered)
+      WHERE dup_rk = 1),
+    balanced AS (
+      SELECT * FROM (
+        SELECT doc_id, lang, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rk
+        FROM deduped)
+      WHERE rk <= {PREP_QUOTA})
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(CEIL(SUM(n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS n_packs,
+           CAST(SUM(doc_id) AS BIGINT) AS kept_ids_sum
+    FROM balanced
+    GROUP BY lang
+    """,
+)
+def x_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composite: the full corpus-prep chain a training-data run
+    executes — quality gate (length + language allowlist, pushed into the
+    scan) -> exact dedup (md5 content hash, 32-byte shuffle key) ->
+    language-balanced capping (content-independent md5 rank) -> packing
+    stats (sequences of PACK_BUDGET tokens).  Each stage is the already-
+    verified standalone operator (x_lang_like_filter / x_dedup_exact_hash /
+    x_lang_balance / x_seq_pack) fused into ONE lazy plan: Catalyst
+    collapses the projections, the dedup and balance windows are the only
+    wide stages, and the final aggregate is partial+final.  The kept-ids
+    checksum pins that both engines selected the SAME documents."""
+    d = load_table(spark, sf_dir, "documents")
+    filtered = d.filter(
+        (F.col("n_chars") >= 100)
+        & F.col("lang").isin("en", "fr", "de", "es", "ja")
+    ).select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    dup_w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        filtered.withColumn("dup_rk", F.row_number().over(dup_w))
+        .filter(F.col("dup_rk") == 1)
+    )
+    bal_w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    balanced = (
+        deduped.select(
+            "doc_id", "lang", "n_tokens",
+            F.row_number().over(bal_w).alias("rk"),
+        )
+        .filter(F.col("rk") <= PREP_QUOTA)
+    )
+    return balanced.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.ceil(F.sum("n_tokens") / PACK_BUDGET).alias("n_packs"),
+        F.sum("doc_id").alias("kept_ids_sum"),
+    )

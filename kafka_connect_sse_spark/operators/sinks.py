@@ -360,3 +360,30 @@ def snk_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum("user_id").alias("uid_sum"),
     )
+
+
+@register(
+    "snk_parquet_pruned",
+    oracle="""
+    SELECT event_type, user_id, COUNT(*) AS n
+    FROM events
+    WHERE event_type = 'click'
+    GROUP BY event_type, user_id
+    """,
+)
+def snk_parquet_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition PRUNING proof: land events partitioned by event_type,
+    then re-read with a partition-key predicate — the scan must touch only
+    the one matching directory (PartitionFilters in the plan; the other
+    partitions' files are never opened).  This is the layout/query pattern
+    that turns a 100 TB scan into a per-partition one."""
+    out = os.path.join(tempfile.gettempdir(), "kcss_snk_pruned")
+    shutil.rmtree(out, ignore_errors=True)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    e.write.partitionBy("event_type").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    return back.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("n")
+    )

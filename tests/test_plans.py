@@ -159,3 +159,13 @@ def test_gapfill_broadcasts_spine_not_fact(spark):
     assert "BroadcastExchange" in plan
     # the fact scan must feed a partial aggregate, not a join build side
     assert "partial_count" in plan
+
+
+def test_partitioned_reread_prunes_partitions(spark):
+    """The partition-key predicate must land in PartitionFilters (directory
+    pruning), not as a post-scan filter."""
+    df = queries()["snk_parquet_pruned"](spark, SF)
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan, plan
+    assert "event_type = click" in plan.replace("#", " ").replace(")", " ") or \
+        "click" in plan.split("PartitionFilters", 1)[1][:400], plan
