@@ -405,16 +405,18 @@ def x_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide stages, and the final aggregate is partial+final.  The kept-ids
     checksum pins that both engines selected the SAME documents."""
     d = load_table(spark, sf_dir, "documents")
+    # the content digest is computed BEFORE the dedup shuffle and the raw
+    # text is dropped, so the wide stages move 32-byte keys, not documents
     filtered = d.filter(
         (F.col("n_chars") >= 100)
         & F.col("lang").isin("en", "fr", "de", "es", "ja")
     ).select(
         "doc_id",
         "lang",
-        "text",
+        F.md5("text").alias("content_h"),
         F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
     )
-    dup_w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dup_w = Window.partitionBy("content_h").orderBy("doc_id")
     deduped = (
         filtered.withColumn("dup_rk", F.row_number().over(dup_w))
         .filter(F.col("dup_rk") == 1)
