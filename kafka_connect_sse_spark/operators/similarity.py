@@ -261,3 +261,48 @@ def x_embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("comp_sum"),
         F.size("embedding").alias("dim"),
     )
+
+
+@register(
+    "x_dedup_near_embedding_lsh",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, {_sql_code_expr('v')} AS code,
+                 sqrt(list_dot_product(v, v)) AS nrm
+          FROM e)
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+           ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM n a JOIN n b ON a.code = b.code AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.3
+    """,
+)
+def x_dedup_near_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs through the LSH index — the 100 TB path
+    that x_dedup_near_embedding's bounded all-pairs twin verifies: the
+    self-join keys on the 8-bit code (one O(N) shuffle), pair scoring runs
+    only within buckets, and the EXACT oracle replays bucketing + scoring
+    with the same literal hyperplanes.  Threshold 0.3 sits under the
+    fixture max-cosine (~0.46) so real pairs survive the gate."""
+    e = load_table(spark, sf_dir, "embeddings")
+    coded = e.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("v"),
+        lsh_code(_as_double(F.col("embedding"))).alias("code"),
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    a = coded.select(
+        F.col("vec_id").alias("doc_a"), F.col("v").alias("va"),
+        F.col("code").alias("ca"), F.col("nrm").alias("na"),
+    )
+    b = coded.select(
+        F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"),
+        F.col("code").alias("cb"), F.col("nrm").alias("nb"),
+    )
+    cos = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
+    return (
+        a.join(b, (F.col("ca") == F.col("cb"))
+               & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.3)
+    )
