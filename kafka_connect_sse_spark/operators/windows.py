@@ -357,3 +357,65 @@ def q_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+SESSION_GAP_US = 1_800_000_000  # 30-minute inactivity gap, microseconds
+
+
+@register(
+    "q_sessionize",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+    flagged AS (
+      SELECT user_id, event_id, us,
+             CASE WHEN us - LAG(us) OVER w > {SESSION_GAP_US}
+                  OR LAG(us) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    numbered AS (
+      SELECT user_id, event_id, us,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           CAST((MAX(us) - MIN(us)) // 1000000 AS BIGINT) AS duration_sec
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: split each user's event stream at >30-minute
+    inactivity gaps (lag + running sum of boundary flags — the standard
+    two-window formulation), then aggregate per session.  Both windows
+    share ONE partitioning (user_id) and sort order, so Spark plans a
+    single window shuffle + sort reused by lag and the running sum; the
+    per-session rollup is the only further exchange.  The streaming twin
+    is s_window_session (session_window with watermark eviction).
+    Microsecond epoch arithmetic is identical in both engines; ties on ts
+    are broken by event_id so session numbering is deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    o = e.select("user_id", "event_id", F.unix_micros("ts").alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = o.withColumn(
+        "new_sess",
+        F.when(
+            (F.col("us") - F.lag("us").over(w) > SESSION_GAP_US)
+            | F.lag("us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        ((F.max("us") - F.min("us")) / F.lit(1_000_000))
+        .cast("long")
+        .alias("duration_sec"),
+    )
