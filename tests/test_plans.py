@@ -169,3 +169,13 @@ def test_partitioned_reread_prunes_partitions(spark):
     assert "PartitionFilters" in plan, plan
     assert "event_type = click" in plan.replace("#", " ").replace(")", " ") or \
         "click" in plan.split("PartitionFilters", 1)[1][:400], plan
+
+
+def test_sessionize_shares_one_shuffle(spark):
+    """lag + running-sum windows and the per-session rollup all reuse the
+    user_id hash partitioning: exactly ONE Exchange in the whole plan."""
+    import re
+
+    plan = formatted_plan(queries()["q_sessionize"](spark, SF))
+    assert len(set(re.findall(r"\((\d+)\) Exchange", plan))) == 1, plan
+    assert plan.count("Window") >= 2
