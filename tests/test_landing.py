@@ -71,3 +71,40 @@ def test_partitioned_landing_roundtrip(spark, server):
     ids = sorted(int(r.id) for r in landed.collect())
     assert ids == list(range(10))
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_checkpointed_file_landing_resumes_exactly_once(spark, tmp_path):
+    """Restarting a checkpointed landing query must process ONLY files that
+    arrived since the last run — no replays, no loss (the exactly-once
+    file-sink contract that makes the landing zone replayable storage)."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land_available():
+        sdf = spark.readStream.schema("id long, v long").parquet(src)
+        q = (
+            sdf.withColumn("v2", F.col("v") + 1)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.range(0, 100).withColumn("v", F.col("id") * 2).write.mode(
+        "append"
+    ).parquet(src)
+    land_available()
+    spark.range(100, 250).withColumn("v", F.col("id") * 2).write.mode(
+        "append"
+    ).parquet(src)
+    land_available()
+
+    back = spark.read.parquet(out)
+    assert back.count() == 250
+    assert back.select("id").distinct().count() == 250
+    assert back.filter(F.col("v2") != F.col("id") * 2 + 1).count() == 0
