@@ -306,3 +306,88 @@ def x_dedup_near_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.3)
     )
+
+
+_PROBE_MASKS = [0] + [1 << p for p in range(N_PLANES)]
+
+
+@register(
+    "x_sim_topk_lsh_multiprobe",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, {_sql_code_expr('v')} AS code,
+                 sqrt(list_dot_product(v, v)) AS nrm
+          FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, code AS qcode, nrm AS qnorm
+          FROM n WHERE vec_id < {N_QUERIES}),
+    probes AS (
+      SELECT query_id, qv, qnorm, xor(qcode, m.m) AS pcode
+      FROM q, UNNEST({_PROBE_MASKS}) AS m(m)),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(p.qv, c.v) / (p.qnorm * c.nrm), 6)
+                 AS cos_sim
+      FROM n c JOIN probes p ON c.code = p.pcode
+                            AND c.vec_id <> p.query_id)
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM scored)
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def x_sim_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe ANN: each query probes its own bucket plus the
+    N_PLANES buckets at Hamming distance 1 (flip one code bit) — the
+    standard recall/cost dial for sign-bit LSH.  Candidate volume grows
+    (1 + N_PLANES)x but stays O(bucket), far from the O(N) scan; a
+    candidate matches at most one probe (codes differ by exactly one
+    mask), so no dedup pass is needed.  EXACT: the oracle enumerates the
+    same probe masks over the same literal hyperplanes."""
+    e = load_table(spark, sf_dir, "embeddings")
+    coded = e.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("v"),
+        lsh_code(_as_double(F.col("embedding"))).alias("code"),
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    probes = (
+        coded.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("code").alias("qcode"),
+            F.col("nrm").alias("qnorm"),
+        )
+        .withColumn(
+            "pcode",
+            F.explode(
+                F.array(*[
+                    F.col("qcode").bitwiseXOR(F.lit(m))
+                    for m in _PROBE_MASKS
+                ])
+            ),
+        )
+    )
+    scored = (
+        coded.join(
+            broadcast(probes),
+            (F.col("code") == F.col("pcode"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                dot(F.col("qv"), F.col("v"))
+                / (F.col("qnorm") * F.col("nrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    return (
+        scored.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= TOP_K)
+    )

@@ -112,3 +112,24 @@ def test_approx_distinct_within_error_bound(spark):
     assert len(rows) > 0
     for r in rows:
         assert r.approx_within_5pct, r
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Probing Hamming-1 neighbor buckets must recover at least as many of
+    the exact top-5 hits as own-bucket probing — the whole point of the
+    recall/cost dial."""
+    qs = queries()
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in qs["x_sim_topk_cosine"](spark, SF).collect()
+    }
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in qs["x_sim_topk_lsh"](spark, SF).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in qs["x_sim_topk_lsh_multiprobe"](spark, SF).collect()
+    }
+    assert len(multi & exact) >= len(single & exact)
+    assert len(multi) >= len(single)
