@@ -324,3 +324,44 @@ def x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     term = (F.length("tok") * 31 + F.ascii(F.col("tok"))) * (F.col("pos0") + 1)
     return exploded.groupBy("doc_id").agg(F.sum(term).alias("fingerprint"))
+
+
+@register(
+    "x_repetition_score",
+    oracle="""
+    WITH t AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents),
+    ex AS (SELECT doc_id, len(l) AS n, UNNEST(l) AS tok FROM t),
+    cnt AS (SELECT doc_id, ANY_VALUE(n) AS n, tok, COUNT(*) AS c
+            FROM ex GROUP BY doc_id, tok)
+    SELECT doc_id,
+           ROUND(CAST(MAX(c) AS DOUBLE) / ANY_VALUE(n), 6)
+               AS top_tok_ratio,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(n), 6)
+               AS distinct_ratio
+    FROM cnt
+    GROUP BY doc_id
+    """,
+)
+def x_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the Gopher-rules family): mass of the
+    most frequent token and distinct-token ratio per document — high
+    top-token mass or low distinct ratio flags boilerplate/spam.  The
+    explode is absorbed by partial aggregation keyed on (doc_id, tok),
+    then a second partial agg per doc_id: both shuffles carry counts, not
+    text, and parallelize per document at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    ex = d.select(
+        "doc_id", F.size(toks).alias("n"), F.explode(toks).alias("tok")
+    )
+    cnt = ex.groupBy("doc_id", "tok").agg(
+        F.first("n").alias("n"), F.count("*").alias("c")
+    )
+    return cnt.groupBy("doc_id").agg(
+        F.round(F.max("c").cast("double") / F.first("n"), 6).alias(
+            "top_tok_ratio"
+        ),
+        F.round(F.count("*").cast("double") / F.first("n"), 6).alias(
+            "distinct_ratio"
+        ),
+    )
