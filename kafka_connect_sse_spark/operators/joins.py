@@ -514,3 +514,30 @@ def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(fin, F.col("c_custkey") == fin.o_custkey, "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")
     )
+
+
+_NAAJ_SQL = """
+    SELECT
+      (SELECT COUNT(*) FROM events e
+       WHERE e.user_id NOT IN (SELECT NULLIF(c_custkey, 5) FROM customer))
+          AS n_not_in,
+      (SELECT COUNT(*) FROM events e
+       WHERE NOT EXISTS (SELECT 1 FROM customer c
+                         WHERE NULLIF(c.c_custkey, 5) = e.user_id))
+          AS n_not_exists
+"""
+
+
+@register("q_not_in_nullaware", oracle=_NAAJ_SQL)
+def q_not_in_nullaware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-aware anti join: NOT IN over a subquery containing a NULL is
+    three-valued — no row ever satisfies it (n_not_in = 0) — while NOT
+    EXISTS with an equality predicate simply never matches the NULL
+    (n_not_exists counts user 5's events).  Spark plans the NOT IN as a
+    null-aware anti join (BroadcastNestedLoopJoin NAAJ) and the NOT
+    EXISTS as a plain LeftAnti; both engines run the identical ANSI text,
+    pinning the semantic difference the two plans must preserve."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir, ("events", "customer"))
+    return spark.sql(_NAAJ_SQL)
