@@ -541,3 +541,61 @@ def q_not_in_nullaware(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("events", "customer"))
     return spark.sql(_NAAJ_SQL)
+
+
+@register(
+    "q_merge_upsert",
+    oracle="""
+    WITH delta AS (
+      SELECT o_custkey AS key,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS amount
+      FROM orders GROUP BY o_custkey
+      UNION ALL
+      SELECT o_orderkey + 1000000 AS key, 100.0 AS amount
+      FROM orders WHERE o_orderkey % 500 = 0),
+    base AS (SELECT c_custkey AS key, c_acctbal AS bal FROM customer)
+    SELECT COALESCE(b.key, d.key) AS key,
+           COALESCE(d.amount, b.bal) AS new_bal,
+           CASE WHEN b.key IS NOT NULL AND d.key IS NOT NULL THEN 'update'
+                WHEN b.key IS NULL THEN 'insert'
+                ELSE 'keep' END AS action
+    FROM base b FULL OUTER JOIN delta d ON b.key = d.key
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics over plain relations: a CDC delta applied to a
+    base table — matched keys update, unmatched delta keys insert,
+    untouched base keys keep.  Expressed as ONE full-outer join +
+    coalesce, the shuffle-once lakehouse upsert shape (both sides hash on
+    the key; at 100 TB the base side would be bucketed on key so repeated
+    merge cycles skip their exchange entirely)."""
+    o = load_table(spark, sf_dir, "orders")
+    updates = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("amount")
+    )
+    inserts = (
+        o.filter(F.col("o_orderkey") % 500 == 0)
+        .select(
+            (F.col("o_orderkey") + 1000000).alias("key"),
+            F.lit(100.0).alias("amount"),
+        )
+    )
+    delta = updates.unionByName(inserts)
+    base = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("bal")
+    )
+    b, d = base.alias("b"), delta.alias("d")
+    return b.join(d, F.col("b.key") == F.col("d.key"), "full_outer").select(
+        F.coalesce(F.col("b.key"), F.col("d.key")).alias("key"),
+        F.coalesce(F.col("d.amount"), F.col("b.bal")).alias("new_bal"),
+        F.when(
+            F.col("b.key").isNotNull() & F.col("d.key").isNotNull(),
+            "update",
+        )
+        .when(F.col("b.key").isNull(), "insert")
+        .otherwise("keep")
+        .alias("action"),
+    )
