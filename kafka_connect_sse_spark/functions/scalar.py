@@ -476,3 +476,44 @@ def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         anon.getField("v2").alias("st_price"),
         named.getField("band").alias("named_band"),
     )
+
+
+@register(
+    "q_fn_string3",
+    oracle="""
+    SELECT p_partkey,
+           split_part(p_name, ' ', 1) AS first_word,
+           split_part(p_name, ' ', 2) AS second_word,
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+           rpad(p_brand, 12, '.') AS padded_brand,
+           CAST(levenshtein(p_name, p_type) AS BIGINT) AS name_type_dist,
+           contains(p_name, 'widget') AS has_widget,
+           prefix(p_type, 'an') AS type_an,
+           suffix(p_name, 'bolt') AS ends_bolt
+    FROM part
+    """,
+)
+def q_fn_string3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third string battery: tokenizing accessors (split_part), padding,
+    edit distance, and containment predicates — all JVM codegen'd
+    expressions, zero Python."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias(
+            "first_word"
+        ),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias(
+            "second_word"
+        ),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias(
+            "padded_key"
+        ),
+        F.rpad("p_brand", 12, ".").alias("padded_brand"),
+        F.levenshtein("p_name", "p_type").cast("long").alias(
+            "name_type_dist"
+        ),
+        F.contains("p_name", F.lit("widget")).alias("has_widget"),
+        F.startswith("p_type", F.lit("an")).alias("type_an"),
+        F.endswith("p_name", F.lit("bolt")).alias("ends_bolt"),
+    )
