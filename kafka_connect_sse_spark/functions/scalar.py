@@ -517,3 +517,46 @@ def q_fn_string3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.startswith("p_type", F.lit("an")).alias("type_an"),
         F.endswith("p_name", F.lit("bolt")).alias("ends_bolt"),
     )
+
+
+@register(
+    "q_fn_higher_order",
+    oracle="""
+    WITH t AS (SELECT doc_id, str_split(text, ' ') AS l
+               FROM documents WHERE doc_id < 200)
+    SELECT doc_id,
+           CAST(len(list_filter(l, x -> len(x) > 5)) AS BIGINT) AS n_long,
+           CAST(list_aggregate(list_transform(l, x -> len(x)), 'sum')
+                AS BIGINT) AS char_sum,
+           CAST(list_aggregate(list_transform(l, x -> len(x)), 'max')
+                AS BIGINT) AS max_len,
+           len(list_filter(l, x -> contains(x, 'e'))) > 0 AS any_e,
+           len(list_filter(l, x -> len(x) > 0)) = len(l) AS all_nonempty
+    FROM t
+    """,
+)
+def q_fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (transform / filter / aggregate /
+    exists / forall) — the lambda surface that keeps per-row collection
+    logic inside JVM codegen instead of Python.  DuckDB has no
+    exists/forall; the oracle states them as filtered-length predicates,
+    which is their definition."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = F.split(F.col("text"), " ")
+    lens = F.transform(toks, lambda x: F.length(x))
+    return d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: F.length(x) > 5))
+        .cast("long")
+        .alias("n_long"),
+        F.aggregate(lens, F.lit(0), lambda a, x: a + x)
+        .cast("long")
+        .alias("char_sum"),
+        F.aggregate(
+            lens, F.lit(0), lambda a, x: F.greatest(a, x)
+        )
+        .cast("long")
+        .alias("max_len"),
+        F.exists(toks, lambda x: x.contains("e")).alias("any_e"),
+        F.forall(toks, lambda x: F.length(x) > 0).alias("all_nonempty"),
+    )
