@@ -179,3 +179,11 @@ def test_sessionize_shares_one_shuffle(spark):
     plan = formatted_plan(queries()["q_sessionize"](spark, SF))
     assert len(set(re.findall(r"\((\d+)\) Exchange", plan))) == 1, plan
     assert plan.count("Window") >= 2
+
+
+def test_merge_upsert_is_single_join(spark):
+    """The CDC apply is ONE full-outer join (SortMergeJoin FullOuter or
+    AQE-chosen equivalent), not a union of three filtered joins."""
+    plan = formatted_plan(queries()["q_merge_upsert"](spark, SF))
+    assert plan.count("Join type: FullOuter") == 1, plan
+    assert plan.count("Join type:") == 1, plan
