@@ -641,3 +641,56 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi_price"),
         )
     )
+
+
+@register(
+    "q_incremental_merge",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             COUNT(*) AS n, CAST(SUM(user_id) AS BIGINT) AS uid_sum
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    merged AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(uid_sum) AS BIGINT) AS uid_sum
+      FROM daily GROUP BY event_type),
+    direct AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(user_id) AS BIGINT) AS uid_sum
+      FROM events GROUP BY event_type)
+    SELECT m.event_type,
+           m.n AS merged_n,
+           m.uid_sum AS merged_uid_sum,
+           m.n = dct.n AND m.uid_sum = dct.uid_sum AS matches_direct
+    FROM merged m JOIN direct dct ON m.event_type = dct.event_type
+    """,
+)
+def q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation, self-proving: per-day partial aggregates
+    (the state an incremental 100 TB pipeline materializes per new
+    partition) merged into totals, compared against the direct one-pass
+    aggregate — `matches_direct` must be true for every group, which is
+    exactly the mergeability property partial+final aggregation relies
+    on.  Counts and integer sums are used so merge equality is exact (a
+    float sum would be order-sensitive)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d"), "user_id"
+    )
+    daily = e.groupBy("event_type", "d").agg(
+        F.count("*").alias("n"), F.sum("user_id").alias("uid_sum")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.sum("n").alias("n"), F.sum("uid_sum").alias("uid_sum")
+    )
+    direct = e.groupBy("event_type").agg(
+        F.count("*").alias("dn"), F.sum("user_id").alias("duid_sum")
+    )
+    return merged.join(direct, "event_type").select(
+        "event_type",
+        F.col("n").alias("merged_n"),
+        F.col("uid_sum").alias("merged_uid_sum"),
+        (
+            (F.col("n") == F.col("dn"))
+            & (F.col("uid_sum") == F.col("duid_sum"))
+        ).alias("matches_direct"),
+    )
