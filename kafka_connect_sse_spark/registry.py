@@ -82,6 +82,9 @@ def register(name: str, oracle: str | None = None):
 # streaming / source-sink / UDF / LLM-pipeline tiers that had no round-1
 # correctness record, then scalar fns and set-ops; the 43 round-1-verified
 # relational operators go last (their green rows are already on record).
+# Round-2-new operators (q_sessionize, q_merge_upsert, x_corpus_prep, ...)
+# register after this list in module order — rotate them into the prefix
+# next round, replacing whatever round 2 turns green.
 _PRIORITY = (
     # round-1 hash-fails, repaired (flip red -> green)
     "q_join_inner_broadcast",
