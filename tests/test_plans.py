@@ -187,3 +187,46 @@ def test_merge_upsert_is_single_join(spark):
     plan = formatted_plan(queries()["q_merge_upsert"](spark, SF))
     assert plan.count("Join type: FullOuter") == 1, plan
     assert plan.count("Join type:") == 1, plan
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE's runtime skew-join split — the no-code-change complement to the
+    manual salting op (q_join_salted_skew) — must engage on a skewed
+    shuffle join once partition sizes cross the (lowered) thresholds:
+    SortMergeJoin(skew=true) + an AQEShuffleRead marked skewed."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 != 0, 7)
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = fact.join(dim, "k").groupBy("k").count()
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
