@@ -453,3 +453,27 @@ if _twis_available():  # pragma: no cover - environment-dependent
                 .alias("total_value"),
             )
         )
+
+
+@register(
+    "s_dedup_within_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def s_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark (Spark 3.5+): unlike plain
+    dropDuplicates — which keys state forever per distinct tuple —
+    duplicates are only suppressed while their first sighting is inside
+    the watermark, so state is GUARANTEED to age out even when the key
+    space is unbounded (the property that keeps an always-on 100 TB/day
+    dedup from growing state without bound).  The fixture replay fits in
+    one watermark interval, so output equals plain DISTINCT and stays
+    EXACT-checkable."""
+    sdf = events_stream(spark, sf_dir)
+    dd = (
+        sdf.withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_memory(dd, mode="append")
