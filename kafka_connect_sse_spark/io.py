@@ -34,16 +34,26 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def _convert_nanos(df: DataFrame) -> DataFrame:
-    """The fixture `events.ts` is parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; with nanosAsLong it arrives as bigint
-    nanoseconds.  Truncate to microseconds (integer div — doubles would lose
-    precision above 2^53 ns) to match DuckDB's ns→us truncation."""
+    """Normalize the fixture `events.ts` to a plain TIMESTAMP regardless of
+    how the generator wrote it:
+
+    * parquet TIMESTAMP(NANOS) — Spark's vectorized reader rejects it; with
+      nanosAsLong it arrives as bigint nanoseconds, truncated here to
+      microseconds (integer div — doubles would lose precision above 2^53 ns)
+      to match DuckDB's ns→us truncation;
+    * parquet timestamp[us] without UTC adjustment (the round-3 regeneration)
+      — Spark 4 infers TIMESTAMP_NTZ, which watermarks/unix_micros reject;
+      cast to TIMESTAMP.  Sessions here pin spark.sql.session.timeZone=UTC
+      (registry.register / session.get_spark), so the cast preserves the
+      wall-clock value and DuckDB string/date parity is unchanged."""
     out = df
     for f in df.schema.fields:
         if f.name == "ts" and f.dataType.typeName() == "long":
             out = out.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
+        elif f.dataType.typeName() == "timestamp_ntz":
+            out = out.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return out
 
 

@@ -76,80 +76,70 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# The driver's correctness gate checks a bounded prefix of the registry
-# (round 1: the first 50 entries).  This priority list puts the operators
-# with the least driver evidence first: round-1 repaired queries, then the
-# streaming / source-sink / UDF / LLM-pipeline tiers that had no round-1
-# correctness record, then scalar fns and set-ops; the 43 round-1-verified
-# relational operators go last (their green rows are already on record).
-# Round-2-new operators (q_sessionize, q_merge_upsert, x_corpus_prep, ...)
-# register after this list in module order — rotate them into the prefix
-# next round, replacing whatever round 2 turns green.
+# The driver's correctness gate checks a bounded 50-entry prefix of the
+# registry.  Rounds 1+2 put 93 distinct operators on driver-green record
+# (43 r1 + 50 r2, zero failures).  Round 3's prefix therefore lists exactly
+# the 50 operators with NO driver record yet: the scalar-function battery,
+# set-ops, the round-2-new relational/agg/window singles, the round-2-new
+# x_* pipeline tier, s_dedup_within_watermark, and the three untested sinks.
+#
+# Five lowest-risk ops are deliberately deferred to the round-4 window so
+# the other 50 fit (each is a thin twin of an in-window or already-green
+# op): x_multimodal_resize / x_multimodal_framesample (same stub-decode
+# mapInPandas plumbing as x_multimodal_cols, green r2, and
+# x_multimodal_features, in-window), q_fn_string3 (third string battery;
+# q_fn_string/q_fn_string2 in-window), q_fn_datetime2 (twin of
+# q_fn_datetime, in-window), q_set_intersect_all (twin of q_set_intersect /
+# q_set_except_all, both in-window).
+#
+# Round-4 rotation queue (positions 51+ below, checked if the window ever
+# widens): q_agg_global / q_agg_groupby / q_agg_filtered re-checks — their
+# output contract changed DECIMAL->DOUBLE in round 2 (commit dc1eb57) after
+# their round-1 green record, so that record is stale — then the five
+# deferred twins above.
 _PRIORITY = (
-    # round-1 hash-fails, repaired (flip red -> green)
-    "q_join_inner_broadcast",
-    "q_join_multiway",
-    "q_agg_having",
-    "q_agg_collect_sorted",
-    "q_agg_bytes_by_type",
-    "q_win_running_sum",
-    "q_agg_approx_distinct",
-    # streaming tier (no round-1 record)
-    "s_window_tumbling",
-    "s_window_sliding",
-    "s_window_session",
-    "s_watermark_late",
-    "s_dedup_watermarked",
-    "s_join_stream_static",
-    "s_stateful_counter",
-    "s_join_stream_stream",
-    "s_foreachbatch_dlq",
-    "s_observe_metrics",
-    # sources / sinks
-    "src_sse_stream",
-    "src_jsonl_scan",
-    "snk_parquet",
-    "snk_orc",
-    "snk_avro",
-    "src_parquet_evolve",
-    "snk_memory_topic",
-    "snk_sse_landing",
-    # UDF surface
-    "u_py_udf",
-    "u_pandas_udf",
-    "u_grouped_map",
-    "u_sql_udtf",
-    # LLM-data-pipeline tier
-    "x_dedup_exact",
-    "x_dedup_exact_hash",
-    "x_dedup_near_minhash",
-    "x_dedup_simhash",
-    "x_dedup_near_embedding",
-    "x_dedup_clusters",
-    "x_dedup_keep_best",
-    "x_ngram_jaccard",
-    "x_sim_topk_cosine",
-    "x_sim_lsh_bucketed",
-    "x_sim_topk_lsh",
-    "x_embed_norms",
-    "x_text_stats",
-    "x_token_count_regex",
-    "x_lang_like_filter",
-    "x_quality_score",
-    "x_langid_ngram",
-    "x_tfidf_top_term",
-    "x_decontaminate",
-    "x_text_top_bigrams",
-    "x_fingerprint",
-    "x_multimodal_cols",
+    # -- the 50-entry round-3 driver window: every op with no driver record --
+    # restructured this round (two-level packing) — most design-critical
+    "x_seq_pack",
+    "x_doc_concat",
+    # the LSH-bucketed embedding-dedup scale path (exact twin green r2)
+    "x_dedup_near_embedding_lsh",
+    # remaining round-2-new x_* pipeline tier
+    "x_corpus_prep",
+    "x_sim_topk_lsh_multiprobe",
+    "x_sim_topk_ivf",
+    "x_pii_scrub",
+    "x_doc_chunk",
+    "x_sample_stratified",
+    "x_lang_balance",
+    "x_repetition_score",
     "x_multimodal_features",
-    "x_multimodal_resize",
-    "x_multimodal_framesample",
-    # scalar functions + set-ops + the one op past round 1's cutoff
+    # round-2-new / never-checked relational, agg, window singles
+    "q_lateral_explode",
+    "q_join_bucketed",
+    "q_exists_correlated",
+    "q_not_in_nullaware",
+    "q_merge_upsert",
+    "q_agg_percentile_approx",
+    "q_agg_bool_bit",
+    "q_ts_gapfill",
+    "q_agg_median_mode",
+    "q_agg_histogram",
+    "q_incremental_merge",
+    "q_limit_topk",
+    "q_compact_latest",
+    "q_sessionize",
+    # set operations
+    "q_set_union_all",
+    "q_set_union_distinct",
+    "q_set_intersect",
+    "q_set_except",
+    "q_set_except_all",
+    "q_set_union_by_name",
+    # scalar-function battery
     "q_fn_string",
     "q_fn_string2",
     "q_fn_datetime",
-    "q_fn_datetime2",
     "q_fn_math",
     "q_fn_conditional",
     "q_fn_cast",
@@ -159,13 +149,25 @@ _PRIORITY = (
     "q_fn_map",
     "q_fn_json",
     "q_fn_json_struct",
-    "q_set_union_all",
-    "q_set_union_distinct",
-    "q_set_intersect",
+    "q_fn_struct",
+    "q_fn_higher_order",
+    # streaming
+    "s_dedup_within_watermark",
+    # sinks
+    "snk_csv",
+    "snk_compact_small_files",
+    "snk_parquet_pruned",
+    # -- end of 50-entry window --
+    # round-4 rotation queue: stale-green aggregates (contract changed r2)
+    "q_agg_global",
+    "q_agg_groupby",
+    "q_agg_filtered",
+    # round-4 rotation queue: the five deferred twins
+    "x_multimodal_resize",
+    "x_multimodal_framesample",
+    "q_fn_string3",
+    "q_fn_datetime2",
     "q_set_intersect_all",
-    "q_set_except",
-    "q_set_except_all",
-    "q_limit_topk",
 )
 
 
