@@ -28,6 +28,104 @@ CHUNK_STRIDE = 25
 # sequence packing: token budget per packed training sequence
 PACK_BUDGET = 256
 
+# sequence packing: hash-shards per language.  Packing runs within
+# (lang, shard) so no single task ever sorts a whole language; 16 here
+# (one md5 nibble), thousands at cluster scale.
+PACK_SHARDS = 16
+
+# deterministic cross-engine shard: first hex nibble of md5(doc_id) as an
+# int in [0, 16).  Spark locate() and DuckDB strpos() are both 1-based.
+_SHARD_SPARK = (
+    "locate(substring(md5(cast(doc_id as string)), 1, 1), "
+    "'0123456789abcdef') - 1"
+)
+_SHARD_DUCK = (
+    "strpos('0123456789abcdef', "
+    "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1"
+)
+
+
+def _pack_local(sized: DataFrame) -> DataFrame:
+    """Two-level packing, level 1: contiguous-fill pack assignment within
+    (lang, shard) from a `sized` frame carrying doc_id/lang/shard/n_tokens
+    (plus any payload columns, preserved).  Adds `local_pack`."""
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    # floor division on longs (DuckDB CAST(double AS BIGINT) ROUNDS — the
+    # oracle must use // so both engines floor)
+    return cum.withColumn(
+        "local_pack",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / PACK_BUDGET).cast(
+            "long"
+        ),
+    ).drop("cum_tokens")
+
+
+def _pack_offsets(sized: DataFrame) -> DataFrame:
+    """Two-level packing, level 2: global pack numbering.  With contiguous
+    fill, a shard's pack count needs no window: its last pack id is
+    (total_tokens - last_doc_tokens) // budget, so
+
+        n_packs = (sum(n_tokens) - max_by(n_tokens, doc_id)) // budget + 1
+
+    — a plain aggregate with map-side partials, so this branch shuffles
+    only |lang| x PACK_SHARDS tiny partial rows per input partition, never
+    the corpus (the level-1 window is NOT recomputed here).  A prefix sum
+    over shards within each lang then yields each shard's starting offset;
+    the result broadcasts back onto the big side."""
+    per_shard = sized.groupBy("lang", "shard").agg(
+        (
+            F.floor(
+                (F.sum("n_tokens") - F.max_by("n_tokens", "doc_id"))
+                / PACK_BUDGET
+            )
+            + F.lit(1)
+        ).alias("n_packs")
+    )
+    wo = (
+        Window.partitionBy("lang")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return per_shard.select(
+        "lang",
+        "shard",
+        F.coalesce(F.sum("n_packs").over(wo), F.lit(0)).alias("pack_off"),
+    )
+
+
+# shared CTE prefix for the two packing oracles: level-1 local packing and
+# the per-shard prefix-sum offsets, mirroring _pack_local/_pack_offsets.
+_PACK_ORACLE_CTES = f"""
+    sized AS (
+      SELECT doc_id, lang, text, len(str_split(text, ' ')) AS n_tokens,
+             {_SHARD_DUCK} AS shard
+      FROM documents),
+    cum AS (
+      SELECT doc_id, lang, text, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM sized),
+    local AS (
+      SELECT doc_id, lang, text, shard, n_tokens,
+             CAST((cum_tokens - n_tokens) // {PACK_BUDGET} AS BIGINT)
+                 AS local_pack
+      FROM cum),
+    offsets AS (
+      SELECT lang, shard,
+             COALESCE(SUM(n_packs) OVER (PARTITION BY lang ORDER BY shard
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS pack_off
+      FROM (SELECT lang, shard,
+                   (SUM(n_tokens) - arg_max(n_tokens, doc_id))
+                       // {PACK_BUDGET} + 1 AS n_packs
+            FROM sized GROUP BY lang, shard))
+"""
+
 
 @register(
     "x_pii_scrub",
@@ -202,48 +300,44 @@ def x_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x_seq_pack",
     oracle=f"""
-    WITH sized AS (
-      SELECT doc_id, lang, len(str_split(text, ' ')) AS n_tokens
-      FROM documents),
-    cum AS (
-      SELECT doc_id, lang, n_tokens,
-             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
-      FROM sized)
-    SELECT lang,
-           CAST((cum_tokens - n_tokens) // {PACK_BUDGET} AS BIGINT) AS pack_id,
+    WITH {_PACK_ORACLE_CTES}
+    SELECT l.lang,
+           CAST(o.pack_off + l.local_pack AS BIGINT) AS pack_id,
            COUNT(*) AS n_docs,
-           CAST(SUM(n_tokens) AS BIGINT) AS tokens_in_pack
-    FROM cum
-    GROUP BY lang, (cum_tokens - n_tokens) // {PACK_BUDGET}
+           CAST(SUM(l.n_tokens) AS BIGINT) AS tokens_in_pack
+    FROM local l JOIN offsets o ON l.lang = o.lang AND l.shard = o.shard
+    GROUP BY 1, 2
     """,
 )
 def x_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing: fill {PACK_BUDGET}-token training sequences with
-    consecutive documents per language (contiguous-fill packing — a doc
+    """Two-level sequence packing: fill {PACK_BUDGET}-token training
+    sequences with consecutive documents per (lang, shard), where shard is
+    a deterministic hash nibble of doc_id (contiguous-fill packing — a doc
     starts a new pack when the running total crosses the budget, so a pack
     can overflow by at most one document; the deterministic SQL-expressible
-    variant of greedy bin packing).  One window shuffle on the stratum key
-    + one partial agg: at 100 TB both partition by `lang`, and the running
-    sum is exactly how a distributed packer assigns sequence ids without
-    coordination."""
+    variant of greedy bin packing).  Pack ids are then renumbered globally
+    per language by adding each shard's starting offset, a prefix sum over
+    the tiny (|lang| x {PACK_SHARDS}-row) per-shard pack-count frame that
+    broadcasts back onto the corpus.
+
+    100 TB posture: the level-1 window partitions by (lang, shard) — never
+    a whole language in one task, unlike a naive partitionBy(lang) running
+    sum, which would sort the entire English corpus through a single
+    task.  The offset frame is O(|lang| x shards) regardless of corpus
+    size, its window is equally tiny, and the broadcast join adds no
+    shuffle.  Numbering is a pure function of the data (not of cluster
+    layout), so reruns and the oracle agree bit-for-bit."""
     d = load_table(spark, sf_dir, "documents")
     sized = d.select(
-        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.expr(_SHARD_SPARK).cast("int").alias("shard"),
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-    # floor division on longs (DuckDB CAST(double AS BIGINT) ROUNDS — the
-    # oracle must use // so both engines floor)
-    pack = F.floor(
-        (F.col("cum_tokens") - F.col("n_tokens")) / PACK_BUDGET
-    ).cast("long")
+    local = _pack_local(sized)
     return (
-        cum.withColumn("pack_id", pack)
+        local.join(broadcast(_pack_offsets(sized)), ["lang", "shard"])
+        .withColumn("pack_id", F.col("pack_off") + F.col("local_pack"))
         .groupBy("lang", "pack_id")
         .agg(
             F.count("*").alias("n_docs"),
@@ -298,21 +392,14 @@ def x_lang_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x_doc_concat",
     oracle=f"""
-    WITH sized AS (
-      SELECT doc_id, lang, text, len(str_split(text, ' ')) AS n_tokens
-      FROM documents),
-    cum AS (
-      SELECT doc_id, lang, text, n_tokens,
-             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
-      FROM sized)
-    SELECT lang,
-           CAST((cum_tokens - n_tokens) // {PACK_BUDGET} AS BIGINT) AS pack_id,
-           md5(string_agg(text, '<|endoftext|>' ORDER BY doc_id))
+    WITH {_PACK_ORACLE_CTES}
+    SELECT l.lang,
+           CAST(o.pack_off + l.local_pack AS BIGINT) AS pack_id,
+           md5(string_agg(l.text, '<|endoftext|>' ORDER BY l.doc_id))
                AS sequence_md5,
-           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
-    FROM cum
-    GROUP BY lang, CAST((cum_tokens - n_tokens) // {PACK_BUDGET} AS BIGINT)
+           CAST(SUM(l.n_tokens) AS BIGINT) AS n_tokens
+    FROM local l JOIN offsets o ON l.lang = o.lang AND l.shard = o.shard
+    GROUP BY 1, 2
     """,
 )
 def x_doc_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,27 +407,26 @@ def x_doc_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     concatenate each pack's documents in deterministic (doc_id) order with
     an end-of-text separator.  The sequence content is pinned by md5 so
     the oracle checks byte-exact sequence construction without shipping
-    the text.  Same single window shuffle as x_seq_pack plus an ordered
-    string aggregation per pack — at 100 TB the concat runs inside the
-    partial aggregate, and sequences stream straight to the tokenizer."""
+    the text.
+
+    Shares x_seq_pack's two-level scheme — pack within (lang, shard),
+    renumber via the broadcast per-shard prefix-sum offsets — so the big
+    window never keys on bare lang; the ordered concat then runs inside
+    the per-pack aggregate and sequences stream straight to the
+    tokenizer.  A pack never spans shards, so the concat needs no
+    cross-shard order."""
     d = load_table(spark, sf_dir, "documents")
     sized = d.select(
         "doc_id",
         "lang",
         "text",
         F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.expr(_SHARD_SPARK).cast("int").alias("shard"),
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-    pack = F.floor(
-        (F.col("cum_tokens") - F.col("n_tokens")) / PACK_BUDGET
-    ).cast("long")
+    local = _pack_local(sized)
     return (
-        cum.withColumn("pack_id", pack)
+        local.join(broadcast(_pack_offsets(sized.drop("text"))), ["lang", "shard"])
+        .withColumn("pack_id", F.col("pack_off") + F.col("local_pack"))
         .groupBy("lang", "pack_id")
         .agg(
             F.md5(
