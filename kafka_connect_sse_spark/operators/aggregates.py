@@ -555,8 +555,15 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
     )
     spine = types.crossJoin(F.broadcast(days))
+    # The spine is the PRESERVED side of the left join, and a broadcast
+    # hash join cannot build the preserved side of an outer join, so the
+    # spine itself cannot be the build side here.  Do NOT pin `daily`
+    # either: today it is bounded by |types|x|days|, but a high-cardinality
+    # type vocabulary would blow a forced broadcast — leave the strategy to
+    # AQE, which broadcasts `daily` while it is small and degrades to a
+    # shuffle join when it is not.
     return (
-        spine.join(F.broadcast(daily), ["event_type", "d"], "left")
+        spine.join(daily, ["event_type", "d"], "left")
         .select(
             "event_type",
             F.col("d").cast("string").alias("day"),

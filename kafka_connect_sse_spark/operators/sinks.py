@@ -328,7 +328,7 @@ def snk_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "snk_compact_small_files",
     oracle="""
-    SELECT 4 AS n_files, COUNT(*) AS n_rows,
+    SELECT true AS compacted_ok, COUNT(*) AS n_rows,
            CAST(SUM(user_id) AS BIGINT) AS uid_sum
     FROM events
     """,
@@ -339,9 +339,12 @@ def snk_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigger per partition (here simulated with a 64-way write), and the
     compactor rewrites them into a few scan-friendly files (here 4 via
     repartition — at 100 TB you size this to ~target_bytes/file, e.g.
-    128 MB－1 GB, from the table's measured bytes).  Emits the resulting
-    file count as data so the oracle pins the compaction actually
-    happened, plus content aggregates proving nothing was lost."""
+    128 MB－1 GB, from the table's measured bytes).  Emits the compaction
+    check as a BOOLEAN (1 <= n_files <= 4, the approx-agg oracle pattern)
+    rather than a literal file count: round-robin output partitions can
+    come up empty on tiny or filtered fixtures, and fewer-than-4 files is
+    still a correct compaction, not a failure.  Content aggregates prove
+    nothing was lost."""
     base = os.path.join(tempfile.gettempdir(), "kcss_compact")
     frag = os.path.join(base, "fragmented")
     comp = os.path.join(base, "compacted")
@@ -356,7 +359,7 @@ def snk_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     back = spark.read.parquet(comp)
     return back.agg(
-        F.lit(n_files).alias("n_files"),
+        F.lit(1 <= n_files <= 4).alias("compacted_ok"),
         F.count("*").alias("n_rows"),
         F.sum("user_id").alias("uid_sum"),
     )

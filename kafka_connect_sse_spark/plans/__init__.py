@@ -60,15 +60,20 @@ def salted(df: DataFrame, key: str, n_salts: int = 16, salt_col: str = "_salt"):
     (key, _salt).  The fixture event/wiki distributions are Zipfian
     (FIXTURES.md) — at 100 TB the hot keys dominate a naive shuffle.
 
-    The salt hashes (key, random partition draw) — deterministic per task
-    attempt is NOT required for correctness here because the dim side is
-    replicated across every salt value, but unlike
-    monotonically_increasing_id it keeps rows of the same key spread
-    evenly regardless of partition layout, and survives task retry with
-    at-most-a-rebalance (not wrong results)."""
+    The salt hashes (key, per-row monotonically_increasing_id) so every ROW
+    of a hot key draws its own salt — with a partition-level component
+    alone, a hot key inside one input partition would collapse onto a
+    single salt value (exactly the small-scan case spread() exists for),
+    defeating the mitigation.  Salt values are not stable across
+    repartitionings or task retries, and need not be: the dim side is
+    replicated across every salt value, so any salt assignment joins
+    correctly — a retry re-salts and at worst rebalances."""
     return df.withColumn(
         salt_col,
-        F.pmod(F.xxhash64(F.col(key), F.spark_partition_id()), F.lit(n_salts)),
+        F.pmod(
+            F.xxhash64(F.col(key), F.monotonically_increasing_id()),
+            F.lit(n_salts),
+        ),
     )
 
 
