@@ -19,11 +19,17 @@ Spark-first re-expression of the reference connector's Java tier:
   single task (…Connector.java:61-63)             one driver-side reader
                                                     (SSE = one TCP stream)
 
-Offsets: the SSE protocol has none usable for replay (README.md:175-184;
-IMPROVEMENT_PLAN.md:39-42) — the reader keeps a session-monotonic counter so
-Spark gets well-formed offset ranges, but a restart resumes from "now",
-exactly like the reference.  The blessed durable topology is therefore
-SSE → raw parquet landing (replayable) → analytics, mirroring the
+Offsets: the SSE protocol has none usable for replay across query restarts
+(README.md:175-184; IMPROVEMENT_PLAN.md:39-42) — the reader keeps a
+session-monotonic counter so Spark gets well-formed offset ranges, and a
+restarted QUERY resumes from "now", exactly like the reference.  WITHIN a
+run, though, the client goes beyond the reference: it advertises the
+WHATWG `Last-Event-ID` header on every reconnect (sse.resume.last.event.id,
+default true), so against a server that honors it — Wikimedia's
+EventStreams does — delivery across connection drops is at-least-once
+instead of the reference's at-most-once; the landing sink's dedup-on-id
+then makes it effectively exactly-once.  The blessed durable topology is
+still SSE → raw parquet landing (replayable) → analytics, mirroring the
 reference's SSE → Kafka → ksqlDB split.
 """
 
@@ -93,6 +99,7 @@ class SSEClient:
         rate_limit_per_sec: float | None = None,
         idle_timeout_s: float = 60.0,
         connect_timeout_s: float = 10.0,
+        resume_last_event_id: bool = True,
     ):
         self.uri = uri
         self.user = user
@@ -107,6 +114,7 @@ class SSEClient:
         self.rate_limit_per_sec = rate_limit_per_sec
         self.idle_timeout_s = idle_timeout_s
         self.connect_timeout_s = connect_timeout_s
+        self.resume_last_event_id = resume_last_event_id
 
         self._buf: deque = deque()
         self._lock = threading.Lock()
@@ -150,11 +158,12 @@ class SSEClient:
                 f"{self.user}:{self.password or ''}".encode()
             ).decode()
             hdrs["Authorization"] = f"Basic {token}"
-        if last_event_id is not None:
+        if last_event_id is not None and self.resume_last_event_id:
             # WHATWG SSE reconnection header.  The reference never resumes
-            # (IMPROVEMENT_PLAN.md:39-42) — we still *advertise* the last id;
-            # whether the server honors it is the server's choice, and our
-            # delivery semantics remain resume-from-now either way.
+            # (IMPROVEMENT_PLAN.md:39-42); advertising the last id upgrades
+            # delivery across reconnects within a run to at-least-once on
+            # servers that honor it (Wikimedia EventStreams does) — at no
+            # cost on servers that ignore it.
             hdrs["Last-Event-ID"] = last_event_id
         hdrs.update(self.headers)  # custom sse.header.* win, like originals
         return urllib.request.Request(self.uri, headers=hdrs)
@@ -293,6 +302,9 @@ def _parse_options(options) -> dict:
         "retry_max_attempts": int(get("retry.max.attempts", "-1")),
         "rate_limit_per_sec": float(get("rate.limit.requests.per.second", "0")) or None,
         "idle_timeout_s": float(get("sse.idle.timeout.s", "60")),
+        "resume_last_event_id": str(
+            get("sse.resume.last.event.id", "true")
+        ).lower() == "true",
     }
     # accepted-but-inert in the reference (stored, never read:
     # ServerSentEventClient.java:73,156) — validate and warn, per §2.5

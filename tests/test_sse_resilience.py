@@ -108,6 +108,92 @@ def test_last_event_id_sent_on_reconnect(flaky_server):
     assert any(i is not None for i in seen_ids[1:])  # reconnects advertise
 
 
+class ResumingHandler(BaseHTTPRequestHandler):
+    """A fixed 10-event log; each connection serves 3 events then drops.
+    HONORS Last-Event-ID: with the header it replays from id+1; without it
+    it restarts from the LIVE HEAD (here: skips ahead one extra event per
+    reconnect), so a client that fails to advertise the id demonstrably
+    loses events."""
+
+    LOG = 10
+    PER_CONN = 3
+    connections = 0
+    lock = threading.Lock()
+
+    def log_message(self, *a):
+        pass
+
+    def do_GET(self):
+        with type(self).lock:
+            type(self).connections += 1
+            conn_id = type(self).connections
+        last = self.headers.get("Last-Event-ID")
+        # no header -> live head has moved PAST the events the client
+        # missed while disconnected (4 > PER_CONN, so ids 3 and 7 are
+        # unreachable without resume)
+        start = int(last) + 1 if last is not None else (conn_id - 1) * 4
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.end_headers()
+        for i in range(start, min(start + self.PER_CONN, self.LOG)):
+            self.wfile.write(
+                f"event: edit\nid: {i}\ndata: payload{i}\n\n".encode()
+            )
+        self.wfile.flush()
+        # drop the connection mid-stream (kill between batches)
+
+
+@pytest.fixture()
+def resuming_server():
+    ResumingHandler.connections = 0
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), ResumingHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}/stream"
+    srv.shutdown()
+    srv.server_close()
+
+
+def test_resume_from_last_event_id_no_loss_no_dups(resuming_server):
+    """Kill the stub mid-stream repeatedly; with resume enabled the client
+    walks the server's full log exactly once — no gap (at-least-once
+    across reconnects) and no duplicate (ids replay from exactly last+1)."""
+    client = SSEClient(resuming_server, retry_initial_ms=20, retry_max_ms=50)
+    client.start()
+    try:
+        assert wait_for(
+            lambda: client.metrics["events.total"] >= ResumingHandler.LOG
+        )
+    finally:
+        client.stop()
+    ids = [int(r[1]) for r in client.drain()]
+    assert ids == list(range(ResumingHandler.LOG))
+    assert client.metrics["connection.reconnections"] >= 2
+
+
+def test_resume_disabled_loses_events(resuming_server):
+    """Control: with sse.resume.last.event.id=false the same stub skips
+    ahead on every reconnect — events are lost, which is exactly the
+    at-most-once behavior the resume option exists to fix."""
+    client = SSEClient(
+        resuming_server,
+        retry_initial_ms=20,
+        retry_max_ms=50,
+        resume_last_event_id=False,
+    )
+    client.start()
+    try:
+        assert wait_for(
+            lambda: ResumingHandler.connections >= 3
+            and client.metrics["events.total"] >= 6
+        )
+    finally:
+        client.stop()
+    ids = [int(r[1]) for r in client.drain()]
+    assert 3 not in ids  # skipped while disconnected — lost for good
+    assert sorted(set(ids)) != list(range(ResumingHandler.LOG))
+
+
 def test_gzip_compression_roundtrip():
     """sse.compression=true sends Accept-Encoding and transparently
     decompresses a gzip SSE body (ServerSentEventClient.java:207-210,
