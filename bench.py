@@ -7,7 +7,7 @@ ONE JSON line:
     {"metric": "total_median_wall_sec", "value": N, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": 0.1}
 
-Per query: one warm-up run then median of 3 timed runs (collect() to force
+Per query: two warm-up runs then median of 3 timed runs (collect() to force
 full materialization, count only as a fallback for huge outputs).
 """
 
@@ -41,6 +41,11 @@ HEADLINE = [
 ]
 
 RUNS = 3
+# two warm-up runs per query: one is not enough for the heaviest operators
+# (x_dedup_near_minhash spans dozens of codegen stages + an eager
+# localCheckpoint; its second run is still JIT-warming, which showed up as
+# 2x run-to-run variance in round 2/3 probes)
+WARMUPS = 2
 # outputs larger than this are forced via count() instead of collect(), so
 # the bench measures engine execution, not Python row deserialization
 COLLECT_CAP_ROWS = 100_000
@@ -135,14 +140,14 @@ def main() -> None:
     for name in HEADLINE:
         fn = qs[name]
         times = []
-        for i in range(RUNS + 1):  # first run is warm-up
+        for i in range(RUNS + WARMUPS):  # leading runs are warm-up
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
             if n <= COLLECT_CAP_ROWS:
                 df.collect()
             dt = time.perf_counter() - t0
-            if i > 0:
+            if i >= WARMUPS:
                 times.append(dt)
         results[name] = round(statistics.median(times), 3)
         print(f"# {name}: {results[name]}s (n={n})", file=sys.stderr)

@@ -57,11 +57,25 @@ def _convert_nanos(df: DataFrame) -> DataFrame:
     return out
 
 
+# Lazy-DataFrame cache: the fixture tables are read-only, so the (tiny,
+# unevaluated) logical plan from read.parquet + _convert_nanos is reusable
+# for the lifetime of the Spark application.  Without this every operator
+# invocation re-lists the path and re-analyzes the schema (~90 ms/table on
+# local[32]) — pure fixed overhead that a multi-table query pays 5x per
+# run.  Keyed by applicationId so a fresh session never sees a stale plan.
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return _convert_nanos(spark.read.parquet(table_path(sf_dir, name)))
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    df = _DF_CACHE.get(key)
+    if df is None:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = _convert_nanos(spark.read.parquet(table_path(sf_dir, name)))
+        _DF_CACHE[key] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:

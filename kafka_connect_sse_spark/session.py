@@ -38,6 +38,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # the generated-class cache defaults to 100 entries; a session that
+        # cycles through many distinct operators (the gate sweeps 148)
+        # evicts the biggest classes (the 32-permutation minhash projection
+        # takes seconds to Janino-recompile), which showed up as bimodal
+        # 2-3x run-to-run variance on repeated invocations.  Classes are
+        # small relative to the heap — keep them.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
     )
     return builder.getOrCreate()
 
