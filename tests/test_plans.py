@@ -181,6 +181,24 @@ def test_sessionize_shares_one_shuffle(spark):
     assert plan.count("Window") >= 2
 
 
+def test_seq_pack_windows_on_lang_shard(spark):
+    """Two-level packing: the corpus-sized window must partition by
+    (lang, shard) — never bare lang, which would funnel a whole language
+    through one task — and the offsets side must come back as a broadcast
+    join, with its per-shard pack counts computed by a partial-aggregated
+    groupBy (no second corpus-wide window)."""
+    import re
+
+    for op in ("x_seq_pack", "x_doc_concat"):
+        plan = formatted_plan(queries()[op](spark, SF))
+        win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert win_specs, plan
+        big = [s for s in win_specs if "lang" in s]
+        assert big and all("shard" in s for s in big), (op, win_specs)
+        assert "BroadcastExchange" in plan, op
+        assert "partial_" in plan, op  # offsets agg has a map-side phase
+
+
 def test_merge_upsert_is_single_join(spark):
     """The CDC apply is ONE full-outer join (SortMergeJoin FullOuter or
     AQE-chosen equivalent), not a union of three filtered joins."""
