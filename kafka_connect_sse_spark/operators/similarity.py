@@ -391,3 +391,60 @@ def x_sim_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("*", F.row_number().over(w).alias("rnk"))
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+@register(
+    "x_embed_quantize",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    s AS (SELECT vec_id, label, e,
+                 list_max(list_transform(e, x -> abs(x))) AS scale
+          FROM v)
+    SELECT vec_id, label, scale,
+           CASE WHEN scale = 0 THEN 0 ELSE
+             CAST(list_sum(list_transform(e, x -> floor(x / scale * 127)))
+                  AS BIGINT) END AS q_sum,
+           CASE WHEN scale = 0 THEN 0.0 ELSE
+             list_max(list_transform(
+               e, x -> abs(x - floor(x / scale * 127) * scale / 127)))
+           END AS max_abs_err
+    FROM s
+    """,
+)
+def x_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the 4x
+    memory/IO compression every 100 TB ANN index build starts with.  Per
+    vector: scale = max |component|, q_i = floor(x_i / scale * 127), and
+    the max absolute reconstruction error |x_i - q_i * scale / 127| that
+    a quantized index must budget for.  Map-only (zero shuffle); all
+    higher-order array functions, no Python.  floor() (not round) keeps
+    the quantizer identical in both engines — SQL round() tie-breaking
+    differs between them, floor does not; float components are cast to
+    double first, after which every step is exact IEEE arithmetic, so the
+    outputs hash-match unrounded.  The checksum q_sum pins the full
+    quantized vector without shipping it."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = _as_double(F.col("embedding"))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    d = e.select("vec_id", "label", v.alias("e"), scale.alias("scale"))
+    q = F.transform(
+        F.col("e"), lambda x: F.floor(x / F.col("scale") * 127)
+    )
+    err = F.array_max(
+        F.transform(
+            F.col("e"),
+            lambda x: F.abs(
+                x - F.floor(x / F.col("scale") * 127) * F.col("scale") / 127
+            ),
+        )
+    )
+    zero = F.col("scale") == 0
+    return d.select(
+        "vec_id",
+        "label",
+        "scale",
+        F.when(zero, F.lit(0))
+        .otherwise(F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x))
+        .alias("q_sum"),
+        F.when(zero, F.lit(0.0)).otherwise(err).alias("max_abs_err"),
+    )

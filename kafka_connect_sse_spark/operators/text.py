@@ -365,3 +365,50 @@ def x_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_ratio"
         ),
     )
+
+
+@register(
+    "x_word_entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS tok,
+             len(str_split(text, ' ')) AS n
+      FROM documents),
+    freq AS (
+      SELECT doc_id, tok, n, COUNT(*) AS c
+      FROM toks GROUP BY doc_id, tok, n)
+    SELECT doc_id,
+           ROUND(-SUM((c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE))),
+                 6) AS word_entropy,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct
+    FROM freq
+    GROUP BY doc_id
+    """,
+)
+def x_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the per-document word distribution — a
+    vocabulary-free gibberish/repetition quality signal (low entropy =
+    boilerplate or copy-spam; degenerate repeated-token docs score near
+    0).  Computed entirely map-side with higher-order functions: for each
+    DISTINCT token, count its occurrences with a filter() over the token
+    array — O(distinct x n) work per doc, zero shuffle, unlike the
+    explode + double-groupBy formulation whose first shuffle carries
+    every token of the corpus (the oracle uses exactly that relational
+    form, which is the point: same answer, different physical shape).
+    Rounded to 6 dp because the fold order of the partial sums differs
+    between engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks).cast("double")
+    ent = F.aggregate(
+        F.array_distinct(toks),
+        F.lit(0.0),
+        lambda acc, w: acc
+        - (F.size(F.filter(toks, lambda t: t == w)) / n)
+        * F.log(F.size(F.filter(toks, lambda t: t == w)) / n),
+    )
+    return d.select(
+        "doc_id",
+        F.round(ent, 6).alias("word_entropy"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
