@@ -55,6 +55,9 @@ def main() -> None:
             "sse.header.Accept-Language": "en",
             "rate.limit.requests.per.second": "10",
             "retry.max.attempts": "10",
+            # Last-Event-ID resume on reconnect defaults to true;
+            # EventStreams honors it, so drops inside a run lose nothing
+            "sse.resume.last.event.id": "true",
         },
     )
     print(f"landing {args.uri} → {args.landing} for {args.seconds}s ...")

@@ -523,3 +523,109 @@ def x_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(F.sum("n_tokens") / PACK_BUDGET).alias("n_packs"),
         F.sum("doc_id").alias("kept_ids_sum"),
     )
+
+
+# "tokenizer" for the tensorization demo: a 16-bit hash-vocab token id
+# derived from the first 4 md5 hex nibbles — NOT a real BPE vocab, but
+# deterministic and IDENTICAL in Spark and DuckDB, which is what lets the
+# packed tensor content carry an EXACT oracle.  PAD sits outside the
+# 0..65535 vocab.
+PAD_ID = 65536
+
+_NIBBLE_SPARK = "(locate(substring(md5(t), {j}, 1), '0123456789abcdef') - 1)"
+_NIBBLE_DUCK = "(strpos('0123456789abcdef', substr(md5(t), {j}, 1)) - 1)"
+
+
+def _tok_ids_csv(nibble_tmpl: str, split_expr: str, transform_fn: str,
+                 join_fn: str) -> str:
+    id_expr = " + ".join(
+        f"{nibble_tmpl.format(j=j + 1)} * {16 ** j}" for j in range(4)
+    )
+    return (
+        f"{join_fn}({transform_fn}({split_expr}, "
+        f"t -> CAST({id_expr} AS VARCHAR)), ',')"
+    )
+
+
+_IDS_SPARK = _tok_ids_csv(
+    _NIBBLE_SPARK, "split(text, ' ')", "transform", "array_join"
+).replace("VARCHAR", "string")
+_IDS_DUCK = _tok_ids_csv(
+    _NIBBLE_DUCK, "str_split(text, ' ')", "list_transform", "array_to_string"
+)
+
+
+@register(
+    "x_seq_tensorize",
+    oracle=f"""
+    WITH {_PACK_ORACLE_CTES},
+    idd AS (
+      SELECT doc_id, lang, shard, n_tokens, local_pack,
+             {_IDS_DUCK} AS ids_csv
+      FROM local)
+    SELECT l.lang,
+           CAST(o.pack_off + l.local_pack AS BIGINT) AS pack_id,
+           md5(string_agg(l.ids_csv, ',' ORDER BY l.doc_id)
+               || repeat(',{PAD_ID}',
+                         GREATEST({PACK_BUDGET}
+                                  - CAST(SUM(l.n_tokens) AS INT), 0)))
+               AS seq_md5,
+           CAST(GREATEST({PACK_BUDGET} - SUM(l.n_tokens), 0) AS BIGINT)
+               AS n_pad
+    FROM idd l JOIN offsets o ON l.lang = o.lang AND l.shard = o.shard
+    GROUP BY 1, 2
+    """,
+)
+def x_seq_tensorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tensorization step after x_seq_pack / x_doc_concat: map each
+    document to token ids (here a 16-bit md5-nibble hash vocab — the
+    deterministic cross-engine stand-in for a real BPE tokenizer, whose
+    vocab would ship as a broadcast map), concatenate each pack's id
+    sequences in doc_id order, right-pad to the {PACK_BUDGET}-token
+    budget with PAD={PAD_ID}, and emit the pad count (= attention-mask
+    complement) plus the md5 of the padded id sequence, which pins the
+    exact tensor content without shipping it.  Same two-level
+    (lang, shard) scheme as the other packing ops — tokenization is
+    map-side, the only corpus shuffle is the pack window, and the padded
+    sequences would stream straight to training-shard files.  Packs that
+    overflow the budget (by at most their final document) get n_pad=0,
+    not truncation."""
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.expr(_IDS_SPARK).alias("ids_csv"),
+        F.expr(_SHARD_SPARK).cast("int").alias("shard"),
+    )
+    local = _pack_local(sized)
+    packed = (
+        local.join(broadcast(_pack_offsets(sized.drop("ids_csv"))), ["lang", "shard"])
+        .withColumn("pack_id", F.col("pack_off") + F.col("local_pack"))
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "ids_csv"))),
+                    lambda s: s.getField("ids_csv"),
+                ),
+                ",",
+            ).alias("seq_csv"),
+            F.sum("n_tokens").alias("tok"),
+        )
+    )
+    n_pad = F.greatest(F.lit(PACK_BUDGET) - F.col("tok"), F.lit(0))
+    return packed.select(
+        "lang",
+        "pack_id",
+        F.md5(
+            F.concat(
+                F.col("seq_csv"),
+                F.expr(
+                    f"repeat(',{PAD_ID}', greatest({PACK_BUDGET} "
+                    "- cast(tok as int), 0))"
+                ),
+            )
+        ).alias("seq_md5"),
+        n_pad.cast("long").alias("n_pad"),
+    )
