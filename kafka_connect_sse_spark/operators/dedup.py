@@ -590,3 +590,43 @@ def x_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.8)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+PREFIX_K = 10  # tokens of leading boilerplate compared by x_dedup_prefix
+
+
+@register(
+    "x_dedup_prefix",
+    oracle=f"""
+    SELECT md5(array_to_string(str_split(text, ' ')[1:{PREFIX_K}], ' '))
+               AS prefix_h,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS keep_id,
+           CAST(SUM(doc_id) AS BIGINT) AS ids_sum
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(*) >= 2
+    """,
+)
+def x_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-duplicate detection: cluster documents sharing their first
+    {PREFIX_K} tokens — the boilerplate-header signature (scraped pages
+    that open identically but diverge later defeat whole-document exact
+    dedup and are expensive for MinHash).  Hash-of-prefix groupBy, so the
+    shuffle carries 32-byte digests exactly like x_dedup_exact_hash; the
+    ids checksum pins identical cluster membership across engines.
+    DuckDB list slicing l[1:k] is inclusive of the end bound, matching
+    Spark's slice(arr, 1, k) length-k semantics."""
+    d = load_table(spark, sf_dir, "documents")
+    prefix_h = F.md5(
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, PREFIX_K), " ")
+    )
+    return (
+        d.groupBy(prefix_h.alias("prefix_h"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+            F.sum("doc_id").alias("ids_sum"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

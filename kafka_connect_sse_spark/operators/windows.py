@@ -419,3 +419,43 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("duration_sec"),
     )
+
+
+@register(
+    "q_win_time_range",
+    oracle="""
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           COUNT(*) OVER w AS n_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               AS val_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: per user, the trailing-1-hour event
+    count and value sum at every event — the rolling-window shape rate
+    limiting, fraud scoring, and feature backfills use.  Unlike the
+    value-RANGE twin (q_win_range_frame), the frame bound is a calendar
+    INTERVAL over the event-time column itself (peers with equal ts share
+    a frame, identically in both engines).  One window shuffle on
+    user_id — high-cardinality, so scale-safe; Spark evaluates the frame
+    with a sliding two-pointer over each partition's sort, not a rescan
+    per row."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS ts_s,
+               COUNT(*) OVER w AS n_last_hour,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                   AS val_last_hour
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """
+    )

@@ -136,3 +136,16 @@ def test_pii_scrub_counts_match_python(spark):
             re.sub(r"[a-z0-9._]+@[a-z0-9.-]+", "<EMAIL>", text),
         )
         assert r.scrubbed_len == len(scrub)
+
+
+def test_embed_quantize_error_bound(spark):
+    """int8 quantization invariants: reconstruction error is bounded by
+    one quantization step (scale/127), q_sum is bounded by 127*dim, and
+    scale really is the max |component|."""
+    rows = queries()["x_embed_quantize"](spark, SF).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r.scale >= 0
+        step = r.scale / 127 if r.scale else 0.0
+        assert r.max_abs_err <= step + 1e-12, (r.vec_id, r.max_abs_err, step)
+        assert abs(r.q_sum) <= 127 * 64 + 64  # floor can undershoot by <1
