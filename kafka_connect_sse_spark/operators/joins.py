@@ -599,3 +599,68 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("keep")
         .alias("action"),
     )
+
+
+@register(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, ts,
+             MAX(CASE WHEN event_type = 'signup' THEN ts END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS back_ts,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                 AS fwd_ts
+      FROM events)
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           strftime(CASE
+             WHEN back_ts IS NULL THEN fwd_ts
+             WHEN fwd_ts IS NULL THEN back_ts
+             WHEN ts - back_ts <= fwd_ts - ts THEN back_ts
+             ELSE fwd_ts END, '%Y-%m-%d %H:%M:%S') AS nearest_signup_ts
+    FROM w
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas merge_asof direction='nearest'):
+    per event, the closest 'signup' timestamp in EITHER direction, ties
+    to the past.  Two conditional extrema — running MAX over the past,
+    running MIN over the future — share ONE (user_id, ts) window shuffle
+    (same partitioning+ordering, so Spark plans a single Exchange+Sort
+    feeding both frames), then a branch picks the closer side.  Same
+    single-shuffle scale posture as the backward-only q_join_asof."""
+    e = load_table(spark, sf_dir, "events")
+    sig = F.when(F.col("event_type") == "signup", F.col("ts"))
+    back_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    back_ts = F.max(sig).over(back_w)
+    fwd_ts = F.min(sig).over(fwd_w)
+    nearest = (
+        F.when(back_ts.isNull(), fwd_ts)
+        .when(fwd_ts.isNull(), back_ts)
+        .when(
+            F.unix_micros("ts") - F.unix_micros(back_ts)
+            <= F.unix_micros(fwd_ts) - F.unix_micros("ts"),
+            back_ts,
+        )
+        .otherwise(fwd_ts)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.date_format(nearest, "yyyy-MM-dd HH:mm:ss").alias(
+            "nearest_signup_ts"
+        ),
+    )

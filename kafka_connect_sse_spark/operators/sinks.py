@@ -390,3 +390,38 @@ def snk_parquet_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type", "user_id").agg(
         F.count("*").alias("n")
     )
+
+
+@register(
+    "snk_jsonl",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(SUM(user_id) AS BIGINT) AS uid_sum
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def snk_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + schema'd re-read — the reference's JsonConverter
+    tier (the default Connect value.converter in its quickstart config)
+    as a Spark format round-trip.  Same discipline as snk_csv: explicit
+    schema on read (inference is an extra full pass, unacceptable at
+    100 TB); longs and doubles survive the text round-trip exactly, and
+    the aggregate pins it."""
+    out = os.path.join(tempfile.gettempdir(), "kcss_snk_jsonl")
+    shutil.rmtree(out, ignore_errors=True)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    e.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "event_id long, event_type string, user_id long, value double"
+    ).json(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+        F.sum("user_id").alias("uid_sum"),
+    )
