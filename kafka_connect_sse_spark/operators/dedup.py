@@ -127,6 +127,38 @@ def minhash_signature(shingle_col, n_hashes: int = N_MINHASH):
 MAX_BUCKET = 200  # degenerate-bucket cap (boilerplate guard); see docstring
 
 
+def banded_signatures(sh_df: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) LSH index rows from a shingle relation:
+    MinHash signature -> N_BANDS bands of ROWS_PER_BAND rows, each band
+    hashed to its bucket id.  This relation IS the stored dedup index —
+    O(n * bands) rows of three longs — that incremental ingest joins new
+    batches against (x_dedup_incremental)."""
+    sig = sh_df.select(
+        "doc_id", minhash_signature(F.col("sh")).alias("sig")
+    )
+    return sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * ROWS_PER_BAND + r + 1).cast(
+                                    "string"
+                                )
+                                for r in range(ROWS_PER_BAND)
+                            ],
+                        )
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+
+
 def minhash_candidates(
     docs: DataFrame, sh_df: DataFrame | None = None
 ) -> DataFrame:
@@ -153,30 +185,7 @@ def minhash_candidates(
         sh_df = spread(docs, "doc_id").select(
             "doc_id", shingles(F.col("text")).alias("sh")
         )
-    sig = sh_df.select(
-        "doc_id", minhash_signature(F.col("sh")).alias("sig")
-    )
-    banded = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("sig", b * ROWS_PER_BAND + r + 1).cast(
-                                    "string"
-                                )
-                                for r in range(ROWS_PER_BAND)
-                            ],
-                        )
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("band", "bucket"),
-    )
+    banded = banded_signatures(sh_df)
     buckets = (
         banded.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -630,3 +639,85 @@ def x_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@register(
+    "x_dedup_incremental",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents),
+    sh AS (SELECT doc_id,
+             CASE WHEN len(l) >= {SHINGLE_K} THEN
+               list_distinct([array_to_string(l[i:i+{SHINGLE_K - 1}], ' ')
+                              for i in range(1, len(l) - {SHINGLE_K - 2})])
+             ELSE [] END AS s
+           FROM t)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(a.s || b.s)) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE (a.doc_id % 5 = 4 OR b.doc_id % 5 = 4)
+      AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(a.s || b.s)) >= 0.5
+    """,
+)
+def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: dedup an ARRIVING batch (here: doc_id % 5
+    == 4 plays the newly-ingested 20%) against the already-indexed corpus
+    WITHOUT touching the old documents — the pattern that keeps a
+    continuously-growing 100 TB corpus dedupable.  The old corpus
+    participates only through its stored LSH index (banded_signatures —
+    three longs per (doc, band), materialized here via localCheckpoint to
+    stand in for the index table a real deployment persists alongside
+    the corpus): per batch the work is  O(batch) signature computation +
+    a (band, bucket) join against the index + candidate-only Jaccard
+    verification, independent of corpus size.  The oracle is the full
+    all-pairs ground truth restricted to pairs involving a new doc, so
+    the gate checks precision AND recall of the incremental path exactly
+    like x_dedup_near_minhash's (same J >= 0.95 fixture-recall contract;
+    see that docstring for the banding-probability caveat)."""
+    from ..plans import spread
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        spread(d, "doc_id")
+        .select("doc_id", F.array_distinct(shingles(F.col("text"))).alias("sh"))
+        .persist()
+    )
+    # the stored index: banded signatures of the WHOLE corpus as of the
+    # previous ingest cycle plus this batch's own rows (a real deployment
+    # appends the batch's rows to the index table after the join)
+    index = banded_signatures(sh).localCheckpoint(eager=True)
+    new_bands = index.filter(F.col("doc_id") % 5 == 4)
+    cand = (
+        new_bands.alias("n")
+        .join(
+            index.alias("i"),
+            (F.col("n.band") == F.col("i.band"))
+            & (F.col("n.bucket") == F.col("i.bucket"))
+            & (F.col("n.doc_id") != F.col("i.doc_id")),
+        )
+        .select(
+            F.least("n.doc_id", "i.doc_id").alias("doc_a"),
+            F.greatest("n.doc_id", "i.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    pairs = (
+        cand.join(a, cand.doc_a == F.col("sa.doc_id"))
+        .join(b, cand.doc_b == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sa.sh", "sb.sh")).cast("double")
+                / F.size(F.array_union("sa.sh", "sb.sh"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    try:
+        return pairs.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()

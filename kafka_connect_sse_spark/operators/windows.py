@@ -459,3 +459,38 @@ def q_win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         """
     )
+
+
+@register(
+    "q_cdc_scd2",
+    oracle="""
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(LEAD(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id),
+                    '%Y-%m-%d %H:%M:%S') AS valid_to,
+           event_type AS state,
+           CASE WHEN LEAD(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM events
+    """,
+)
+def q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from a change stream: each event
+    opens a validity interval [valid_from, valid_to) closed by the key's
+    next change (LEAD), with the open-ended latest row flagged current —
+    the standard lakehouse history-table build.  ONE window shuffle on
+    the (high-cardinality) key; at 100 TB this is exactly how a dimension
+    history materializes from CDC, and the interval form is what
+    point-in-time joins (q_join_asof) probe against."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        F.col("event_type").alias("state"),
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
+    )
