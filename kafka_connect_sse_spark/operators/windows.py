@@ -494,3 +494,34 @@ def q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("state"),
         F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
     )
+
+
+@register(
+    "q_win_count_distinct",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           COUNT(DISTINCT o_orderpriority)
+               OVER (PARTITION BY o_custkey) AS n_priorities
+    FROM orders
+    """,
+)
+def q_win_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) over a window — Spark rejects distinct aggregates
+    in window frames, so this uses the portable dense_rank emulation:
+    within each partition, max(dense_rank ordered by the value) equals
+    the distinct count.  Costs one extra pass over the same (already
+    shuffled+sorted) partition — both windows share the o_custkey
+    Exchange, so the scale posture is identical to any single window op.
+    NULL handling: orders has no null priorities, so rank-counting and
+    COUNT DISTINCT agree (with nulls the emulation needs a null-excluded
+    rank; documented rather than fixture-exercised)."""
+    o = load_table(spark, sf_dir, "orders")
+    rk_w = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    full_w = Window.partitionBy("o_custkey").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.max(F.dense_rank().over(rk_w)).over(full_w).alias("n_priorities"),
+    )

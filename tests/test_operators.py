@@ -82,3 +82,19 @@ def test_salting_helpers_round_trip(spark):
     )
     plain = e.join(dim, e.user_id == dim.c_custkey)
     assert joined.count() == plain.count()
+
+
+def test_round3_driver_window_composition(qs):
+    """The driver checks the FIRST 50 registry entries.  Pin the round-3
+    window: exactly the 50 ops with no driver record from rounds 1-2 —
+    a silent reordering here would burn the round's correctness evidence
+    (the deferred/queued ops are positions 51+ by design)."""
+    from kafka_connect_sse_spark.registry import _PRIORITY
+
+    window = list(qs)[:50]
+    assert window == list(_PRIORITY[:50])
+    # every window op must carry an oracle (EXACT gate, not rows-only)
+    from kafka_connect_sse_spark.registry import oracle_sql
+
+    osql = oracle_sql()
+    assert all(name in osql for name in window)
