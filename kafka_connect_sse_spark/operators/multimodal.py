@@ -3,11 +3,17 @@
 
 Design: media payloads are opaque `binary` columns + a typed metadata
 struct, exactly how a 100 TB training pipeline stores them (parquet binary
-chunks; decode only inside Arrow-batched Python workers).  The decode /
-feature-extract step is STUBBED deterministically — the image/audio codecs
-aren't in this container (per round-1 brief) — but every piece of Spark
-plumbing around it (schema, mapInPandas batch iteration, partition
-behavior, metadata projection) is real and tested.
+chunks; decode only inside Arrow-batched Python workers).  The
+codec-dependent decode / feature-extract step is STUBBED deterministically
+in x_multimodal_features/_resize/_framesample — the image/audio codec
+LIBRARIES aren't in this container (per round-1 brief) — but
+`x_multimodal_decode` (bottom of this file) runs the REAL path end to end
+for a format that needs no codec: actual P6 PPM images decoded with pure
+numpy (header parse, raster reshape, channel stats, nearest-neighbor
+thumbnail), EXACT-checked against a SQL oracle.  Every piece of Spark
+plumbing (schema, mapInPandas batch iteration, partition behavior,
+metadata projection) is therefore exercised with genuine decoding, and
+the stubs share its exact shape.
 """
 
 from __future__ import annotations
@@ -223,3 +229,115 @@ def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_features, FEATURE_SCHEMA
     )
     return feats.select("doc_id", "media_type", "n_bytes", "width", "height")
+
+
+def _ppm_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Ingest simulation: mint a REAL P6 PPM image per doc — header
+    'P6\\n{w} {h}\\n255\\n' + w*h raw RGB triplets with arithmetic pixel
+    content (byte i = (doc_id*7 + 13*i) % 256), so the decoded channel
+    statistics are independently computable in pure SQL."""
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            w = 4 + doc_id % 5
+            h = 3 + doc_id % 4
+            body = bytes((doc_id * 7 + 13 * i) % 256 for i in range(3 * w * h))
+            rows.append((doc_id, f"P6\n{w} {h}\n255\n".encode() + body))
+        yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """REAL image decode, no codec library needed: parse the P6 header,
+    wrap the raster in a numpy (h, w, 3) array, and compute per-channel
+    sums plus a nearest-neighbor 2x2 thumbnail sum — the actual
+    decode -> array -> feature/resize path a training pipeline runs,
+    exercised end-to-end instead of stubbed."""
+    import numpy as np
+
+    magic, dims, maxval, raster = payload.split(b"\n", 3)
+    if magic != b"P6":
+        raise NotImplementedError(f"no decoder for magic={magic!r}")
+    w, h = map(int, dims.split())
+    assert int(maxval) == 255
+    arr = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+    ch = arr.sum(axis=(0, 1), dtype=np.int64)
+    thumb = arr[(np.arange(2) * h) // 2][:, (np.arange(2) * w) // 2]
+    return {
+        "width": w,
+        "height": h,
+        "r_sum": int(ch[0]),
+        "g_sum": int(ch[1]),
+        "b_sum": int(ch[2]),
+        "thumb_sum": int(thumb.sum(dtype=np.int64)),
+    }
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        feats = [decode_ppm(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "width": [f["width"] for f in feats],
+                "height": [f["height"] for f in feats],
+                "r_sum": [f["r_sum"] for f in feats],
+                "g_sum": [f["g_sum"] for f in feats],
+                "b_sum": [f["b_sum"] for f in feats],
+                "thumb_sum": [f["thumb_sum"] for f in feats],
+            }
+        )
+
+
+@register(
+    "x_multimodal_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      FROM documents WHERE doc_id % 4 = 1),
+    px AS (
+      SELECT doc_id, w, h, g.i AS i,
+             (doc_id * 7 + 13 * g.i) % 256 AS v
+      FROM dims, UNNEST(generate_series(0, 3 * w * h - 1)) AS g(i)),
+    thumb AS (
+      SELECT d.doc_id,
+             SUM((d.doc_id * 7
+                  + 13 * (3 * (((y.y * d.h) // 2) * d.w + (x.x * d.w) // 2)
+                          + c.c)) % 256) AS t_sum
+      FROM dims d,
+           UNNEST(generate_series(0, 1)) AS y(y),
+           UNNEST(generate_series(0, 1)) AS x(x),
+           UNNEST(generate_series(0, 2)) AS c(c)
+      GROUP BY d.doc_id)
+    SELECT p.doc_id,
+           CAST(MIN(p.w) AS INTEGER) AS width,
+           CAST(MIN(p.h) AS INTEGER) AS height,
+           CAST(SUM(CASE WHEN p.i % 3 = 0 THEN p.v END) AS BIGINT) AS r_sum,
+           CAST(SUM(CASE WHEN p.i % 3 = 1 THEN p.v END) AS BIGINT) AS g_sum,
+           CAST(SUM(CASE WHEN p.i % 3 = 2 THEN p.v END) AS BIGINT) AS b_sum,
+           CAST(MIN(t.t_sum) AS BIGINT) AS thumb_sum
+    FROM px p JOIN thumb t ON p.doc_id = t.doc_id
+    GROUP BY p.doc_id
+    """,
+)
+def x_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal path WITHOUT the stub: mint real P6 PPM images in
+    one mapInPandas stage (ingest simulation), then decode them with
+    pure numpy in a second — header parse, (h, w, 3) raster reshape,
+    per-channel sums, nearest-neighbor 2x2 thumbnail — the genuine
+    decode -> ndarray -> feature/resize chain, end-to-end through Arrow
+    batches, proving the tier's plumbing carries REAL image decoding
+    when a format needs no external codec.  The arithmetic pixel
+    content makes every decoded statistic independently computable by
+    the SQL oracle (exact integer sums, no float tolerance).  At 100 TB
+    both stages are map-only over binary columns; swapping decode_ppm
+    for a JPEG codec changes one function, not the plan."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 1
+    ).select("doc_id")
+    payloads = d.mapInPandas(_ppm_payloads, "doc_id long, payload binary")
+    return payloads.mapInPandas(
+        _decode_batches,
+        "doc_id long, width int, height int, "
+        "r_sum long, g_sum long, b_sum long, thumb_sum long",
+    )
