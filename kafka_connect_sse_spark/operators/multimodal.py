@@ -7,10 +7,12 @@ chunks; decode only inside Arrow-batched Python workers).  The
 codec-dependent decode / feature-extract step is STUBBED deterministically
 in x_multimodal_features/_resize/_framesample — the image/audio codec
 LIBRARIES aren't in this container (per round-1 brief) — but
-`x_multimodal_decode` (bottom of this file) runs the REAL path end to end
-for a format that needs no codec: actual P6 PPM images decoded with pure
-numpy (header parse, raster reshape, channel stats, nearest-neighbor
-thumbnail), EXACT-checked against a SQL oracle.  Every piece of Spark
+`x_multimodal_decode` and `x_multimodal_audio_decode` (bottom of this
+file) run the REAL path end to end for formats that need no codec:
+actual P6 PPM images and RIFF/PCM16 WAV audio decoded with pure
+numpy/struct (header parse, raster reshape, channel stats,
+nearest-neighbor thumbnail, duration/energy/peak), EXACT-checked
+against SQL oracles.  Every piece of Spark
 plumbing (schema, mapInPandas batch iteration, partition behavior,
 metadata projection) is therefore exercised with genuine decoding, and
 the stubs share its exact shape.
@@ -340,4 +342,115 @@ def x_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         _decode_batches,
         "doc_id long, width int, height int, "
         "r_sum long, g_sum long, b_sum long, thumb_sum long",
+    )
+
+
+WAV_RATE = 8000  # Hz; one PCM16 sample = 125 us exactly
+
+
+def _wav_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Ingest simulation, audio twin of _ppm_payloads: mint a REAL mono
+    PCM16 WAV per doc (canonical 44-byte RIFF header + samples
+    s_i = ((doc_id*11 + 17*i) % 4001) - 2000), decodable by any WAV
+    reader and statable in pure SQL."""
+    import struct
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            n = 50 + doc_id % 50
+            samples = [
+                ((doc_id * 11 + 17 * i) % 4001) - 2000 for i in range(n)
+            ]
+            data = struct.pack(f"<{n}h", *samples)
+            hdr = struct.pack(
+                "<4sI4s4sIHHIIHH4sI",
+                b"RIFF", 36 + len(data), b"WAVE",
+                b"fmt ", 16, 1, 1, WAV_RATE, WAV_RATE * 2, 2, 16,
+                b"data", len(data),
+            )
+            rows.append((doc_id, hdr + data))
+        yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL audio decode, no codec library: parse the RIFF/fmt/data
+    chunks, check PCM16 mono, and compute sample statistics with numpy —
+    the decode -> ndarray -> feature path an audio pipeline runs."""
+    import struct
+
+    import numpy as np
+
+    riff, _size, wave = struct.unpack("<4sI4s", payload[:12])
+    if riff != b"RIFF" or wave != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    (fmt_id, fmt_sz, audio_fmt, channels, rate, _bps, _align, bits) = (
+        struct.unpack("<4sIHHIIHH", payload[12:36])
+    )
+    assert fmt_id == b"fmt " and audio_fmt == 1 and channels == 1 and bits == 16
+    data_id, data_len = struct.unpack("<4sI", payload[36:44])
+    assert data_id == b"data"
+    samples = np.frombuffer(payload[44 : 44 + data_len], dtype="<i2")
+    return {
+        "n_samples": len(samples),
+        "duration_us": len(samples) * 1_000_000 // rate,
+        "amp_sum": int(samples.sum(dtype=np.int64)),
+        "sq_sum": int((samples.astype(np.int64) ** 2).sum()),
+        "peak": int(np.abs(samples.astype(np.int64)).max()),
+    }
+
+
+def _decode_wav_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        feats = [decode_wav(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "n_samples": [f["n_samples"] for f in feats],
+                "duration_us": [f["duration_us"] for f in feats],
+                "amp_sum": [f["amp_sum"] for f in feats],
+                "sq_sum": [f["sq_sum"] for f in feats],
+                "peak": [f["peak"] for f in feats],
+            }
+        )
+
+
+@register(
+    "x_multimodal_audio_decode",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, 50 + doc_id % 50 AS n
+      FROM documents WHERE doc_id % 4 = 2),
+    smp AS (
+      SELECT doc_id, n,
+             ((doc_id * 11 + 17 * g.i) % 4001) - 2000 AS v
+      FROM dims, UNNEST(generate_series(0, n - 1)) AS g(i))
+    SELECT doc_id,
+           CAST(MIN(n) AS BIGINT) AS n_samples,
+           CAST(MIN(n) * 1000000 // {WAV_RATE} AS BIGINT) AS duration_us,
+           CAST(SUM(v) AS BIGINT) AS amp_sum,
+           CAST(SUM(v * v) AS BIGINT) AS sq_sum,
+           CAST(MAX(abs(v)) AS BIGINT) AS peak
+    FROM smp GROUP BY doc_id
+    """,
+)
+def x_multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio twin of x_multimodal_decode: REAL mono PCM16 WAV files
+    minted in one mapInPandas stage and decoded in a second with struct +
+    numpy alone — RIFF chunk parse, int16 raster, exact duration
+    (125 us/sample at {WAV_RATE} Hz), amplitude/energy sums, peak.  The
+    arithmetic samples keep every decoded statistic an exact-integer SQL
+    oracle.  Map-only both stages; a real opus/flac codec would replace
+    decode_wav only."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 2
+    ).select("doc_id")
+    payloads = d.mapInPandas(_wav_payloads, "doc_id long, payload binary")
+    return payloads.mapInPandas(
+        _decode_wav_batches,
+        "doc_id long, n_samples long, duration_us long, "
+        "amp_sum long, sq_sum long, peak long",
     )
