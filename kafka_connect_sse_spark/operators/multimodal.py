@@ -454,3 +454,109 @@ def x_multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_samples long, duration_us long, "
         "amp_sum long, sq_sum long, peak long",
     )
+
+
+Y4M_W, Y4M_H = 4, 4  # tiny C444 frames: 3 planes of W*H bytes each
+FRAME_STRIDE = 3  # keep every 3rd frame
+
+
+def _y4m_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Ingest simulation, video twin: mint a REAL YUV4MPEG2 stream per
+    doc — stream header, then (6 + doc_id % 7) frames of 'FRAME\\n' +
+    C444 planes with arithmetic content (frame f, byte i ->
+    (doc_id*13 + f*31 + i*7) % 256)."""
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            n_frames = 6 + doc_id % 7
+            plane = 3 * Y4M_W * Y4M_H
+            buf = [f"YUV4MPEG2 W{Y4M_W} H{Y4M_H} F25:1 Ip A1:1 C444\n".encode()]
+            for f in range(n_frames):
+                buf.append(b"FRAME\n")
+                buf.append(
+                    bytes((doc_id * 13 + f * 31 + i * 7) % 256 for i in range(plane))
+                )
+            rows.append((doc_id, b"".join(buf)))
+        yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+
+def sample_y4m_frames(payload: bytes) -> list[tuple[int, int, int]]:
+    """REAL video demux, no codec library: parse the YUV4MPEG2 stream
+    header (dimensions, colorspace), walk the FRAME markers, and for
+    every FRAME_STRIDE-th frame compute the luma-plane byte sum from the
+    numpy view — the demux -> frame-tensor -> sample chain a video
+    pipeline runs."""
+    import numpy as np
+
+    nl = payload.index(b"\n")
+    header = payload[:nl].split()
+    assert header[0] == b"YUV4MPEG2"
+    params = {p[:1]: p[1:] for p in header[1:]}
+    w, h = int(params[b"W"]), int(params[b"H"])
+    assert params[b"C"] == b"444"
+    frame_len = 3 * w * h
+    out = []
+    pos = nl + 1
+    fi = 0
+    while pos < len(payload):
+        assert payload[pos : pos + 6] == b"FRAME\n"
+        pos += 6
+        if fi % FRAME_STRIDE == 0:
+            luma = np.frombuffer(payload[pos : pos + w * h], dtype=np.uint8)
+            out.append((fi, int(luma.sum(dtype=np.int64)), frame_len))
+        pos += frame_len
+        fi += 1
+    return out
+
+
+def _sample_y4m_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for fi, luma_sum, frame_len in sample_y4m_frames(payload):
+                rows.append((int(doc_id), fi, luma_sum, frame_len))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "frame_idx", "luma_sum", "frame_bytes"]
+        )
+
+
+@register(
+    "x_multimodal_video_sample",
+    oracle=f"""
+    WITH vids AS (
+      SELECT doc_id, 6 + doc_id % 7 AS n_frames
+      FROM documents WHERE doc_id % 4 = 3),
+    kept AS (
+      SELECT doc_id, g.f AS frame_idx
+      FROM vids, UNNEST(generate_series(0, n_frames - 1)) AS g(f)
+      WHERE g.f % {FRAME_STRIDE} = 0),
+    px AS (
+      SELECT doc_id, frame_idx,
+             (doc_id * 13 + frame_idx * 31 + g.i * 7) % 256 AS v
+      FROM kept, UNNEST(generate_series(0, {Y4M_W * Y4M_H - 1})) AS g(i))
+    SELECT doc_id, frame_idx,
+           CAST(SUM(v) AS BIGINT) AS luma_sum,
+           CAST({3 * Y4M_W * Y4M_H} AS BIGINT) AS frame_bytes
+    FROM px GROUP BY doc_id, frame_idx
+    """,
+)
+def x_multimodal_video_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video twin completing the real-decode triple: mint genuine
+    YUV4MPEG2 streams, then demux them with numpy alone — stream-header
+    parse, FRAME-marker walk, luma-plane view per kept frame (every
+    {FRAME_STRIDE}rd) — real frame sampling over a real video container,
+    with exact-integer luma sums the SQL oracle recomputes.  Map-only
+    both stages; a real h264 depacketizer would replace
+    sample_y4m_frames only, and at 100 TB frames fan out one output row
+    per kept frame exactly as a training sampler needs."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 3
+    ).select("doc_id")
+    payloads = d.mapInPandas(_y4m_payloads, "doc_id long, payload binary")
+    return payloads.mapInPandas(
+        _sample_y4m_batches,
+        "doc_id long, frame_idx long, luma_sum long, frame_bytes long",
+    )
