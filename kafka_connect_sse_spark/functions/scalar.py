@@ -560,3 +560,49 @@ def q_fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exists(toks, lambda x: x.contains("e")).alias("any_e"),
         F.forall(toks, lambda x: F.length(x) > 0).alias("all_nonempty"),
     )
+
+
+@register(
+    "q_fn_url",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.org/docs/'
+               || CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&v=2' AS url
+      FROM documents)
+    SELECT doc_id,
+           regexp_extract(url, '^([a-z]+)://', 1) AS protocol,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+    FROM u
+    """,
+)
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing battery via Spark's dedicated parse_url (protocol /
+    host / path / query / single query parameter) — the web-corpus
+    metadata-extraction transform.  Deliberately checked against a
+    DuckDB oracle that uses regexp instead (DuckDB has no parse_url):
+    two entirely different implementations must produce byte-identical
+    components, which pins parse_url's exact semantics rather than
+    echoing them.  Pure codegen projection, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v=2"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
