@@ -606,3 +606,46 @@ def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY")).alias("query"),
         F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@register(
+    "q_fn_try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_linenumber - 1 = 0 THEN NULL
+                ELSE CAST(l_quantity AS DOUBLE) / (l_linenumber - 1) END
+               AS qty_per_prev_line,
+           CAST(l_extendedprice AS DOUBLE) / NULLIF(l_quantity, 0)
+               AS unit_price,
+           TRY_CAST(CASE WHEN l_quantity < 10 THEN 'not a number'
+                         ELSE CAST(l_quantity AS VARCHAR) END AS DOUBLE)
+               AS strict_qty
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    """,
+)
+def q_fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic over dirty data: try_divide and try_to_number
+    return NULL where strict evaluation would throw (division by zero,
+    malformed numerics) — the ANSI-mode-compatible way to keep a 100 TB
+    job from dying on one bad row.  The oracle expresses the same
+    semantics with CASE/NULLIF/TRY_CAST, pinning that 'safe' means NULL,
+    not 0 or skip."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 100 == 0
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_quantity").cast("double"), F.col("l_linenumber") - 1
+        ).alias("qty_per_prev_line"),
+        F.try_divide(
+            F.col("l_extendedprice").cast("double"),
+            F.nullif(F.col("l_quantity"), F.lit(0)),
+        ).alias("unit_price"),
+        F.when(F.col("l_quantity") < 10, F.lit("not a number"))
+        .otherwise(F.col("l_quantity").cast("string"))
+        .try_cast("double")
+        .alias("strict_qty"),
+    )

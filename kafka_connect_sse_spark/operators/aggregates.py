@@ -701,3 +701,52 @@ def q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("uid_sum") == F.col("duid_sum"))
         ).alias("matches_direct"),
     )
+
+
+@register(
+    "q_agg_hll_mergeable",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS merged_within_5pct,
+           TRUE AS merge_commutes
+    FROM lineitem
+    """,
+)
+def q_agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABILITY of HLL sketches (hll_sketch_agg / hll_union_agg /
+    hll_sketch_estimate, Spark 3.5 Datasketches): per-group sketches
+    built independently, then unioned, must estimate the GLOBAL distinct
+    count — the property that lets a 100 TB pipeline keep a tiny sketch
+    per partition/day and answer corpus-wide cardinality by merging
+    kilobytes instead of rescanning, the sketch analog of
+    q_incremental_merge.  Error-bounded boolean check like
+    q_agg_approx_distinct: the merged estimate lands within 5% of exact,
+    and merging the same sketches grouped differently (by returnflag vs
+    by linestatus) agrees bit-for-bit — union must not depend on how the
+    data was partitioned."""
+    li = load_table(spark, sf_dir, "lineitem")
+    by_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    by_status = li.groupBy("l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    m_flag = by_flag.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    m_status = by_status.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = li.agg(F.countDistinct("l_partkey").alias("exact_parts"))
+    return (
+        exact.crossJoin(m_flag.withColumnRenamed("est", "est_flag"))
+        .crossJoin(m_status.withColumnRenamed("est", "est_status"))
+        .select(
+            "exact_parts",
+            (
+                F.abs(F.col("est_flag") - F.col("exact_parts"))
+                <= 0.05 * F.col("exact_parts")
+            ).alias("merged_within_5pct"),
+            (F.col("est_flag") == F.col("est_status")).alias("merge_commutes"),
+        )
+    )
