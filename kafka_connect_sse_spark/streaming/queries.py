@@ -477,3 +477,67 @@ def s_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
     )
     return run_to_memory(dd, mode="append")
+
+
+@register(
+    "s_checkpoint_resume",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT event_id) AS n_distinct_ids
+    FROM events
+    """,
+)
+def s_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once restart: run a checkpointed file-source query to
+    completion over HALF the events, land the other half, then start a
+    SECOND query on the SAME checkpoint — the restarted query must
+    process ONLY the new file.  The comparison surface (total rows +
+    distinct event ids == the batch table) fails in BOTH failure modes:
+    rows double if the checkpoint is ignored (reprocessing), rows halve
+    if the new file is missed.  This is the property that makes a 100 TB
+    landing pipeline restartable mid-day without dedup passes — offsets
+    live in the checkpoint, the sink commits atomically per batch."""
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), "kcss_ckpt_resume")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    sink = os.path.join(base, "sink")
+    shutil.rmtree(base, ignore_errors=True)
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    schema = e.schema
+
+    def run_once() -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+
+    # first half lands, first query drains it
+    e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    run_once()
+    # second half arrives as NEW files (append), restarted query resumes
+    e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+
+    landed = spark.read.parquet(sink)
+    return landed.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("event_id").alias("n_distinct_ids"),
+    )
