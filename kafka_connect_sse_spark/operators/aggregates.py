@@ -750,3 +750,84 @@ def q_agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_flag") == F.col("est_status")).alias("merge_commutes"),
         )
     )
+
+
+@register(
+    "q_agg_listagg",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+               AS priorities,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (SQL:2023 LISTAGG, new in Spark 4): the
+    distinct priorities of each status as one delimited string in
+    deterministic order — the report/export shape string_agg serves in
+    warehouse SQL.  Determinism matters: an unordered listagg is
+    partition-order-dependent and would never hash-match; the WITHIN
+    GROUP ordering makes it exact."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               listagg(DISTINCT o_orderpriority, '|')
+                   WITHIN GROUP (ORDER BY o_orderpriority) AS priorities,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+@register(
+    "q_agg_kll_mergeable",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           TRUE AS median_rank_within_2pct,
+           TRUE AS p90_rank_within_2pct
+    FROM lineitem
+    """,
+)
+def q_agg_kll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABILITY of KLL quantile sketches (kll_sketch_agg_double /
+    kll_merge_agg_double, Spark 4 Datasketches) — the quantile analog of
+    q_agg_hll_mergeable: per-group sketches built independently and then
+    merged must answer GLOBAL quantile queries, which is how a 100 TB
+    pipeline keeps per-day/per-partition sketch rows and serves
+    corpus-wide percentiles by merging kilobytes.  Check is
+    rank-error-bounded (the sketch's native guarantee): the TRUE rank of
+    the merged sketch's q=0.5 / q=0.9 value estimates must land within
+    2% of the requested rank (KLL default k=200 guarantees ~1.65%)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("v"), "l_returnflag"
+    )
+    per_group = li.groupBy("l_returnflag").agg(
+        F.kll_sketch_agg_double("v").alias("sk")
+    )
+    merged = per_group.agg(F.kll_merge_agg_double("sk").alias("msk")).select(
+        F.kll_sketch_get_quantile_double("msk", F.lit(0.5)).alias("est_p50"),
+        F.kll_sketch_get_quantile_double("msk", F.lit(0.9)).alias("est_p90"),
+    )
+    est = merged.crossJoin(li)
+    ranks = est.agg(
+        F.count("*").alias("n_rows"),
+        (
+            F.sum((F.col("v") <= F.col("est_p50")).cast("long"))
+            / F.count("*")
+        ).alias("rank_p50"),
+        (
+            F.sum((F.col("v") <= F.col("est_p90")).cast("long"))
+            / F.count("*")
+        ).alias("rank_p90"),
+    )
+    return ranks.select(
+        "n_rows",
+        (F.abs(F.col("rank_p50") - 0.5) <= 0.02).alias(
+            "median_rank_within_2pct"
+        ),
+        (F.abs(F.col("rank_p90") - 0.9) <= 0.02).alias("p90_rank_within_2pct"),
+    )
