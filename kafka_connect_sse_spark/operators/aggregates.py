@@ -831,3 +831,41 @@ def q_agg_kll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.abs(F.col("rank_p90") - 0.9) <= 0.02).alias("p90_rank_within_2pct"),
     )
+
+
+@register(
+    "q_agg_bitmap_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_partkey END)
+               AS n_parts_returned
+    FROM lineitem
+    """,
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via mergeable bitmaps (Spark 3.5 bitmap_*):
+    keys bucket by bitmap_bucket_number, each bucket builds a fixed-width
+    bitmap map-side (bitmap_construct_agg), buckets OR together
+    (bitmap_or_agg), popcounts sum (bitmap_count).  Unlike HLL this is
+    exact AND mergeable — the pre-aggregated-rollup-table form of
+    COUNT(DISTINCT) warehouses materialize; the shuffle carries one
+    4 KB bitmap per bucket instead of every distinct key.  The oracle is
+    plain COUNT(DISTINCT), pinning exactness."""
+    li = load_table(spark, sf_dir, "lineitem")
+    buckets = li.groupBy(
+        F.bitmap_bucket_number("l_partkey").alias("bkt")
+    ).agg(
+        F.bitmap_construct_agg(
+            F.bitmap_bit_position("l_partkey")
+        ).alias("bm_all"),
+        F.bitmap_construct_agg(
+            F.when(
+                F.col("l_returnflag") == "R",
+                F.bitmap_bit_position("l_partkey"),
+            )
+        ).alias("bm_ret"),
+    )
+    return buckets.agg(
+        F.sum(F.bitmap_count("bm_all")).alias("n_parts"),
+        F.sum(F.bitmap_count("bm_ret")).alias("n_parts_returned"),
+    )
