@@ -869,3 +869,55 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bitmap_count("bm_all")).alias("n_parts"),
         F.sum(F.bitmap_count("bm_ret")).alias("n_parts_returned"),
     )
+
+
+@register(
+    "q_agg_theta_overlap",
+    oracle="""
+    WITH flags AS (
+      SELECT l_partkey,
+             MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS in_r,
+             MAX(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS in_a
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(SUM(in_r * in_a) AS BIGINT) AS exact_overlap,
+           TRUE AS estimate_within_5pct
+    FROM flags
+    """,
+)
+def q_agg_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches answer what HLL cannot: SET ALGEBRA on distinct
+    sets — here the intersection cardinality of two key populations
+    (parts returned 'R' vs accepted 'A'), the audience-overlap /
+    cross-corpus-contamination estimator.  Each side builds a sketch
+    independently (mergeable, kilobytes), theta_intersection combines
+    them, and the estimate must land within 5% of the exact overlap
+    (error-bounded boolean, like the HLL/KLL mergeability ops).  At
+    100 TB the exact form is a full groupBy over every key; the sketch
+    form ships two sketch rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = li.agg(
+        F.theta_sketch_agg(
+            F.when(F.col("l_returnflag") == "R", F.col("l_partkey"))
+        ).alias("sk_r"),
+        F.theta_sketch_agg(
+            F.when(F.col("l_returnflag") == "A", F.col("l_partkey"))
+        ).alias("sk_a"),
+    ).select(
+        F.theta_sketch_estimate(
+            F.theta_intersection("sk_r", "sk_a")
+        ).alias("est_overlap")
+    )
+    flags = li.groupBy("l_partkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("in_r"),
+        F.max((F.col("l_returnflag") == "A").cast("int")).alias("in_a"),
+    )
+    exact = flags.agg(
+        F.sum(F.col("in_r") * F.col("in_a")).alias("exact_overlap")
+    )
+    return exact.crossJoin(sk).select(
+        "exact_overlap",
+        (
+            F.abs(F.col("est_overlap") - F.col("exact_overlap"))
+            <= 0.05 * F.col("exact_overlap")
+        ).alias("estimate_within_5pct"),
+    )
