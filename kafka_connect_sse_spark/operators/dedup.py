@@ -721,3 +721,62 @@ def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pairs.localCheckpoint(eager=True)
     finally:
         sh.unpersist()
+
+
+@register(
+    "x_contam_estimate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents),
+    sh AS (SELECT doc_id,
+             CASE WHEN len(l) >= {SHINGLE_K} THEN
+               [array_to_string(l[i:i+{SHINGLE_K - 1}], ' ')
+                for i in range(1, len(l) - {SHINGLE_K - 2})]
+             ELSE [] END AS s
+           FROM t),
+    grams AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    corpus AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 != 0),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0)
+    SELECT (SELECT COUNT(*) FROM corpus c JOIN bench b ON c.g = b.g)
+               AS exact_shared,
+           TRUE AS estimate_within_5pct
+    """,
+)
+def x_contam_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale contamination ESTIMATION: how many distinct
+    {SHINGLE_K}-grams does the training corpus share with the benchmark
+    set?  x_decontaminate answers this exactly by joining n-grams; at
+    100 TB you first want the cheap answer — two theta sketches (one per
+    side, built in one pass, kilobytes each) intersected to estimate the
+    shared-gram cardinality within 5% of truth, deciding WHETHER the
+    exact decontamination join is worth scheduling.  Benchmark =
+    doc_id % 10 == 0 (same fixture-split convention as
+    x_dedup_incremental's arriving batch)."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles(F.col("text")))).alias("g")
+    )
+    sk = grams.agg(
+        F.theta_sketch_agg(
+            F.when(F.col("doc_id") % 10 != 0, F.col("g"))
+        ).alias("sk_corpus"),
+        F.theta_sketch_agg(
+            F.when(F.col("doc_id") % 10 == 0, F.col("g"))
+        ).alias("sk_bench"),
+    ).select(
+        F.theta_sketch_estimate(
+            F.theta_intersection("sk_corpus", "sk_bench")
+        ).alias("est_shared")
+    )
+    corpus = grams.filter(F.col("doc_id") % 10 != 0).select("g").distinct()
+    bench = grams.filter(F.col("doc_id") % 10 == 0).select("g").distinct()
+    exact = (
+        corpus.join(bench, "g")
+        .agg(F.count("*").alias("exact_shared"))
+    )
+    return exact.crossJoin(sk).select(
+        "exact_shared",
+        (
+            F.abs(F.col("est_shared") - F.col("exact_shared"))
+            <= 0.05 * F.col("exact_shared")
+        ).alias("estimate_within_5pct"),
+    )

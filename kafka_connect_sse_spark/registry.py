@@ -96,14 +96,15 @@ def register(name: str, oracle: str | None = None):
 # widens): q_agg_global / q_agg_groupby / q_agg_filtered re-checks — their
 # output contract changed DECIMAL->DOUBLE in round 2 (commit dc1eb57) after
 # their round-1 green record, so that record is stale — then the five
-# deferred twins above.  The twenty-two operators ADDED in round 3
+# deferred twins above.  The twenty-three operators ADDED in round 3
 # (x_embed_quantize, x_word_entropy, x_seq_tensorize, q_win_time_range,
 # x_dedup_prefix, snk_jsonl, q_join_asof_nearest, q_cdc_scd2,
 # x_dedup_incremental, q_win_count_distinct, x_multimodal_decode,
 # x_multimodal_audio_decode, x_multimodal_video_sample, q_fn_url,
 # q_fn_try_arithmetic, q_agg_hll_mergeable, q_agg_kll_mergeable,
 # q_agg_listagg, s_checkpoint_resume, q_fn_variant,
-# q_agg_bitmap_distinct, q_agg_theta_overlap) register past the window
+# q_agg_bitmap_distinct, q_agg_theta_overlap, x_contam_estimate)
+# register past the window
 # in module order and join the same round-4 rotation; all are local-gate
 # green at sf0.01 and sf0.001, and the whole surface was swept green at
 # sf0.1 as well.
