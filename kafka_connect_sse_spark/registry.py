@@ -77,108 +77,60 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's correctness gate checks a bounded 50-entry prefix of the
-# registry.  Rounds 1+2 put 93 distinct operators on driver-green record
-# (43 r1 + 50 r2, zero failures).  Round 3's prefix therefore lists exactly
-# the 50 operators with NO driver record yet: the scalar-function battery,
-# set-ops, the round-2-new relational/agg/window singles, the round-2-new
-# x_* pipeline tier, s_dedup_within_watermark, and the three untested sinks.
-#
-# Five lowest-risk ops are deliberately deferred to the round-4 window so
-# the other 50 fit (each is a thin twin of an in-window or already-green
-# op): x_multimodal_resize / x_multimodal_framesample (same stub-decode
-# mapInPandas plumbing as x_multimodal_cols, green r2, and
-# x_multimodal_features, in-window), q_fn_string3 (third string battery;
-# q_fn_string/q_fn_string2 in-window), q_fn_datetime2 (twin of
-# q_fn_datetime, in-window), q_set_intersect_all (twin of q_set_intersect /
-# q_set_except_all, both in-window).
-#
-# Round-4 rotation queue (positions 51+ below, checked if the window ever
-# widens): q_agg_global / q_agg_groupby / q_agg_filtered re-checks — their
-# output contract changed DECIMAL->DOUBLE in round 2 (commit dc1eb57) after
-# their round-1 green record, so that record is stale — then the five
-# deferred twins above.  The twenty-three operators ADDED in round 3
-# (x_embed_quantize, x_word_entropy, x_seq_tensorize, q_win_time_range,
-# x_dedup_prefix, snk_jsonl, q_join_asof_nearest, q_cdc_scd2,
-# x_dedup_incremental, q_win_count_distinct, x_multimodal_decode,
-# x_multimodal_audio_decode, x_multimodal_video_sample, q_fn_url,
-# q_fn_try_arithmetic, q_agg_hll_mergeable, q_agg_kll_mergeable,
-# q_agg_listagg, s_checkpoint_resume, q_fn_variant,
-# q_agg_bitmap_distinct, q_agg_theta_overlap, x_contam_estimate)
-# register past the window
-# in module order and join the same round-4 rotation; all are local-gate
-# green at sf0.01 and sf0.001, and the whole surface was swept green at
-# sf0.1 as well.
+# registry.  Rounds 1-3 put 143 distinct operators on driver-green record
+# (43 r1 + 50 r2 + 50 r3, zero failures).  The round-4 prefix lists exactly
+# the 31 operators without a *current* driver record, per VERDICT r3 item 1:
+#   * 3 stale-green aggregates — their r1 green predates the r2
+#     DECIMAL->DOUBLE output-contract change (commit dc1eb57), so the driver
+#     has never verified the shipping code;
+#   * the 23 operators added in round 3 (registered past the r3 window);
+#   * the 5 twins deliberately deferred from the r3 window.
+# After this window goes green, every registered operator has a
+# driver-attested CORRECTNESS row for its current contract (conditionals
+# excepted).  Positions 32-50 hold round-4 additions, if any, so new
+# surface never again outruns the driver window.
 _PRIORITY = (
-    # -- the 50-entry round-3 driver window: every op with no driver record --
-    # restructured this round (two-level packing) — most design-critical
-    "x_seq_pack",
-    "x_doc_concat",
-    # the LSH-bucketed embedding-dedup scale path (exact twin green r2)
-    "x_dedup_near_embedding_lsh",
-    # remaining round-2-new x_* pipeline tier
-    "x_corpus_prep",
-    "x_sim_topk_lsh_multiprobe",
-    "x_sim_topk_ivf",
-    "x_pii_scrub",
-    "x_doc_chunk",
-    "x_sample_stratified",
-    "x_lang_balance",
-    "x_repetition_score",
-    "x_multimodal_features",
-    # round-2-new / never-checked relational, agg, window singles
-    "q_lateral_explode",
-    "q_join_bucketed",
-    "q_exists_correlated",
-    "q_not_in_nullaware",
-    "q_merge_upsert",
-    "q_agg_percentile_approx",
-    "q_agg_bool_bit",
-    "q_ts_gapfill",
-    "q_agg_median_mode",
-    "q_agg_histogram",
-    "q_incremental_merge",
-    "q_limit_topk",
-    "q_compact_latest",
-    "q_sessionize",
-    # set operations
-    "q_set_union_all",
-    "q_set_union_distinct",
-    "q_set_intersect",
-    "q_set_except",
-    "q_set_except_all",
-    "q_set_union_by_name",
-    # scalar-function battery
-    "q_fn_string",
-    "q_fn_string2",
-    "q_fn_datetime",
-    "q_fn_math",
-    "q_fn_conditional",
-    "q_fn_cast",
-    "q_fn_hash",
-    "q_fn_bitwise",
-    "q_fn_array",
-    "q_fn_map",
-    "q_fn_json",
-    "q_fn_json_struct",
-    "q_fn_struct",
-    "q_fn_higher_order",
-    # streaming
-    "s_dedup_within_watermark",
-    # sinks
-    "snk_csv",
-    "snk_compact_small_files",
-    "snk_parquet_pruned",
-    # -- end of 50-entry window --
-    # round-4 rotation queue: stale-green aggregates (contract changed r2)
+    # -- round-4 driver window --
+    # stale-green aggregates (output contract changed r2; re-attest first)
     "q_agg_global",
     "q_agg_groupby",
     "q_agg_filtered",
-    # round-4 rotation queue: the five deferred twins
+    # round-3 additions in module order: dedup/similarity/text tier
+    "x_dedup_prefix",
+    "x_dedup_incremental",
+    "x_contam_estimate",
+    "x_embed_quantize",
+    "x_word_entropy",
+    # round-3 additions: pipeline/packing tier
+    "x_seq_tensorize",
+    # round-3 additions: multimodal real decoders
+    "x_multimodal_decode",
+    "x_multimodal_audio_decode",
+    "x_multimodal_video_sample",
+    # round-3 additions: relational/join/window/agg singles
+    "q_join_asof_nearest",
+    "q_cdc_scd2",
+    "q_win_time_range",
+    "q_win_count_distinct",
+    "q_agg_hll_mergeable",
+    "q_agg_kll_mergeable",
+    "q_agg_listagg",
+    "q_agg_bitmap_distinct",
+    "q_agg_theta_overlap",
+    # round-3 additions: scalar-function batteries
+    "q_fn_url",
+    "q_fn_try_arithmetic",
+    "q_fn_variant",
+    # round-3 additions: streaming + sinks
+    "s_checkpoint_resume",
+    "snk_jsonl",
+    # the five twins deferred from the round-3 window
     "x_multimodal_resize",
     "x_multimodal_framesample",
     "q_fn_string3",
     "q_fn_datetime2",
     "q_set_intersect_all",
+    # -- positions 32+: round-4 additions append here --
 )
 
 
