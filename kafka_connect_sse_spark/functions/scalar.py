@@ -669,12 +669,19 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     extract late, no per-query string re-parsing).  At 100 TB this beats
     get_json_object precisely because the parse happens once at ingest
     and extractions are byte-offset lookups.  Oracle uses DuckDB's JSON
-    operators — different engine, same typed answers."""
+    operators — different engine, same typed answers.
+
+    Extractions go through try_parse_json so a malformed props row
+    degrades to NULL columns (like the oracle's JSON operators) instead
+    of failing the query; is_valid is likewise NULL on NULL input to
+    match DuckDB's json_valid(NULL) -> NULL."""
     e = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
-    v = F.parse_json(F.col("props"))
+    v = F.try_parse_json(F.col("props"))
     return e.select(
         "event_id",
         F.variant_get(v, "$.k", "bigint").alias("k"),
         F.variant_get(v, "$.tag", "string").alias("tag"),
-        F.try_parse_json(F.col("props")).isNotNull().alias("is_valid"),
+        F.when(F.col("props").isNull(), F.lit(None).cast("boolean"))
+        .otherwise(v.isNotNull())
+        .alias("is_valid"),
     )

@@ -59,17 +59,22 @@ def _convert_nanos(df: DataFrame) -> DataFrame:
 
 # Lazy-DataFrame cache: the fixture tables are read-only, so the (tiny,
 # unevaluated) logical plan from read.parquet + _convert_nanos is reusable
-# for the lifetime of the Spark application.  Without this every operator
+# for the lifetime of the Spark session.  Without this every operator
 # invocation re-lists the path and re-analyzes the schema (~90 ms/table on
 # local[32]) — pure fixed overhead that a multi-table query pays 5x per
-# run.  Keyed by applicationId so a fresh session never sees a stale plan.
-_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# run.  Keyed by id(spark) — not applicationId — because DataFrames are
+# bound to the SparkSession that analyzed them: two sessions over one
+# context (newSession(), different conf) must not share plans, and a
+# plan also pins the file listing from first load (fixtures immutable).
+# id() is safe as a key component: the session object itself can't be
+# collected while its DataFrames sit in the cache values.
+_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    key = (id(spark), os.path.abspath(sf_dir), name)
     df = _DF_CACHE.get(key)
     if df is None:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

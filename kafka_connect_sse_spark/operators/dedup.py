@@ -663,18 +663,25 @@ def x_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dedup: dedup an ARRIVING batch (here: doc_id % 5
     == 4 plays the newly-ingested 20%) against the already-indexed corpus
-    WITHOUT touching the old documents — the pattern that keeps a
-    continuously-growing 100 TB corpus dedupable.  The old corpus
-    participates only through its stored LSH index (banded_signatures —
-    three longs per (doc, band), materialized here via localCheckpoint to
-    stand in for the index table a real deployment persists alongside
-    the corpus): per batch the work is  O(batch) signature computation +
-    a (band, bucket) join against the index + candidate-only Jaccard
-    verification, independent of corpus size.  The oracle is the full
-    all-pairs ground truth restricted to pairs involving a new doc, so
-    the gate checks precision AND recall of the incremental path exactly
-    like x_dedup_near_minhash's (same J >= 0.95 fixture-recall contract;
-    see that docstring for the banding-probability caveat)."""
+    without re-signaturing the old documents — the pattern that keeps a
+    continuously-growing 100 TB corpus dedupable.  For CANDIDATE
+    GENERATION the old corpus participates only through its stored LSH
+    index (banded_signatures — three longs per (doc, band), materialized
+    here via localCheckpoint to stand in for the index table a real
+    deployment persists alongside the corpus); the index also contains
+    the batch's own banded rows, so batch-vs-batch pairs come out of the
+    same join with no separate self-join.  Per batch the candidate work
+    is O(batch) signature computation + a (band, bucket) join against
+    the index.  The exact-Jaccard VERIFICATION step, however, joins
+    candidates back to the corpus-wide shingle frame `sh` — in a real
+    deployment the old side of that join must come from a persisted
+    shingle/signature table too, or verification would re-shingle old
+    docs; the candidate-only join keys keep even that step O(candidates),
+    not O(corpus).  The oracle is the full all-pairs ground truth
+    restricted to pairs involving a new doc, so the gate checks precision
+    AND recall of the incremental path exactly like x_dedup_near_minhash's
+    (same J >= 0.95 fixture-recall contract; see that docstring for the
+    banding-probability caveat)."""
     from ..plans import spread
 
     d = load_table(spark, sf_dir, "documents")

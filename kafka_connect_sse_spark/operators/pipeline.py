@@ -48,7 +48,15 @@ _SHARD_DUCK = (
 def _pack_local(sized: DataFrame) -> DataFrame:
     """Two-level packing, level 1: contiguous-fill pack assignment within
     (lang, shard) from a `sized` frame carrying doc_id/lang/shard/n_tokens
-    (plus any payload columns, preserved).  Adds `local_pack`."""
+    (plus any payload columns, preserved).  Adds `local_pack`.
+
+    Id contract: local packs are monotone in doc_id and dense from 0
+    *when every doc fits the budget*.  A doc longer than PACK_BUDGET
+    spans several budget boundaries, so the doc AFTER it skips the ids
+    covered by the overrun (e.g. tokens 250/296/10 at budget 256 yields
+    local packs {0, 0, 2} — id 1 is empty).  Ids never collide; density
+    holds only in the all-docs-<=-budget regime (long docs are chunked
+    by x_doc_chunk upstream in x_corpus_prep)."""
     w = (
         Window.partitionBy("lang", "shard")
         .orderBy("doc_id")
@@ -67,12 +75,18 @@ def _pack_local(sized: DataFrame) -> DataFrame:
 
 def _pack_offsets(sized: DataFrame) -> DataFrame:
     """Two-level packing, level 2: global pack numbering.  With contiguous
-    fill, a shard's pack count needs no window: its last pack id is
+    fill, a shard's local id space needs no window: its last pack id is
     (total_tokens - last_doc_tokens) // budget, so
 
         n_packs = (sum(n_tokens) - max_by(n_tokens, doc_id)) // budget + 1
 
-    — a plain aggregate with map-side partials, so this branch shuffles
+    n_packs is the size of the shard's local ID SPACE (max id + 1), not
+    its count of non-empty packs — an over-budget doc leaves empty ids
+    behind it (see _pack_local).  Offsets built from id-space sizes keep
+    every shard's global range disjoint, so global ids never collide;
+    they are additionally dense whenever every doc fits the budget.
+
+    This is a plain aggregate with map-side partials, so this branch shuffles
     only |lang| x PACK_SHARDS tiny partial rows per input partition, never
     the corpus (the level-1 window is NOT recomputed here).  A prefix sum
     over shards within each lang then yields each shard's starting offset;

@@ -5,7 +5,11 @@
 * a pack exceeds the budget only by (part of) its final document — i.e.
   tokens_in_pack minus the pack's last doc is strictly under budget
   whenever the pack holds more than one doc;
-* global pack ids are dense from 0 within each language;
+* global pack ids never collide: each (lang, pack_id) holds docs from
+  exactly one shard, and within a shard ids are monotone in doc_id;
+* when every doc fits the budget, global pack ids are additionally
+  dense from 0 within each language (over-budget docs legitimately
+  skip ids — see _pack_local's id contract);
 * the assignment is a pure function of the data: repartitioning the
   input arbitrarily yields the identical (doc_id -> lang, pack_id) map.
 """
@@ -43,26 +47,13 @@ def _assign(spark, rows, n_parts):
             F.broadcast(_pack_offsets(sized)), ["lang", "shard"]
         )
         .withColumn("pack_id", F.col("pack_off") + F.col("local_pack"))
-        .select("doc_id", "lang", "n_tokens", "pack_id")
+        .select("doc_id", "lang", "n_tokens", "shard", "pack_id")
     )
     return out.collect()
 
 
-@settings(max_examples=5, deadline=None)
-@given(
-    st.lists(
-        st.tuples(
-            st.sampled_from(["en", "fr"]),
-            st.integers(min_value=1, max_value=PACK_BUDGET + 40),
-        ),
-        min_size=1,
-        max_size=60,
-    )
-)
-def test_two_level_pack_invariants(spark, docs):  # noqa: F811
-    rows = [(i, lang, n) for i, (lang, n) in enumerate(docs)]
-    out = _assign(spark, rows, n_parts=3)
-
+def _check_common(rows, out):
+    """Invariants that hold in BOTH regimes (docs may exceed budget)."""
     # conservation: every input doc assigned exactly once
     assert sorted(r.doc_id for r in out) == [r[0] for r in rows]
 
@@ -71,17 +62,95 @@ def test_two_level_pack_invariants(spark, docs):  # noqa: F811
         packs.setdefault((r.lang, r.pack_id), []).append(r)
 
     for (_lang, _pid), members in packs.items():
+        # collision-freedom: a global pack never mixes shards
+        assert len({r.shard for r in members}) == 1
         members.sort(key=lambda r: r.doc_id)
         total = sum(r.n_tokens for r in members)
         # before its last doc was added, the pack was strictly under budget
         if len(members) > 1:
             assert total - members[-1].n_tokens < PACK_BUDGET
 
-    # dense global ids from 0 per language
+    # monotonicity: within (lang, shard), pack_id non-decreasing in doc_id
+    by_shard: dict[tuple, list] = {}
+    for r in out:
+        by_shard.setdefault((r.lang, r.shard), []).append(r)
+    for members in by_shard.values():
+        members.sort(key=lambda r: r.doc_id)
+        ids = [r.pack_id for r in members]
+        assert ids == sorted(ids)
+
+
+def _check_determinism(spark, rows, out):
+    # partition-layout independence: same assignment under 1 partition
+    again = {r.doc_id: (r.lang, r.pack_id) for r in _assign(spark, rows, 1)}
+    assert {r.doc_id: (r.lang, r.pack_id) for r in out} == again
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "fr"]),
+            st.integers(min_value=1, max_value=PACK_BUDGET),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_pack_invariants_docs_within_budget(spark, docs):  # noqa: F811
+    """All docs fit the budget -> ids are dense from 0 per language."""
+    rows = [(i, lang, n) for i, (lang, n) in enumerate(docs)]
+    out = _assign(spark, rows, n_parts=3)
+    _check_common(rows, out)
+
     for lang in {r.lang for r in out}:
         ids = sorted({r.pack_id for r in out if r.lang == lang})
         assert ids == list(range(len(ids)))
 
-    # partition-layout independence: same assignment under 1 partition
-    again = {r.doc_id: (r.lang, r.pack_id) for r in _assign(spark, rows, 1)}
-    assert {r.doc_id: (r.lang, r.pack_id) for r in out} == again
+    _check_determinism(spark, rows, out)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "fr"]),
+            # include docs spanning several budget boundaries
+            st.integers(min_value=1, max_value=3 * PACK_BUDGET + 40),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_pack_invariants_oversized_docs(spark, docs):  # noqa: F811
+    """Docs may exceed the budget -> ids may skip, but never collide."""
+    rows = [(i, lang, n) for i, (lang, n) in enumerate(docs)]
+    out = _assign(spark, rows, n_parts=3)
+    _check_common(rows, out)
+    _check_determinism(spark, rows, out)
+
+
+def test_pack_id_skip_is_real_and_collision_free(spark):
+    """Pin the documented example: tokens 250/296/10 in one shard at
+    budget 256 -> local packs {0, 0, 2}; id 1 is legitimately empty."""
+    # all three doc_ids must hash to the same (lang, shard); find three
+    # small ids sharing a shard nibble
+    from hashlib import md5
+
+    def shard(i):
+        return "0123456789abcdef".index(md5(str(i).encode()).hexdigest()[0])
+
+    ids = []
+    target = None
+    i = 0
+    while len(ids) < 3:
+        s = shard(i)
+        if target is None:
+            target, ids = s, [i]
+        elif s == target:
+            ids.append(i)
+        i += 1
+
+    rows = list(zip(ids, ["en"] * 3, [250, 296, 10]))
+    out = sorted(_assign(spark, rows, n_parts=2), key=lambda r: r.doc_id)
+    assert [r.pack_id for r in out] == [0, 0, 2]
