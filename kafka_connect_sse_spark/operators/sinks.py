@@ -226,7 +226,7 @@ def snk_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _spark_avro_available() -> bool:
     """spark-avro (org.apache.spark:spark-avro) ships outside the pyspark
-    wheel; register snk_avro only when its jar is actually deployable."""
+    wheel; the jar-backed DataSource path is used when it is deployable."""
     try:
         import pyspark
 
@@ -236,24 +236,119 @@ def _spark_avro_available() -> bool:
         return False
 
 
-if _spark_avro_available():  # pragma: no cover - environment-dependent
+_AVRO_ORACLE = """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CAST(MAX(o_orderdate) AS DATE) AS last_date
+    FROM orders
+    GROUP BY o_orderstatus
+    """
 
-    @register("snk_avro", oracle=_ORC_ORACLE)
-    def snk_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Avro sink + re-read (reference Tier 2 #17 AvroConverter,
-        wikipedia-ccloud-config.json:13,16): write orders as Avro
-        container files, read back, prove aggregate parity."""
-        out = os.path.join(tempfile.gettempdir(), "kcss_snk_avro")
-        shutil.rmtree(out, ignore_errors=True)
-        o = load_table(spark, sf_dir, "orders")
+
+@register("snk_avro", oracle=_AVRO_ORACLE)
+def snk_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro sink + re-read (reference Tier 2 #17 AvroConverter,
+    wikipedia-ccloud-config.json:13,16): land orders as standard Avro
+    object container files, read them back, prove aggregate parity
+    (counts, DECIMAL-stable money sum, and a date round-trip through
+    Avro's logical `date` type).
+
+    Two physical paths, same files, same answer:
+    * spark-avro DataSource when its jar is on the classpath;
+    * otherwise the pure-Python OCF codec (formats/avro_ocf.py — the
+      public Avro 1.11 spec, null codec, nullable-union records), run
+      INSIDE executor tasks: mapInPandas writes one container file per
+      partition (exactly a FileFormat sink's task layout), and the read
+      side is binaryFile scan -> mapInPandas decode, so both directions
+      stay distributed and Arrow-batched.  At 100 TB the per-partition
+      file layout is the scalable shape; only the codec differs from
+      the jar path, not the plan."""
+    out = os.path.join(tempfile.gettempdir(), "kcss_snk_avro")
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.to_date("o_orderdate").alias("o_orderdate"),
+    )
+
+    if _spark_avro_available():  # pragma: no cover - environment-dependent
         o.write.mode("overwrite").format("avro").save(out)
         back = spark.read.format("avro").load(out)
-        return back.groupBy("o_orderstatus").agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("total"),
+    else:
+        from ..formats.avro_ocf import read_ocf, record_schema, write_ocf
+
+        schema = record_schema(
+            "orders",
+            [
+                ("o_orderkey", "long"),
+                ("o_orderstatus", "string"),
+                ("o_totalprice", "double"),
+                ("o_orderdate", "date"),
+            ],
         )
+        os.makedirs(out, exist_ok=True)
+
+        def _write_part(pdfs):
+            import pandas as pd
+            from pyspark import TaskContext
+
+            rows = []
+            for pdf in pdfs:
+                dates = pd.to_datetime(pdf["o_orderdate"]).dt.date
+                rows.extend(
+                    zip(
+                        pdf["o_orderkey"],
+                        pdf["o_orderstatus"],
+                        pdf["o_totalprice"],
+                        dates,
+                    )
+                )
+            pid = TaskContext.get().partitionId()
+            path = os.path.join(out, f"part-{pid:05d}.avro")
+            with open(path, "wb") as fh:
+                fh.write(write_ocf(rows, schema))
+            yield pd.DataFrame({"path": [path], "n": [len(rows)]})
+
+        # sink commit: the 8-row manifest is the action that runs the write
+        o.repartition(8).mapInPandas(
+            _write_part, "path string, n long"
+        ).collect()
+
+        def _read_part(pdfs):
+            import pandas as pd
+
+            for pdf in pdfs:
+                for blob in pdf["content"]:
+                    _, rows = read_ocf(bytes(blob))
+                    yield pd.DataFrame(
+                        rows,
+                        columns=[
+                            "o_orderkey",
+                            "o_orderstatus",
+                            "o_totalprice",
+                            "o_orderdate",
+                        ],
+                    )
+
+        back = (
+            spark.read.format("binaryFile")
+            .load(os.path.join(out, "*.avro"))
+            .select("content")
+            .mapInPandas(
+                _read_part,
+                "o_orderkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate date",
+            )
+        )
+
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+        F.max("o_orderdate").alias("last_date"),
+    )
 
 
 @register(

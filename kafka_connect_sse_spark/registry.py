@@ -131,6 +131,8 @@ _PRIORITY = (
     "q_fn_datetime2",
     "q_set_intersect_all",
     # -- positions 32+: round-4 additions append here --
+    # formerly conditional-absent; now real via the pure-Python OCF codec
+    "snk_avro",
 )
 
 
