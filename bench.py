@@ -40,6 +40,15 @@ HEADLINE = [
     "u_pandas_udf",           # Arrow-vectorized UDF
 ]
 
+# round-4 additions: timed and recorded in "queries" like the headline
+# set, but kept OUT of the headline total ("value") so the total stays
+# apples-to-apples with BASELINE.md's round-1 protocol; their sum is
+# reported separately as "extra_total_sec" (BASELINE.md §Round-4).
+EXTRA = [
+    "x_seq_pack",             # two-level sequence packing (window + bcast)
+    "x_corpus_prep",          # composite quality->dedup->balance->pack
+]
+
 RUNS = 3
 # two warm-up runs per query: one is not enough for the heaviest operators
 # (x_dedup_near_minhash spans dozens of codegen stages + an eager
@@ -136,8 +145,7 @@ def main() -> None:
     except ValueError:
         pass
 
-    results: dict[str, float] = {}
-    for name in HEADLINE:
+    def run_query(name: str) -> float:
         fn = qs[name]
         times = []
         for i in range(RUNS + WARMUPS):  # leading runs are warm-up
@@ -149,14 +157,26 @@ def main() -> None:
             dt = time.perf_counter() - t0
             if i >= WARMUPS:
                 times.append(dt)
-        results[name] = round(statistics.median(times), 3)
-        print(f"# {name}: {results[name]}s (n={n})", file=sys.stderr)
+        med = round(statistics.median(times), 3)
+        print(f"# {name}: {med}s (n={n})", file=sys.stderr)
+        return med
+
+    results: dict[str, float] = {}
+    for name in HEADLINE:
+        results[name] = run_query(name)
 
     # same protocol as the batch queries: one warm-up run (tiny event
     # count — first streaming query pays one-time class-loading and
-    # Python-data-source bridge startup), then the timed run
+    # Python-data-source bridge startup), then median of RUNS timed runs
+    # (a single timed run showed 2x swings round-to-round: 3.1 s vs 6.1 s
+    # probes with identical code)
     sse_ingest_bench(spark, n_events=2_000, name="bench_sse_warmup")
-    ingest_sec = round(sse_ingest_bench(spark), 3)
+    ingest_sec = round(
+        statistics.median(
+            sse_ingest_bench(spark, name=f"bench_sse_{i}") for i in range(RUNS)
+        ),
+        3,
+    )
     results["sse_ingest_50k_events"] = ingest_sec
     print(
         f"# sse_ingest: {N_INGEST_EVENTS} events in {ingest_sec}s "
@@ -165,13 +185,19 @@ def main() -> None:
     )
 
     total = round(sum(results.values()), 3)
+
+    extra: dict[str, float] = {}
+    for name in EXTRA:
+        extra[name] = run_query(name)
+
     print(
         json.dumps(
             {
                 "metric": "total_median_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": results,
+                "queries": {**results, **extra},
+                "extra_total_sec": round(sum(extra.values()), 3),
                 "sf": sf,
             }
         )
