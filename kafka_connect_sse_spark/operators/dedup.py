@@ -237,12 +237,16 @@ def x_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth, so the hash check verifies precision (every emitted pair really
     is >= 0.5) AND recall (the banded LSH missed nothing above threshold).
     Recall contract, honestly stated: with 32 permutations in 8 bands of 4
-    rows, the GENERAL per-pair candidate probability at J=0.5 is only
-    ~1-(1-0.5^4)^8 ~ 40%; the gate passes because the seeded hash family is
-    deterministic and the fixture near-dups sit at J >= 0.95 (where the
-    probability is ~1).  If a fixture ever adds borderline pairs around
-    J in [0.5, 0.9), LSH can legitimately miss them — widen bands (more,
-    shorter) or lower the verify threshold before trusting the gate.  The
+    rows, the per-pair candidate probability is 1-(1-J^4)^8 — at J=0.5
+    that is only ~40%, at J=0.89 it is ~99.96%.  The gate passes because
+    the seeded hash family is deterministic and every fixture ground-truth
+    pair sits at J >= 0.88 (measured: worst pairs 0.889/0.9 at
+    sf0.001/sf0.01), where the analytic miss probability is < 1e-3 per
+    pair.  tests/test_minhash_recall.py guards this: it re-measures the
+    fixture's Jaccard distribution and fails with remediation guidance if
+    a regeneration ever introduces pairs whose analytic miss probability
+    exceeds 1% (J below ~0.80) — widen bands (more, shorter) or lower the
+    verify threshold before trusting the gate on such a fixture.  The
     oracle's all-pairs join is the CHECK only; the operator itself stays
     O(n * bands), which is the 100 TB path.  Jaccard is emitted as the raw
     double ratio (identical int/int division in both engines) — rounding
