@@ -1,10 +1,14 @@
-"""Keep the two dependency-gated operators visible: `snk_avro` (needs the
-spark-avro jar, which ships outside the pyspark wheel) and
-`s_transform_with_state` (transformWithStateInPandas needs the python
-protobuf runtime).  Each test SKIPS, naming the missing dependency, in a
-container without it — and the day the environment gains the dependency
-it flips to a real registration + execution check, so the ops auto-join
-the gate instead of silently rotting.
+"""Dependency-gated surface visibility.
+
+`snk_avro` became UNCONDITIONAL in round 4: when the spark-avro jar is
+absent it runs on the pure-Python OCF codec (formats/avro_ocf.py), so
+its test asserts registration always and pins which physical path is in
+use.  `s_transform_with_state` (transformWithStateInPandas needs the
+python protobuf runtime) remains gated: its test SKIPS, naming the
+missing dependency, in a container without it — and the day the
+environment gains the dependency it flips to a real registration +
+execution check, so the op auto-joins the gate instead of silently
+rotting.
 """
 
 from __future__ import annotations
@@ -18,15 +22,29 @@ from kafka_connect_sse_spark.streaming.queries import _twis_available
 SF = "/root/testdata/sf0.001"
 
 
-def test_snk_avro_registers_when_spark_avro_present():
-    if not _spark_avro_available():
-        assert "snk_avro" not in queries()
-        pytest.skip("spark-avro jar absent from this container")
+def test_snk_avro_always_registered_and_runs():
     q = queries()
-    assert "snk_avro" in q
+    assert "snk_avro" in q  # unconditional since round 4 (OCF fallback)
     from kafka_connect_sse_spark.session import get_spark
 
-    assert q["snk_avro"](get_spark(shuffle_partitions=8), SF).count() > 0
+    out = q["snk_avro"](get_spark(shuffle_partitions=8), SF)
+    assert out.count() > 0
+    if not _spark_avro_available():
+        # fallback path active: files on disk are our own OCF output and
+        # must parse with the spec-shaped reader
+        import glob
+        import os
+        import tempfile
+
+        from kafka_connect_sse_spark.formats.avro_ocf import read_ocf
+
+        files = glob.glob(
+            os.path.join(tempfile.gettempdir(), "kcss_snk_avro", "*.avro")
+        )
+        assert files
+        with open(files[0], "rb") as fh:
+            schema, _ = read_ocf(fh.read())
+        assert schema["name"] == "orders"
 
 
 def test_transform_with_state_registers_when_protobuf_present():

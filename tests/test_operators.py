@@ -84,17 +84,21 @@ def test_salting_helpers_round_trip(spark):
     assert joined.count() == plain.count()
 
 
-def test_round3_driver_window_composition(qs):
-    """The driver checks the FIRST 50 registry entries.  Pin the round-3
-    window: exactly the 50 ops with no driver record from rounds 1-2 —
-    a silent reordering here would burn the round's correctness evidence
-    (the deferred/queued ops are positions 51+ by design)."""
+def test_round4_driver_window_composition(qs):
+    """The driver checks the FIRST 50 registry entries.  Pin the round-4
+    window: the 31 operators without a current driver record (3 stale-
+    contract aggregates + 23 round-3 additions + 5 deferred twins) lead,
+    followed by round-4 additions — a silent reordering here would burn
+    the round's correctness evidence."""
     from kafka_connect_sse_spark.registry import _PRIORITY
 
-    window = list(qs)[:50]
-    assert window == list(_PRIORITY[:50])
+    window = list(qs)[: len(_PRIORITY)]
+    assert window == list(_PRIORITY)
+    assert len(_PRIORITY) <= 50, "priority entries must all fit the window"
+    # the three stale-contract aggregates must re-attest first
+    assert window[:3] == ["q_agg_global", "q_agg_groupby", "q_agg_filtered"]
     # every window op must carry an oracle (EXACT gate, not rows-only)
     from kafka_connect_sse_spark.registry import oracle_sql
 
     osql = oracle_sql()
-    assert all(name in osql for name in window)
+    assert all(name in osql for name in list(qs)[:50])
