@@ -13,6 +13,10 @@ Spark-first re-expression of the reference connector's Java tier:
   null coalescing (…SourceTask.java:111-114)      event→'unknown', data→''
   basic auth / headers / gzip (255-283)           options sse.user/password/
                                                     sse.header.*/compression
+  OAuth/TLS/proxy (IMPROVEMENT_PLAN.md:60-63,     sse.auth.bearer.token /
+    declared Phase-3, unimplemented there)          sse.tls.ca.cert.path /
+                                                    sse.tls.insecure.skip.verify /
+                                                    sse.proxy.url (_build_opener)
   rate limiter (218-239)                          min-interval connect gate
   retry + expo backoff + 429 (587-676)            _backoff_delay + loop
   health/idle watchdog (431-452,552-581)          staleness check in read()
@@ -100,10 +104,15 @@ class SSEClient:
         idle_timeout_s: float = 60.0,
         connect_timeout_s: float = 10.0,
         resume_last_event_id: bool = True,
+        bearer_token: str | None = None,
+        proxy_url: str | None = None,
+        tls_ca_path: str | None = None,
+        tls_insecure: bool = False,
     ):
         self.uri = uri
         self.user = user
         self.password = password
+        self.bearer_token = bearer_token
         self.headers = dict(headers or {})
         self.compression = compression
         self.event_names = event_names
@@ -115,6 +124,10 @@ class SSEClient:
         self.idle_timeout_s = idle_timeout_s
         self.connect_timeout_s = connect_timeout_s
         self.resume_last_event_id = resume_last_event_id
+        self.proxy_url = proxy_url
+        self.tls_ca_path = tls_ca_path
+        self.tls_insecure = tls_insecure
+        self._opener = self._build_opener()
 
         self._buf: deque = deque()
         self._lock = threading.Lock()
@@ -145,6 +158,34 @@ class SSEClient:
             self._thread.join(timeout=5)
 
     # -- ingestion thread --------------------------------------------------
+    def _build_opener(self) -> urllib.request.OpenerDirector:
+        """Connection stack for the reference's Phase-3 security items
+        (IMPROVEMENT_PLAN.md:60-63 — OAuth, advanced TLS, proxy):
+
+        * proxy_url routes every connect through an HTTP(S) proxy
+          (userinfo in the URL supplies proxy credentials);
+        * tls_ca_path pins a private CA bundle for https endpoints;
+        * tls_insecure disables verification (explicit opt-in only —
+          never the default).
+        """
+        import ssl
+
+        handlers: list[urllib.request.BaseHandler] = []
+        if self.proxy_url:
+            handlers.append(
+                urllib.request.ProxyHandler(
+                    {"http": self.proxy_url, "https": self.proxy_url}
+                )
+            )
+        if self.tls_insecure:
+            ctx = ssl._create_unverified_context()
+        elif self.tls_ca_path:
+            ctx = ssl.create_default_context(cafile=self.tls_ca_path)
+        else:
+            ctx = ssl.create_default_context()
+        handlers.append(urllib.request.HTTPSHandler(context=ctx))
+        return urllib.request.build_opener(*handlers)
+
     def _build_request(self, last_event_id: str | None = None) -> urllib.request.Request:
         hdrs = {
             "Accept": "text/event-stream",
@@ -153,7 +194,12 @@ class SSEClient:
         }
         if self.compression:
             hdrs["Accept-Encoding"] = "gzip"
-        if self.user is not None:
+        if self.bearer_token is not None:
+            # OAuth bearer (IMPROVEMENT_PLAN.md:61 "Add OAuth support" —
+            # static token; refresh flows belong outside the connector,
+            # exactly as Kafka Connect externalizes secret rotation)
+            hdrs["Authorization"] = f"Bearer {self.bearer_token}"
+        elif self.user is not None:
             token = base64.b64encode(
                 f"{self.user}:{self.password or ''}".encode()
             ).decode()
@@ -196,7 +242,7 @@ class SSEClient:
             rate_limited = False
             try:
                 req = self._build_request(last_event_id)
-                with urllib.request.urlopen(req, timeout=self.connect_timeout_s) as resp:
+                with self._opener.open(req, timeout=self.connect_timeout_s) as resp:
                     self.metrics["connection.successful"] += 1
                     attempt = 0  # healthy connection resets the schedule
                     # successful reconnect clears any stale failure — the
@@ -304,6 +350,13 @@ def _parse_options(options) -> dict:
         "idle_timeout_s": float(get("sse.idle.timeout.s", "60")),
         "resume_last_event_id": str(
             get("sse.resume.last.event.id", "true")
+        ).lower() == "true",
+        # Phase-3 security options (IMPROVEMENT_PLAN.md:60-63)
+        "bearer_token": get("sse.auth.bearer.token"),
+        "proxy_url": get("sse.proxy.url"),
+        "tls_ca_path": get("sse.tls.ca.cert.path"),
+        "tls_insecure": str(
+            get("sse.tls.insecure.skip.verify", "false")
         ).lower() == "true",
     }
     # accepted-but-inert in the reference (stored, never read:
