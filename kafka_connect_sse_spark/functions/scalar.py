@@ -685,3 +685,58 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(v.isNotNull())
         .alias("is_valid"),
     )
+
+
+@register(
+    "q_fn_xml",
+    oracle="""
+    SELECT event_id,
+           '<ev id="' || event_id || '" type="' || event_type ||
+           '"><user>' || user_id || '</user><value>' ||
+           printf('%.3f', value) || '</value></ev>' AS xml_doc,
+           event_id AS x_id,
+           event_type AS x_type,
+           user_id AS x_user,
+           CAST(printf('%.3f', value) AS DOUBLE) AS x_value
+    FROM events
+    WHERE event_id % 25 = 0
+    """,
+)
+def q_fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML content-type tier (reference IMPROVEMENT_PLAN.md:65-68
+    "Support for different content types (JSON, XML, etc.)" — declared,
+    unimplemented there): build an XML envelope per event, then parse it
+    back with Spark 4's native `from_xml` and extract typed fields —
+    attributes (default `_` prefix) and child elements both.  JVM-side
+    expression, codegen'd like the JSON tier; at 100 TB the parse happens
+    once per row in the scan projection, no Python.  DuckDB has no XML
+    reader, so the oracle rebuilds the document textually and derives the
+    extracted fields from the base columns — EXACT because the round trip
+    is lossless by construction.  The float element goes through %.3f on
+    BOTH sides (Java format_string vs C printf agree on the fixture;
+    exact-tie grids could diverge between the two runtimes — the grain is
+    chosen so fixture values sit off-tie, same policy as FIXTURES.md §6's
+    rounding rules)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 25 == 0)
+    xml = F.concat(
+        F.lit('<ev id="'),
+        F.col("event_id"),
+        F.lit('" type="'),
+        F.col("event_type"),
+        F.lit('"><user>'),
+        F.col("user_id"),
+        F.lit("</user><value>"),
+        F.format_string("%.3f", F.col("value")),
+        F.lit("</value></ev>"),
+    )
+    parsed = F.from_xml(
+        xml, "struct<_id bigint, _type string, user bigint, value double>"
+    )
+    return e.select(
+        "event_id",
+        xml.alias("xml_doc"),
+        parsed["_id"].alias("x_id"),
+        parsed["_type"].alias("x_type"),
+        parsed["user"].alias("x_user"),
+        parsed["value"].alias("x_value"),
+    )

@@ -133,6 +133,8 @@ _PRIORITY = (
     # -- positions 32+: round-4 additions append here --
     # formerly conditional-absent; now real via the pure-Python OCF codec
     "snk_avro",
+    # XML content-type tier (Spark 4 from_xml), new in round 4
+    "q_fn_xml",
 )
 
 
