@@ -108,6 +108,9 @@ class SSEClient:
         proxy_url: str | None = None,
         tls_ca_path: str | None = None,
         tls_insecure: bool = False,
+        cb_threshold: int = 0,
+        cb_cooldown_s: float = 30.0,
+        alert_fn=None,
     ):
         self.uri = uri
         self.user = user
@@ -127,6 +130,10 @@ class SSEClient:
         self.proxy_url = proxy_url
         self.tls_ca_path = tls_ca_path
         self.tls_insecure = tls_insecure
+        self.cb_threshold = cb_threshold
+        self.cb_cooldown_s = cb_cooldown_s
+        self.alert_fn = alert_fn
+        self._cb_state = "closed"
         self._opener = self._build_opener()
 
         self._buf: deque = deque()
@@ -136,7 +143,8 @@ class SSEClient:
         self._thread: threading.Thread | None = None
         self._last_event_time = time.monotonic()
         self._last_connect_time = 0.0
-        # metrics mirror ServerSentEventClient.getMetrics (764-803)
+        # metrics mirror ServerSentEventClient.getMetrics (764-803);
+        # circuit.opens extends them for the Step-11 breaker
         self.metrics = {
             "events.total": 0,
             "events.bytes": 0,
@@ -145,6 +153,7 @@ class SSEClient:
             "connection.successful": 0,
             "connection.failed": 0,
             "connection.reconnections": 0,
+            "circuit.opens": 0,
         }
 
     # -- lifecycle ---------------------------------------------------------
@@ -224,6 +233,35 @@ class SSEClient:
         if elapsed < min_interval:
             time.sleep(min_interval - elapsed)
 
+    def circuit_state(self) -> str:
+        """closed | open | half-open (reference IMPROVEMENT_PLAN.md:70-73
+        Step 11 — declared, unimplemented there)."""
+        return self._cb_state
+
+    def _alert(self, transition: str, failures: int = 0) -> None:
+        """Step-11 "alerting capability": invoke the caller-supplied hook
+        (alert_fn) on breaker transitions; default to a log warning so
+        unattended deployments still leave a trace."""
+        info = {
+            "uri": self.uri,
+            "state": self._cb_state,
+            "consecutive_failures": failures,
+            "error": str(self._error) if self._error else None,
+            "metrics": dict(self.metrics),
+        }
+        if self.alert_fn is not None:
+            try:
+                self.alert_fn(transition, info)
+            except Exception:  # noqa: BLE001 — alerting must never kill ingest
+                pass
+        else:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "SSE circuit breaker %s (uri=%s, error=%s)",
+                transition, self.uri, info["error"],
+            )
+
     def _run(self) -> None:
         from .sse_wire import SSEParser, iter_sse_lines
 
@@ -245,6 +283,10 @@ class SSEClient:
                 with self._opener.open(req, timeout=self.connect_timeout_s) as resp:
                     self.metrics["connection.successful"] += 1
                     attempt = 0  # healthy connection resets the schedule
+                    if self._cb_state != "closed":
+                        # half-open probe succeeded: close the breaker
+                        self._cb_state = "closed"
+                        self._alert("closed")
                     # successful reconnect clears any stale failure — the
                     # reference nulls error on reconnect success
                     # (ServerSentEventClient.java:611); without this a past
@@ -277,6 +319,22 @@ class SSEClient:
             if self._stop.is_set():
                 return
             self.metrics["connection.reconnections"] += 1
+            # Step-11 circuit breaker: `attempt` IS the consecutive-failure
+            # count (successful connects reset it above).  At threshold the
+            # breaker OPENS: no connection attempts for cb_cooldown_s, then
+            # ONE half-open probe; probe success closes it (above), probe
+            # failure lands back here and re-opens — failure-threshold
+            # detection + backoff strategy + alerting, the three declared
+            # Step-11 items.
+            if self.cb_threshold and attempt >= self.cb_threshold:
+                self._cb_state = "open"
+                self.metrics["circuit.opens"] += 1
+                self._alert("open", failures=attempt)
+                self._stop.wait(self.cb_cooldown_s)
+                if self._stop.is_set():
+                    return
+                self._cb_state = "half-open"
+                continue  # probe now; cooldown replaced the backoff delay
             delay = backoff_delay_ms(
                 max(attempt, 1),
                 self.retry_initial_ms,
@@ -358,6 +416,9 @@ def _parse_options(options) -> dict:
         "tls_insecure": str(
             get("sse.tls.insecure.skip.verify", "false")
         ).lower() == "true",
+        # Step-11 circuit breaker (IMPROVEMENT_PLAN.md:70-73); 0 = disabled
+        "cb_threshold": int(get("sse.circuit.breaker.threshold", "0")),
+        "cb_cooldown_s": float(get("sse.circuit.breaker.cooldown.s", "30")),
     }
     # accepted-but-inert in the reference (stored, never read:
     # ServerSentEventClient.java:73,156) — validate and warn, per §2.5
