@@ -3,8 +3,8 @@ DuckDB oracle (where expressible) for the driver's correctness gate.
 
 Every operator from SURVEY.md §2.4 lands here via the @register decorator:
 
-    @register("q_agg_groupby", oracle="SELECT ...")
-    def q_agg_groupby(spark, sf_dir): ...
+    @register("<op_id>", oracle="SELECT ...")
+    def <op_id>(spark, sf_dir): ...
 
 Conventions that keep the cross-engine value-hash stable (FIXTURES.md §6):
   * every computed column is aliased identically in Spark and oracle SQL;
