@@ -664,3 +664,197 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nearest_signup_ts"
         ),
     )
+
+
+# Bloom-filter pruning: m = 2^20 bits packed into 2^14 longs; 4 hash
+# functions derived from xxhash64 under distinct seed prefixes.  At the
+# default fill (<~3k keys) the false-positive rate is < 1e-4.
+BLOOM_BITS = 1 << 20
+BLOOM_WORDS = BLOOM_BITS >> 6
+BLOOM_SEEDS = (0x9E37, 0x85EB, 0xC2B2, 0x27D4)
+
+
+def _bloom_positions(key: F.Column, seed: int) -> F.Column:
+    return F.pmod(F.xxhash64(F.lit(seed), key), F.lit(BLOOM_BITS))
+
+
+@register(
+    "q_join_bloom_prune",
+    oracle="""
+    SELECT COUNT(*) AS n_li,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+        AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-06-30')
+    """,
+)
+def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter pruning of a fact scan by a filtered dimension
+    — the hand-built form of Spark's AQE runtime filter / DPP.  The
+    filtered dim's keys are folded into a 1 Mi-bit bloom filter ENTIRELY
+    JVM-side (xxhash64 positions -> shiftleft -> bit_or per 64-bit word),
+    collected as one 128 KB long-array — a sketch, so the driver collect
+    is O(filter), never O(data) — and pushed into the fact scan as a
+    literal predicate: 4 getbit probes per row, all inside
+    WholeStageCodegen, no Python anywhere.  Rows surviving the bloom then
+    pass an exact broadcast semi-join, so false positives are removed and
+    the operator's semantics stay EXACTLY the IN-subquery the oracle
+    states.  At 100 TB the point is shuffle avoidance: the bloom rejects
+    ~all non-matching fact rows at the scan, so the verify join's input
+    is the match set, not the corpus.  The same shape scales past
+    broadcast range by shipping the words array as a real broadcast
+    variable; AQE's injected bloom (spark.sql.optimizer.runtime.
+    bloomFilter.enabled) is the automated twin."""
+    import numpy as np
+
+    o = load_table(spark, sf_dir, "orders")
+    small = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & F.col("o_orderdate").between("1995-01-01", "1995-06-30")
+    ).select("o_orderkey")
+
+    # build: positions for all (key, seed) pairs -> per-word bit_or
+    pos = small.select(
+        F.explode(
+            F.array(
+                *[_bloom_positions(F.col("o_orderkey"), s) for s in BLOOM_SEEDS]
+            )
+        ).alias("p")
+    )
+    word_rows = (
+        pos.groupBy(F.shiftright("p", 6).alias("w_idx"))
+        .agg(
+            F.bit_or(
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    F.pmod("p", F.lit(64)).cast("int"),
+                )
+            ).alias("w")
+        )
+        .collect()
+    )
+    words = np.zeros(BLOOM_WORDS, dtype=np.int64)
+    for r in word_rows:
+        words[r["w_idx"]] = r["w"]
+    lit_words = F.lit(words)  # ONE Literal node (ArrayType), not 16384 exprs
+
+    def might_contain(key: F.Column) -> F.Column:
+        hit = F.lit(True)
+        for s in BLOOM_SEEDS:
+            p = _bloom_positions(key, s)
+            word = F.element_at(lit_words, F.shiftright(p, 6).cast("int") + 1)
+            bit = F.call_function(
+                "getbit", word, F.pmod(p, F.lit(64)).cast("int")
+            )
+            hit = hit & (bit == 1)
+        return hit
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pruned = li.filter(might_contain(F.col("l_orderkey")))
+    exact = pruned.join(
+        broadcast(small),
+        pruned["l_orderkey"] == small["o_orderkey"],
+        "left_semi",
+    )
+    return exact.agg(
+        F.count("*").alias("n_li"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+@register(
+    "q_transitive_closure",
+    oracle="""
+    WITH RECURSIVE
+    e AS (
+      SELECT n_nationkey AS src,
+             LEAD(n_nationkey) OVER (PARTITION BY n_regionkey
+                                     ORDER BY n_nationkey) AS dst
+      FROM nation),
+    edges AS (SELECT src, dst FROM e WHERE dst IS NOT NULL),
+    paths AS (
+      SELECT src, dst, CAST(1 AS BIGINT) AS dist FROM edges
+      UNION
+      SELECT p.src, g.dst, p.dist + 1
+      FROM paths p JOIN edges g ON p.dst = g.src)
+    SELECT src, dst, dist FROM paths
+    """,
+)
+def q_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE parity: transitive closure (reachability + hop count)
+    of an edge relation, computed as an iterative frontier expansion —
+    Spark has no WITH RECURSIVE, so the loop IS the operator.  Each
+    iteration is one distributed self-join frontier⋈edges, an anti-join
+    against known pairs, and a localCheckpoint that truncates lineage (the
+    thing that otherwise makes iteration N recompute iterations 1..N-1
+    and kills iterative Spark jobs).  Termination is the fixpoint (empty
+    frontier), never a guessed iteration cap.  The demo graph is tiny
+    (the per-region nation chain) but every step is a distributed
+    dataframe op — the identical loop runs on a billion-edge relation,
+    where the anti-join is the scale guard keeping the frontier from
+    re-walking known paths.  Same iterate-checkpoint skeleton as
+    x_dedup_clusters' label propagation (dedup.py)."""
+    # localCheckpoint preserves the origin plan's constraints on the
+    # LogicalRDD; unioning a checkpointed frame with a frame derived from
+    # it makes Catalyst's Union.rewriteConstraints look up attributes the
+    # projection already eliminated (NoSuchElementException: key not
+    # found).  Constraint propagation buys nothing on this loop (no
+    # filters to infer), so switch it off for the duration.
+    cp_key = "spark.sql.constraintPropagation.enabled"
+    cp_prev = spark.conf.get(cp_key, "true")
+    spark.conf.set(cp_key, "false")
+    try:
+        return _closure_loop(spark, sf_dir)
+    finally:
+        spark.conf.set(cp_key, cp_prev)
+
+
+def _closure_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    edges = (
+        n.select(
+            F.col("n_nationkey").alias("src"),
+            F.lead("n_nationkey").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    paths = edges.withColumn("dist", F.lit(1).cast("long")).localCheckpoint(
+        eager=True
+    )
+    frontier = paths
+    while True:
+        grown = (
+            frontier.alias("p")
+            .join(edges.alias("g"), F.col("p.dst") == F.col("g.src"))
+            .select(
+                F.col("p.src").alias("src"),
+                F.col("g.dst").alias("dst"),
+                (F.col("p.dist") + 1).alias("dist"),
+            )
+        )
+        # toDF after each checkpoint mints fresh attribute ids; without it
+        # the self-referencing union trips Catalyst's constraint rewrite
+        # (NoSuchElementException on a stale attribute).
+        fresh = (
+            grown.join(paths, ["src", "dst"], "left_anti")
+            .localCheckpoint(eager=True)
+            .toDF("src", "dst", "dist")
+        )
+        if fresh.isEmpty():
+            break
+        paths = (
+            paths.unionByName(fresh)
+            .localCheckpoint(eager=True)
+            .toDF("src", "dst", "dist")
+        )
+        frontier = fresh
+    return paths

@@ -643,3 +643,133 @@ def x_seq_tensorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("seq_md5"),
         n_pad.cast("long").alias("n_pad"),
     )
+
+
+RESERVOIR_K = 200  # uniform-sample size drawn by x_sample_reservoir
+
+
+@register(
+    "x_sample_reservoir",
+    oracle=f"""
+    SELECT event_id, event_type, md5(CAST(event_id AS VARCHAR)) AS h
+    FROM events
+    ORDER BY h, event_id
+    LIMIT {RESERVOIR_K}
+    """,
+)
+def x_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed reservoir-equivalent uniform sample: take the K rows
+    with the smallest content-independent hash of the stable key.  This
+    is the bottom-k sketch formulation of reservoir sampling — identical
+    output for any partitioning, executor count, or arrival order, which
+    a restartable 100 TB pipeline needs (a true streaming reservoir is
+    order-dependent and irreproducible).  Spark executes orderBy+limit as
+    TakeOrderedAndProject: each task keeps a K-row heap and the driver
+    merges 32 heaps — no global sort, no full shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    h = F.md5(F.col("event_id").cast("string"))
+    return (
+        e.select("event_id", "event_type", h.alias("h"))
+        .orderBy("h", "event_id")
+        .limit(RESERVOIR_K)
+    )
+
+
+# training-mixture weights per language and total sample size.  Quotas are
+# FIXED counts (weight * K) so the mixture is exact by construction; a
+# source whose corpus is smaller than its quota contributes everything it
+# has (both engines truncate identically).
+MIX_K = 100
+MIX_WEIGHTS = (("en", 0.50), ("de", 0.20), ("fr", 0.15), ("es", 0.10), ("zh", 0.05))
+
+
+@register(
+    "x_interleave_sources",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                 AS r
+      FROM documents),
+    picked AS (
+      SELECT * FROM ranked
+      WHERE r <= CASE lang
+          {' '.join(f"WHEN '{lang}' THEN {int(w * MIX_K)}" for lang, w in MIX_WEIGHTS)}
+          ELSE 0 END)
+    SELECT doc_id, lang,
+           CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS BIGINT) AS mix_pos
+    FROM picked
+    """,
+)
+def x_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture interleaving: draw a fixed-quota sample per corpus
+    (language stands in for the corpus axis) matching declared mixture
+    weights, then assign a deterministic global training order.  The
+    per-corpus draw is a hash-rank window (one shuffle on lang, state
+    bounded per stratum); the global ordering runs over only the K
+    selected rows, so the single-partition final window touches K rows,
+    never the corpus.  Reweighting a 100 TB corpus re-runs only the
+    rank-filter — the draw is reproducible because the hash depends on
+    doc_id alone, so adding new documents never evicts previously chosen
+    ones ahead of them in hash order (monotone-sample property)."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    quota = F.lit(None).cast("int")
+    expr = None
+    for lang, wt in reversed(MIX_WEIGHTS):
+        n = int(wt * MIX_K)
+        expr = (
+            F.when(F.col("lang") == lang, F.lit(n))
+            if expr is None
+            else F.when(F.col("lang") == lang, F.lit(n)).otherwise(expr)
+        )
+    picked = (
+        d.select("doc_id", "lang", h.alias("h"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= F.coalesce(expr, F.lit(0)))
+    )
+    wg = Window.orderBy("h", "doc_id")
+    return picked.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(wg).cast("long").alias("mix_pos"),
+    )
+
+
+SKEW_TOP = 10  # hot keys reported by x_skew_profile
+
+
+@register(
+    "x_skew_profile",
+    oracle=f"""
+    WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+         t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM events)
+    SELECT user_id, n, ROUND(n / total, 6) AS share
+    FROM c, t
+    ORDER BY n DESC, user_id
+    LIMIT {SKEW_TOP}
+    """,
+)
+def x_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key profiling: per-key frequency with share-of-total for the
+    heaviest keys — the diagnostic that decides WHICH keys q_join_salted_skew
+    salts and how wide.  One partial-agg shuffle on the key (map-side
+    combine means the shuffle carries one row per key per task, not per
+    event), a 1-row total broadcast-joined in, and TakeOrderedAndProject
+    for the top-N — at 100 TB this is the cheapest query that can be run
+    against a new fact table before choosing its join strategy."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    total = e.agg(F.count("*").cast("double").alias("total"))
+    return (
+        counts.crossJoin(broadcast(total))
+        .select(
+            "user_id",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy(F.col("n").desc(), "user_id")
+        .limit(SKEW_TOP)
+    )
