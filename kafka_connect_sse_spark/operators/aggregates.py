@@ -921,3 +921,69 @@ def q_agg_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_overlap")
         ).alias("estimate_within_5pct"),
     )
+
+
+@register(
+    "q_ts_downsample",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, date_trunc('hour', ts) AS b, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS ra,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rd
+      FROM events)
+    SELECT event_type,
+           strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket,
+           MAX(CASE WHEN ra = 1 THEN value END) AS open,
+           MAX(CASE WHEN rd = 1 THEN value END) AS close,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+    FROM t
+    GROUP BY event_type, b
+    """,
+)
+def q_ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC time-series downsampling: resample an event stream to hourly
+    bars per series (open/close by event time with an id tiebreak,
+    high/low/volume as plain aggregates).  open/close come from a window
+    rank rather than min_by/max_by so the pick is deterministic under ts
+    ties across engines and retries.  The window and the groupBy share
+    the same (event_type, hour) key, so Catalyst reuses ONE exchange for
+    both; at 100 TB per-bucket state is a row counter — downsampling is
+    the canonical pre-aggregation that shrinks a raw 100 TB series to a
+    dashboard-size rollup.  open/close/high/low pass raw float64 through
+    untouched (bit-identical in both engines); only the summed volume
+    goes through DECIMAL for order-independence."""
+    e = load_table(spark, sf_dir, "events")
+    b = F.date_trunc("hour", F.col("ts"))
+    wa = Window.partitionBy("event_type", "b").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "b").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    t = e.withColumn("b", b).select(
+        "event_type",
+        "b",
+        "value",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    return t.groupBy("event_type", "b").agg(
+        F.max(F.when(F.col("ra") == 1, F.col("value"))).alias("open"),
+        F.max(F.when(F.col("rd") == 1, F.col("value"))).alias("close"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("volume"),
+    ).select(
+        "event_type",
+        F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "open",
+        "close",
+        "high",
+        "low",
+        "n_events",
+        "volume",
+    )

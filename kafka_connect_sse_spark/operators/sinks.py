@@ -520,3 +520,84 @@ def snk_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_value"),
         F.sum("user_id").alias("uid_sum"),
     )
+
+
+@register(
+    "snk_parquet_sorted",
+    oracle="""
+    SELECT 0 AS overlapping_pairs,
+           COUNT(*) AS n_rows,
+           epoch_us(MIN(ts)) AS min_ts_us,
+           epoch_us(MAX(ts)) AS max_ts_us
+    FROM events
+    """,
+)
+def snk_parquet_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-layout parquet sink: repartitionByRange(ts) +
+    sortWithinPartitions(ts) before the write, so every output file owns
+    a disjoint time range and its footer min/max statistics actually
+    prune — the layout that turns a time-predicate scan over a 100 TB
+    lake from 'read everything' into 'open the two files that overlap
+    the window' (same job file skipping does for Z-ordered tables in one
+    dimension).  Verification reads the written footers back with
+    pyarrow and COUNTS OVERLAPPING FILE PAIRS — the oracle pins that
+    number at exactly 0, plus row count and the global ts range, so a
+    regression in the layout (a shuffle that breaks the range
+    partitioning) fails the EXACT check, not just a perf graph.
+    RangePartitioner samples boundaries but the sampling is seeded per
+    partition, so the layout is deterministic run to run."""
+    import pyarrow.parquet as pq
+
+    out = os.path.join(tempfile.gettempdir(), "kcss_snk_sorted")
+    shutil.rmtree(out, ignore_errors=True)
+    e = load_table(spark, sf_dir, "events")
+    # Spark's default INT96 timestamp encoding carries NO footer min/max
+    # statistics — the whole point of this layout; write TIMESTAMP_MICROS
+    tkey = "spark.sql.parquet.outputTimestampType"
+    tprev = spark.conf.get(tkey, "INT96")
+    spark.conf.set(tkey, "TIMESTAMP_MICROS")
+    try:
+        (
+            e.repartitionByRange(8, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    finally:
+        spark.conf.set(tkey, tprev)
+    ranges = []
+    n_rows = 0
+    for fname in os.listdir(out):
+        if not fname.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out, fname)).metadata
+        if md.num_rows == 0:
+            continue
+        n_rows += md.num_rows
+        ts_idx = next(
+            i
+            for i in range(len(md.schema))
+            if md.schema.column(i).name == "ts"
+        )
+        lo = min(
+            md.row_group(g).column(ts_idx).statistics.min
+            for g in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(g).column(ts_idx).statistics.max
+            for g in range(md.num_row_groups)
+        )
+        ranges.append((lo, hi))
+    overlaps = sum(
+        1
+        for i in range(len(ranges))
+        for j in range(i + 1, len(ranges))
+        if ranges[i][0] <= ranges[j][1] and ranges[j][0] <= ranges[i][1]
+    )
+    us = lambda dt: int(dt.timestamp() * 1_000_000) if hasattr(dt, "timestamp") else int(dt)
+    min_us = min(us(r[0]) for r in ranges)
+    max_us = max(us(r[1]) for r in ranges)
+    return spark.createDataFrame(
+        [(overlaps, n_rows, min_us, max_us)],
+        "overlapping_pairs int, n_rows bigint, min_ts_us bigint, max_ts_us bigint",
+    )

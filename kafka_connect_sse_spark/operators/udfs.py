@@ -134,3 +134,48 @@ def u_sql_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_docs, LATERAL tokenize_udtf(doc_id, text) t
         """
     )
+
+
+def _revenue_batches(it):
+    """Arrow-native batch transform: revenue = extendedprice * (1 - discount)
+    computed by pyarrow.compute on the raw Arrow buffers — no pandas
+    conversion at all (vs u_pandas_udf's Series round-trip)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in it:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("l_orderkey"), batch.column("l_linenumber"), rev],
+            names=["l_orderkey", "l_linenumber", "revenue"],
+        )
+
+
+@register(
+    "u_arrow_map",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem
+    """,
+)
+def u_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the fastest Python extension point — RecordBatches in,
+    RecordBatches out, zero per-row Python and zero pandas materialization
+    (completes the ladder: u_py_udf < u_pandas_udf < u_arrow_map).  The
+    float64 product is IEEE-identical in Spark, pyarrow, and DuckDB, so
+    the oracle is EXACT without rounding.  Partition-preserving map-only
+    pass; at 100 TB the only cost over a codegen'd expression is the
+    Arrow IPC hop, which this shape bounds at one batch in flight per
+    task."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    # declared schema must match the emitted Arrow types EXACTLY
+    # (l_linenumber is int32 in the fixture parquet; no implicit widening)
+    return li.mapInArrow(
+        _revenue_batches, "l_orderkey long, l_linenumber int, revenue double"
+    )

@@ -135,6 +135,16 @@ _PRIORITY = (
     "snk_avro",
     # XML content-type tier (Spark 4 from_xml), new in round 4
     "q_fn_xml",
+    # round-4 additions (positions 34-41): sampling/mixture/skew tier,
+    # runtime pruning, recursive parity, resampling, Arrow map, layout sink
+    "x_sample_reservoir",
+    "x_interleave_sources",
+    "x_skew_profile",
+    "q_join_bloom_prune",
+    "q_transitive_closure",
+    "q_ts_downsample",
+    "u_arrow_map",
+    "snk_parquet_sorted",
 )
 
 

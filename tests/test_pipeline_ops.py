@@ -149,3 +149,100 @@ def test_embed_quantize_error_bound(spark):
         step = r.scale / 127 if r.scale else 0.0
         assert r.max_abs_err <= step + 1e-12, (r.vec_id, r.max_abs_err, step)
         assert abs(r.q_sum) <= 127 * 64 + 64  # floor can undershoot by <1
+
+
+def test_sorted_sink_files_internally_sorted(spark):
+    """snk_parquet_sorted: beyond the oracle's overlap=0 pin, every file
+    must be internally ts-sorted so footer/row-group stats prune within
+    the file too."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from kafka_connect_sse_spark.registry import queries
+
+    row = queries()["snk_parquet_sorted"](spark, SF).collect()[0]
+    assert row["overlapping_pairs"] == 0
+    out = os.path.join(tempfile.gettempdir(), "kcss_snk_sorted")
+    for fname in os.listdir(out):
+        if not fname.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(out, fname), columns=["ts"])
+        ts = t.column("ts").to_pylist()
+        assert ts == sorted(ts), fname
+
+
+def test_reservoir_sample_stable_under_repartition(spark):
+    """The bottom-k hash sample must be identical for any input
+    partitioning (the reproducibility contract x_sample_reservoir
+    claims)."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_sse_spark.io import load_table
+    from kafka_connect_sse_spark.operators.pipeline import RESERVOIR_K
+
+    e = load_table(spark, SF, "events")
+    h = F.md5(F.col("event_id").cast("string"))
+    base = (
+        e.select("event_id", h.alias("h")).orderBy("h", "event_id")
+        .limit(RESERVOIR_K).collect()
+    )
+    shuffled = (
+        e.repartition(13, "user_id")
+        .select("event_id", h.alias("h"))
+        .orderBy("h", "event_id")
+        .limit(RESERVOIR_K)
+        .collect()
+    )
+    assert [r["event_id"] for r in base] == [r["event_id"] for r in shuffled]
+
+
+def test_bloom_filter_has_no_false_negatives(spark):
+    """Every true key must pass the bloom probe (false negatives would make
+    the prune unsound; false positives are removed by the verify join)."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_sse_spark.io import load_table
+    from kafka_connect_sse_spark.registry import queries
+
+    # exact answer via plain semi join
+    o = load_table(spark, SF, "orders")
+    small = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & F.col("o_orderdate").between("1995-01-01", "1995-06-30")
+    ).select("o_orderkey")
+    li = load_table(spark, SF, "lineitem")
+    exact_n = li.join(
+        small, li["l_orderkey"] == small["o_orderkey"], "left_semi"
+    ).count()
+    got = queries()["q_join_bloom_prune"](spark, SF).collect()[0]
+    assert got["n_li"] == exact_n
+
+
+def test_transitive_closure_matches_pairwise_reachability(spark):
+    """Closure rows = all (src, dst) pairs on each per-region chain with
+    dist = key-rank distance; verify against a direct pairwise
+    construction."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_sse_spark.io import load_table
+    from kafka_connect_sse_spark.registry import queries
+
+    n = load_table(spark, SF, "nation").select(
+        "n_regionkey", "n_nationkey"
+    ).collect()
+    by_region = {}
+    for r in n:
+        by_region.setdefault(r["n_regionkey"], []).append(r["n_nationkey"])
+    expected = set()
+    for keys in by_region.values():
+        keys.sort()
+        for i in range(len(keys)):
+            for j in range(i + 1, len(keys)):
+                expected.add((keys[i], keys[j], j - i))
+    got = {
+        (r["src"], r["dst"], r["dist"])
+        for r in queries()["q_transitive_closure"](spark, SF).collect()
+    }
+    assert got == expected

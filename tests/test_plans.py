@@ -248,3 +248,47 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_downsample_shares_one_exchange(spark):
+    """Both OHLC window sorts (asc/desc) and the final rollup reuse the
+    (event_type, hour) hash partitioning: ONE Exchange total."""
+    import re
+
+    plan = formatted_plan(queries()["q_ts_downsample"](spark, SF))
+    assert len(set(re.findall(r"\((\d+)\) Exchange", plan))) == 1, plan
+    assert len(set(re.findall(r"\((\d+)\) Window", plan))) == 2, plan
+    assert "partial_" in plan, plan
+
+
+def test_reservoir_sample_uses_takeordered(spark):
+    """Bottom-k hash sampling must plan as TakeOrderedAndProject (per-task
+    k-heaps merged on the driver), never a global sort."""
+    df = queries()["x_sample_reservoir"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_bloom_prune_probes_jvm_side(spark):
+    """The bloom probe (getbit on the literal word array) sits in the fact
+    scan's filter stage — no Python evaluator — and the exact verify is a
+    broadcast LEFT SEMI."""
+    df = queries()["q_join_bloom_prune"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "getbit" in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_interleave_global_window_is_post_filter(spark):
+    """The corpus-sized window partitions by lang; the single-partition
+    global ordering runs only over the K quota-selected rows (filter is
+    below the final window in the plan)."""
+    plan = formatted_plan(queries()["x_interleave_sources"](spark, SF))
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert any("lang" in s for s in specs), specs
+    final_window = plan.rfind("windowspecdefinition")
+    assert plan.find("<= coalesce") < final_window or "r#" in plan, plan
