@@ -666,10 +666,14 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Bloom-filter pruning: m = 2^20 bits packed into 2^14 longs; 4 hash
-# functions derived from xxhash64 under distinct seed prefixes.  At the
-# default fill (<~3k keys) the false-positive rate is < 1e-4.
-BLOOM_BITS = 1 << 20
+# Bloom-filter pruning: m = 2^18 bits packed into 2^12 longs (a 32 KB
+# literal — sized so the serialized task binary stays under Spark's 1 MB
+# large-task warning); 4 hash functions derived from xxhash64 under
+# distinct seed prefixes.  At the tested fills (~0.2-2.5k keys) the
+# false-positive rate is < 1e-5; a production build sizes m from the
+# runtime key count and ships the words as a broadcast variable instead
+# of a literal.
+BLOOM_BITS = 1 << 18
 BLOOM_WORDS = BLOOM_BITS >> 6
 BLOOM_SEEDS = (0x9E37, 0x85EB, 0xC2B2, 0x27D4)
 
@@ -694,9 +698,9 @@ def _bloom_positions(key: F.Column, seed: int) -> F.Column:
 def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime bloom-filter pruning of a fact scan by a filtered dimension
     — the hand-built form of Spark's AQE runtime filter / DPP.  The
-    filtered dim's keys are folded into a 1 Mi-bit bloom filter ENTIRELY
+    filtered dim's keys are folded into a 256 Ki-bit bloom filter ENTIRELY
     JVM-side (xxhash64 positions -> shiftleft -> bit_or per 64-bit word),
-    collected as one 128 KB long-array — a sketch, so the driver collect
+    collected as one 32 KB long-array — a sketch, so the driver collect
     is O(filter), never O(data) — and pushed into the fact scan as a
     literal predicate: 4 getbit probes per row, all inside
     WholeStageCodegen, no Python anywhere.  Rows surviving the bloom then
