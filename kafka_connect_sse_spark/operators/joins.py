@@ -862,3 +862,51 @@ def _closure_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         frontier = fresh
     return paths
+
+
+@register(
+    "q_join_dpp",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(user_id) AS BIGINT) AS uid_sum
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    """,
+)
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: a fact table PARTITIONED on the join key
+    joined to a dim filtered at runtime — Spark injects the dim's
+    surviving keys as a subquery into the fact scan's PartitionFilters,
+    so unmatched partitions' files are NEVER OPENED (the join-driven
+    complement to snk_parquet_pruned's static pruning; at 100 TB this is
+    the difference between scanning 5 TB and 100 TB when the dim filter
+    keeps 1 partition in 20).  The dim here is derived from the fact
+    (distinct types + a monetizable flag) and broadcast; the flag filter
+    is what DPP pushes through the join.  tests/test_plans.py asserts
+    dynamicpruningexpression lands in the fact scan."""
+    import os
+    import shutil
+    import tempfile
+
+    out = os.path.join(tempfile.gettempdir(), "kcss_dpp_fact")
+    shutil.rmtree(out, ignore_errors=True)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    e.write.partitionBy("event_type").mode("overwrite").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        e.select("event_type")
+        .distinct()
+        .withColumn(
+            "monetizable", F.col("event_type").isin("click", "purchase")
+        )
+    )
+    joined = fact.join(
+        broadcast(dim.filter(F.col("monetizable"))), "event_type"
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("user_id").cast("bigint").alias("uid_sum"),
+    )

@@ -448,3 +448,118 @@ def x_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("q_sum"),
         F.when(zero, F.lit(0.0)).otherwise(err).alias("max_abs_err"),
     )
+
+
+SHORTLIST = 4 * TOP_K  # stage-1 candidates re-ranked exactly per query
+
+
+@register(
+    "x_ann_rerank",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    s AS (SELECT vec_id, e,
+                 list_max(list_transform(e, x -> abs(x))) AS scale
+          FROM v),
+    q8 AS (SELECT vec_id, e,
+                  CASE WHEN scale = 0
+                       THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                       ELSE list_transform(
+                              e, x -> CAST(floor(x / scale * 127) AS BIGINT))
+                  END AS q
+           FROM s),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(list_dot_product(a.q, b.q) AS BIGINT) AS iscore
+      FROM (SELECT * FROM q8 WHERE vec_id < {N_QUERIES}) a
+      JOIN q8 b ON a.vec_id <> b.vec_id),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY iscore DESC, neighbor_id) AS srn
+        FROM pairs)
+      WHERE srn <= {SHORTLIST}),
+    exact AS (
+      SELECT s.query_id, s.neighbor_id,
+             ROUND(list_dot_product(qa.e, qb.e)
+                   / (sqrt(list_dot_product(qa.e, qa.e))
+                      * sqrt(list_dot_product(qb.e, qb.e))), 6) AS cos_sim
+      FROM short s
+      JOIN v qa ON qa.vec_id = s.query_id
+      JOIN v qb ON qb.vec_id = s.neighbor_id)
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM exact)
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def x_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN: int8-quantized shortlist scan + exact fp64 re-rank —
+    the production pattern every large vector index uses (scan the 4x
+    smaller quantized copy at memory-bandwidth speed, then re-rank the
+    {SHORTLIST}-candidate shortlist at full precision).  Stage 1 carries
+    ONLY (query_id, neighbor_id, iscore) through its ranking shuffle —
+    vectors never ride the window exchange; stage 2 joins the shortlist
+    back to full-precision vectors (neighbor side a key join, bounded
+    query side broadcast).  Quantizer is x_embed_quantize's floor-based
+    symmetric int8 (engine-identical); the integer dot (<= 64 * 127^2)
+    and the double cosine are exact IEEE in both engines, so the oracle
+    replicates the full two-stage pipeline EXACTLY — including any
+    recall loss the shortlist introduces, which is the honest contract
+    of a quantized first pass."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = _as_double(F.col("embedding"))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q8 = F.when(scale == 0, F.transform(v, lambda x: F.lit(0).cast("long"))).otherwise(
+        F.transform(v, lambda x: F.floor(x / scale * 127))
+    )
+    base = e.select("vec_id", q8.alias("q"))
+    queries_q = (
+        base.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"))
+    )
+    iscore = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("q"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        base.join(F.broadcast(queries_q), F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), iscore.alias("iscore"))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("iscore").desc(), "neighbor_id"
+    )
+    short = (
+        pairs.select("*", F.row_number().over(w1).alias("srn"))
+        .filter(F.col("srn") <= SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    full = e.select("vec_id", v.alias("fv"))
+    qfull = (
+        full.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("fv").alias("qv"),
+            F.sqrt(dot(F.col("fv"), F.col("fv"))).alias("qnorm"),
+        )
+    )
+    exact = (
+        short.join(full, short["neighbor_id"] == full["vec_id"])
+        .join(F.broadcast(qfull), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qv"), F.col("fv"))
+                / (F.col("qnorm") * F.sqrt(dot(F.col("fv"), F.col("fv")))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    return exact.select("*", F.row_number().over(w2).alias("rnk")).filter(
+        F.col("rnk") <= TOP_K
+    )

@@ -145,6 +145,9 @@ _PRIORITY = (
     "q_ts_downsample",
     "u_arrow_map",
     "snk_parquet_sorted",
+    # round-4 additions (positions 42-43): two-stage ANN, join-driven pruning
+    "x_ann_rerank",
+    "q_join_dpp",
 )
 
 

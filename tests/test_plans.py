@@ -292,3 +292,31 @@ def test_interleave_global_window_is_post_filter(spark):
     assert any("lang" in s for s in specs), specs
     final_window = plan.rfind("windowspecdefinition")
     assert plan.find("<= coalesce") < final_window or "r#" in plan, plan
+
+
+def test_dpp_prunes_fact_partitions(spark):
+    """The dim-side filter must reach the partitioned fact scan as a
+    dynamicpruningexpression in PartitionFilters — unmatched partition
+    directories are never opened."""
+    df = queries()["q_join_dpp"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "dynamicpruning" in pf[0].lower(), plan
+
+
+def test_ann_rerank_window_carries_no_vectors(spark):
+    """Stage-1's ranking shuffle must carry only (query_id, neighbor_id,
+    iscore) — embedding arrays stay out of the window exchange (they
+    rejoin after the shortlist)."""
+    import re
+
+    df = queries()["x_ann_rerank"](spark, SF)
+    plan = formatted_plan(df)
+    m = re.search(r"\(\d+\) Exchange[^\n]*\n(?:.*\n)*?Input(?: \[\d+\])?: \[([^\]]*)\]", plan)
+    # find every Exchange's input column list; none may include an array col
+    exch_inputs = re.findall(
+        r"\(\d+\) Exchange[^\n]*\nInput \[\d+\]: \[([^\]]*)\]", plan
+    )
+    assert exch_inputs, plan
+    for cols in exch_inputs:
+        assert "qq" not in cols and "fv" not in cols and "qv" not in cols, cols

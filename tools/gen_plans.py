@@ -36,6 +36,8 @@ COMMENTARY = {
     "q_ts_downsample": "asc and desc OHLC window sorts and the final rollup all share the (event_type, hour) hash partitioning — ONE Exchange total; partial_ aggregates combine map-side above the windows.",
     "x_sample_reservoir": "TakeOrderedAndProject: each task keeps a 200-row heap, driver merges heaps — zero Exchange, no global sort; the bottom-k hash IS the reservoir sample, reproducibly.",
     "x_interleave_sources": "per-corpus quota draw is a lang-partitioned window; the single-partition global interleave window runs only over the K selected rows (filter below it in the plan), never the corpus.",
+    "x_ann_rerank": "stage-1 ranking exchange carries only (query_id, neighbor_id, iscore) — int8 shortlist scan at a quarter of the memory bandwidth, vectors rejoin only for the 4k-candidate exact re-rank (neighbor side key join, query side broadcast).",
+    "q_join_dpp": "dim filter reaches the partitioned fact scan as dynamicpruningexpression in PartitionFilters — unmatched partition directories are never opened; the dim broadcasts.",
 }
 
 
