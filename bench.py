@@ -47,6 +47,8 @@ HEADLINE = [
 EXTRA = [
     "x_seq_pack",             # two-level sequence packing (window + bcast)
     "x_corpus_prep",          # composite quality->dedup->balance->pack
+    "q_join_bloom_prune",     # runtime bloom scan-prune + exact verify
+    "x_ann_rerank",           # int8 shortlist + fp64 re-rank ANN
 ]
 
 RUNS = 3
