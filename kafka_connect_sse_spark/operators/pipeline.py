@@ -716,7 +716,6 @@ def x_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     h = F.md5(F.col("doc_id").cast("string"))
     w = Window.partitionBy("lang").orderBy("h", "doc_id")
-    quota = F.lit(None).cast("int")
     expr = None
     for lang, wt in reversed(MIX_WEIGHTS):
         n = int(wt * MIX_K)

@@ -594,7 +594,16 @@ def snk_parquet_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(i + 1, len(ranges))
         if ranges[i][0] <= ranges[j][1] and ranges[j][0] <= ranges[i][1]
     )
-    us = lambda dt: int(dt.timestamp() * 1_000_000) if hasattr(dt, "timestamp") else int(dt)
+    def us(dt) -> int:
+        # pyarrow returns naive UTC datetimes; convert with integer
+        # arithmetic (timegm + microsecond) — float .timestamp() would
+        # both assume local time and round at the microsecond ulp
+        if isinstance(dt, int):
+            return dt
+        import calendar
+
+        return calendar.timegm(dt.timetuple()) * 1_000_000 + dt.microsecond
+
     min_us = min(us(r[0]) for r in ranges)
     max_us = max(us(r[1]) for r in ranges)
     return spark.createDataFrame(
