@@ -910,3 +910,52 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("user_id").cast("bigint").alias("uid_sum"),
     )
+
+
+@register(
+    "q_join_null_safe",
+    oracle="""
+    WITH l AS (SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS k
+               FROM orders),
+         d AS (SELECT DISTINCT NULLIF(o_orderstatus, 'O') AS k,
+                      CASE NULLIF(o_orderstatus, 'O')
+                          WHEN 'F' THEN 'finished'
+                          WHEN 'P' THEN 'pending'
+                          ELSE 'open' END AS label
+               FROM orders)
+    SELECT d.label, COUNT(*) AS n,
+           CAST(SUM(l.o_orderkey) AS BIGINT) AS key_sum
+    FROM l JOIN d ON l.k IS NOT DISTINCT FROM d.k
+    GROUP BY d.label
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — the semantics a dimension
+    with an explicit 'unknown' row needs (a plain equi join silently
+    drops every NULL-keyed fact row; with a third of the keys NULL the
+    silent loss is catastrophic and invisible).  eqNullSafe compiles to
+    an equality-class join key, so the broadcast hash join strategy is
+    unchanged — null-safety costs nothing at 100 TB.  Keys are minted
+    via NULLIF (fixtures carry no natural nulls, q_filter_null
+    convention)."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    left = o.select("o_orderkey", k.alias("k"))
+    dim = (
+        o.select(k.alias("k")).distinct()
+        .withColumn(
+            "label",
+            F.when(F.col("k") == "F", "finished")
+            .when(F.col("k") == "P", "pending")
+            .otherwise("open"),
+        )
+    )
+    return (
+        left.join(broadcast(dim), left["k"].eqNullSafe(dim["k"]))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+    )

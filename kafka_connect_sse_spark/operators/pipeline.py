@@ -772,3 +772,59 @@ def x_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "user_id")
         .limit(SKEW_TOP)
     )
+
+
+@register(
+    "x_data_card",
+    oracle="""
+    WITH lc AS (
+      SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang),
+    top AS (
+      SELECT source, lang AS top_lang FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY n DESC, lang) AS rk
+        FROM lc)
+      WHERE rk = 1)
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(str_split(d.text, ' '))) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT d.lang) AS n_langs,
+           MAX(t.top_lang) AS top_lang,
+           median(d.n_chars) AS median_chars
+    FROM documents d JOIN top t ON d.source = t.source
+    GROUP BY d.source
+    """,
+)
+def x_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus datasheet ('data card') in one pass: per source — document
+    count, total whitespace tokens, language diversity, DETERMINISTIC
+    dominant language (count desc, lang asc — engine mode() breaks ties
+    arbitrarily), exact median document length.  This is the profile a
+    training-data release ships alongside the corpus; at 100 TB it is
+    two partial-agg shuffles on source (the main rollup and the
+    lang-mode sub-aggregate, which is dims-sized and broadcast back)
+    plus exact median per group.  n_chars is integral so the median's
+    .5 midpoints are exact in both engines (q_agg_median_mode
+    convention)."""
+    d = load_table(spark, sf_dir, "documents")
+    lc = d.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    wr = Window.partitionBy("source").orderBy(F.col("n").desc(), "lang")
+    top = (
+        lc.select("*", F.row_number().over(wr).alias("rk"))
+        .filter(F.col("rk") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    card = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.median("n_chars").alias("median_chars"),
+    )
+    return card.join(broadcast(top), "source").select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "n_langs",
+        "top_lang",
+        "median_chars",
+    )

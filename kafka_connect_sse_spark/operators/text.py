@@ -412,3 +412,53 @@ def x_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ent, 6).alias("word_entropy"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
     )
+
+
+BPE_TOP = 30  # merge candidates reported per x_bpe_pair_counts pass
+
+
+@register(
+    "x_bpe_pair_counts",
+    oracle=f"""
+    WITH w0 AS (SELECT unnest(str_split(text, ' ')) AS w FROM documents),
+    w2 AS (SELECT w FROM w0 WHERE len(w) >= 2),
+    p AS (SELECT substr(w, g.i, 2) AS pair
+          FROM w2, UNNEST(generate_series(1, len(w) - 1)) AS g(i)),
+    c AS (SELECT pair, COUNT(*) AS n FROM p GROUP BY pair)
+    SELECT pair, n, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rnk FROM c)
+    WHERE rnk <= {BPE_TOP}
+    """,
+)
+def x_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training iteration's statistics: corpus-wide adjacent
+    symbol-pair frequencies within words, ranked — the top pair IS the
+    next merge a byte-pair-encoding tokenizer would learn.  Explode to
+    words, explode each word's character bigrams (both map-side), one
+    partial-agg shuffle on the 2-char pair key, TakeOrdered for the
+    merge candidates.  At 100 TB the shuffle carries one row per
+    distinct pair per task (map-side combine over a key space bounded
+    by alphabet^2), which is why BPE training is countable at corpus
+    scale at all; subsequent iterations re-run with the learned merge
+    applied.  Tiebreak on the pair string keeps the learned merge
+    deterministic across engines and retries."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), "pair")
+    return (
+        counts.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= BPE_TOP)
+    )

@@ -148,6 +148,11 @@ _PRIORITY = (
     # round-4 additions (positions 42-43): two-stage ANN, join-driven pruning
     "x_ann_rerank",
     "q_join_dpp",
+    # round-4 additions (positions 44-46): null-safe join semantics,
+    # BPE-training pair counts, corpus data card
+    "q_join_null_safe",
+    "x_bpe_pair_counts",
+    "x_data_card",
 )
 
 
