@@ -153,6 +153,8 @@ _PRIORITY = (
     "q_join_null_safe",
     "x_bpe_pair_counts",
     "x_data_card",
+    # round-4 addition (position 47): watermark-evicted outer stream join
+    "s_join_stream_stream_outer",
 )
 
 

@@ -541,3 +541,115 @@ def s_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.countDistinct("event_id").alias("n_distinct_ids"),
     )
+
+
+@register(
+    "s_join_stream_stream_outer",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM events p LEFT JOIN events c
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def s_join_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join: purchases with no click in the prior
+    hour must still emit — with a NULL click — once the watermark proves
+    no matching click can ever arrive.  This is the hardest Structured
+    Streaming semantic to get right operationally: NULL-padded rows are
+    produced by STATE EVICTION, which only happens when a LATER batch
+    advances the watermark past the join window.  A bounded backfill
+    (one file, one batch) would therefore silently emit ZERO unmatched
+    rows — so this op stages the production 'sentinel flush' pattern:
+    two far-future flush files after the data file, maxFilesPerTrigger=1
+    forcing three micro-batches, the first flush advancing the watermark
+    past every real row and the second giving eviction a batch to emit
+    in.  Sentinel rows carry user_id < 0 and are filtered from the
+    output, so the answer equals the batch LEFT JOIN the oracle states.
+    At 100 TB the same trick closes out a backfilled day; in continuous
+    operation live traffic plays the role of the flush files.  State is
+    bounded by (watermark delay + join window) x arrival rate per
+    side."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..io import _convert_nanos, table_path
+    from .runner import run_to_memory
+
+    src = table_path(sf_dir, "events")
+    key = hashlib.md5(src.encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"kcss_outer_join_{key}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    main = os.path.join(d, "events.parquet")
+    try:
+        os.link(src, main)
+    except OSError:
+        shutil.copyfile(src, main)
+
+    # two sentinel files in the RAW fixture schema, far-future timestamps;
+    # one purchase + one click each so BOTH watermark branches advance
+    raw = pq.read_schema(src)
+    t0 = 1_900_000_000_000_000_000  # ~2030 in ns
+    now = time.time()
+    for i in (1, 2):
+        rows = {
+            "event_id": [-(2 * i), -(2 * i + 1)],
+            "ts": [t0 + i * 10**12, t0 + i * 10**12],
+            "user_id": [-1, -1],
+            "event_type": ["purchase", "click"],
+            "value": [0.0, 0.0],
+            "props": ["{}", "{}"],
+        }
+        path = os.path.join(d, f"zz_flush_{i}.parquet")
+        pq.write_table(
+            pa.table({f.name: rows[f.name] for f in raw}, schema=raw), path
+        )
+        os.utime(path, (now + 10 * i, now + 10 * i))
+    os.utime(main, (now - 10, now - 10))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(src).schema
+    sdf = _convert_nanos(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    purchases = (
+        sdf.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    clicks = (
+        sdf.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "user_id = c_user_id AND "
+            "c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"
+        ),
+        "leftOuter",
+    )
+    out = run_to_memory(
+        joined.select("purchase_id", "click_id", "user_id"), mode="append"
+    )
+    return out.filter(F.col("user_id") >= 0)
