@@ -563,3 +563,73 @@ def x_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.select("*", F.row_number().over(w2).alias("rnk")).filter(
         F.col("rnk") <= TOP_K
     )
+
+
+@register(
+    "x_hard_negatives",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+         c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS negative_id,
+                  c.label AS neg_label,
+                  ROUND(list_dot_product(q.v, c.v)
+                        / (sqrt(list_dot_product(q.v, q.v))
+                           * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+           FROM q JOIN c ON q.label <> c.label)
+    SELECT query_id, negative_id, neg_label, cos_sim, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, negative_id) AS rnk
+      FROM scored)
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def x_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training: per query,
+    the top-k most-similar examples of a DIFFERENT label — the negatives
+    that actually move an embedding model (random negatives are trivially
+    separable; hard ones define the decision boundary).  Same broadcast-
+    queries / precomputed-norms shape as x_sim_topk_cosine with the label
+    inequality replacing the self-exclusion; at 100 TB the mining pass
+    runs per training epoch over the current checkpoint's embeddings, so
+    keeping it one scan + one bounded ranking shuffle is what makes
+    per-epoch re-mining affordable.  WindowGroupLimit caps per-task state
+    at k rows per query."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = _as_double(F.col("embedding"))
+    base = e.select("vec_id", "label", v.alias("v"))
+    nrm = F.sqrt(dot(F.col("v"), F.col("v")))
+    q = (
+        base.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("q_label"),
+            F.col("v").alias("qv"),
+            nrm.alias("qnorm"),
+        )
+    )
+    cand = base.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("neg_label"),
+        F.col("v").alias("cv"),
+        nrm.alias("cnorm"),
+    )
+    scored = cand.join(
+        F.broadcast(q), F.col("q_label") != F.col("neg_label")
+    ).select(
+        "query_id",
+        "negative_id",
+        "neg_label",
+        F.round(
+            dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "negative_id"
+    )
+    return scored.select("*", F.row_number().over(w).alias("rnk")).filter(
+        F.col("rnk") <= TOP_K
+    )

@@ -155,6 +155,12 @@ _PRIORITY = (
     "x_data_card",
     # round-4 addition (position 47): watermark-evicted outer stream join
     "s_join_stream_stream_outer",
+    # round-4 addition (position 48): contrastive-training negative mining
+    "x_hard_negatives",
+    # positions 49-50 deliberately left to the registration order: they
+    # re-attest the two oldest r1 records (src_parquet_scan,
+    # q_project_rename) under the current driver, closing the loop on the
+    # oldest evidence in the record.
 )
 
 
