@@ -122,3 +122,54 @@ def test_snk_avro_files_are_real_ocf(tmp_path):
         "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate",
     ]
     assert rows and isinstance(rows[0][3], date)
+
+
+# ---------------------------------------------------------- property-based
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_FIELD_TYPES = ["long", "int", "double", "string", "boolean", "bytes", "date"]
+
+
+def _value_for(typ):
+    if typ == "long":
+        return st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    if typ == "int":
+        return st.integers(min_value=-(2**31), max_value=2**31 - 1)
+    if typ == "double":
+        # NaN compares unequal to itself; allow inf and signed zeros
+        return st.floats(allow_nan=False)
+    if typ == "string":
+        return st.text(max_size=40)
+    if typ == "boolean":
+        return st.booleans()
+    if typ == "bytes":
+        return st.binary(max_size=40)
+    return st.dates(date(1, 1, 1), date(9999, 12, 31))
+
+
+@st.composite
+def _table(draw):
+    types = draw(
+        st.lists(st.sampled_from(_FIELD_TYPES), min_size=1, max_size=5)
+    )
+    fields = [(f"f{i}", t) for i, t in enumerate(types)]
+    row = st.tuples(
+        *[st.one_of(st.none(), _value_for(t)) for _, t in fields]
+    )
+    rows = draw(st.lists(row, max_size=30))
+    return fields, rows
+
+
+@given(_table())
+@settings(max_examples=200, deadline=None)
+def test_ocf_roundtrip_property(tbl):
+    """write_ocf(read_ocf) is the identity for every field-type mix, null
+    placement, zigzag boundary value (+-2^63), non-finite double, and
+    empty-row-set edge the strategy can produce."""
+    fields, rows = tbl
+    schema = record_schema("prop", fields)
+    back_schema, back_rows = read_ocf(write_ocf(rows, schema))
+    assert back_rows == rows
+    assert [f["name"] for f in back_schema["fields"]] == [n for n, _ in fields]
