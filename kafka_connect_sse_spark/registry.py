@@ -161,6 +161,13 @@ _PRIORITY = (
     # re-attest the two oldest r1 records (src_parquet_scan,
     # q_project_rename) under the current driver, closing the loop on the
     # oldest evidence in the record.
+    #
+    # After this window goes green, EVERY registered operator has a
+    # driver-attested CORRECTNESS row for its current contract
+    # (conditionals excepted).  Round-5 policy: if new operators are
+    # added they lead the window as before; remaining slots rotate the
+    # ops with the OLDEST driver record (r1 first) so the whole record
+    # keeps refreshing instead of aging in place.
 )
 
 
