@@ -81,6 +81,11 @@ def diff_summary(sr, orr, limit=4):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--window",
+        action="store_true",
+        help="check exactly the driver's gate: the first 50 registry entries",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -93,6 +98,8 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     names = args.names or list(qs)
+    if args.window:
+        names = list(qs)[:50]
 
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
