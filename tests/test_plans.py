@@ -320,3 +320,17 @@ def test_ann_rerank_window_carries_no_vectors(spark):
     assert exch_inputs, plan
     for cols in exch_inputs:
         assert "qq" not in cols and "fv" not in cols and "qv" not in cols, cols
+
+
+def test_claimed_single_exchange_ops(spark):
+    """Every operator whose SURVEY row claims 'both frames/windows share
+    ONE Exchange' must mechanically show exactly one Exchange — the claim
+    audit that keeps 'plan-verified' honest."""
+    import re
+
+    for op in ("q_join_asof_nearest", "q_win_count_distinct"):
+        plan = formatted_plan(queries()[op](spark, SF))
+        assert len(set(re.findall(r"\((\d+)\) Exchange", plan))) == 1, (
+            op,
+            plan,
+        )
