@@ -316,14 +316,21 @@ def x_text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive document fingerprint (position-weighted rolling hash
-    over tokens).  Integer arithmetic → exact in both engines; posexplode is
-    the Spark analogue of UNNEST WITH ORDINALITY."""
+    over tokens).  Integer arithmetic → exact in both engines.  Computed
+    as a single higher-order fold (zip_with positions + aggregate) so the
+    whole op is ONE codegen'd projection with ZERO shuffle — the round-4
+    rewrite of the original posexplode+groupBy plan, whose exchange
+    carried a row per token; at 100 TB that exchange was the entire cost
+    of the operator."""
     d = load_table(spark, sf_dir, "documents")
-    exploded = d.select(
-        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok")
+    toks = F.split(F.col("text"), " ")
+    terms = F.zip_with(
+        toks,
+        F.sequence(F.lit(1), F.size(toks)),
+        lambda tok, i: ((F.length(tok) * 31 + F.ascii(tok)) * i).cast("long"),
     )
-    term = (F.length("tok") * 31 + F.ascii(F.col("tok"))) * (F.col("pos0") + 1)
-    return exploded.groupBy("doc_id").agg(F.sum(term).alias("fingerprint"))
+    fp = F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x)
+    return d.select("doc_id", fp.alias("fingerprint"))
 
 
 @register(

@@ -112,10 +112,22 @@ def test_exact_queries_avoid_python_row_udfs(spark):
     assert not offenders, offenders
 
 
-def test_chunk_and_scrub_are_map_only(spark):
-    """x_doc_chunk / x_pii_scrub must stay shuffle-free: explode +
-    projection inherit input partitioning (the 100 TB property)."""
-    for name in ("x_doc_chunk", "x_pii_scrub"):
+def test_map_only_ops_have_zero_exchanges(spark):
+    """Every operator SCALE.md declares map-only must stay shuffle-free:
+    projections/explodes/higher-order folds inherit input partitioning
+    (the 100 TB property)."""
+    for name in (
+        "x_doc_chunk",
+        "x_pii_scrub",
+        "x_fingerprint",
+        "x_text_stats",
+        "x_token_count_regex",
+        "x_quality_score",
+        "x_langid_ngram",
+        "x_embed_quantize",
+        "x_embed_norms",
+        "u_arrow_map",
+    ):
         plan = formatted_plan(queries()[name](spark, SF))
         assert "Exchange" not in plan, (name, plan)
 
