@@ -796,10 +796,15 @@ def q_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     of an edge relation, computed as an iterative frontier expansion —
     Spark has no WITH RECURSIVE, so the loop IS the operator.  Each
     iteration is one distributed self-join frontier⋈edges, an anti-join
-    against known pairs, and a localCheckpoint that truncates lineage (the
+    against known rows on the FULL (src, dst, dist) tuple — exactly the
+    dedup the CTE's UNION performs, so a pair reachable at several
+    distinct hop counts (diamond paths) keeps one row per distance, not
+    just the shortest — and a localCheckpoint that truncates lineage (the
     thing that otherwise makes iteration N recompute iterations 1..N-1
     and kills iterative Spark jobs).  Termination is the fixpoint (empty
-    frontier), never a guessed iteration cap.  The demo graph is tiny
+    frontier) on any acyclic input — the cap at |V| iterations (the max
+    simple-path hop count) only binds on cyclic graphs, where the
+    recursive CTE itself never terminates.  The demo graph is tiny
     (the per-region nation chain) but every step is a distributed
     dataframe op — the identical loop runs on a billion-edge relation,
     where the anti-join is the scale guard keeping the frontier from
@@ -834,8 +839,17 @@ def _closure_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths = edges.withColumn("dist", F.lit(1).cast("long")).localCheckpoint(
         eager=True
     )
+    # |V| bounds the longest simple path's hop count: on acyclic inputs
+    # the fixpoint fires first, so the cap only guards cyclic graphs
+    # (where the equivalent recursive CTE diverges too).
+    n_nodes = (
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select(F.col("dst").alias("v")))
+        .distinct()
+        .count()
+    )
     frontier = paths
-    while True:
+    for _ in range(int(n_nodes)):
         grown = (
             frontier.alias("p")
             .join(edges.alias("g"), F.col("p.dst") == F.col("g.src"))
@@ -844,12 +858,13 @@ def _closure_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("g.dst").alias("dst"),
                 (F.col("p.dist") + 1).alias("dist"),
             )
+            .distinct()
         )
         # toDF after each checkpoint mints fresh attribute ids; without it
         # the self-referencing union trips Catalyst's constraint rewrite
         # (NoSuchElementException on a stale attribute).
         fresh = (
-            grown.join(paths, ["src", "dst"], "left_anti")
+            grown.join(paths, ["src", "dst", "dist"], "left_anti")
             .localCheckpoint(eager=True)
             .toDF("src", "dst", "dist")
         )

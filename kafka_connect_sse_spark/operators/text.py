@@ -321,8 +321,13 @@ def x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole op is ONE codegen'd projection with ZERO shuffle — the round-4
     rewrite of the original posexplode+groupBy plan, whose exchange
     carried a row per token; at 100 TB that exchange was the entire cost
-    of the operator."""
-    d = load_table(spark, sf_dir, "documents")
+    of the operator.  NULL-text docs are dropped up front: the oracle's
+    generate_series over a NULL token list yields no rows, and the fold
+    would otherwise emit a NULL-fingerprint row the groupBy plan never
+    produced."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
     toks = F.split(F.col("text"), " ")
     terms = F.zip_with(
         toks,
@@ -464,8 +469,10 @@ def x_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = pairs.groupBy("pair").agg(F.count("*").alias("n"))
     from pyspark.sql import Window
 
+    # TakeOrderedAndProject first (per-task top-k heaps, no global sort,
+    # no single-partition exchange over the full distinct-pair relation),
+    # THEN rank — the row_number window runs over only the BPE_TOP
+    # surviving rows, same post-limit trick as x_interleave_sources.
+    top = counts.orderBy(F.col("n").desc(), "pair").limit(BPE_TOP)
     w = Window.orderBy(F.col("n").desc(), "pair")
-    return (
-        counts.select("*", F.row_number().over(w).alias("rnk"))
-        .filter(F.col("rnk") <= BPE_TOP)
-    )
+    return top.select("*", F.row_number().over(w).alias("rnk"))

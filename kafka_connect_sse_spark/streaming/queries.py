@@ -590,10 +590,9 @@ def s_join_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d)
     main = os.path.join(d, "events.parquet")
-    try:
-        os.link(src, main)
-    except OSError:
-        shutil.copyfile(src, main)
+    # copy, never hard-link: a link shares the inode, so the os.utime
+    # below would rewrite the read-only fixture's own mtime
+    shutil.copyfile(src, main)
 
     # two sentinel files in the RAW fixture schema, far-future timestamps;
     # one purchase + one click each so BOTH watermark branches advance

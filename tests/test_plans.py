@@ -296,14 +296,38 @@ def test_bloom_prune_probes_jvm_side(spark):
 def test_interleave_global_window_is_post_filter(spark):
     """The corpus-sized window partitions by lang; the single-partition
     global ordering runs only over the K quota-selected rows (filter is
-    below the final window in the plan)."""
-    plan = formatted_plan(queries()["x_interleave_sources"](spark, SF))
+    below — i.e. deeper in the tree than — the SinglePartition exchange
+    feeding the final window)."""
     import re
 
+    df = queries()["x_interleave_sources"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert any("lang" in s for s in specs), specs
-    final_window = plan.rfind("windowspecdefinition")
-    assert plan.find("<= coalesce") < final_window or "r#" in plan, plan
+    # exactly one single-partition exchange (the global-order one)
+    singles = [
+        m.start() for m in re.finditer(r"Exchange SinglePartition", plan)
+    ]
+    assert len(singles) == 1, plan
+    # the quota filter must appear AFTER it in the top-down tree print,
+    # i.e. as its descendant: only quota survivors ride the exchange
+    quota_filter = plan.find("<= coalesce")
+    assert quota_filter > singles[0], plan
+
+
+def test_bpe_pair_counts_is_take_ordered(spark):
+    """x_bpe_pair_counts' merge-candidate selection must plan as
+    TakeOrderedAndProject (per-task top-k heaps); the ranking window runs
+    over only the BPE_TOP surviving rows, never the full distinct-pair
+    relation (no SinglePartition exchange anywhere)."""
+    df = queries()["x_bpe_pair_counts"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    # TakeOrdered sits BELOW the window: the window ranks its output
+    assert plan.find("windowspecdefinition") < plan.find(
+        "TakeOrderedAndProject"
+    ), plan
 
 
 def test_dpp_prunes_fact_partitions(spark):
