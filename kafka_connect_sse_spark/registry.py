@@ -77,97 +77,81 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's correctness gate checks a bounded 50-entry prefix of the
-# registry.  Rounds 1-3 put 143 distinct operators on driver-green record
-# (43 r1 + 50 r2 + 50 r3, zero failures).  The round-4 prefix lists exactly
-# the 31 operators without a *current* driver record, per VERDICT r3 item 1:
-#   * 3 stale-green aggregates — their r1 green predates the r2
-#     DECIMAL->DOUBLE output-contract change (commit dc1eb57), so the driver
-#     has never verified the shipping code;
-#   * the 23 operators added in round 3 (registered past the r3 window);
-#   * the 5 twins deliberately deferred from the r3 window.
-# After this window goes green, every registered operator has a
-# driver-attested CORRECTNESS row for its current contract (conditionals
-# excepted).  Positions 32-50 hold round-4 additions, if any, so new
-# surface never again outruns the driver window.
+# registry.  After round 4, EVERY registered operator holds a driver-green
+# CORRECTNESS row (188/188) — so from round 5 on the window's job is
+# EVIDENCE FRESHNESS, executing the rotation policy VERDICT r4 item 1
+# ordered: new/modified operators lead (their old records cover old code),
+# then the operators holding the OLDEST driver record — all 38 r1-era rows
+# first, then the oldest r2 rows — so no record ages past ~2 rounds.
+#
+# Round-5 window composition (50 entries):
+#   1      src_sse_multi        — new this round (multi-stream SSE fan-in)
+#   2-5    ops whose code changed this round (r2/r4 records now stale):
+#          x_fingerprint (NULL guard), x_bpe_pair_counts (TakeOrdered
+#          rewrite), q_transitive_closure (full-tuple anti-join parity),
+#          s_join_stream_stream_outer (fixture-copy fix)
+#   6-43   the complete r1 cohort (38 ops, green since round 1)
+#   44-50  the seven most load-bearing r2 rows (ingest, landing sink,
+#          broadcast/multiway joins, pandas UDF, minhash dedup, ANN
+#          baseline) — the rest of the r2 cohort rotates in round 6.
 _PRIORITY = (
-    # -- round-4 driver window --
-    # stale-green aggregates (output contract changed r2; re-attest first)
-    "q_agg_global",
-    "q_agg_groupby",
-    "q_agg_filtered",
-    # round-3 additions in module order: dedup/similarity/text tier
-    "x_dedup_prefix",
-    "x_dedup_incremental",
-    "x_contam_estimate",
-    "x_embed_quantize",
-    "x_word_entropy",
-    # round-3 additions: pipeline/packing tier
-    "x_seq_tensorize",
-    # round-3 additions: multimodal real decoders
-    "x_multimodal_decode",
-    "x_multimodal_audio_decode",
-    "x_multimodal_video_sample",
-    # round-3 additions: relational/join/window/agg singles
-    "q_join_asof_nearest",
-    "q_cdc_scd2",
-    "q_win_time_range",
-    "q_win_count_distinct",
-    "q_agg_hll_mergeable",
-    "q_agg_kll_mergeable",
-    "q_agg_listagg",
-    "q_agg_bitmap_distinct",
-    "q_agg_theta_overlap",
-    # round-3 additions: scalar-function batteries
-    "q_fn_url",
-    "q_fn_try_arithmetic",
-    "q_fn_variant",
-    # round-3 additions: streaming + sinks
-    "s_checkpoint_resume",
-    "snk_jsonl",
-    # the five twins deferred from the round-3 window
-    "x_multimodal_resize",
-    "x_multimodal_framesample",
-    "q_fn_string3",
-    "q_fn_datetime2",
-    "q_set_intersect_all",
-    # -- positions 32+: round-4 additions append here --
-    # formerly conditional-absent; now real via the pure-Python OCF codec
-    "snk_avro",
-    # XML content-type tier (Spark 4 from_xml), new in round 4
-    "q_fn_xml",
-    # round-4 additions (positions 34-41): sampling/mixture/skew tier,
-    # runtime pruning, recursive parity, resampling, Arrow map, layout sink
-    "x_sample_reservoir",
-    "x_interleave_sources",
-    "x_skew_profile",
-    "q_join_bloom_prune",
-    "q_transitive_closure",
-    "q_ts_downsample",
-    "u_arrow_map",
-    "snk_parquet_sorted",
-    # round-4 additions (positions 42-43): two-stage ANN, join-driven pruning
-    "x_ann_rerank",
-    "q_join_dpp",
-    # round-4 additions (positions 44-46): null-safe join semantics,
-    # BPE-training pair counts, corpus data card
-    "q_join_null_safe",
+    # new this round
+    "src_sse_multi",
+    # modified this round — re-attest current code
+    "x_fingerprint",
     "x_bpe_pair_counts",
-    "x_data_card",
-    # round-4 addition (position 47): watermark-evicted outer stream join
+    "q_transitive_closure",
     "s_join_stream_stream_outer",
-    # round-4 addition (position 48): contrastive-training negative mining
-    "x_hard_negatives",
-    # positions 49-50 deliberately left to the registration order: they
-    # re-attest the two oldest r1 records (src_parquet_scan,
-    # q_project_rename) under the current driver, closing the loop on the
-    # oldest evidence in the record.
-    #
-    # After this window goes green, EVERY registered operator has a
-    # driver-attested CORRECTNESS row for its current contract
-    # (conditionals excepted).  Round-5 policy: if new operators are
-    # added they lead the window as before; remaining slots rotate the
-    # ops with the OLDEST driver record (r1 first) so the whole record
-    # keeps refreshing instead of aging in place.
+    # -- r1 cohort: projection / filter --
+    "q_project_computed",
+    "q_filter_basic",
+    "q_filter_in_between",
+    "q_filter_null",
+    "q_filter_like_regex",
+    "q_coalesce_defaults",
+    "q_distinct",
+    "q_sort_multikey",
+    # -- r1 cohort: joins --
+    "q_join_inner_shuffle",
+    "q_join_left_outer",
+    "q_join_full_outer",
+    "q_join_left_semi",
+    "q_join_left_anti",
+    "q_join_cross",
+    "q_join_theta_range",
+    "q_join_self",
+    "q_join_asof",
+    "q_join_salted_skew",
+    "q_join_range_banded",
+    "q_in_subquery",
+    # -- r1 cohort: aggregates --
+    "q_agg_count_distinct",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_agg_unpivot",
+    "q_agg_min_max_by",
+    "q_agg_percentile",
+    "q_agg_pivot",
+    "q_scalar_subquery",
+    "q_agg_stats",
+    # -- r1 cohort: windows --
+    "q_win_ranking",
+    "q_win_lag_lead",
+    "q_win_moving_avg",
+    "q_win_range_frame",
+    "q_win_first_last",
+    "q_win_pct",
+    "q_win_nth_value",
+    "q_topk_per_group",
+    # -- oldest r2 rows: the load-bearing seven --
+    "src_sse_stream",
+    "snk_sse_landing",
+    "q_join_inner_broadcast",
+    "q_join_multiway",
+    "u_pandas_udf",
+    "x_dedup_near_minhash",
+    "x_sim_topk_cosine",
 )
 
 
