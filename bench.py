@@ -132,6 +132,99 @@ def sse_ingest_bench(spark, n_events: int = N_INGEST_EVENTS,
     return dt
 
 
+def streaming_latency_bench(spark, sf_dir: str, n_files: int = 8) -> dict:
+    """Per-micro-batch latency of the stateful streaming tier (VERDICT r4
+    item 8): stage the events table as n_files files, drive each stateful
+    shape batch-by-batch (maxFilesPerTrigger=1, availableNow), and read
+    the per-batch wall time straight off StreamingQueryProgress.
+    Reported: median triggerExecution seconds over data-carrying batches
+    for (a) the watermarked session-window aggregation and (b) the
+    watermarked stream-stream left-outer join — the two shapes whose
+    state store dominates streaming cost at scale."""
+    import shutil
+    import statistics as _st
+    import tempfile
+
+    from pyspark.sql import functions as _F
+
+    from kafka_connect_sse_spark.io import load_table
+
+    src = os.path.join(tempfile.gettempdir(), "kcss_bench_stream_src")
+    shutil.rmtree(src, ignore_errors=True)
+    e = load_table(spark, sf_dir, "events")
+    e.withColumn("shard", _F.pmod("event_id", _F.lit(n_files))).repartition(
+        n_files, "shard"
+    ).drop("shard").write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def batches(build):
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            build(sdf)
+            .writeStream.format("memory")
+            .queryName(f"bench_lat_{id(build)}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if q.isActive:
+            q.stop()
+        durs = [
+            p["durationMs"]["triggerExecution"] / 1000.0
+            for p in (json.loads(x.json) for x in q.recentProgress)
+            if p["numInputRows"] > 0
+        ]
+        return round(_st.median(durs), 3) if durs else None
+
+    def session_agg(sdf):
+        return (
+            sdf.withWatermark("ts", "10 minutes")
+            .groupBy(_F.session_window("ts", "30 minutes"), "user_id")
+            .agg(_F.count("*").alias("n_events"))
+            .select("user_id", "n_events")
+        )
+
+    def outer_join(sdf):
+        purchases = (
+            sdf.filter(_F.col("event_type") == "purchase")
+            .select(
+                _F.col("event_id").alias("purchase_id"),
+                "user_id",
+                _F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "30 minutes")
+        )
+        clicks = (
+            sdf.filter(_F.col("event_type") == "click")
+            .select(
+                _F.col("event_id").alias("click_id"),
+                _F.col("user_id").alias("c_user_id"),
+                _F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "30 minutes")
+        )
+        return purchases.join(
+            clicks,
+            _F.expr(
+                "user_id = c_user_id AND "
+                "c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"
+            ),
+            "leftOuter",
+        ).select("purchase_id", "click_id", "user_id")
+
+    out = {
+        "s_window_session_p50_batch_sec": batches(session_agg),
+        "s_join_stream_outer_p50_batch_sec": batches(outer_join),
+    }
+    shutil.rmtree(src, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from kafka_connect_sse_spark.registry import queries
@@ -192,6 +285,10 @@ def main() -> None:
     for name in EXTRA:
         extra[name] = run_query(name)
 
+    lat = streaming_latency_bench(spark, sf_dir)
+    for k, v in lat.items():
+        print(f"# {k}: {v}s", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -200,6 +297,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {**results, **extra},
                 "extra_total_sec": round(sum(extra.values()), 3),
+                "streaming_latency": lat,
                 "sf": sf,
             }
         )
