@@ -73,6 +73,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument(
+        "--record", action="store_true",
+        help="append the result to tools/ab_bloom_results.json "
+        "(rendered into PLANS.md by tools/gen_plans.py)",
+    )
     a = ap.parse_args()
 
     from kafka_connect_sse_spark.registry import queries
@@ -120,6 +125,17 @@ def main():
             for v in out["variants"].values()}
     out["results_agree"] = len(vals) == 1
     print(json.dumps(out))
+    if a.record:
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "ab_bloom_results.json")
+        recs = []
+        if os.path.exists(path):
+            with open(path) as f:
+                recs = json.load(f)
+        recs = [r for r in recs if r["sf"] != out["sf"]] + [out]
+        with open(path, "w") as f:
+            json.dump(recs, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -78,9 +78,66 @@ def main() -> None:
             "```",
             "",
         ]
+    out += _ab_bloom_section()
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("\n".join(out))
     print("wrote PLANS.md")
+
+
+def _ab_bloom_section() -> list[str]:
+    """Render tools/ab_bloom_results.json (written by tools/ab_bloom.py
+    --record): the measured A/B of the hand-built bloom literal vs
+    Spark's injected runtime bloom filter (VERDICT r4 item 6)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "ab_bloom_results.json")
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        recs = json.load(f)
+    out = [
+        "## A/B: hand bloom vs AQE injected runtime bloom filter",
+        "",
+        "Measured by `tools/ab_bloom.py --record` (median of 3, same",
+        "logical semi-join; `smj_*` variants run with autoBroadcast off to",
+        "stage the dim-outgrows-broadcast regime; runtime-filter",
+        "thresholds lowered to force injection, which local fixture sizes",
+        "never trigger by default). All variants return identical results.",
+        "",
+        "| sf dir | broadcast semi | hand bloom (getbit) | SMJ plain | SMJ + injected bloom |",
+        "|---|---|---|---|---|",
+    ]
+    for r in recs:
+        v = r["variants"]
+        out.append(
+            "| {} | {} s | {} s | {} s | {} s |".format(
+                r["sf"],
+                v["broadcast"]["median_s"],
+                v["hand_bloom"]["median_s"],
+                v["smj_plain"]["median_s"],
+                v["smj_runtime_bf"]["median_s"],
+            )
+        )
+    out += [
+        "",
+        "**Guidance (when does the manual twin earn its complexity):** as",
+        "long as the filtered dim fits the broadcast threshold, the plain",
+        "broadcast semi-join is the right plan and the hand bloom's extra",
+        "build job is pure overhead. Once the dim outgrows broadcast (the",
+        "100 TB regime, staged by the `smj_*` rows), the injected runtime",
+        "bloom (`spark.sql.optimizer.runtime.bloomFilter.enabled`) prunes",
+        "the fact side before the shuffle and beats both the plain SMJ and",
+        "the hand-built literal — prefer it. The hand-built bloom",
+        "(q_join_bloom_prune) remains the right tool only where the",
+        "optimizer cannot inject: pruning a scan feeding a NON-join",
+        "operator, reusing one filter across many queries, or pushing the",
+        "predicate into a source the injection rule does not cover. Its",
+        "value in this repo is the mechanism demonstration; production",
+        "default is the injected filter.",
+        "",
+    ]
+    return out
 
 
 if __name__ == "__main__":
