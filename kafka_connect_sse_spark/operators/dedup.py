@@ -222,13 +222,16 @@ def minhash_candidates(
                list_distinct([array_to_string(l[i:i+{SHINGLE_K - 1}], ' ')
                               for i in range(1, len(l) - {SHINGLE_K - 2})])
              ELSE [] END AS s
-           FROM t)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-               / len(list_distinct(a.s || b.s)) AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-          / len(list_distinct(a.s || b.s)) >= 0.5
+           FROM t),
+    ex AS (SELECT doc_id, len(s) AS ns, UNNEST(s) AS g FROM sh),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             ANY_VALUE(a.ns) AS na, ANY_VALUE(b.ns) AS nb, COUNT(*) AS c
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (na + nb - c) AS jaccard
+    FROM common
+    WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5
     """,
 )
 def x_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,7 +250,12 @@ def x_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     a regeneration ever introduces pairs whose analytic miss probability
     exceeds 1% (J below ~0.80) — widen bands (more, shorter) or lower the
     verify threshold before trusting the gate on such a fixture.  The
-    oracle's all-pairs join is the CHECK only; the operator itself stays
+    oracle is STILL the full ground truth but expressed as an
+    inverted-index shingle join (pairs sharing zero shingles have J=0 and
+    can never reach the 0.5 threshold — identical result set to the naive
+    cross join, which was quadratic single-threaded in DuckDB and made
+    checking large doc tiers intractable: 14 min at 5k docs, measured);
+    the operator itself stays
     O(n * bands), which is the 100 TB path.  Jaccard is emitted as the raw
     double ratio (identical int/int division in both engines) — rounding
     would reintroduce the off-grid round divergence."""
@@ -654,14 +662,18 @@ def x_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_distinct([array_to_string(l[i:i+{SHINGLE_K - 1}], ' ')
                               for i in range(1, len(l) - {SHINGLE_K - 2})])
              ELSE [] END AS s
-           FROM t)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-               / len(list_distinct(a.s || b.s)) AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE (a.doc_id % 5 = 4 OR b.doc_id % 5 = 4)
-      AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-          / len(list_distinct(a.s || b.s)) >= 0.5
+           FROM t),
+    ex AS (SELECT doc_id, len(s) AS ns, UNNEST(s) AS g FROM sh),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             ANY_VALUE(a.ns) AS na, ANY_VALUE(b.ns) AS nb, COUNT(*) AS c
+      FROM ex a JOIN ex b
+        ON a.g = b.g AND a.doc_id < b.doc_id
+       AND (a.doc_id % 5 = 4 OR b.doc_id % 5 = 4)
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (na + nb - c) AS jaccard
+    FROM common
+    WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5
     """,
 )
 def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

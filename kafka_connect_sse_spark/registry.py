@@ -91,9 +91,11 @@ def register(name: str, oracle: str | None = None):
 #          rewrite), q_transitive_closure (full-tuple anti-join parity),
 #          s_join_stream_stream_outer (fixture-copy fix)
 #   6-43   the complete r1 cohort (38 ops, green since round 1)
-#   44-50  the seven most load-bearing r2 rows (ingest, landing sink,
-#          broadcast/multiway joins, pandas UDF, minhash dedup, ANN
-#          baseline) — the rest of the r2 cohort rotates in round 6.
+#   44-50  oldest/stalest remaining rows: six load-bearing r2 records
+#          (ingest, landing sink, broadcast/multiway joins, minhash
+#          dedup, ANN baseline) plus x_dedup_incremental, whose oracle
+#          was rewritten this round (inverted-index ground truth) — the
+#          rest of the r2 cohort rotates in round 6.
 _PRIORITY = (
     # new this round
     "src_sse_multi",
@@ -149,7 +151,10 @@ _PRIORITY = (
     "snk_sse_landing",
     "q_join_inner_broadcast",
     "q_join_multiway",
-    "u_pandas_udf",
+    # oracle rewritten round 5 (inverted-index ground truth) — re-attest
+    # alongside its minhash twin; u_pandas_udf (r2, unchanged, exercised
+    # by pytest + every bench run) yields its slot
+    "x_dedup_incremental",
     "x_dedup_near_minhash",
     "x_sim_topk_cosine",
 )

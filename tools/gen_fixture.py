@@ -194,16 +194,20 @@ def gen_documents(out: str, n: int, seed: int) -> None:
     vocab = np.array(VOCAB)
     texts: list[str] = []
     langs: list[str] = []
+    long_ids: list[int] = []  # near-dup base candidates (>= 60 tokens)
     for i in range(n):
         u = r.uniform()
-        if i > 50 and u < 0.05:
-            # shuffled near-dup of an earlier doc with 'dup' substituted
-            base = int(r.integers(0, i))
+        if long_ids and u < 0.05:
+            # near-dup of an earlier LONG doc: ORDERED copy with one
+            # 'dup' token inserted.  Insertion (not shuffle) preserves
+            # 3-gram shingle overlap, and restricting bases to >= 60
+            # tokens pins planted pairs at shingle-Jaccard >= ~0.89 —
+            # the banded-LSH high-recall regime the driver fixture also
+            # sits in (its measured min J is 0.889;
+            # tests/test_minhash_recall.py documents the analytic bound)
+            base = long_ids[int(r.integers(0, len(long_ids)))]
             toks = texts[base].split(" ")
-            r.shuffle(toks)
-            n_sub = 2 if r.uniform() < 0.02 else 1
-            for p in r.integers(0, len(toks), n_sub):
-                toks[p] = "dup"
+            toks.insert(int(r.integers(0, len(toks) + 1)), "dup")
             texts.append(" ".join(toks))
             langs.append(langs[base])
         elif i > 50 and u < 0.0516:
@@ -215,6 +219,8 @@ def gen_documents(out: str, n: int, seed: int) -> None:
             nw = int(r.integers(10, 101))
             texts.append(" ".join(vocab[r.integers(0, len(vocab), nw)]))
             langs.append(LANGS[int(r.choice(len(LANGS), p=LANG_P))])
+            if nw >= 60:
+                long_ids.append(i)
     _write(out, "documents", pa.table({
         "doc_id": np.arange(n, dtype="int64"),
         "text": texts,
