@@ -161,7 +161,9 @@ def src_sse_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         threading.Thread(target=srv.serve_forever, daemon=True).start()
         servers.append(srv)
 
-    base = os.path.join(tempfile.gettempdir(), "kcss_sse_multi")
+    # key the scratch dir by pid: concurrent checkers (e.g. two sweeps at
+    # different SFs) must not rmtree each other's running landing zone
+    base = os.path.join(tempfile.gettempdir(), f"kcss_sse_multi_{os.getpid()}")
     out = os.path.join(base, "raw_events")
     ckpt = os.path.join(base, "checkpoint")
     shutil.rmtree(base, ignore_errors=True)

@@ -134,7 +134,11 @@ def test_sse_multi_fanin_zero_loss_isolation_ordering(spark):
     # the landed zone itself: per-stream id sets exactly the served shards
     landed = (
         spark.read.parquet(
-            os.path.join(tempfile.gettempdir(), "kcss_sse_multi", "raw_events")
+            os.path.join(
+                tempfile.gettempdir(),
+                f"kcss_sse_multi_{os.getpid()}",
+                "raw_events",
+            )
         )
         .select("stream_id", "id")
         .distinct()
