@@ -453,7 +453,7 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    base = os.path.join(tempfile.gettempdir(), "kcss_bucketed")
+    base = os.path.join(tempfile.gettempdir(), f"kcss_bucketed_{os.getpid()}")
     shutil.rmtree(base, ignore_errors=True)
     spark.sql("DROP TABLE IF EXISTS kcss_orders_bucketed")
     spark.sql("DROP TABLE IF EXISTS kcss_lineitem_bucketed")
@@ -904,7 +904,7 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    out = os.path.join(tempfile.gettempdir(), "kcss_dpp_fact")
+    out = os.path.join(tempfile.gettempdir(), f"kcss_dpp_fact_{os.getpid()}")
     shutil.rmtree(out, ignore_errors=True)
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id"

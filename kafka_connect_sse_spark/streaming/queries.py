@@ -501,7 +501,7 @@ def s_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    base = os.path.join(tempfile.gettempdir(), "kcss_ckpt_resume")
+    base = os.path.join(tempfile.gettempdir(), f"kcss_ckpt_resume_{os.getpid()}")
     src = os.path.join(base, "src")
     ckpt = os.path.join(base, "ckpt")
     sink = os.path.join(base, "sink")

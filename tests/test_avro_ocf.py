@@ -113,7 +113,7 @@ def test_snk_avro_files_are_real_ocf(tmp_path):
     assert sum(got.values()) > 0
 
     files = glob.glob(
-        os.path.join(tempfile.gettempdir(), "kcss_snk_avro", "*.avro")
+        os.path.join(tempfile.gettempdir(), f"kcss_snk_avro_{os.getpid()}", "*.avro")
     )
     assert files
     with open(files[0], "rb") as fh:

@@ -39,7 +39,7 @@ def test_snk_avro_always_registered_and_runs():
         from kafka_connect_sse_spark.formats.avro_ocf import read_ocf
 
         files = glob.glob(
-            os.path.join(tempfile.gettempdir(), "kcss_snk_avro", "*.avro")
+            os.path.join(tempfile.gettempdir(), f"kcss_snk_avro_{os.getpid()}", "*.avro")
         )
         assert files
         with open(files[0], "rb") as fh:

@@ -164,7 +164,7 @@ def test_sorted_sink_files_internally_sorted(spark):
 
     row = queries()["snk_parquet_sorted"](spark, SF).collect()[0]
     assert row["overlapping_pairs"] == 0
-    out = os.path.join(tempfile.gettempdir(), "kcss_snk_sorted")
+    out = os.path.join(tempfile.gettempdir(), f"kcss_snk_sorted_{os.getpid()}")
     for fname in os.listdir(out):
         if not fname.endswith(".parquet"):
             continue
