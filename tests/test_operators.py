@@ -84,19 +84,25 @@ def test_salting_helpers_round_trip(spark):
     assert joined.count() == plain.count()
 
 
-def test_round4_driver_window_composition(qs):
-    """The driver checks the FIRST 50 registry entries.  Pin the round-4
-    window: the 31 operators without a current driver record (3 stale-
-    contract aggregates + 23 round-3 additions + 5 deferred twins) lead,
-    followed by round-4 additions — a silent reordering here would burn
-    the round's correctness evidence."""
+def test_round5_driver_window_composition(qs):
+    """The driver checks the FIRST 50 registry entries.  Pin the round-5
+    rotation window (VERDICT r4 item 1): new/modified operators lead,
+    then the complete r1 cohort, then the oldest-r2 / rewritten-oracle
+    rows — a silent reordering here would burn the round's freshness
+    evidence."""
     from kafka_connect_sse_spark.registry import _PRIORITY
 
     window = list(qs)[: len(_PRIORITY)]
     assert window == list(_PRIORITY)
     assert len(_PRIORITY) <= 50, "priority entries must all fit the window"
-    # the three stale-contract aggregates must re-attest first
-    assert window[:3] == ["q_agg_global", "q_agg_groupby", "q_agg_filtered"]
+    # new + this-round-modified operators must re-attest first
+    assert window[:5] == [
+        "src_sse_multi",
+        "x_fingerprint",
+        "x_bpe_pair_counts",
+        "q_transitive_closure",
+        "s_join_stream_stream_outer",
+    ]
     # every window op must carry an oracle (EXACT gate, not rows-only)
     from kafka_connect_sse_spark.registry import oracle_sql
 
