@@ -834,8 +834,17 @@ def _closure_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("n_nationkey").over(w).alias("dst"),
         )
         .filter(F.col("dst").isNotNull())
-        .localCheckpoint(eager=True)
     )
+    return transitive_closure(edges)
+
+
+def transitive_closure(edges: DataFrame) -> DataFrame:
+    """Full (src, dst, dist) closure of an arbitrary `edges` relation —
+    the generic form of q_transitive_closure's loop, exposed so the
+    recursive-CTE UNION parity (one row per distinct distance, diamond
+    paths included) is unit-testable on synthetic graphs
+    (tests/test_operators.py)."""
+    edges = edges.localCheckpoint(eager=True)
     paths = edges.withColumn("dist", F.lit(1).cast("long")).localCheckpoint(
         eager=True
     )

@@ -108,3 +108,82 @@ def test_round5_driver_window_composition(qs):
 
     osql = oracle_sql()
     assert all(name in osql for name in list(qs)[:50])
+
+
+def test_transitive_closure_keeps_all_distances_on_diamond(spark):
+    """Recursive-CTE UNION parity on a graph the fixture never exercises:
+    a→b→d, a→d directly, plus diamond a→{b,c}→d.  The pair (a, d) is
+    reachable at dist 1 AND dist 2 — the closure must keep one row per
+    distinct (src, dst, dist), not just the shortest (ADVICE r4 item 1)."""
+    from kafka_connect_sse_spark.operators.joins import transitive_closure
+
+    cp_key = "spark.sql.constraintPropagation.enabled"
+    prev = spark.conf.get(cp_key, "true")
+    spark.conf.set(cp_key, "false")
+    try:
+        edges = spark.createDataFrame(
+            [(0, 1), (0, 2), (1, 3), (2, 3), (0, 3)], "src long, dst long"
+        )
+        rows = {
+            (r["src"], r["dst"], r["dist"])
+            for r in transitive_closure(edges).collect()
+        }
+    finally:
+        spark.conf.set(cp_key, prev)
+    # direct edges
+    assert {(0, 1, 1), (0, 2, 1), (1, 3, 1), (2, 3, 1), (0, 3, 1)} <= rows
+    # the diamond pair keeps BOTH distances
+    assert (0, 3, 2) in rows
+    assert rows == {
+        (0, 1, 1), (0, 2, 1), (1, 3, 1), (2, 3, 1), (0, 3, 1), (0, 3, 2),
+    }
+
+
+def test_transitive_closure_terminates_on_cycle(spark):
+    """On a cyclic graph the recursive CTE itself diverges; the operator's
+    |V| cap must terminate the loop instead of spinning forever."""
+    from kafka_connect_sse_spark.operators.joins import transitive_closure
+
+    cp_key = "spark.sql.constraintPropagation.enabled"
+    prev = spark.conf.get(cp_key, "true")
+    spark.conf.set(cp_key, "false")
+    try:
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+        )
+        out = transitive_closure(edges).collect()
+    finally:
+        spark.conf.set(cp_key, prev)
+    # capped at |V|=3 iterations: distances 1..1+3 at most, every pair seen
+    assert {(r["src"], r["dst"]) for r in out} == {
+        (a, b) for a in range(3) for b in range(3)
+    }
+    assert max(r["dist"] for r in out) <= 4
+
+
+def test_fingerprint_drops_null_text_docs(spark, tmp_path, qs):
+    """NULL-text docs must produce NO row (the oracle's generate_series
+    over a NULL token list yields none) — the round-5 guard for the
+    fold rewrite (ADVICE r4 item 4)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "nulldocs")
+    import os
+
+    os.makedirs(d)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["spark row join", None, "a b"], pa.string()),
+                "lang": pa.array(["en", "en", "en"]),
+                "source": pa.array(["src0", "src0", "src0"]),
+                "n_chars": pa.array([14, 0, 3], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    out = qs["x_fingerprint"](spark, d).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 3]
+    assert all(r["fingerprint"] is not None for r in out)
