@@ -132,6 +132,117 @@ def sse_ingest_bench(spark, n_events: int = N_INGEST_EVENTS,
     return dt
 
 
+INGEST_PACE_EV_S = 3_000  # per-socket server pacing for the fan-in A/B
+INGEST_PACED_EVENTS = 15_000
+
+
+def sse_ingest_multi_bench(spark, n_streams: int = 3,
+                           n_events: int = INGEST_PACED_EVENTS,
+                           pace_ev_s: int = INGEST_PACE_EV_S) -> float:
+    """Fan-in ingest throughput (src_sse_multi's claim, measured in the
+    regime where it holds): each server is PACED at pace_ev_s events/s —
+    the production situation, where the per-socket delivery rate, not the
+    engine, is the bottleneck (the reference's deployed endpoint delivers
+    ~10 ev/s, wikipedia-connector.json:10-13).  n_events split across
+    n_streams paced endpoints, n_streams `sse` readers unioned into ONE
+    memory sink, wall-clock until every event lands.  With n_streams=1
+    this is the paced single-socket control.  (On unpaced loopback the
+    Python-datasource bridge, not the socket, is the bottleneck, and
+    fan-in only adds bridge overhead — measured 3.0 s single vs 5.7 s
+    3-stream at 50k events — so the unpaced form would test the wrong
+    regime.)"""
+    import threading
+    import time as _t
+    from functools import reduce
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from kafka_connect_sse_spark.sources.sse import register_sse_source
+
+    per = n_events // n_streams
+
+    def make_handler(lo: int, hi: int):
+        class H(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_GET(self):
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.end_headers()
+                burst = max(1, pace_ev_s // 20)  # 50 ms ticks
+                buf = []
+                try:
+                    for i in range(lo, hi):
+                        buf.append(
+                            f"event: e\nid: {i}\ndata: {{\"k\": {i}}}\n\n"
+                        )
+                        if len(buf) >= burst:
+                            self.wfile.write("".join(buf).encode())
+                            self.wfile.flush()
+                            buf = []
+                            _t.sleep(0.05)
+                    self.wfile.write("".join(buf).encode())
+                    self.wfile.flush()
+                    for _ in range(600):
+                        _t.sleep(0.1)
+                        self.wfile.write(b": ka\n\n")
+                        self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+
+        return H
+
+    servers = []
+    for s in range(n_streams):
+        srv = ThreadingHTTPServer(
+            ("127.0.0.1", 0), make_handler(s * per, (s + 1) * per)
+        )
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        servers.append(srv)
+    register_sse_source(spark)
+    total = per * n_streams
+    name = f"bench_sse_multi_{servers[0].server_address[1]}"
+    t0 = time.perf_counter()
+    streams = [
+        spark.readStream.format("sse")
+        .option("uri", f"http://127.0.0.1:{srv.server_address[1]}/s")
+        .option("maxEventsPerBatch", "100000")
+        .option("sse.buffer.max", "200000")
+        .load()
+        for srv in servers
+    ]
+    union = reduce(lambda a, b: a.unionByName(b), streams)
+    q = (
+        union.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    t_first = None
+    try:
+        while True:
+            n = spark.table(name).count()
+            if t_first is None and n > 0:
+                t_first = time.perf_counter()
+            if n >= total or time.perf_counter() - t0 > 120:
+                break
+            time.sleep(0.2)
+        t_end = time.perf_counter()
+    finally:
+        q.stop()
+        for srv in servers:
+            srv.shutdown()
+            srv.server_close()
+    # steady-state drain (first landed row -> last): excludes the
+    # one-time per-reader bridge startup (~1.3 s/reader), which is noise
+    # for an ingest that runs for days but dominates a seconds-long bench
+    return {
+        "total_sec": round(t_end - t0, 3),
+        "steady_sec": round(t_end - (t_first or t0), 3),
+    }
+
+
 def streaming_latency_bench(spark, sf_dir: str, n_files: int = 8) -> dict:
     """Per-micro-batch latency of the stateful streaming tier (VERDICT r4
     item 8): stage the events table as n_files files, drive each stateful
@@ -289,6 +400,23 @@ def main() -> None:
     for k, v in lat.items():
         print(f"# {k}: {v}s", file=sys.stderr)
 
+    one_runs = [sse_ingest_multi_bench(spark, n_streams=1)
+                for _ in range(RUNS)]
+    multi_runs = [sse_ingest_multi_bench(spark, n_streams=3)
+                  for _ in range(RUNS)]
+    med = lambda rs, k: round(statistics.median(r[k] for r in rs), 3)  # noqa: E731
+    ingest_scaling = {
+        "paced_1_stream_steady_sec": med(one_runs, "steady_sec"),
+        "paced_3_streams_steady_sec": med(multi_runs, "steady_sec"),
+        "paced_1_stream_total_sec": med(one_runs, "total_sec"),
+        "paced_3_streams_total_sec": med(multi_runs, "total_sec"),
+        "pace_ev_s_per_socket": INGEST_PACE_EV_S,
+        "n_events": INGEST_PACED_EVENTS,
+    }
+    print(f"# paced ingest fan-in steady drain: 1 stream "
+          f"{ingest_scaling['paced_1_stream_steady_sec']}s, 3 streams "
+          f"{ingest_scaling['paced_3_streams_steady_sec']}s", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -298,6 +426,7 @@ def main() -> None:
                 "queries": {**results, **extra},
                 "extra_total_sec": round(sum(extra.values()), 3),
                 "streaming_latency": lat,
+                "ingest_scaling": ingest_scaling,
                 "sf": sf,
             }
         )
