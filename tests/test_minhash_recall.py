@@ -176,3 +176,45 @@ def test_borderline_misses_detected_and_safe_pairs_always_caught(spark):
     texts = dict(docs)
     for a, b in cand & true_pairs:
         assert _jaccard(texts[a], texts[b]) == pytest.approx(truth[(a, b)])
+
+
+_TRUTH_SQL_INVERTED = f"""
+WITH t AS (SELECT doc_id, str_split(text, ' ') AS l
+           FROM read_parquet('{{path}}')),
+sh AS (SELECT doc_id,
+         CASE WHEN len(l) >= {SHINGLE_K} THEN
+           list_distinct([array_to_string(l[i:i+{SHINGLE_K - 1}], ' ')
+                          for i in range(1, len(l) - {SHINGLE_K - 2})])
+         ELSE [] END AS s
+       FROM t),
+ex AS (SELECT doc_id, len(s) AS ns, UNNEST(s) AS g FROM sh),
+common AS (
+  SELECT a.doc_id AS da, b.doc_id AS db,
+         ANY_VALUE(a.ns) AS na, ANY_VALUE(b.ns) AS nb, COUNT(*) AS c
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT da, db, CAST(c AS DOUBLE) / (na + nb - c) AS j
+FROM common WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5
+"""
+
+
+def test_generated_sf1_fixture_stays_in_high_recall_regime():
+    """The repo-generated sf1 tier (tools/gen_fixture.py) must satisfy the
+    same analytic recall bound as the driver fixtures — its near-dup
+    planting (ordered insertion into >=60-token bases) exists precisely
+    to keep every planted pair above the banded-LSH knee.  Uses the
+    inverted-index ground truth (the cross-join form is intractable at
+    50k docs).  Skipped when the tier has not been generated."""
+    import os
+
+    path = "/root/repo/testdata/sf1/documents.parquet"
+    if not os.path.exists(path):
+        pytest.skip("sf1 tier not generated (tools/gen_fixture.py --sf 1)")
+    rows = duckdb.sql(_TRUTH_SQL_INVERTED.format(path=path)).fetchall()
+    assert rows, "sf1 fixture lost its near-dup pairs entirely"
+    risky = [(a, b, j, miss_prob(j)) for a, b, j in rows if miss_prob(j) > 0.01]
+    assert not risky, (
+        "generated sf1 fixture contains pairs below the high-recall "
+        f"regime: {risky[:5]} — regenerate with a longer near-dup base "
+        "floor (tools/gen_fixture.py gen_documents)"
+    )
