@@ -16,7 +16,12 @@ from kafka_connect_sse_spark.plans import (
 )
 from kafka_connect_sse_spark.registry import queries
 
-SF = "/root/testdata/sf0.001"
+# KCSS_PLAN_SF lets the same plan-shape assertions run against any tier
+# (e.g. the generated sf1) — plan SHAPE claims must be scale-invariant,
+# and running this file at sf1 proves AQE/thresholds don't flip them.
+import os as _os
+
+SF = _os.environ.get("KCSS_PLAN_SF", "/root/testdata/sf0.001")
 
 
 def test_filter_pushdown_reaches_parquet_scan(spark):
