@@ -138,7 +138,7 @@ INGEST_PACED_EVENTS = 15_000
 
 def sse_ingest_multi_bench(spark, n_streams: int = 3,
                            n_events: int = INGEST_PACED_EVENTS,
-                           pace_ev_s: int = INGEST_PACE_EV_S) -> float:
+                           pace_ev_s: int = INGEST_PACE_EV_S) -> dict:
     """Fan-in ingest throughput (src_sse_multi's claim, measured in the
     regime where it holds): each server is PACED at pace_ev_s events/s —
     the production situation, where the per-socket delivery rate, not the
@@ -260,7 +260,9 @@ def streaming_latency_bench(spark, sf_dir: str, n_files: int = 8) -> dict:
 
     from kafka_connect_sse_spark.io import load_table
 
-    src = os.path.join(tempfile.gettempdir(), "kcss_bench_stream_src")
+    src = os.path.join(
+        tempfile.gettempdir(), f"kcss_bench_stream_src_{os.getpid()}"
+    )
     shutil.rmtree(src, ignore_errors=True)
     e = load_table(spark, sf_dir, "events")
     e.withColumn("shard", _F.pmod("event_id", _F.lit(n_files))).repartition(

@@ -29,6 +29,29 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def scratch_dir(name: str) -> str:
+    """Per-process scratch path for write-then-read operators.
+
+    Pid-keyed so concurrent checker processes (e.g. sweeps at two SFs)
+    can never rmtree/overwrite each other's live data, and
+    atexit-cleaned so repeated runs don't accumulate multi-GB dead
+    copies in /tmp (each sf1 sweep writes full-table copies through the
+    sink tier).  Callers still rmtree the returned path themselves
+    before writing — that handles reuse WITHIN one process."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), f"{name}_{os.getpid()}")
+    if path not in _SCRATCH_REGISTERED:
+        _SCRATCH_REGISTERED.add(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+_SCRATCH_REGISTERED: set[str] = set()
+
+
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from ..io import load_table
+from ..io import load_table, scratch_dir
 from ..registry import register
 
 
@@ -453,7 +453,7 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    base = os.path.join(tempfile.gettempdir(), f"kcss_bucketed_{os.getpid()}")
+    base = scratch_dir("kcss_bucketed")
     shutil.rmtree(base, ignore_errors=True)
     spark.sql("DROP TABLE IF EXISTS kcss_orders_bucketed")
     spark.sql("DROP TABLE IF EXISTS kcss_lineitem_bucketed")
@@ -913,7 +913,7 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    out = os.path.join(tempfile.gettempdir(), f"kcss_dpp_fact_{os.getpid()}")
+    out = scratch_dir("kcss_dpp_fact")
     shutil.rmtree(out, ignore_errors=True)
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id"

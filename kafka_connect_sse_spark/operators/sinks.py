@@ -21,7 +21,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import load_table, scratch_dir
 from ..registry import register
 from ..sources.sse import register_sse_source
 
@@ -136,7 +136,7 @@ def snk_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned parquet sink + re-read: write lineitem partitioned by
     l_returnflag (the landing-zone layout: partition column becomes a
     directory key, enabling partition pruning), then prove the round trip."""
-    out = os.path.join(tempfile.gettempdir(), f"kcss_snk_parquet_{os.getpid()}")
+    out = scratch_dir("kcss_snk_parquet")
     shutil.rmtree(out, ignore_errors=True)
     li = load_table(spark, sf_dir, "lineitem")
     li.write.partitionBy("l_returnflag").mode("overwrite").parquet(out)
@@ -161,7 +161,7 @@ def snk_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 def src_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines scan with an explicit schema (schema-on-read, no
     inference pass — mandatory at scale): events → jsonl → read back."""
-    out = os.path.join(tempfile.gettempdir(), f"kcss_src_jsonl_{os.getpid()}")
+    out = scratch_dir("kcss_src_jsonl")
     shutil.rmtree(out, ignore_errors=True)
     e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
     e.write.mode("overwrite").json(out)
@@ -211,7 +211,7 @@ def snk_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     nar format round-trip is proven with built-in ORC — same write→read→
     aggregate parity shape; `snk_avro` below registers automatically
     whenever spark-avro IS on the classpath."""
-    out = os.path.join(tempfile.gettempdir(), f"kcss_snk_orc_{os.getpid()}")
+    out = scratch_dir("kcss_snk_orc")
     shutil.rmtree(out, ignore_errors=True)
     o = load_table(spark, sf_dir, "orders")
     o.write.mode("overwrite").orc(out)
@@ -263,7 +263,7 @@ def snk_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
       stay distributed and Arrow-batched.  At 100 TB the per-partition
       file layout is the scalable shape; only the codec differs from
       the jar path, not the plan."""
-    out = os.path.join(tempfile.gettempdir(), f"kcss_snk_avro_{os.getpid()}")
+    out = scratch_dir("kcss_snk_avro")
     shutil.rmtree(out, ignore_errors=True)
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -370,7 +370,7 @@ def src_parquet_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     governs footer-schema reconciliation across years of landed files;
     turn it OFF for hot paths (footer merge is a per-file planning cost)
     and keep evolved columns append-only."""
-    out = os.path.join(tempfile.gettempdir(), f"kcss_src_evolve_{os.getpid()}")
+    out = scratch_dir("kcss_src_evolve")
     shutil.rmtree(out, ignore_errors=True)
     o = load_table(spark, sf_dir, "orders")
     o.filter(F.col("o_orderkey") % 2 == 0).select(
@@ -403,7 +403,7 @@ def snk_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     StringConverter tier implies).  Header on write, EXPLICIT schema on
     read — schema inference over CSV is a full extra pass at scale and is
     never acceptable at 100 TB; quoting round-trips embedded delimiters."""
-    out = os.path.join(tempfile.gettempdir(), f"kcss_snk_csv_{os.getpid()}")
+    out = scratch_dir("kcss_snk_csv")
     shutil.rmtree(out, ignore_errors=True)
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id", "value"
@@ -440,7 +440,7 @@ def snk_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     come up empty on tiny or filtered fixtures, and fewer-than-4 files is
     still a correct compaction, not a failure.  Content aggregates prove
     nothing was lost."""
-    base = os.path.join(tempfile.gettempdir(), f"kcss_compact_{os.getpid()}")
+    base = scratch_dir("kcss_compact")
     frag = os.path.join(base, "fragmented")
     comp = os.path.join(base, "compacted")
     shutil.rmtree(base, ignore_errors=True)
@@ -475,7 +475,7 @@ def snk_parquet_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one matching directory (PartitionFilters in the plan; the other
     partitions' files are never opened).  This is the layout/query pattern
     that turns a 100 TB scan into a per-partition one."""
-    out = os.path.join(tempfile.gettempdir(), f"kcss_snk_pruned_{os.getpid()}")
+    out = scratch_dir("kcss_snk_pruned")
     shutil.rmtree(out, ignore_errors=True)
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id"
@@ -504,7 +504,7 @@ def snk_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema on read (inference is an extra full pass, unacceptable at
     100 TB); longs and doubles survive the text round-trip exactly, and
     the aggregate pins it."""
-    out = os.path.join(tempfile.gettempdir(), f"kcss_snk_jsonl_{os.getpid()}")
+    out = scratch_dir("kcss_snk_jsonl")
     shutil.rmtree(out, ignore_errors=True)
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id", "value"
@@ -548,7 +548,7 @@ def snk_parquet_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition, so the layout is deterministic run to run."""
     import pyarrow.parquet as pq
 
-    out = os.path.join(tempfile.gettempdir(), f"kcss_snk_sorted_{os.getpid()}")
+    out = scratch_dir("kcss_snk_sorted")
     shutil.rmtree(out, ignore_errors=True)
     e = load_table(spark, sf_dir, "events")
     # Spark's default INT96 timestamp encoding carries NO footer min/max

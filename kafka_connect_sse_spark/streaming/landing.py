@@ -18,6 +18,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..io import scratch_dir
 from ..registry import register
 from ..sources.sse import register_sse_source
 
@@ -163,7 +164,7 @@ def src_sse_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # key the scratch dir by pid: concurrent checkers (e.g. two sweeps at
     # different SFs) must not rmtree each other's running landing zone
-    base = os.path.join(tempfile.gettempdir(), f"kcss_sse_multi_{os.getpid()}")
+    base = scratch_dir("kcss_sse_multi")
     out = os.path.join(base, "raw_events")
     ckpt = os.path.join(base, "checkpoint")
     shutil.rmtree(base, ignore_errors=True)

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 
-from ..io import load_table
+from ..io import load_table, scratch_dir
 from ..registry import register
 from .runner import events_stream, run_to_memory
 
@@ -501,7 +501,7 @@ def s_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    base = os.path.join(tempfile.gettempdir(), f"kcss_ckpt_resume_{os.getpid()}")
+    base = scratch_dir("kcss_ckpt_resume")
     src = os.path.join(base, "src")
     ckpt = os.path.join(base, "ckpt")
     sink = os.path.join(base, "sink")

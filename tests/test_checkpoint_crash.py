@@ -108,20 +108,21 @@ def test_mid_batch_crash_without_idempotence_duplicates(spark):
     sink = os.path.join(base, "sink")
     shutil.rmtree(base, ignore_errors=True)
 
-    e = load_table(spark, SF_DIR, "events").select("event_id").limit(100)
+    e = load_table(spark, SF_DIR, "events").select("event_id").filter(
+        F.col("event_id") < 100
+    )
     schema = e.schema
     e.coalesce(1).write.mode("overwrite").parquet(src)
 
     bombed = {"armed": True}
 
+    # deterministic halves (limit() without orderBy has no stable subset)
     def land(df, batch_id: int) -> None:
-        df.limit(50).write.mode("append").parquet(sink)
+        df.filter(F.col("event_id") < 50).write.mode("append").parquet(sink)
         if bombed["armed"]:
             bombed["armed"] = False
             raise RuntimeError("injected")
-        df.filter(~F.col("event_id").isin(  # rest of the batch
-            [r[0] for r in df.limit(50).collect()]
-        )).write.mode("append").parquet(sink)
+        df.filter(F.col("event_id") >= 50).write.mode("append").parquet(sink)
 
     def run():
         q = (

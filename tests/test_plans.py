@@ -329,7 +329,10 @@ def test_bpe_pair_counts_is_take_ordered(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
-    # TakeOrdered sits BELOW the window: the window ranks its output
+    # the ranking window must exist AND sit above TakeOrdered (ranks its
+    # output); find() would return -1 if the window vanished, which would
+    # pass the < comparison vacuously
+    assert "windowspecdefinition" in plan, plan
     assert plan.find("windowspecdefinition") < plan.find(
         "TakeOrderedAndProject"
     ), plan

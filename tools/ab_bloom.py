@@ -79,6 +79,7 @@ def main():
         "(rendered into PLANS.md by tools/gen_plans.py)",
     )
     a = ap.parse_args()
+    a.runs = max(1, a.runs)
 
     from kafka_connect_sse_spark.registry import queries
     from kafka_connect_sse_spark.session import get_spark

@@ -20,8 +20,10 @@ empirical DISTRIBUTIONS (profiled from sf0.1):
   events      1M * sf      ts = cumsum(Exp(30d/N)) from 2024-01-01,
                            value Exp(mean 50) 2dp, props {"k": 0..99}
   documents   50k * sf     10..100 tokens from the 30-word vocab;
-                           5% shuffled near-dups with a 'dup' token
-                           substituted; ~0.16% exact dups
+                           5% near-dups: ORDERED copy of a >=60-token
+                           base with one 'dup' token inserted (keeps
+                           shingle-Jaccard >= ~0.89, the LSH
+                           high-recall regime); ~0.16% exact dups
   embeddings  8k @ sf1     unit-norm gaussian float32[64], label 0..9
                            (sub-linear like the driver: 500@0.01,
                            2000@0.1 — 4x per decade)
@@ -255,7 +257,6 @@ def main() -> None:
     out = a.out or f"/root/repo/testdata/sf{a.sf:g}"
     os.makedirs(out, exist_ok=True)
     sf = a.sf
-    n_cust = int(150_000 * sf / 0.1 * 0.1)  # 150k @ sf1
     n_docs = a.documents if a.documents is not None else int(50_000 * sf)
     # embeddings grow 4x per 10x sf (driver pattern: 500@.01, 2000@.1)
     n_emb = int(round(2000 * 4 ** np.log10(sf / 0.1)))
