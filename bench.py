@@ -260,9 +260,9 @@ def streaming_latency_bench(spark, sf_dir: str, n_files: int = 8) -> dict:
 
     from kafka_connect_sse_spark.io import load_table
 
-    src = os.path.join(
-        tempfile.gettempdir(), f"kcss_bench_stream_src_{os.getpid()}"
-    )
+    from kafka_connect_sse_spark.io import scratch_dir
+
+    src = scratch_dir("kcss_bench_stream_src")  # pid-keyed, atexit-cleaned
     shutil.rmtree(src, ignore_errors=True)
     e = load_table(spark, sf_dir, "events")
     e.withColumn("shard", _F.pmod("event_id", _F.lit(n_files))).repartition(
@@ -330,11 +330,13 @@ def streaming_latency_bench(spark, sf_dir: str, n_files: int = 8) -> dict:
             "leftOuter",
         ).select("purchase_id", "click_id", "user_id")
 
-    out = {
-        "s_window_session_p50_batch_sec": batches(session_agg),
-        "s_join_stream_outer_p50_batch_sec": batches(outer_join),
-    }
-    shutil.rmtree(src, ignore_errors=True)
+    try:
+        out = {
+            "s_window_session_p50_batch_sec": batches(session_agg),
+            "s_join_stream_outer_p50_batch_sec": batches(outer_join),
+        }
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
     return out
 
 

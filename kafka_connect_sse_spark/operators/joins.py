@@ -451,7 +451,6 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     even at fixture scale where broadcast would otherwise win."""
     import os
     import shutil
-    import tempfile
 
     base = scratch_dir("kcss_bucketed")
     shutil.rmtree(base, ignore_errors=True)
@@ -911,7 +910,6 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     dynamicpruningexpression lands in the fact scan."""
     import os
     import shutil
-    import tempfile
 
     out = scratch_dir("kcss_dpp_fact")
     shutil.rmtree(out, ignore_errors=True)

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -79,7 +78,7 @@ def snk_sse_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
     port = server.server_address[1]
     threading.Thread(target=server.serve_forever, daemon=True).start()
 
-    base = os.path.join(tempfile.gettempdir(), f"kcss_landing_{port}")
+    base = scratch_dir("kcss_landing")
     out = os.path.join(base, "raw_events")
     ckpt = os.path.join(base, "checkpoint")
     shutil.rmtree(base, ignore_errors=True)

@@ -499,7 +499,6 @@ def s_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     live in the checkpoint, the sink commits atomically per batch."""
     import os
     import shutil
-    import tempfile
 
     base = scratch_dir("kcss_ckpt_resume")
     src = os.path.join(base, "src")

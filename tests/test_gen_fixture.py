@@ -18,13 +18,14 @@ TOOL = "/root/repo/tools/gen_fixture.py"
 
 
 def _gen(out: str, extra: list[str] | None = None) -> None:
-    subprocess.run(
+    r = subprocess.run(
         [sys.executable, TOOL, "--sf", "0.002", "--out", out]
         + (extra or []),
-        check=True,
         capture_output=True,
+        text=True,
         timeout=300,
     )
+    assert r.returncode == 0, r.stderr  # surface the generator traceback
 
 
 def _digest(d: str) -> dict[str, str]:
@@ -62,13 +63,3 @@ def test_schemas_match_driver_fixtures(tmp_path):
         assert [(f.name, f.type) for f in ref] == [
             (f.name, f.type) for f in got
         ], t
-
-
-def test_scratch_dir_is_pid_keyed_and_registered_for_cleanup():
-    from kafka_connect_sse_spark.io import _SCRATCH_REGISTERED, scratch_dir
-
-    p = scratch_dir("kcss_unit_test")
-    assert p.endswith(f"_{os.getpid()}")
-    assert p in _SCRATCH_REGISTERED
-    # idempotent: second call returns the same path, registers once
-    assert scratch_dir("kcss_unit_test") == p
