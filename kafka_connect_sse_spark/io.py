@@ -37,13 +37,30 @@ def scratch_dir(name: str) -> str:
     atexit-cleaned so repeated runs don't accumulate multi-GB dead
     copies in /tmp (each sf1 sweep writes full-table copies through the
     sink tier).  Callers still rmtree the returned path themselves
-    before writing — that handles reuse WITHIN one process."""
+    before writing — that handles reuse WITHIN one process.
+
+    atexit never fires on SIGKILL/OOM (common in long sf1 sweeps), so on
+    the first call per name we also best-effort sweep stale
+    `{name}_<pid>` siblings whose owning pid is gone — otherwise each
+    hard-killed run orphans its dir forever (new pid next run)."""
     import atexit
+    import glob
     import shutil
     import tempfile
 
-    path = os.path.join(tempfile.gettempdir(), f"{name}_{os.getpid()}")
+    tmp = tempfile.gettempdir()
+    path = os.path.join(tmp, f"{name}_{os.getpid()}")
     if path not in _SCRATCH_REGISTERED:
+        for sibling in glob.glob(os.path.join(tmp, f"{name}_*")):
+            suffix = sibling.rsplit("_", 1)[-1]
+            if sibling == path or not suffix.isdigit():
+                continue
+            try:
+                os.kill(int(suffix), 0)  # raises if pid is dead
+            except ProcessLookupError:
+                shutil.rmtree(sibling, ignore_errors=True)
+            except (PermissionError, OSError):
+                pass  # pid alive but not ours — leave it
         _SCRATCH_REGISTERED.add(path)
         atexit.register(shutil.rmtree, path, ignore_errors=True)
     return path

@@ -842,7 +842,16 @@ def transitive_closure(edges: DataFrame) -> DataFrame:
     the generic form of q_transitive_closure's loop, exposed so the
     recursive-CTE UNION parity (one row per distinct distance, diamond
     paths included) is unit-testable on synthetic graphs
-    (tests/test_operators.py)."""
+    (tests/test_operators.py).
+
+    If the loop stops because the |V| cap fired rather than the
+    empty-frontier fixpoint — i.e. the input is cyclic and the result is
+    the truncated closure (dist <= |V|+1), a case where the reference
+    recursive CTE has no defined result at all — a RuntimeWarning is
+    emitted, so a capped run is observable instead of silently looking
+    converged."""
+    import warnings
+
     edges = edges.localCheckpoint(eager=True)
     paths = edges.withColumn("dist", F.lit(1).cast("long")).localCheckpoint(
         eager=True
@@ -857,6 +866,7 @@ def transitive_closure(edges: DataFrame) -> DataFrame:
         .count()
     )
     frontier = paths
+    converged = False
     for _ in range(int(n_nodes)):
         grown = (
             frontier.alias("p")
@@ -877,6 +887,7 @@ def transitive_closure(edges: DataFrame) -> DataFrame:
             .toDF("src", "dst", "dist")
         )
         if fresh.isEmpty():
+            converged = True
             break
         paths = (
             paths.unionByName(fresh)
@@ -884,6 +895,14 @@ def transitive_closure(edges: DataFrame) -> DataFrame:
             .toDF("src", "dst", "dist")
         )
         frontier = fresh
+    if not converged:
+        warnings.warn(
+            f"transitive_closure: iteration cap |V|={n_nodes} fired before "
+            "the empty-frontier fixpoint — input is cyclic, result is the "
+            f"truncated closure (dist <= {n_nodes + 1})",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return paths
 
 

@@ -106,6 +106,71 @@ def u_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zscore_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized per-bucket z-score: one pandas frame per COARSE bucket,
+    sub-grouped by the real key with cython groupby.transform — no
+    per-key Python, no per-key frame construction."""
+    g = pdf.groupby("o_custkey")["o_totalprice"]
+    m = g.transform("mean")
+    s = g.transform("std")  # ddof=1; NaN for singleton groups
+    n = g.transform("count")
+    out = pd.DataFrame(
+        {
+            "o_custkey": pdf["o_custkey"],
+            "o_orderkey": pdf["o_orderkey"],
+            "z": ((pdf["o_totalprice"] - m) / s).round(6),
+        }
+    )
+    # groups of 1 have NULL stddev → drop to match the oracle's QUALIFY
+    return out[n.values >= 2]
+
+
+@register(
+    "u_grouped_map_batched",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND((o_totalprice - AVG(o_totalprice) OVER w)
+                 / stddev_samp(o_totalprice) OVER w, 6) AS z
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey)
+    QUALIFY COUNT(*) OVER w >= 2
+    """,
+)
+def u_grouped_map_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe grouped-map: the batch-the-keys pattern SCALE.md
+    prescribes for `u_grouped_map`'s measured ~94k rows/s floor.
+
+    Same semantics and EXACT oracle as `u_grouped_map` (per-customer
+    z-score), but applyInPandas groups on a COARSE hash bucket of the
+    key instead of the key itself, then sub-groups inside pandas with
+    groupby.transform.  Why it wins: applyInPandas pays a fixed
+    per-GROUP cost (Arrow slice → pandas frame → Python call), which
+    dominates when keys are high-cardinality and groups tiny (150k
+    groups of ~10 orders at sf1).  Bucketing turns 150k Python calls
+    into `n_buckets` calls over large frames; the per-key work happens
+    in pandas' cython groupby, which is vectorized across ALL keys in
+    the bucket.  Hashing the key guarantees every row of a customer
+    lands in the same bucket, so per-key results are bit-identical to
+    the per-key form.
+
+    Sizing: n_buckets trades parallelism against per-frame overhead —
+    here 4× defaultParallelism (full cores, frames of rows/n_buckets);
+    at 100 TB size it as total_rows / target_rows_per_frame (a few
+    million rows ≈ a few hundred MB Arrow per frame) so frames stay
+    executor-memory-safe while remaining large enough to amortize the
+    Python boundary."""
+    n_buckets = spark.sparkContext.defaultParallelism * 4
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    bucketed = o.withColumn(
+        "bucket", F.pmod(F.hash("o_custkey"), F.lit(n_buckets))
+    )
+    return bucketed.groupBy("bucket").applyInPandas(
+        _zscore_bucket, "o_custkey long, o_orderkey long, z double"
+    )
+
+
 @register(
     "u_sql_udtf",
     oracle="""

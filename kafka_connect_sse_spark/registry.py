@@ -77,86 +77,90 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's correctness gate checks a bounded 50-entry prefix of the
-# registry.  After round 4, EVERY registered operator holds a driver-green
-# CORRECTNESS row (188/188) — so from round 5 on the window's job is
-# EVIDENCE FRESHNESS, executing the rotation policy VERDICT r4 item 1
-# ordered: new/modified operators lead (their old records cover old code),
-# then the operators holding the OLDEST driver record — all 38 r1-era rows
-# first, then the oldest r2 rows — so no record ages past ~2 rounds.
+# registry.  Every registered operator holds a driver-green CORRECTNESS
+# row, so the window's job is EVIDENCE FRESHNESS (rotation policy,
+# VERDICT r4 item 1): new/modified operators lead (their old records
+# cover old code), then the operators holding the OLDEST driver record,
+# topped up from the next-oldest cohort — so no record ages past ~3
+# rounds.
 #
-# Round-5 window composition (50 entries):
-#   1      src_sse_multi        — new this round (multi-stream SSE fan-in)
-#   2-5    ops whose code changed this round (r2/r4 records now stale):
-#          x_fingerprint (NULL guard), x_bpe_pair_counts (TakeOrdered
-#          rewrite), q_transitive_closure (full-tuple anti-join parity),
-#          s_join_stream_stream_outer (fixture-copy fix)
-#   6-43   the complete r1 cohort (38 ops, green since round 1)
-#   44-50  oldest/stalest remaining rows: six load-bearing r2 records
-#          (ingest, landing sink, broadcast/multiway joins, minhash
-#          dedup, ANN baseline) plus x_dedup_incremental, whose oracle
-#          was rewritten this round (inverted-index ground truth) — the
-#          rest of the r2 cohort rotates in round 6.
+# Round-6 window composition (50 entries) — VERDICT r5 item 1: the
+# complete 43-op r2 cohort rotates through, led by this round's
+# new/modified ops, topped up with the first two r3 rows in registry
+# order.  After this round no record is older than r3.
+#   1      u_grouped_map_batched — new this round (batch-the-keys
+#          grouped map, the executable fix for the measured 94k rows/s
+#          per-key pandas floor)
+#   2-5    ops whose code changed this round: q_transitive_closure
+#          (cap-fired RuntimeWarning), src_sse_multi + snk_sse_landing
+#          (loud TimeoutError on landing-wait expiry),
+#          s_join_stream_stream_outer (pid-keyed scratch dir)
+#   6-48   the complete r2 cohort (43 ops: sources/sinks, the r2
+#          aggregates, q_win_running_sum, the 10-op streaming tier, the
+#          4-op UDF ladder, the 19 r2-era x_* text/dedup/similarity ops)
+#   49-50  top-up from the oldest remaining cohort (r3), registry order:
+#          q_lateral_explode, q_join_bucketed
 _PRIORITY = (
     # new this round
-    "src_sse_multi",
+    "u_grouped_map_batched",
     # modified this round — re-attest current code
-    "x_fingerprint",
-    "x_bpe_pair_counts",
     "q_transitive_closure",
-    "s_join_stream_stream_outer",
-    # -- r1 cohort: projection / filter --
-    "q_project_computed",
-    "q_filter_basic",
-    "q_filter_in_between",
-    "q_filter_null",
-    "q_filter_like_regex",
-    "q_coalesce_defaults",
-    "q_distinct",
-    "q_sort_multikey",
-    # -- r1 cohort: joins --
-    "q_join_inner_shuffle",
-    "q_join_left_outer",
-    "q_join_full_outer",
-    "q_join_left_semi",
-    "q_join_left_anti",
-    "q_join_cross",
-    "q_join_theta_range",
-    "q_join_self",
-    "q_join_asof",
-    "q_join_salted_skew",
-    "q_join_range_banded",
-    "q_in_subquery",
-    # -- r1 cohort: aggregates --
-    "q_agg_count_distinct",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_agg_unpivot",
-    "q_agg_min_max_by",
-    "q_agg_percentile",
-    "q_agg_pivot",
-    "q_scalar_subquery",
-    "q_agg_stats",
-    # -- r1 cohort: windows --
-    "q_win_ranking",
-    "q_win_lag_lead",
-    "q_win_moving_avg",
-    "q_win_range_frame",
-    "q_win_first_last",
-    "q_win_pct",
-    "q_win_nth_value",
-    "q_topk_per_group",
-    # -- oldest r2 rows: the load-bearing seven --
-    "src_sse_stream",
+    "src_sse_multi",
     "snk_sse_landing",
-    "q_join_inner_broadcast",
-    "q_join_multiway",
-    # oracle rewritten round 5 (inverted-index ground truth) — re-attest
-    # alongside its minhash twin; u_pandas_udf (r2, unchanged, exercised
-    # by pytest + every bench run) yields its slot
-    "x_dedup_incremental",
-    "x_dedup_near_minhash",
-    "x_sim_topk_cosine",
+    "s_join_stream_stream_outer",
+    # -- r2 cohort: sources / sinks --
+    "src_jsonl_scan",
+    "src_parquet_evolve",
+    "snk_parquet",
+    "snk_memory_topic",
+    "snk_orc",
+    # -- r2 cohort: aggregates / window --
+    "q_agg_having",
+    "q_agg_collect_sorted",
+    "q_agg_approx_distinct",
+    "q_agg_bytes_by_type",
+    "q_win_running_sum",
+    # -- r2 cohort: streaming tier --
+    "s_window_tumbling",
+    "s_window_sliding",
+    "s_window_session",
+    "s_watermark_late",
+    "s_dedup_watermarked",
+    "s_join_stream_static",
+    "s_stateful_counter",
+    "s_join_stream_stream",
+    "s_foreachbatch_dlq",
+    "s_observe_metrics",
+    # -- r2 cohort: UDF ladder --
+    "u_py_udf",
+    "u_pandas_udf",
+    "u_grouped_map",
+    "u_sql_udtf",
+    # -- r2 cohort: x_* text quality / vocab --
+    "x_text_stats",
+    "x_token_count_regex",
+    "x_quality_score",
+    "x_langid_ngram",
+    "x_lang_like_filter",
+    "x_tfidf_top_term",
+    "x_text_top_bigrams",
+    "x_decontaminate",
+    # -- r2 cohort: x_* dedup family --
+    "x_dedup_exact",
+    "x_dedup_exact_hash",
+    "x_dedup_simhash",
+    "x_dedup_near_embedding",
+    "x_dedup_clusters",
+    "x_dedup_keep_best",
+    "x_ngram_jaccard",
+    # -- r2 cohort: x_* similarity / multimodal --
+    "x_embed_norms",
+    "x_sim_lsh_bucketed",
+    "x_sim_topk_lsh",
+    "x_multimodal_cols",
+    # -- top-up: oldest r3 rows, registry order --
+    "q_lateral_explode",
+    "q_join_bucketed",
 )
 
 

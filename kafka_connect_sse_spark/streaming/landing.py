@@ -86,14 +86,15 @@ def snk_sse_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = land_sse_to_parquet(
         spark, f"http://127.0.0.1:{port}/stream", out, ckpt
     )
+    landed_n = 0
     try:
         deadline = time.monotonic() + 90
         while time.monotonic() < deadline:
             try:
-                if (
+                landed_n = (
                     spark.read.parquet(out).select("id").distinct().count()
-                    >= len(rows)
-                ):
+                )
+                if landed_n >= len(rows):
                     break
             except Exception:
                 pass  # sink dir not created yet
@@ -103,6 +104,13 @@ def snk_sse_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(30)
         server.shutdown()
         server.server_close()
+    if landed_n < len(rows):
+        # a stalled stream must fail loudly, not land a partial aggregate
+        # that the driver gate would misread as a correctness bug
+        raise TimeoutError(
+            f"snk_sse_landing: landed {landed_n}/{len(rows)} distinct "
+            "events before the 90s deadline"
+        )
 
     # dedup on id: a mid-run reconnect re-serves the stub stream from
     # offset 0 (no Last-Event-ID resume), landing bit-identical duplicates
@@ -188,17 +196,18 @@ def src_sse_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(processingTime="500 milliseconds")
         .start()
     )
+    landed_n = 0
     try:
         deadline = time.monotonic() + 120
         while time.monotonic() < deadline:
             try:
-                if (
+                landed_n = (
                     spark.read.parquet(out)
                     .select("stream_id", "id")
                     .distinct()
                     .count()
-                    >= len(rows)
-                ):
+                )
+                if landed_n >= len(rows):
                     break
             except Exception:
                 pass  # sink dir not created yet
@@ -209,6 +218,13 @@ def src_sse_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         for srv in servers:
             srv.shutdown()
             srv.server_close()
+    if landed_n < len(rows):
+        # partial per-shard aggregates are indistinguishable from a real
+        # correctness failure at the driver gate — fail loudly instead
+        raise TimeoutError(
+            f"src_sse_multi: landed {landed_n}/{len(rows)} distinct "
+            "(stream_id, id) pairs before the 120s deadline"
+        )
 
     # reconnects re-serve each stub stream from offset 0 → dedup per stream
     landed = spark.read.parquet(out).dropDuplicates(["stream_id", "id"])

@@ -574,18 +574,19 @@ def s_join_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
     import shutil
-    import tempfile
     import time
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from ..io import _convert_nanos, table_path
+    from ..io import _convert_nanos, scratch_dir, table_path
     from .runner import run_to_memory
 
     src = table_path(sf_dir, "events")
     key = hashlib.md5(src.encode()).hexdigest()[:10]
-    d = os.path.join(tempfile.gettempdir(), f"kcss_outer_join_{key}")
+    # sf-keyed AND pid-keyed (scratch_dir): two concurrent checkers at the
+    # SAME sf must not rmtree each other's live staging dir
+    d = scratch_dir(f"kcss_outer_join_{key}")
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d)
     main = os.path.join(d, "events.parquet")

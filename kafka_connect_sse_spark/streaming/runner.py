@@ -21,23 +21,31 @@ _counter = itertools.count()
 
 def _staged_events_dir(sf_dir: str) -> str:
     """Spark's file stream source requires a *directory*; stage the single
-    events.parquet into a tmp dir (hardlink when possible, copy otherwise),
-    keyed by sf_dir so each scale factor stages once."""
+    events.parquet into a scratch dir (hardlink when possible, copy
+    otherwise), keyed by sf_dir so each scale factor stages once per
+    process.  Pid-keyed via scratch_dir: a fixed-name dir shared across
+    processes would let a reader observe another process's mid-copy
+    partial file.  Hard-linking the read-only fixture is safe here —
+    nothing ever utimes or mutates the staged file."""
     import hashlib
     import os
     import shutil
-    import tempfile
+
+    from ..io import scratch_dir
 
     src = table_path(sf_dir, "events")
     key = hashlib.md5(src.encode()).hexdigest()[:10]
-    d = os.path.join(tempfile.gettempdir(), f"kcss_events_stream_{key}")
+    d = scratch_dir(f"kcss_events_stream_{key}")
     dst = os.path.join(d, "events.parquet")
     if not os.path.exists(dst):
         os.makedirs(d, exist_ok=True)
         try:
             os.link(src, dst)
         except OSError:
-            shutil.copyfile(src, dst)
+            # stage via a temp name + atomic rename so a concurrent reader
+            # in this process can never see a partial copy
+            shutil.copyfile(src, dst + ".tmp")
+            os.replace(dst + ".tmp", dst)
     return d
 
 

@@ -23,19 +23,18 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.utils import StreamingQueryException
 
-from kafka_connect_sse_spark.io import load_table
+from kafka_connect_sse_spark.io import load_table, scratch_dir
 
 SF_DIR = "/root/testdata/sf0.001"
 
 
 def test_mid_batch_crash_replays_exactly_once(spark):
-    base = os.path.join(tempfile.gettempdir(), "kcss_ckpt_crash")
+    base = scratch_dir("kcss_ckpt_crash")
     src = os.path.join(base, "src")
     ckpt = os.path.join(base, "ckpt")
     sink = os.path.join(base, "sink")
@@ -102,7 +101,7 @@ def test_mid_batch_crash_without_idempotence_duplicates(spark):
     same crash DOES duplicate the torn rows — proving the assertion above
     actually discriminates, and documenting why the landing sinks key by
     batch."""
-    base = os.path.join(tempfile.gettempdir(), "kcss_ckpt_crash_neg")
+    base = scratch_dir("kcss_ckpt_crash_neg")
     src = os.path.join(base, "src")
     ckpt = os.path.join(base, "ckpt")
     sink = os.path.join(base, "sink")

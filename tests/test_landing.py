@@ -2,13 +2,13 @@
 
 import os
 import shutil
-import tempfile
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import pytest
 
+from kafka_connect_sse_spark.io import scratch_dir
 from kafka_connect_sse_spark.streaming.landing import land_sse_to_parquet
 
 EVENTS = [("edit", i) for i in range(6)] + [("log", i) for i in range(6, 10)]
@@ -44,7 +44,7 @@ def server():
 
 
 def test_partitioned_landing_roundtrip(spark, server):
-    base = os.path.join(tempfile.gettempdir(), "kcss_landing_test")
+    base = scratch_dir("kcss_landing_test")
     shutil.rmtree(base, ignore_errors=True)
     out, ckpt = os.path.join(base, "raw"), os.path.join(base, "ckpt")
     q = land_sse_to_parquet(
@@ -134,11 +134,7 @@ def test_sse_multi_fanin_zero_loss_isolation_ordering(spark):
     # the landed zone itself: per-stream id sets exactly the served shards
     landed = (
         spark.read.parquet(
-            os.path.join(
-                tempfile.gettempdir(),
-                f"kcss_sse_multi_{os.getpid()}",
-                "raw_events",
-            )
+            os.path.join(scratch_dir("kcss_sse_multi"), "raw_events")
         )
         .select("stream_id", "id")
         .distinct()

@@ -84,30 +84,74 @@ def test_salting_helpers_round_trip(spark):
     assert joined.count() == plain.count()
 
 
-def test_round5_driver_window_composition(qs):
-    """The driver checks the FIRST 50 registry entries.  Pin the round-5
-    rotation window (VERDICT r4 item 1): new/modified operators lead,
-    then the complete r1 cohort, then the oldest-r2 / rewritten-oracle
-    rows — a silent reordering here would burn the round's freshness
-    evidence."""
+def test_round6_driver_window_composition(qs):
+    """The driver checks the FIRST 50 registry entries.  Pin the round-6
+    rotation window (VERDICT r5 item 1): new/modified operators lead,
+    then the COMPLETE 43-op r2 cohort, topped up with the first two r3
+    rows in registry order — a silent reordering here would burn the
+    round's freshness evidence."""
     from kafka_connect_sse_spark.registry import _PRIORITY
 
     window = list(qs)[: len(_PRIORITY)]
     assert window == list(_PRIORITY)
-    assert len(_PRIORITY) <= 50, "priority entries must all fit the window"
+    assert len(_PRIORITY) == 50, "round-6 window must fill all 50 slots"
     # new + this-round-modified operators must re-attest first
     assert window[:5] == [
-        "src_sse_multi",
-        "x_fingerprint",
-        "x_bpe_pair_counts",
+        "u_grouped_map_batched",
         "q_transitive_closure",
+        "src_sse_multi",
+        "snk_sse_landing",
         "s_join_stream_stream_outer",
     ]
+    # the complete r2 cohort (43 ops whose newest driver record is r2)
+    r2_cohort = {
+        "src_jsonl_scan", "src_parquet_evolve", "snk_parquet",
+        "snk_memory_topic", "snk_orc", "q_agg_having",
+        "q_agg_collect_sorted", "q_agg_approx_distinct",
+        "q_agg_bytes_by_type", "q_win_running_sum", "s_window_tumbling",
+        "s_window_sliding", "s_window_session", "s_watermark_late",
+        "s_dedup_watermarked", "s_join_stream_static",
+        "s_stateful_counter", "s_join_stream_stream", "s_foreachbatch_dlq",
+        "s_observe_metrics", "u_py_udf", "u_pandas_udf", "u_grouped_map",
+        "u_sql_udtf", "x_text_stats", "x_token_count_regex",
+        "x_quality_score", "x_langid_ngram", "x_lang_like_filter",
+        "x_tfidf_top_term", "x_text_top_bigrams", "x_decontaminate",
+        "x_dedup_exact", "x_dedup_exact_hash", "x_dedup_simhash",
+        "x_dedup_near_embedding", "x_dedup_clusters", "x_dedup_keep_best",
+        "x_ngram_jaccard", "x_embed_norms", "x_sim_lsh_bucketed",
+        "x_sim_topk_lsh", "x_multimodal_cols",
+    }
+    assert len(r2_cohort) == 43
+    assert set(window[5:48]) == r2_cohort
+    # top-up: oldest remaining cohort (r3), registry order
+    assert window[48:] == ["q_lateral_explode", "q_join_bucketed"]
     # every window op must carry an oracle (EXACT gate, not rows-only)
     from kafka_connect_sse_spark.registry import oracle_sql
 
     osql = oracle_sql()
-    assert all(name in osql for name in list(qs)[:50])
+    assert all(name in osql for name in window)
+
+
+def test_registry_count_matches_survey(qs):
+    """SURVEY.md §2.4 declares the operator total the judge grades
+    against; the registry is the implementation's inventory.  A drift in
+    either direction must fail loudly (VERDICT r5 item 8) — conditional
+    extras (the s_transform_with_state probe, which registers only where
+    protobuf exists) don't count toward the declared total."""
+    import os
+    import re
+
+    survey = os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")
+    text = open(survey).read()
+    m = re.search(r"\*\*Declared operator total: (\d+)\*\*", text)
+    assert m, "SURVEY.md must declare the operator total"
+    declared = int(m.group(1))
+    conditional = {"s_transform_with_state"}
+    registered = [name for name in qs if name not in conditional]
+    assert len(registered) == declared, (
+        f"registry has {len(registered)} operators but SURVEY.md declares "
+        f"{declared} — update both in the same commit"
+    )
 
 
 def test_transitive_closure_keeps_all_distances_on_diamond(spark):
@@ -139,9 +183,28 @@ def test_transitive_closure_keeps_all_distances_on_diamond(spark):
     }
 
 
+def test_grouped_map_batched_matches_per_key_form(spark, qs):
+    """The batch-the-keys rewrite must be result-identical to the per-key
+    applyInPandas it replaces: hashing the key into coarse buckets keeps
+    every customer's rows in one pandas frame, and the in-pandas
+    groupby.transform computes the same per-key mean/std — so the two
+    forms differ only in Python-boundary cost, never in answer."""
+    per_key = {
+        (r.o_custkey, r.o_orderkey, r.z)
+        for r in qs["u_grouped_map"](spark, SF).collect()
+    }
+    batched = {
+        (r.o_custkey, r.o_orderkey, r.z)
+        for r in qs["u_grouped_map_batched"](spark, SF).collect()
+    }
+    assert batched == per_key
+
+
 def test_transitive_closure_terminates_on_cycle(spark):
     """On a cyclic graph the recursive CTE itself diverges; the operator's
-    |V| cap must terminate the loop instead of spinning forever."""
+    |V| cap must terminate the loop instead of spinning forever — and the
+    capped (truncated) run must be OBSERVABLE via RuntimeWarning, never
+    silently indistinguishable from a converged fixpoint (ADVICE r5)."""
     from kafka_connect_sse_spark.operators.joins import transitive_closure
 
     cp_key = "spark.sql.constraintPropagation.enabled"
@@ -151,7 +214,8 @@ def test_transitive_closure_terminates_on_cycle(spark):
         edges = spark.createDataFrame(
             [(0, 1), (1, 2), (2, 0)], "src long, dst long"
         )
-        out = transitive_closure(edges).collect()
+        with pytest.warns(RuntimeWarning, match="iteration cap"):
+            out = transitive_closure(edges).collect()
     finally:
         spark.conf.set(cp_key, prev)
     # capped at |V|=3 iterations: distances 1..1+3 at most, every pair seen

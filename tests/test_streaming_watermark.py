@@ -10,15 +10,16 @@ that matters at 100 TB."""
 
 import os
 import shutil
-import tempfile
 import time
 from datetime import datetime
 
 from pyspark.sql import functions as F
 
+from kafka_connect_sse_spark.io import scratch_dir
+
 
 def test_watermark_evicts_old_window_state(spark):
-    base = os.path.join(tempfile.gettempdir(), "kcss_wm_test")
+    base = scratch_dir("kcss_wm_test")
     shutil.rmtree(base, ignore_errors=True)
     src = os.path.join(base, "in")
     os.makedirs(src)
