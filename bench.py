@@ -251,16 +251,22 @@ def streaming_latency_bench(spark, sf_dir: str, n_files: int = 8) -> dict:
     Reported: median triggerExecution seconds over data-carrying batches
     for (a) the watermarked session-window aggregation and (b) the
     watermarked stream-stream left-outer join — the two shapes whose
-    state store dominates streaming cost at scale."""
+    state store dominates streaming cost at scale.
+
+    Also reported (VERDICT r5 item 5): the per-batch
+    `stateOperators[].numRowsTotal` curve for each shape — the recorded
+    form of the bounded-state claim.  Because every staged file carries a
+    uniform sample of the full time range, the watermark jumps near the
+    stream's end after batch 1 and eviction runs every batch: a curve
+    that plateaus (instead of growing with rows ingested) is the
+    watermark doing its job; unbounded growth here would be the
+    100 TB-streaming failure mode."""
     import shutil
     import statistics as _st
-    import tempfile
 
     from pyspark.sql import functions as _F
 
-    from kafka_connect_sse_spark.io import load_table
-
-    from kafka_connect_sse_spark.io import scratch_dir
+    from kafka_connect_sse_spark.io import load_table, scratch_dir
 
     src = scratch_dir("kcss_bench_stream_src")  # pid-keyed, atexit-cleaned
     shutil.rmtree(src, ignore_errors=True)
@@ -287,12 +293,23 @@ def streaming_latency_bench(spark, sf_dir: str, n_files: int = 8) -> dict:
         q.awaitTermination(300)
         if q.isActive:
             q.stop()
+        progress = [json.loads(x.json) for x in q.recentProgress]
         durs = [
             p["durationMs"]["triggerExecution"] / 1000.0
-            for p in (json.loads(x.json) for x in q.recentProgress)
+            for p in progress
             if p["numInputRows"] > 0
         ]
-        return round(_st.median(durs), 3) if durs else None
+        # total state rows per data-carrying batch, summed across the
+        # shape's state operators (the join keeps two per-side stores)
+        state_rows = [
+            sum(op.get("numRowsTotal", 0) for op in p.get("stateOperators", []))
+            for p in progress
+            if p["numInputRows"] > 0
+        ]
+        return (
+            round(_st.median(durs), 3) if durs else None,
+            state_rows,
+        )
 
     def session_agg(sdf):
         return (
@@ -331,9 +348,13 @@ def streaming_latency_bench(spark, sf_dir: str, n_files: int = 8) -> dict:
         ).select("purchase_id", "click_id", "user_id")
 
     try:
+        sess_p50, sess_state = batches(session_agg)
+        join_p50, join_state = batches(outer_join)
         out = {
-            "s_window_session_p50_batch_sec": batches(session_agg),
-            "s_join_stream_outer_p50_batch_sec": batches(outer_join),
+            "s_window_session_p50_batch_sec": sess_p50,
+            "s_join_stream_outer_p50_batch_sec": join_p50,
+            "s_window_session_state_rows": sess_state,
+            "s_join_stream_outer_state_rows": join_state,
         }
     finally:
         shutil.rmtree(src, ignore_errors=True)

@@ -140,3 +140,130 @@ def test_soak_zero_loss_across_drops_and_stalls(soak_server):
         "gap or duplicate in resumed stream: first divergence at "
         f"{next((k for k, v in enumerate(ids) if v != k), None)}"
     )
+
+
+def test_soak_fanin_three_sockets_zero_loss():
+    """Fan-in endurance (VERDICT r5 item 7): the src_sse_multi topology's
+    client tier — THREE independent subscriptions, each against its own
+    paced server with forced connection drops AND stall connections,
+    soaked concurrently for the same budget as the single-socket test.
+
+    Asserts, per stream: zero buffer drops, many reconnects (the
+    resilience machinery genuinely exercised), and the received ids are
+    EXACTLY the contiguous prefix of that server's log — zero loss, zero
+    duplication, achieved by per-stream Last-Event-ID resume alone.
+    Cross-stream isolation: every event's payload carries its server's
+    tag, so one byte of contamination between subscriptions fails.  This
+    is the resilience companion to the round-5 fan-in throughput A/B:
+    scaling subscriptions cannot degrade any single socket's
+    exactly-once story."""
+    # three servers, each with its OWN handler class (connection/stall
+    # counters and payload tag are class attributes) and its own log
+    handlers = []
+    servers = []
+    for s in range(3):
+        h = type(
+            f"SoakFaninHandler{s}",
+            (SoakHandler,),
+            {"connections": 0, "stalls": 0, "lock": threading.Lock(), "tag": s},
+        )
+
+        def do_GET(self):  # noqa: N802 — BaseHTTPRequestHandler API
+            cls = type(self)
+            with cls.lock:
+                cls.connections += 1
+                conn_id = cls.connections
+            last = self.headers.get("Last-Event-ID")
+            i = int(last) + 1 if last is not None else 0
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.end_headers()
+            if conn_id % STALL_EVERY == 0:
+                with cls.lock:
+                    cls.stalls += 1
+                time.sleep(STALL_SECS)
+                return
+            sent = 0
+            try:
+                while sent < EVENTS_PER_CONN:
+                    chunk = []
+                    for _ in range(BURST):
+                        chunk.append(
+                            f"event: e\nid: {i}\ndata: s{cls.tag}-{i}\n\n"
+                        )
+                        i += 1
+                        sent += 1
+                    self.wfile.write("".join(chunk).encode())
+                    self.wfile.flush()
+                    time.sleep(TICK)
+            except (BrokenPipeError, ConnectionResetError):
+                pass
+
+        h.do_GET = do_GET
+        handlers.append(h)
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), h)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        servers.append(srv)
+
+    clients = [
+        SSEClient(
+            f"http://127.0.0.1:{srv.server_address[1]}/stream",
+            retry_initial_ms=20,
+            retry_max_ms=100,
+            connect_timeout_s=1.0,
+            idle_timeout_s=5.0,
+            max_buffer=500_000,
+        )
+        for srv in servers
+    ]
+    rows: list[list] = [[], [], []]
+    t0 = time.monotonic()
+    try:
+        for c in clients:
+            c.start()
+        while time.monotonic() - t0 < SOAK_SECS:
+            time.sleep(0.2)
+            for s, c in enumerate(clients):
+                rows[s].extend(c.drain())
+    finally:
+        for c in clients:
+            c.stop()
+        for srv in servers:
+            srv.shutdown()
+            srv.server_close()
+    for s, c in enumerate(clients):
+        rows[s].extend(c.drain())
+    elapsed = time.monotonic() - t0
+
+    total = sum(len(r) for r in rows)
+    print(
+        f"\nfan-in soak: {elapsed:.1f}s, {total} events total "
+        f"({total / elapsed:.0f} ev/s aggregate), per-stream "
+        + ", ".join(
+            f"s{s}: {len(rows[s])} ev / "
+            f"{clients[s].metrics['connection.reconnections']} reconn / "
+            f"{handlers[s].stalls} stalls"
+            for s in range(3)
+        )
+    )
+
+    assert elapsed >= SOAK_SECS
+    for s in range(3):
+        m = clients[s].metrics
+        ids = [int(r[1]) for r in rows[s]]
+        n = len(ids)
+        # each socket soaked for real: reconnects + at least one stall
+        assert m["connection.reconnections"] >= 3, (s, m)
+        assert handlers[s].stalls >= 1, f"stream {s} never stalled"
+        # per-stream throughput floor (3 paced sockets share one process)
+        assert n >= 300 * SOAK_SECS, (s, n, elapsed)
+        # zero loss, zero duplication per stream
+        assert m["events.dropped"] == 0
+        assert ids == list(range(n)), (
+            f"stream {s}: gap or duplicate, first divergence at "
+            f"{next((k for k, v in enumerate(ids) if v != k), None)}"
+        )
+        # cross-stream isolation: every payload carries THIS server's tag
+        assert all(r[2] == f"s{s}-{r[1]}" for r in rows[s]), (
+            f"stream {s} received another stream's payload"
+        )
