@@ -566,6 +566,127 @@ def x_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_ann_pipeline",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+               FROM embeddings),
+    s AS (SELECT vec_id, label, e,
+                 list_max(list_transform(e, x -> abs(x))) AS scale
+          FROM v),
+    q8 AS (SELECT vec_id, label, e,
+                  CASE WHEN scale = 0
+                       THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                       ELSE list_transform(
+                              e, x -> CAST(floor(x / scale * 127) AS BIGINT))
+                  END AS q
+           FROM s),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(list_dot_product(a.q, b.q) AS BIGINT) AS iscore
+      FROM (SELECT * FROM q8 WHERE vec_id < {N_QUERIES}) a
+      JOIN q8 b ON a.label = b.label AND a.vec_id <> b.vec_id),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY iscore DESC, neighbor_id) AS srn
+        FROM pairs)
+      WHERE srn <= {4 * TOP_K}),
+    exact AS (
+      SELECT s.query_id, s.neighbor_id,
+             ROUND(list_dot_product(qa.e, qb.e)
+                   / (sqrt(list_dot_product(qa.e, qa.e))
+                      * sqrt(list_dot_product(qb.e, qb.e))), 6) AS cos_sim
+      FROM short s
+      JOIN v qa ON qa.vec_id = s.query_id
+      JOIN v qb ON qb.vec_id = s.neighbor_id)
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM exact)
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def x_ann_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE production ANN pipeline in one operator (round 6):
+    IVF prefilter → int8 quantized shortlist → exact fp64 re-rank —
+    the composition PLANS.md's x_ann_rerank attribution names as the
+    real scale lever (shrink N per query BEFORE the quantized scan).
+
+    Stage 1 (prefilter): candidates restricted to the query's coarse
+    cell (`label` = the stored IVF assignment, as in x_sim_topk_ivf) —
+    at 100 TB this is what turns the per-query scan from O(N) into
+    O(N/cells · probes), and it's a JOIN KEY, so the shuffle carries
+    cell ids, not vectors.  Stage 2 (shortlist): integer dot over the
+    4× smaller int8 copy (floor quantizer shared with x_embed_quantize /
+    x_ann_rerank), ranking exchange carries only
+    (query_id, neighbor_id, iscore).  Stage 3 (re-rank): the bounded
+    {4 * TOP_K}-candidate shortlist joins back to full-precision
+    vectors (neighbor side key join, query side broadcast) for the
+    exact cosine.  EXACT oracle: cell membership is data, the int8
+    quantizer and integer dot are engine-identical, and the double
+    cosine is exact IEEE — recall loss from cell restriction AND
+    quantization is replicated, which is the honest contract of an
+    ANN index."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = _as_double(F.col("embedding"))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q8 = F.when(
+        scale == 0, F.transform(v, lambda x: F.lit(0).cast("long"))
+    ).otherwise(F.transform(v, lambda x: F.floor(x / scale * 127)))
+    base = e.select("vec_id", "label", q8.alias("q"))
+    queries_q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("q").alias("qq"),
+    )
+    iscore = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("q"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = base.join(
+        broadcast(queries_q),
+        (F.col("q_label") == F.col("label"))
+        & (F.col("query_id") != F.col("vec_id")),
+    ).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), iscore.alias("iscore")
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("iscore").desc(), "neighbor_id"
+    )
+    short = (
+        pairs.select("*", F.row_number().over(w1).alias("srn"))
+        .filter(F.col("srn") <= 4 * TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    full = e.select("vec_id", v.alias("fv"))
+    qfull = full.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("fv").alias("qv"),
+        F.sqrt(dot(F.col("fv"), F.col("fv"))).alias("qnorm"),
+    )
+    exact = (
+        short.join(full, short["neighbor_id"] == full["vec_id"])
+        .join(broadcast(qfull), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qv"), F.col("fv"))
+                / (F.col("qnorm") * F.sqrt(dot(F.col("fv"), F.col("fv")))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    return exact.select("*", F.row_number().over(w2).alias("rnk")).filter(
+        F.col("rnk") <= TOP_K
+    )
+
+
+@register(
     "x_hard_negatives",
     oracle=f"""
     WITH q AS (SELECT vec_id, label, embedding::DOUBLE[] AS v

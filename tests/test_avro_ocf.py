@@ -101,11 +101,11 @@ def test_corrupt_sync_detected():
 def test_snk_avro_files_are_real_ocf(tmp_path):
     """The sink op lands files any stock Avro reader would accept: magic,
     readable metadata, schema naming the orders fields."""
+    from kafka_connect_sse_spark.io import scratch_dir
     from kafka_connect_sse_spark.operators.sinks import snk_avro
     from kafka_connect_sse_spark.session import get_spark
     import glob
     import os
-    import tempfile
 
     spark = get_spark(shuffle_partitions=8)
     out = snk_avro(spark, "/root/testdata/sf0.001")
@@ -113,7 +113,7 @@ def test_snk_avro_files_are_real_ocf(tmp_path):
     assert sum(got.values()) > 0
 
     files = glob.glob(
-        os.path.join(tempfile.gettempdir(), f"kcss_snk_avro_{os.getpid()}", "*.avro")
+        os.path.join(scratch_dir("kcss_snk_avro"), "*.avro")
     )
     assert files
     with open(files[0], "rb") as fh:

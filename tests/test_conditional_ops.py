@@ -34,12 +34,12 @@ def test_snk_avro_always_registered_and_runs():
         # must parse with the spec-shaped reader
         import glob
         import os
-        import tempfile
 
         from kafka_connect_sse_spark.formats.avro_ocf import read_ocf
+        from kafka_connect_sse_spark.io import scratch_dir
 
         files = glob.glob(
-            os.path.join(tempfile.gettempdir(), f"kcss_snk_avro_{os.getpid()}", "*.avro")
+            os.path.join(scratch_dir("kcss_snk_avro"), "*.avro")
         )
         assert files
         with open(files[0], "rb") as fh:

@@ -96,8 +96,9 @@ def test_round6_driver_window_composition(qs):
     assert window == list(_PRIORITY)
     assert len(_PRIORITY) == 50, "round-6 window must fill all 50 slots"
     # new + this-round-modified operators must re-attest first
-    assert window[:5] == [
+    assert window[:6] == [
         "u_grouped_map_batched",
+        "x_ann_pipeline",
         "q_transitive_closure",
         "src_sse_multi",
         "snk_sse_landing",
@@ -122,9 +123,9 @@ def test_round6_driver_window_composition(qs):
         "x_sim_topk_lsh", "x_multimodal_cols",
     }
     assert len(r2_cohort) == 43
-    assert set(window[5:48]) == r2_cohort
+    assert set(window[6:49]) == r2_cohort
     # top-up: oldest remaining cohort (r3), registry order
-    assert window[48:] == ["q_lateral_explode", "q_join_bucketed"]
+    assert window[49:] == ["q_lateral_explode"]
     # every window op must carry an oracle (EXACT gate, not rows-only)
     from kafka_connect_sse_spark.registry import oracle_sql
 

@@ -12,7 +12,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from kafka_connect_sse_spark.io import load_table
+from kafka_connect_sse_spark.io import load_table, scratch_dir
 from kafka_connect_sse_spark.registry import queries
 from kafka_connect_sse_spark.operators.pipeline import (
     CHUNK_STRIDE,
@@ -156,7 +156,6 @@ def test_sorted_sink_files_internally_sorted(spark):
     must be internally ts-sorted so footer/row-group stats prune within
     the file too."""
     import os
-    import tempfile
 
     import pyarrow.parquet as pq
 
@@ -164,7 +163,7 @@ def test_sorted_sink_files_internally_sorted(spark):
 
     row = queries()["snk_parquet_sorted"](spark, SF).collect()[0]
     assert row["overlapping_pairs"] == 0
-    out = os.path.join(tempfile.gettempdir(), f"kcss_snk_sorted_{os.getpid()}")
+    out = scratch_dir("kcss_snk_sorted")
     for fname in os.listdir(out):
         if not fname.endswith(".parquet"):
             continue
@@ -179,7 +178,7 @@ def test_reservoir_sample_stable_under_repartition(spark):
     claims)."""
     from pyspark.sql import functions as F
 
-    from kafka_connect_sse_spark.io import load_table
+    from kafka_connect_sse_spark.io import load_table, scratch_dir
     from kafka_connect_sse_spark.operators.pipeline import RESERVOIR_K
 
     e = load_table(spark, SF, "events")
@@ -203,7 +202,7 @@ def test_bloom_filter_has_no_false_negatives(spark):
     the prune unsound; false positives are removed by the verify join)."""
     from pyspark.sql import functions as F
 
-    from kafka_connect_sse_spark.io import load_table
+    from kafka_connect_sse_spark.io import load_table, scratch_dir
     from kafka_connect_sse_spark.registry import queries
 
     # exact answer via plain semi join
@@ -226,7 +225,7 @@ def test_transitive_closure_matches_pairwise_reachability(spark):
     construction."""
     from pyspark.sql import functions as F
 
-    from kafka_connect_sse_spark.io import load_table
+    from kafka_connect_sse_spark.io import load_table, scratch_dir
     from kafka_connect_sse_spark.registry import queries
 
     n = load_table(spark, SF, "nation").select(

@@ -1,0 +1,134 @@
+"""Per-round sf1 regression gate (VERDICT r5 item 4, institutionalized).
+
+One command regenerates the deterministic sf1 tier, runs the FULL
+operator sweep against it, runs the bench at sf1, and writes the round's
+records — so every round gets a fresh data point in the data-dominated
+regime and a regression invisible at sf0.1 is caught here:
+
+    python tools/sf1_gate.py --round 6
+    # writes SWEEP_sf1_r06.json and BENCH_sf1_r06.json at the repo root
+
+Options:
+    --skip-gen          reuse the existing testdata/sf1 tier
+    --sweep-log PATH    parse an already-captured check_correctness log
+                        instead of re-running the ~45 min sweep
+    --skip-bench        sweep only (e.g. while a perf-sensitive run owns
+                        the machine)
+
+The fixture is bit-deterministic (tools/gen_fixture.py, seed pinned), so
+"regenerate" never changes the data — it only guarantees the tier exists
+and matches the committed generator.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF1_DIR = os.path.join(REPO, "testdata", "sf1")
+
+_PASS = re.compile(r"^PASS (\S+): rows=(\d+) \(([\d.]+)s\)")
+_FAIL = re.compile(r"^FAIL (\S+)[ :(]")
+_WEAK = re.compile(r"^WEAK (\S+):")
+
+
+def parse_sweep(text: str) -> dict:
+    ops: dict[str, dict] = {}
+    for line in text.splitlines():
+        m = _PASS.match(line)
+        if m:
+            ops[m.group(1)] = {
+                "status": "PASS",
+                "rows": int(m.group(2)),
+                "sec": float(m.group(3)),
+            }
+            continue
+        m = _FAIL.match(line)
+        if m:
+            ops[m.group(1)] = {"status": "FAIL"}
+            continue
+        m = _WEAK.match(line)
+        if m:
+            ops[m.group(1)] = {"status": "WEAK"}
+    return ops
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, required=True)
+    ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument("--sweep-log")
+    ap.add_argument("--skip-bench", action="store_true")
+    args = ap.parse_args()
+
+    if not args.skip_gen:
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "gen_fixture.py"),
+             "--sf", "1"],
+            check=True,
+        )
+
+    if args.sweep_log:
+        sweep_text = open(args.sweep_log).read()
+    else:
+        proc = subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, "tools", "check_correctness.py"),
+             "--sf", SF1_DIR],
+            capture_output=True, text=True,
+        )
+        sweep_text = proc.stdout + proc.stderr
+    ops = parse_sweep(sweep_text)
+    n_pass = sum(1 for v in ops.values() if v["status"] == "PASS")
+    n_fail = sum(1 for v in ops.values() if v["status"] == "FAIL")
+    manifest = json.load(open(os.path.join(SF1_DIR, "MANIFEST.json")))
+    sweep_rec = {
+        "sf_dir": SF1_DIR,
+        "fixture": manifest,
+        "n_ops": len(ops),
+        "n_pass": n_pass,
+        "n_fail": n_fail,
+        "note": f"round-{args.round} sf1 gate (tools/sf1_gate.py): full "
+                "sweep over the regenerated deterministic tier",
+        "ops": ops,
+    }
+    sweep_path = os.path.join(REPO, f"SWEEP_sf1_r{args.round:02d}.json")
+    with open(sweep_path, "w") as fh:
+        json.dump(sweep_rec, fh, indent=1)
+    print(f"wrote {sweep_path}: {n_pass} pass / {n_fail} fail "
+          f"of {len(ops)} ops")
+    if n_fail:
+        print("FAILING:",
+              " ".join(k for k, v in ops.items() if v["status"] == "FAIL"))
+
+    if not args.skip_bench:
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF1_DIR)
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True, text=True, env=env,
+        )
+        bench_line = next(
+            (ln for ln in reversed(proc.stdout.splitlines())
+             if ln.startswith("{")),
+            None,
+        )
+        if bench_line is None:
+            print("bench produced no JSON line", file=sys.stderr)
+            print(proc.stdout[-2000:], proc.stderr[-2000:], file=sys.stderr)
+            sys.exit(1)
+        bench_path = os.path.join(REPO, f"BENCH_sf1_r{args.round:02d}.json")
+        with open(bench_path, "w") as fh:
+            fh.write(bench_line + "\n")
+        print(f"wrote {bench_path}: "
+              f"{json.loads(bench_line)['value']} s total")
+
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
