@@ -366,6 +366,23 @@ def test_ann_rerank_window_carries_no_vectors(spark):
         assert "qq" not in cols and "fv" not in cols and "qv" not in cols, cols
 
 
+def test_ann_pipeline_window_carries_no_vectors(spark):
+    """x_ann_pipeline inherits x_ann_rerank's shuffle discipline across
+    all three stages: the prefiltered shortlist ranking exchange carries
+    (query_id, neighbor_id, iscore) only; int8 and fp64 vectors travel
+    exclusively via broadcast or the post-shortlist key join."""
+    import re
+
+    df = queries()["x_ann_pipeline"](spark, SF)
+    plan = formatted_plan(df)
+    exch_inputs = re.findall(
+        r"\(\d+\) Exchange[^\n]*\nInput \[\d+\]: \[([^\]]*)\]", plan
+    )
+    assert exch_inputs, plan
+    for cols in exch_inputs:
+        assert "qq" not in cols and "fv" not in cols and "qv" not in cols, cols
+
+
 def test_claimed_single_exchange_ops(spark):
     """Every operator whose SURVEY row claims 'both frames/windows share
     ONE Exchange' must mechanically show exactly one Exchange — the claim
