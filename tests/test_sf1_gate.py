@@ -1,0 +1,42 @@
+"""Unit coverage for the sf1 gate's sweep-log parser (tools/sf1_gate.py)
+— the record the gate writes each round must faithfully reflect the
+checker output even when progress bars share lines via carriage
+returns."""
+
+import importlib.util
+import os
+
+spec = importlib.util.spec_from_file_location(
+    "sf1_gate",
+    os.path.join(os.path.dirname(__file__), "..", "tools", "sf1_gate.py"),
+)
+sf1_gate = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(sf1_gate)
+
+
+def test_parse_sweep_handles_progress_bars_and_all_statuses():
+    text = (
+        "Setting default log level to WARN.\n"
+        "[Stage 3:>      (0 + 1) / 1]\rPASS q_agg_groupby: rows=42 (1.3s)\n"
+        "PASS x_ann_pipeline: rows=50 (8.4s)\n"
+        "FAIL q_broken (2.0s): value hash mismatch:\n"
+        "    spark-only (1x vs 0x): ('a',)\n"
+        "WEAK s_rows_only: rows=7 (0.5s, no oracle)\n"
+        "== 2 pass, 1 weak, 1 fail\n"
+    )
+    ops = sf1_gate.parse_sweep(text)
+    assert ops["q_agg_groupby"] == {"status": "PASS", "rows": 42, "sec": 1.3}
+    assert ops["x_ann_pipeline"]["rows"] == 50
+    assert ops["q_broken"] == {"status": "FAIL"}
+    assert ops["s_rows_only"] == {"status": "WEAK"}
+    assert len(ops) == 4
+
+
+def test_parse_sweep_fail_variants():
+    # both FAIL line shapes the checker emits: "FAIL name (Xs): ..." and
+    # "FAIL name: spark error"
+    ops = sf1_gate.parse_sweep(
+        "FAIL q_a (0.1s): cols spark=[] oracle=[]\n"
+        "FAIL q_b: spark error\n"
+    )
+    assert ops == {"q_a": {"status": "FAIL"}, "q_b": {"status": "FAIL"}}

@@ -33,7 +33,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF1_DIR = os.path.join(REPO, "testdata", "sf1")
 
 _PASS = re.compile(r"^PASS (\S+): rows=(\d+) \(([\d.]+)s\)")
-_FAIL = re.compile(r"^FAIL (\S+)[ :(]")
+_FAIL = re.compile(r"^FAIL ([^\s:(]+)")
 _WEAK = re.compile(r"^WEAK (\S+):")
 
 
