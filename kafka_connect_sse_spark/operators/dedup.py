@@ -613,6 +613,114 @@ def x_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAIN_THR = 0.8  # containment threshold for x_containment_dedup
+CONTAIN_MIN_SHINGLES = 10  # ignore docs too short to assert containment
+
+
+@register(
+    "x_containment_dedup",
+    oracle=f"""
+    WITH tok_lists AS (SELECT doc_id, lang, str_split(text, ' ') AS l
+                       FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, lang,
+             l[g.i] || ' ' || l[g.i+1] || ' ' || l[g.i+2] AS shingle
+      FROM tok_lists, UNNEST(generate_series(1, len(l)-2)) AS g(i)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
+             COUNT(*) AS n_common
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.lang = b.lang
+           AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2)
+    SELECT i.inner_id, i.outer_id, s.n AS n_inner, i.n_common,
+           ROUND(CAST(i.n_common AS DOUBLE) / s.n, 6) AS containment
+    FROM inter i JOIN sizes s ON s.doc_id = i.inner_id
+    WHERE CAST(i.n_common AS DOUBLE) / s.n >= {CONTAIN_THR}
+      AND s.n >= {CONTAIN_MIN_SHINGLES}
+    """,
+)
+def x_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle-set containment
+    C(inner→outer) = |sh(inner) ∩ sh(outer)| / |sh(inner)| — the measure
+    that catches a short document quoted/embedded inside a long one,
+    where symmetric Jaccard (x_ngram_jaccard, the minhash family) is
+    diluted to ~|inner|/|outer| and never crosses a dedup threshold.
+    The training-data case is boilerplate-wrapped reposts and
+    quote-inflated pages; MinHash approximates Jaccard, not
+    containment, so this is a genuinely separate operator.
+
+    Mechanics: distinct 3-token shingles per doc (same shingle unit as
+    the minhash family), then the INVERTED-INDEX shape proper: ONE
+    groupBy on (shingle, lang) builds posting lists, single-doc
+    postings are dropped map-side, ordered pairs are expanded from each
+    posting list WITHOUT a second pass over the corpus, and the
+    per-pair intersection counts aggregate on (inner, outer) doc-id
+    pairs.  Runs over the FULL corpus — no bounded sample — because
+    discriminative shingles keep posting lists short: total pair work
+    is Σ_shingle |postings|², ≈ linear on real text (at sf1 the result
+    is exactly the planted near-dup pairs × both directions).  Versus
+    the naive shingle⋈shingle self-join this halves the big shuffles
+    (one posting-list groupBy + one bounded pair aggregation instead of
+    shuffling the 45M-row shingle relation on both join sides —
+    measured 139 s → 50 s end-to-end at sf1 under the checker's
+    8-partition config; the remaining cost is the one unavoidable
+    O(corpus-shingles) groupBy) and the per-doc sizes join broadcasts.  At 100 TB the
+    identical plan holds, with the standard hot-postings cap (drop
+    shingles whose document frequency exceeds a bound, as
+    x_dedup_near_minhash's MAX_BUCKET does) as the skew/memory guard on
+    collect_list; the fixture corpus needs no cap, so Spark and oracle
+    stay cap-free and EXACT.  Docs with fewer than
+    {CONTAIN_MIN_SHINGLES} shingles are excluded as inner side — too
+    short to assert containment.  Both directions are emitted (full
+    mutual containment = two rows), which is what a survivor policy
+    downstream consumes (drop inner, keep outer)."""
+    d = load_table(spark, sf_dir, "documents")
+    l = F.split(F.col("text"), " ")
+    shingle_arr = F.when(
+        F.size(l) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(l) - 2),
+                lambda i: F.concat_ws(" ", F.slice(l, i, 3)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = d.select(
+        "doc_id", "lang", F.explode(shingle_arr).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # NULL-lang docs never pair (the oracle's a.lang = b.lang join drops
+    # NULLs; groupBy would silently group them together)
+    postings = (
+        sh.filter(F.col("lang").isNotNull())
+        .groupBy("shingle", "lang")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    inter = (
+        postings.select(F.explode("ds").alias("inner_id"), "ds")
+        .select("inner_id", F.explode("ds").alias("outer_id"))
+        .filter(F.col("inner_id") != F.col("outer_id"))
+        .groupBy("inner_id", "outer_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    s = sizes.alias("s")
+    cont = F.col("n_common").cast("double") / F.col("s.n")
+    return (
+        inter.join(F.broadcast(s), F.col("inner_id") == F.col("s.doc_id"))
+        .filter((cont >= CONTAIN_THR) & (F.col("s.n") >= CONTAIN_MIN_SHINGLES))
+        .select(
+            "inner_id",
+            "outer_id",
+            F.col("s.n").alias("n_inner"),
+            "n_common",
+            F.round(cont, 6).alias("containment"),
+        )
+    )
+
+
 PREFIX_K = 10  # tokens of leading boilerplate compared by x_dedup_prefix
 
 

@@ -88,24 +88,27 @@ def register(name: str, oracle: str | None = None):
 # complete 43-op r2 cohort rotates through, led by this round's
 # new/modified ops, topped up with the first two r3 rows in registry
 # order.  After this round no record is older than r3.
-#   1-2    new this round: u_grouped_map_batched (batch-the-keys grouped
+#   1-3    new this round: u_grouped_map_batched (batch-the-keys grouped
 #          map, the executable fix for the measured 94k rows/s per-key
-#          pandas floor) and x_ann_pipeline (IVF prefilter → int8
+#          pandas floor), x_ann_pipeline (IVF prefilter → int8
 #          shortlist → fp64 re-rank, the composition the x_ann_rerank
-#          attribution names as the scale lever)
-#   3-6    ops whose code changed this round: q_transitive_closure
+#          attribution names as the scale lever), and
+#          x_containment_dedup (asymmetric shingle containment — the
+#          quoted-inside/boilerplate-wrapped duplication Jaccard-based
+#          dedup structurally misses)
+#   4-7    ops whose code changed this round: q_transitive_closure
 #          (cap-fired RuntimeWarning), src_sse_multi + snk_sse_landing
 #          (loud TimeoutError on landing-wait expiry),
 #          s_join_stream_stream_outer (pid-keyed scratch dir)
-#   7-49   the complete r2 cohort (43 ops: sources/sinks, the r2
+#   8-50   the complete r2 cohort (43 ops: sources/sinks, the r2
 #          aggregates, q_win_running_sum, the 10-op streaming tier, the
-#          4-op UDF ladder, the 19 r2-era x_* text/dedup/similarity ops)
-#   50     top-up from the oldest remaining cohort (r3), registry order:
-#          q_lateral_explode
+#          4-op UDF ladder, the 19 r2-era x_* text/dedup/similarity
+#          ops) — the full r3 cohort is round 7's window
 _PRIORITY = (
     # new this round
     "u_grouped_map_batched",
     "x_ann_pipeline",
+    "x_containment_dedup",
     # modified this round — re-attest current code
     "q_transitive_closure",
     "src_sse_multi",
@@ -161,8 +164,6 @@ _PRIORITY = (
     "x_sim_lsh_bucketed",
     "x_sim_topk_lsh",
     "x_multimodal_cols",
-    # -- top-up: oldest r3 row, registry order --
-    "q_lateral_explode",
 )
 
 

@@ -86,19 +86,20 @@ def test_salting_helpers_round_trip(spark):
 
 def test_round6_driver_window_composition(qs):
     """The driver checks the FIRST 50 registry entries.  Pin the round-6
-    rotation window (VERDICT r5 item 1): new/modified operators lead,
-    then the COMPLETE 43-op r2 cohort, topped up with the first two r3
-    rows in registry order — a silent reordering here would burn the
-    round's freshness evidence."""
+    rotation window (VERDICT r5 item 1): the three new + four modified
+    operators lead, then the COMPLETE 43-op r2 cohort — a silent
+    reordering here would burn the round's freshness evidence.  (The
+    full r3 cohort is round 7's window.)"""
     from kafka_connect_sse_spark.registry import _PRIORITY
 
     window = list(qs)[: len(_PRIORITY)]
     assert window == list(_PRIORITY)
     assert len(_PRIORITY) == 50, "round-6 window must fill all 50 slots"
     # new + this-round-modified operators must re-attest first
-    assert window[:6] == [
+    assert window[:7] == [
         "u_grouped_map_batched",
         "x_ann_pipeline",
+        "x_containment_dedup",
         "q_transitive_closure",
         "src_sse_multi",
         "snk_sse_landing",
@@ -123,9 +124,7 @@ def test_round6_driver_window_composition(qs):
         "x_sim_topk_lsh", "x_multimodal_cols",
     }
     assert len(r2_cohort) == 43
-    assert set(window[6:49]) == r2_cohort
-    # top-up: oldest remaining cohort (r3), registry order
-    assert window[49:] == ["q_lateral_explode"]
+    assert set(window[7:]) == r2_cohort
     # every window op must carry an oracle (EXACT gate, not rows-only)
     from kafka_connect_sse_spark.registry import oracle_sql
 
