@@ -200,6 +200,52 @@ def test_grouped_map_batched_matches_per_key_form(spark, qs):
     assert batched == per_key
 
 
+def test_containment_detects_embedded_doc_jaccard_misses(spark, qs):
+    """The scenario that justifies x_containment_dedup as a separate
+    operator: a 40-token document embedded verbatim inside a ~10×-longer
+    boilerplate wrapper.  Containment(inner→outer) = 1.0 (every interior
+    shingle of the short doc appears in the long one) while Jaccard is
+    diluted to ~|inner|/|outer| ≈ 0.1 — far below any dedup threshold —
+    so the Jaccard/MinHash family structurally cannot fire."""
+    import os
+
+    from kafka_connect_sse_spark.io import scratch_dir
+
+    inner_toks = [f"core{i}" for i in range(40)]
+    outer_toks = (
+        [f"pre{i}" for i in range(180)]
+        + inner_toks
+        + [f"post{i}" for i in range(180)]
+    )
+    unrelated = [f"other{i}" for i in range(60)]
+    sf_dir = scratch_dir("kcss_containment_synth")
+    os.makedirs(sf_dir, exist_ok=True)
+    spark.createDataFrame(
+        [
+            (1, "en", "synth", " ".join(inner_toks)),
+            (2, "en", "synth", " ".join(outer_toks)),
+            (3, "en", "synth", " ".join(unrelated)),
+        ],
+        "doc_id long, lang string, source string, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+
+    rows = {
+        (r.inner_id, r.outer_id): r
+        for r in qs["x_containment_dedup"](spark, sf_dir).collect()
+    }
+    # the embedded doc is flagged, direction inner→outer only
+    assert (1, 2) in rows and rows[(1, 2)].containment == 1.0
+    assert (2, 1) not in rows  # the wrapper is NOT contained in the core
+    assert not any(3 in pair for pair in rows)  # no false positives
+    # and symmetric Jaccard on the same pair sits far below any threshold
+    r = rows[(1, 2)]
+    n_inner, n_outer = r.n_inner, len(outer_toks) - 2
+    jaccard = r.n_common / (n_inner + n_outer - r.n_common)
+    assert jaccard < 0.2, jaccard
+
+
 def test_transitive_closure_terminates_on_cycle(spark):
     """On a cyclic graph the recursive CTE itself diverges; the operator's
     |V| cap must terminate the loop instead of spinning forever — and the
