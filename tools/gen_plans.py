@@ -38,6 +38,8 @@ COMMENTARY = {
     "x_interleave_sources": "per-corpus quota draw is a lang-partitioned window; the single-partition global interleave window runs only over the K selected rows (filter below it in the plan), never the corpus.",
     "x_ann_rerank": "stage-1 ranking exchange carries only (query_id, neighbor_id, iscore) — int8 shortlist scan at a quarter of the memory bandwidth, vectors rejoin only for the 4k-candidate exact re-rank (neighbor side key join, query side broadcast).",
     "q_join_dpp": "dim filter reaches the partitioned fact scan as dynamicpruningexpression in PartitionFilters — unmatched partition directories are never opened; the dim broadcasts.",
+    "x_ann_pipeline": "the IVF prefilter is a BroadcastHashJoin on the cell id (vs x_ann_rerank's nested loop over all pairs); the shortlist ranking exchange carries ids+iscore only; fp64 vectors rejoin after the shortlist (neighbor key join, query broadcast).",
+    "x_containment_dedup": "one posting-list groupBy on (shingle, lang) is the only corpus-sized shuffle; ordered pairs expand from each posting list map-side (two Generates), pair counts partial-aggregate, and the per-doc sizes join broadcasts.",
 }
 
 
