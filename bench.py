@@ -423,7 +423,9 @@ def main() -> None:
 
     lat = streaming_latency_bench(spark, sf_dir)
     for k, v in lat.items():
-        print(f"# {k}: {v}s", file=sys.stderr)
+        # scalar entries are seconds; list entries are per-batch row counts
+        unit = "s" if isinstance(v, (int, float)) else ""
+        print(f"# {k}: {v}{unit}", file=sys.stderr)
 
     one_runs = [sse_ingest_multi_bench(spark, n_streams=1)
                 for _ in range(RUNS)]

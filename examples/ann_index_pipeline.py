@@ -51,8 +51,19 @@ def main() -> None:
     bad = quantized.filter("max_abs_err > scale / 127").count()
     print(f"quantize: {quantized.count()} vectors, {bad} outside error bound")
 
-    ivf = qs["x_sim_topk_ivf"](spark, args.sf_dir)
-    print(f"ivf probe: {ivf.count()} (query, neighbor) results")
+    # collect the IVF exact results once: they serve both the probe count
+    # and the three-stage baseline below (no second scoring job)
+    ivf_rows = qs["x_sim_topk_ivf"](spark, args.sf_dir).collect()
+    print(f"ivf probe: {len(ivf_rows)} (query, neighbor) results")
+    baselines = {
+        "x_sim_topk_ivf": {
+            (r["query_id"], r["neighbor_id"]) for r in ivf_rows
+        },
+        "x_sim_topk_cosine": {
+            (r["query_id"], r["neighbor_id"])
+            for r in qs["x_sim_topk_cosine"](spark, args.sf_dir).collect()
+        },
+    }
 
     # each retrieval form against ITS exact baseline: the two-stage
     # rerank scans the whole corpus, so its truth is the global
@@ -64,10 +75,7 @@ def main() -> None:
         ("x_ann_rerank", "x_sim_topk_cosine", "two-stage rerank"),
         ("x_ann_pipeline", "x_sim_topk_ivf", "three-stage ivf->int8->fp64"),
     ):
-        truth = {
-            (r["query_id"], r["neighbor_id"])
-            for r in qs[baseline](spark, args.sf_dir).collect()
-        }
+        truth = baselines[baseline]
         got = {
             (r["query_id"], r["neighbor_id"])
             for r in qs[op](spark, args.sf_dir).collect()

@@ -866,7 +866,9 @@ def transitive_closure(edges: DataFrame) -> DataFrame:
         .count()
     )
     frontier = paths
-    converged = False
+    # an empty edge set is trivially converged — range(0) skips the loop
+    # body, which must not read as "cap fired"
+    converged = n_nodes == 0
     for _ in range(int(n_nodes)):
         grown = (
             frontier.alias("p")

@@ -271,6 +271,25 @@ def test_transitive_closure_terminates_on_cycle(spark):
     assert max(r["dist"] for r in out) <= 4
 
 
+def test_transitive_closure_empty_edges_no_spurious_cap_warning(spark):
+    """|V|=0 skips the loop entirely — that is trivial convergence, not a
+    fired cap, so no RuntimeWarning may be emitted."""
+    import warnings as _w
+
+    from kafka_connect_sse_spark.operators.joins import transitive_closure
+
+    cp_key = "spark.sql.constraintPropagation.enabled"
+    prev = spark.conf.get(cp_key, "true")
+    spark.conf.set(cp_key, "false")
+    try:
+        edges = spark.createDataFrame([], "src long, dst long")
+        with _w.catch_warnings():
+            _w.simplefilter("error", RuntimeWarning)
+            assert transitive_closure(edges).count() == 0
+    finally:
+        spark.conf.set(cp_key, prev)
+
+
 def test_fingerprint_drops_null_text_docs(spark, tmp_path, qs):
     """NULL-text docs must produce NO row (the oracle's generate_series
     over a NULL token list yields none) — the round-5 guard for the

@@ -178,7 +178,7 @@ def test_reservoir_sample_stable_under_repartition(spark):
     claims)."""
     from pyspark.sql import functions as F
 
-    from kafka_connect_sse_spark.io import load_table, scratch_dir
+    from kafka_connect_sse_spark.io import load_table
     from kafka_connect_sse_spark.operators.pipeline import RESERVOIR_K
 
     e = load_table(spark, SF, "events")
@@ -202,7 +202,7 @@ def test_bloom_filter_has_no_false_negatives(spark):
     the prune unsound; false positives are removed by the verify join)."""
     from pyspark.sql import functions as F
 
-    from kafka_connect_sse_spark.io import load_table, scratch_dir
+    from kafka_connect_sse_spark.io import load_table
     from kafka_connect_sse_spark.registry import queries
 
     # exact answer via plain semi join
@@ -225,7 +225,7 @@ def test_transitive_closure_matches_pairwise_reachability(spark):
     construction."""
     from pyspark.sql import functions as F
 
-    from kafka_connect_sse_spark.io import load_table, scratch_dir
+    from kafka_connect_sse_spark.io import load_table
     from kafka_connect_sse_spark.registry import queries
 
     n = load_table(spark, SF, "nation").select(

@@ -32,6 +32,32 @@ def test_parse_sweep_handles_progress_bars_and_all_statuses():
     assert len(ops) == 4
 
 
+def test_gate_refuses_truncated_sweep(tmp_path):
+    """An OOM-killed checker or a partial --sweep-log must exit 1 and
+    write NO record — a vacuously-green gate is worse than no gate."""
+    import subprocess
+    import sys
+
+    log = tmp_path / "partial.log"
+    log.write_text("PASS q_agg_groupby: rows=42 (1.3s)\n== 1 pass, 0 weak, 0 fail\n")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "sf1_gate.py"),
+         "--round", "99", "--skip-gen", "--skip-bench",
+         "--sweep-log", str(log)],
+        capture_output=True, text=True, cwd=repo,
+    )
+    try:
+        assert proc.returncode == 1, proc.stdout + proc.stderr
+        assert "INCOMPLETE" in proc.stderr
+        assert not os.path.exists(os.path.join(repo, "SWEEP_sf1_r99.json"))
+    finally:
+        try:
+            os.remove(os.path.join(repo, "SWEEP_sf1_r99.json"))
+        except FileNotFoundError:
+            pass
+
+
 def test_parse_sweep_fail_variants():
     # both FAIL line shapes the checker emits: "FAIL name (Xs): ..." and
     # "FAIL name: spark error"

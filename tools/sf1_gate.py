@@ -83,9 +83,36 @@ def main() -> None:
             capture_output=True, text=True,
         )
         sweep_text = proc.stdout + proc.stderr
+        # the checker exits 0 (all pass) or 1 (fails, which we parse and
+        # gate below); anything else is a crash/OOM kill — the sweep is
+        # incomplete and must never produce a green record
+        if proc.returncode not in (0, 1):
+            print(f"sweep crashed (exit {proc.returncode}); last output:\n"
+                  + sweep_text[-2000:], file=sys.stderr)
+            sys.exit(1)
     ops = parse_sweep(sweep_text)
     n_pass = sum(1 for v in ops.values() if v["status"] == "PASS")
     n_fail = sum(1 for v in ops.values() if v["status"] == "FAIL")
+    n_weak = sum(1 for v in ops.values() if v["status"] == "WEAK")
+
+    # completeness gate: a truncated sweep (OOM-killed checker, partial
+    # --sweep-log) or a silently-dropped oracle (WEAK) must fail loudly,
+    # never write a vacuously-green record.  The declared total in
+    # SURVEY.md is the same denominator tests pin against the registry.
+    m = re.search(
+        r"\*\*Declared operator total: (\d+)\*\*",
+        open(os.path.join(REPO, "SURVEY.md")).read(),
+    )
+    declared = int(m.group(1)) if m else None
+    if declared is not None and len(ops) != declared:
+        print(f"sweep INCOMPLETE: {len(ops)} ops parsed but SURVEY.md "
+              f"declares {declared} — refusing to write a green record",
+              file=sys.stderr)
+        sys.exit(1)
+    if n_weak:
+        print(f"{n_weak} ops ran WEAK (no oracle) — the sf1 gate requires "
+              "the full EXACT surface", file=sys.stderr)
+        sys.exit(1)
     manifest = json.load(open(os.path.join(SF1_DIR, "MANIFEST.json")))
     sweep_rec = {
         "sf_dir": SF1_DIR,
