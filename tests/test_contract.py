@@ -6,7 +6,6 @@ full sweep takes minutes.  Side-effecting operators (sinks, streaming,
 eager checkpoints) are skipped here; the full sweep covers them."""
 
 import duckdb
-import pytest
 
 from kafka_connect_sse_spark.io import TABLES
 from kafka_connect_sse_spark.registry import oracle_sql, queries

@@ -2,7 +2,6 @@
 pushdown reaches the scan, pruning shrinks ReadSchema, dims broadcast,
 aggregates partial-combine, top-k avoids full sort."""
 
-import pytest
 
 from pyspark.sql import functions as F
 
