@@ -617,6 +617,26 @@ CONTAIN_THR = 0.8  # containment threshold for x_containment_dedup
 CONTAIN_MIN_SHINGLES = 10  # ignore docs too short to assert containment
 
 
+def shingle_array(text_col):
+    """DISTINCT whitespace-token 3-shingles of a text column as an array
+    expression — the exact unit x_containment_dedup's oracle computes
+    with `l[i] || ' ' || l[i+1] || ' ' || l[i+2]` over
+    generate_series(1, len-2) (property-parity pinned in
+    tests/test_operators.py).  The size>=3 guard matters: Spark's
+    sequence(1, n) DESCENDS when n < 1, so an unguarded short doc would
+    produce a [1, 0, -1] index walk instead of DuckDB's empty series."""
+    l = F.split(text_col, " ")
+    return F.when(
+        F.size(l) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(l) - 2),
+                lambda i: F.concat_ws(" ", F.slice(l, i, 3)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 @register(
     "x_containment_dedup",
     oracle=f"""
@@ -677,18 +697,8 @@ def x_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mutual containment = two rows), which is what a survivor policy
     downstream consumes (drop inner, keep outer)."""
     d = load_table(spark, sf_dir, "documents")
-    l = F.split(F.col("text"), " ")
-    shingle_arr = F.when(
-        F.size(l) >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(l) - 2),
-                lambda i: F.concat_ws(" ", F.slice(l, i, 3)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     sh = d.select(
-        "doc_id", "lang", F.explode(shingle_arr).alias("shingle")
+        "doc_id", "lang", F.explode(shingle_array(F.col("text"))).alias("shingle")
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     # NULL-lang docs never pair (the oracle's a.lang = b.lang join drops

@@ -271,6 +271,53 @@ def test_transitive_closure_terminates_on_cycle(spark):
     assert max(r["dist"] for r in out) <= 4
 
 
+def test_shingle_array_matches_python_reference(spark):
+    """Property-parity for x_containment_dedup's shingle unit: the Spark
+    expression (sequence/slice/concat_ws + the size>=3 guard against
+    Spark's descending sequence(1, n<1)) must agree with a direct Python
+    reference on adversarial shapes — empty strings, 1/2/3-token docs,
+    repeated tokens (array_distinct), multi-space runs."""
+    from hypothesis import given, settings, strategies as st
+
+    from kafka_connect_sse_spark.operators.dedup import shingle_array
+
+    token = st.text(alphabet="abc", min_size=0, max_size=2)
+    texts = st.lists(
+        st.lists(token, min_size=0, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=16,
+    )
+
+    def ref(text: str) -> list[str]:
+        toks = text.split(" ")
+        if len(toks) < 3:
+            return []
+        out, seen = [], set()
+        for i in range(len(toks) - 2):
+            s = " ".join(toks[i : i + 3])
+            if s not in seen:
+                seen.add(s)
+                out.append(s)
+        return out
+
+    @given(texts)
+    @settings(max_examples=12, deadline=None)
+    def check(batch):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(batch)], "i long, text string"
+        )
+        got = {
+            r["i"]: r["sh"]
+            for r in df.select(
+                "i", shingle_array(F.col("text")).alias("sh")
+            ).collect()
+        }
+        for i, t in enumerate(batch):
+            assert got[i] == ref(t), (t, got[i], ref(t))
+
+    check()
+
+
 def test_transitive_closure_empty_edges_no_spurious_cap_warning(spark):
     """|V|=0 skips the loop entirely — that is trivial convergence, not a
     fired cap, so no RuntimeWarning may be emitted."""
