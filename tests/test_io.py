@@ -13,3 +13,36 @@ def test_scratch_dir_is_pid_keyed_and_registered_for_cleanup():
     assert p in _SCRATCH_REGISTERED
     # idempotent: second call returns the same path, registers once
     assert scratch_dir("kcss_unit_test") == p
+
+
+def test_scratch_dir_sweeps_dead_pid_siblings_only():
+    """atexit never fires on SIGKILL/OOM, so the first call per name
+    sweeps orphaned `{name}_<dead pid>` siblings — and must leave
+    live-pid and non-pid-suffixed dirs alone (ADVICE r5)."""
+    import shutil
+    import tempfile
+
+    from kafka_connect_sse_spark.io import scratch_dir
+
+    tmp = tempfile.gettempdir()
+    name = "kcss_sweep_unit_test"
+    dead_pid = 4194301  # above default pid_max ranges; verify actually dead
+    try:
+        os.kill(dead_pid, 0)
+        return  # pid unexpectedly alive on this host — nothing to assert
+    except ProcessLookupError:
+        pass
+    dead = os.path.join(tmp, f"{name}_{dead_pid}")
+    live = os.path.join(tmp, f"{name}_1")  # pid 1 always alive
+    nonpid = os.path.join(tmp, f"{name}_notapid")
+    for d in (dead, live, nonpid):
+        os.makedirs(d, exist_ok=True)
+    try:
+        p = scratch_dir(name)  # first call for this name → sweep runs
+        assert p.endswith(f"_{os.getpid()}")
+        assert not os.path.exists(dead), "dead-pid orphan must be swept"
+        assert os.path.exists(live), "live-pid sibling must be kept"
+        assert os.path.exists(nonpid), "non-pid suffix must be ignored"
+    finally:
+        for d in (dead, live, nonpid):
+            shutil.rmtree(d, ignore_errors=True)
