@@ -686,16 +686,46 @@ def x_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffling the 45M-row shingle relation on both join sides —
     measured 139 s → 50 s end-to-end at sf1 under the checker's
     8-partition config; the remaining cost is the one unavoidable
-    O(corpus-shingles) groupBy) and the per-doc sizes join broadcasts.  At 100 TB the
-    identical plan holds, with the standard hot-postings cap (drop
-    shingles whose document frequency exceeds a bound, as
-    x_dedup_near_minhash's MAX_BUCKET does) as the skew/memory guard on
-    collect_list; the fixture corpus needs no cap, so Spark and oracle
-    stay cap-free and EXACT.  Docs with fewer than
+    O(corpus-shingles) groupBy).  The per-doc sizes join is deliberately
+    UNHINTED: sizes is O(n_docs) rows — small at sf1 (~40k) but
+    unbounded in the corpus size, so a forced broadcast() would be a
+    driver/executor OOM on a billions-of-docs corpus and would override
+    AQE's runtime size check.  Left unhinted, AQE broadcasts it whenever
+    its measured size is under the threshold and falls back to a
+    shuffled join when it isn't — the plan that survives 100 TB.  The
+    other 100 TB guard is the hot-postings cap (`max_df`, below):
+    dropping shingles whose document frequency exceeds a bound — the
+    same skew/memory guard on collect_list that x_dedup_near_minhash's
+    MAX_BUCKET applies to LSH buckets.  Ubiquitous-boilerplate shingles
+    (site chrome, license headers) are the quadratic posting lists, and
+    they carry no containment signal; discriminative shingles — the ones
+    that make a planted pair cross the threshold — have short posting
+    lists by definition, so a generous cap bounds Σ|postings|² while
+    keeping recall on real contained pairs at 1.0
+    (tests/test_weak_ops.py proves both properties on a synthetic
+    boilerplate-heavy corpus).  The registered op runs cap-free
+    (max_df=None) because the fixture corpus needs no cap, keeping Spark
+    and oracle EXACT.  Docs with fewer than
     {CONTAIN_MIN_SHINGLES} shingles are excluded as inner side — too
     short to assert containment.  Both directions are emitted (full
     mutual containment = two rows), which is what a survivor policy
     downstream consumes (drop inner, keep outer)."""
+    return containment_dedup(spark, sf_dir)
+
+
+def containment_dedup(
+    spark: SparkSession, sf_dir: str, max_df: int | None = None
+) -> DataFrame:
+    """Parameterized body of x_containment_dedup.
+
+    max_df: hot-postings cap — shingles appearing in more than max_df
+    documents (per lang) are dropped before pair expansion, bounding
+    every posting list at max_df and the pair work at Σ min(|p|,
+    max_df)².  None (the registered default) disables the cap so the
+    oracle comparison stays EXACT.  The drop happens on the aggregated
+    posting list (one size() predicate after the groupBy that already
+    exists), so the cap adds zero extra shuffles.
+    """
     d = load_table(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id", "lang", F.explode(shingle_array(F.col("text"))).alias("shingle")
@@ -709,6 +739,8 @@ def x_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_list("doc_id").alias("ds"))
         .filter(F.size("ds") >= 2)
     )
+    if max_df is not None:
+        postings = postings.filter(F.size("ds") <= max_df)
     inter = (
         postings.select(F.explode("ds").alias("inner_id"), "ds")
         .select("inner_id", F.explode("ds").alias("outer_id"))
@@ -719,7 +751,8 @@ def x_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = sizes.alias("s")
     cont = F.col("n_common").cast("double") / F.col("s.n")
     return (
-        inter.join(F.broadcast(s), F.col("inner_id") == F.col("s.doc_id"))
+        # unhinted: sizes is O(n_docs); AQE broadcasts iff actually small
+        inter.join(s, F.col("inner_id") == F.col("s.doc_id"))
         .filter((cont >= CONTAIN_THR) & (F.col("s.n") >= CONTAIN_MIN_SHINGLES))
         .select(
             "inner_id",

@@ -178,10 +178,17 @@ def x_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top term per document (keyword extraction).  Two aggregations
-    (term frequency, document frequency) + a broadcast of the tiny df/N
-    sides; ranking deterministic via (score desc, term).  N is a 1-row
-    aggregate cross-joined in (NOT a driver-side .count() — the whole
-    thing stays one lazy plan / one job)."""
+    (term frequency, document frequency); ranking deterministic via
+    (score desc, term).  N is a 1-row aggregate cross-joined in (NOT a
+    driver-side .count() — the whole thing stays one lazy plan / one
+    job); broadcasting that 1-row side is always safe.  The df join is
+    deliberately UNHINTED: df is O(|vocab|) rows, and on a web-scale
+    corpus the vocabulary (URLs, typos, IDs) is hundreds of millions of
+    terms — a forced broadcast() there would OOM and override AQE's
+    size check.  Unhinted, AQE broadcasts df when its measured size is
+    small (every test SF) and falls back to a term-keyed shuffled join
+    at corpus scale, where tf→df is a co-partitioned exchange on the
+    same key the df aggregation already shuffled on."""
     from pyspark.sql import Window
     from pyspark.sql.functions import broadcast
 
@@ -191,7 +198,8 @@ def x_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     scored = (
-        tf.join(broadcast(df), "term")
+        # unhinted: df is O(|vocab|); AQE broadcasts iff actually small
+        tf.join(df, "term")
         .crossJoin(broadcast(nd))
         .select(
             "doc_id",

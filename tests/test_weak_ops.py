@@ -133,3 +133,75 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     }
     assert len(multi & exact) >= len(single & exact)
     assert len(multi) >= len(single)
+
+
+def test_containment_hot_postings_cap_bounds_lists_keeps_recall(spark):
+    """The executable hot-postings cap (containment_dedup(max_df=...),
+    VERDICT r6 item 4): on a boilerplate-heavy corpus the cap must (a)
+    bound every posting list at max_df — the Σ|postings|² pair-work /
+    collect_list memory guard — while (b) recall on genuinely contained
+    pairs stays 1.0, because ubiquitous shingles carry no containment
+    signal: the pairs that cross CONTAIN_THR do so on discriminative
+    shingles, whose document frequency is low by definition."""
+    import os
+
+    from kafka_connect_sse_spark.io import scratch_dir
+    from kafka_connect_sse_spark.operators.dedup import (
+        containment_dedup,
+        shingle_array,
+    )
+
+    boiler = [f"boiler{i}" for i in range(60)]
+    core = [f"core{i}" for i in range(40)]
+    docs = [
+        # 30 docs sharing a 60-token boilerplate header -> hot shingles
+        # with document frequency 30
+        (i, "en", "synth", " ".join(boiler + [f"u{i}_{j}" for j in range(30)]))
+        for i in range(30)
+    ] + [
+        # planted contained pair, boilerplate-free on the inner side
+        (100, "en", "synth", " ".join(core)),
+        (101, "en", "synth",
+         " ".join([f"pre{j}" for j in range(20)] + core
+                  + [f"post{j}" for j in range(20)])),
+    ]
+    sf_dir = scratch_dir("kcss_containment_cap")
+    os.makedirs(sf_dir, exist_ok=True)
+    spark.createDataFrame(
+        docs, "doc_id long, lang string, source string, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+
+    cap = 5
+    # (a) the cap bounds posting-list size: uncapped, the boilerplate
+    # shingles hold 30-doc postings; capped, nothing exceeds max_df
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    postings = (
+        d.select("doc_id", "lang",
+                 F.explode(shingle_array(F.col("text"))).alias("shingle"))
+        .groupBy("shingle", "lang")
+        .agg(F.count("*").alias("df"))
+    )
+    assert postings.agg(F.max("df")).collect()[0][0] == 30
+    capped_max = (
+        postings.filter(F.col("df") <= cap).agg(F.max("df")).collect()[0][0]
+    )
+    assert capped_max <= cap
+
+    uncapped = {
+        (r.inner_id, r.outer_id): r for r in containment_dedup(spark, sf_dir).collect()
+    }
+    capped = {
+        (r.inner_id, r.outer_id): r
+        for r in containment_dedup(spark, sf_dir, max_df=cap).collect()
+    }
+    # (b) recall 1.0 on the planted contained pair, values untouched
+    # (none of the inner doc's shingles are hot)
+    assert (100, 101) in uncapped and (100, 101) in capped
+    assert capped[(100, 101)].containment == 1.0
+    assert capped[(100, 101)].n_common == uncapped[(100, 101)].n_common
+    # the cap only ever removes shingle evidence -> no new pairs appear
+    assert set(capped) <= set(uncapped)
+    # boilerplate 50%-overlap pairs never cross the 0.8 threshold
+    assert set(uncapped) == {(100, 101)}

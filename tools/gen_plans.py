@@ -39,7 +39,8 @@ COMMENTARY = {
     "x_ann_rerank": "stage-1 ranking exchange carries only (query_id, neighbor_id, iscore) — int8 shortlist scan at a quarter of the memory bandwidth, vectors rejoin only for the 4k-candidate exact re-rank (neighbor side key join, query side broadcast).",
     "q_join_dpp": "dim filter reaches the partitioned fact scan as dynamicpruningexpression in PartitionFilters — unmatched partition directories are never opened; the dim broadcasts.",
     "x_ann_pipeline": "the IVF prefilter is a BroadcastHashJoin on the cell id (vs x_ann_rerank's nested loop over all pairs); the shortlist ranking exchange carries ids+iscore only; fp64 vectors rejoin after the shortlist (neighbor key join, query broadcast).",
-    "x_containment_dedup": "one posting-list groupBy on (shingle, lang) is the only corpus-sized shuffle; ordered pairs expand from each posting list map-side (two Generates), pair counts partial-aggregate, and the per-doc sizes join broadcasts.",
+    "x_containment_dedup": "one posting-list groupBy on (shingle, lang) is the only corpus-sized shuffle; ordered pairs expand from each posting list map-side (two Generates), pair counts partial-aggregate; the per-doc sizes join is UNHINTED — sizes is O(n_docs), so AQE broadcasts it only when its measured size is small (it is here) and degrades to a shuffled join on a billions-of-docs corpus instead of OOMing on a forced hint.",
+    "x_tfidf_top_term": "tf and df are partial-aggregated before their exchanges; the df join is UNHINTED — df is O(|vocab|), unbounded on web text, so AQE broadcasts it only while it measures small (it does here) and otherwise reuses the term-keyed partitioning df's own aggregation produced; only the 1-row corpus count carries an explicit broadcast.",
 }
 
 
