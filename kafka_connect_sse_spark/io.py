@@ -51,8 +51,13 @@ def scratch_dir(name: str) -> str:
     tmp = tempfile.gettempdir()
     path = os.path.join(tmp, f"{name}_{os.getpid()}")
     if path not in _SCRATCH_REGISTERED:
-        for sibling in glob.glob(os.path.join(tmp, f"{name}_*")):
-            suffix = sibling.rsplit("_", 1)[-1]
+        # exact-prefix match: sweeping for `name` must not touch scratch
+        # dirs of LONGER names sharing the prefix (a sweep for
+        # "kcss_sse" must skip "kcss_sse_multi_<pid>"), so the part
+        # after `{name}_` has to be the bare pid (ADVICE r6)
+        prefix = os.path.join(tmp, f"{name}_")
+        for sibling in glob.glob(prefix + "*"):
+            suffix = sibling[len(prefix):]
             if sibling == path or not suffix.isdigit():
                 continue
             try:

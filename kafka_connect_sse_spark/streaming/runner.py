@@ -30,6 +30,7 @@ def _staged_events_dir(sf_dir: str) -> str:
     import hashlib
     import os
     import shutil
+    import tempfile
 
     from ..io import scratch_dir
 
@@ -42,10 +43,19 @@ def _staged_events_dir(sf_dir: str) -> str:
         try:
             os.link(src, dst)
         except OSError:
-            # stage via a temp name + atomic rename so a concurrent reader
-            # in this process can never see a partial copy
-            shutil.copyfile(src, dst + ".tmp")
-            os.replace(dst + ".tmp", dst)
+            # stage via a caller-unique temp name + atomic rename: readers
+            # never see a partial copy, and two concurrent stagers can't
+            # interleave writes into a shared temp file (each publishes a
+            # complete copy; last os.replace wins) (ADVICE r6)
+            fd, tmp_path = tempfile.mkstemp(dir=d, suffix=".staging")
+            os.close(fd)
+            try:
+                shutil.copyfile(src, tmp_path)
+                os.replace(tmp_path, dst)
+            except BaseException:
+                if os.path.exists(tmp_path):
+                    os.unlink(tmp_path)
+                raise
     return d
 
 

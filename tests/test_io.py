@@ -46,3 +46,37 @@ def test_scratch_dir_sweeps_dead_pid_siblings_only():
     finally:
         for d in (dead, live, nonpid):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_scratch_dir_sweep_skips_longer_names_sharing_prefix():
+    """A sweep for `name` must not claim dirs belonging to a LONGER
+    scratch name that shares the prefix: `kcss_sweep_pfx_multi_<dead
+    pid>` belongs to the name `kcss_sweep_pfx_multi`, so a sweep for
+    `kcss_sweep_pfx` has no business removing it even though its owning
+    pid is dead (ADVICE r6 — the old rsplit/isdigit check matched it)."""
+    import shutil
+    import tempfile
+
+    from kafka_connect_sse_spark.io import scratch_dir
+
+    tmp = tempfile.gettempdir()
+    name = "kcss_sweep_pfx_unit_test"
+    dead_pid = 4194301
+    try:
+        os.kill(dead_pid, 0)
+        return  # pid unexpectedly alive on this host — nothing to assert
+    except ProcessLookupError:
+        pass
+    other_name = os.path.join(tmp, f"{name}_multi_{dead_pid}")
+    own_dead = os.path.join(tmp, f"{name}_{dead_pid}")
+    for d in (other_name, own_dead):
+        os.makedirs(d, exist_ok=True)
+    try:
+        scratch_dir(name)
+        assert not os.path.exists(own_dead), "exact-name dead orphan swept"
+        assert os.path.exists(other_name), (
+            "dir of a longer name sharing the prefix must be left alone"
+        )
+    finally:
+        for d in (other_name, own_dead):
+            shutil.rmtree(d, ignore_errors=True)

@@ -66,3 +66,48 @@ def test_parse_sweep_fail_variants():
         "FAIL q_b: spark error\n"
     )
     assert ops == {"q_a": {"status": "FAIL"}, "q_b": {"status": "FAIL"}}
+
+
+def test_gate_excludes_conditional_ops_from_completeness(tmp_path):
+    """On a host where an optional dep is installed the sweep also runs
+    the conditional ops (e.g. s_transform_with_state), so the parsed
+    count exceeds SURVEY.md's declared total by design.  The gate must
+    subtract the conditional set before the completeness compare instead
+    of calling a fully green sweep INCOMPLETE — and the conditional op
+    must not trip the no-WEAK gate either (ADVICE r6)."""
+    import json
+    import re
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    declared = int(
+        re.search(r"\*\*Declared operator total: (\d+)\*\*",
+                  open(os.path.join(repo, "SURVEY.md")).read()).group(1)
+    )
+    lines = [f"PASS q_synth_{i}: rows=1 (0.1s)" for i in range(declared)]
+    lines.append("WEAK s_transform_with_state: rows=7 (0.5s, no oracle)")
+    lines.append(f"== {declared} pass, 1 weak, 0 fail")
+    log = tmp_path / "full_with_conditional.log"
+    log.write_text("\n".join(lines) + "\n")
+    # MANIFEST.json is read from the sf1 dir; point the gate at a stub
+    rec_path = os.path.join(repo, "SWEEP_sf1_r98.json")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "sf1_gate.py"),
+         "--round", "98", "--skip-gen", "--skip-bench",
+         "--sweep-log", str(log)],
+        capture_output=True, text=True, cwd=repo,
+    )
+    try:
+        assert proc.returncode == 0, proc.stdout + proc.stderr
+        rec = json.load(open(rec_path))
+        assert rec["n_ops"] == declared
+        assert "s_transform_with_state" not in rec["ops"]
+        assert rec["conditional_ops_excluded"] == {
+            "s_transform_with_state": {"status": "WEAK"}
+        }
+    finally:
+        try:
+            os.remove(rec_path)
+        except FileNotFoundError:
+            pass

@@ -91,6 +91,14 @@ def main() -> None:
                   + sweep_text[-2000:], file=sys.stderr)
             sys.exit(1)
     ops = parse_sweep(sweep_text)
+    # conditional ops (import-gated on optional deps, excluded from
+    # SURVEY.md's declared total exactly as
+    # tests/test_operators.py::test_registry_count_matches_survey does)
+    # are dropped before the completeness compare — on a host where the
+    # optional dep IS installed the sweep legitimately runs them, and
+    # without this the gate would report a fully green sweep as
+    # INCOMPLETE (ADVICE r6)
+    conditional = {c: ops.pop(c) for c in ("s_transform_with_state",) if c in ops}
     n_pass = sum(1 for v in ops.values() if v["status"] == "PASS")
     n_fail = sum(1 for v in ops.values() if v["status"] == "FAIL")
     n_weak = sum(1 for v in ops.values() if v["status"] == "WEAK")
@@ -124,6 +132,8 @@ def main() -> None:
                 "sweep over the regenerated deterministic tier",
         "ops": ops,
     }
+    if conditional:
+        sweep_rec["conditional_ops_excluded"] = conditional
     sweep_path = os.path.join(REPO, f"SWEEP_sf1_r{args.round:02d}.json")
     with open(sweep_path, "w") as fh:
         json.dump(sweep_rec, fh, indent=1)
