@@ -394,3 +394,16 @@ def test_claimed_single_exchange_ops(spark):
             op,
             plan,
         )
+
+
+def test_ann_pipeline_scans_stored_int8_index(spark):
+    """Round 7: stage 1 must read the MATERIALIZED index (build-once
+    array<tinyint> parquet via ann_index_path), not re-quantize the fp
+    base inline — the scan location and the tinyint read schema are both
+    visible in the physical plan, and the IVF prefilter stays a
+    BroadcastHashJoin on the cell id."""
+    df = queries()["x_ann_pipeline"](spark, SF)
+    plan = formatted_plan(df)
+    assert "ann_index.parquet" in plan, plan
+    assert "array<tinyint>" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -205,3 +205,27 @@ def test_containment_hot_postings_cap_bounds_lists_keeps_recall(spark):
     assert set(capped) <= set(uncapped)
     # boilerplate 50%-overlap pairs never cross the 0.8 threshold
     assert set(uncapped) == {(100, 101)}
+
+
+def test_ann_stored_index_matches_inline_and_is_int8(spark):
+    """The materialized ANN index (round 7) must change WHERE the int8
+    codes come from, never WHAT they are: the stored parquet carries
+    array<tinyint> codes (the real 4x storage compression), and the
+    stored-index pipeline returns row-identical results to the r6
+    inline-quantization form."""
+    from kafka_connect_sse_spark.operators.similarity import (
+        ann_index_path,
+        ann_pipeline,
+    )
+
+    idx = spark.read.parquet(ann_index_path(spark, SF))
+    assert dict(idx.dtypes)["q"] == "array<tinyint>"
+    assert idx.count() == spark.read.parquet(SF + "/embeddings.parquet").count()
+    stored = {
+        tuple(r) for r in ann_pipeline(spark, SF, use_stored_index=True).collect()
+    }
+    inline = {
+        tuple(r) for r in ann_pipeline(spark, SF, use_stored_index=False).collect()
+    }
+    assert stored == inline
+    assert len(stored) > 0

@@ -38,7 +38,7 @@ COMMENTARY = {
     "x_interleave_sources": "per-corpus quota draw is a lang-partitioned window; the single-partition global interleave window runs only over the K selected rows (filter below it in the plan), never the corpus.",
     "x_ann_rerank": "stage-1 ranking exchange carries only (query_id, neighbor_id, iscore) — int8 shortlist scan at a quarter of the memory bandwidth, vectors rejoin only for the 4k-candidate exact re-rank (neighbor side key join, query side broadcast).",
     "q_join_dpp": "dim filter reaches the partitioned fact scan as dynamicpruningexpression in PartitionFilters — unmatched partition directories are never opened; the dim broadcasts.",
-    "x_ann_pipeline": "the IVF prefilter is a BroadcastHashJoin on the cell id (vs x_ann_rerank's nested loop over all pairs); the shortlist ranking exchange carries ids+iscore only; fp64 vectors rejoin after the shortlist (neighbor key join, query broadcast).",
+    "x_ann_pipeline": "the IVF prefilter is a BroadcastHashJoin on the cell id (vs x_ann_rerank's nested loop over all pairs); stage 1 scans the MATERIALIZED int8 index (array<tinyint> parquet built once by ann_index_path — no inline re-quantization of the fp base in the query plan); the shortlist ranking exchange carries ids+iscore only; fp64 vectors rejoin after the shortlist (neighbor key join, query broadcast).",
     "x_containment_dedup": "one posting-list groupBy on (shingle, lang) is the only corpus-sized shuffle; ordered pairs expand from each posting list map-side (two Generates), pair counts partial-aggregate; the per-doc sizes join is UNHINTED — sizes is O(n_docs), so AQE broadcasts it only when its measured size is small (it is here) and degrades to a shuffled join on a billions-of-docs corpus instead of OOMing on a forced hint.",
     "x_tfidf_top_term": "tf and df are partial-aggregated before their exchanges; the df join is UNHINTED — df is O(|vocab|), unbounded on web text, so AQE broadcasts it only while it measures small (it does here) and otherwise reuses the term-keyed partitioning df's own aggregation produced; only the 1-row corpus count carries an explicit broadcast.",
 }
@@ -82,6 +82,7 @@ def main() -> None:
             "",
         ]
     out += _ab_bloom_section()
+    out += _ab_ann_section()
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("\n".join(out))
     print("wrote PLANS.md")
@@ -138,6 +139,61 @@ def _ab_bloom_section() -> list[str]:
         "predicate into a source the injection rule does not cover. Its",
         "value in this repo is the mechanism demonstration; production",
         "default is the injected filter.",
+        "",
+    ]
+    return out
+
+
+def _ab_ann_section() -> list[str]:
+    """Render tools/ab_ann_results.json (written by tools/ab_ann.py
+    --record): the measured A/B of the materialized int8 index vs the r6
+    inline-quantization pipeline (VERDICT r6 item 3)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "ab_ann_results.json")
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        recs = json.load(f)
+    out = [
+        "## A/B: stored int8 ANN index vs inline re-quantization",
+        "",
+        "Measured by `tools/ab_ann.py --record` (median of 3; identical",
+        "result rows asserted across pipeline variants; index build time",
+        "excluded from query medians and shown separately — at 100 TB the",
+        "build runs once at ingest and amortizes over every query).",
+        "",
+        "| sf dir | index build | rerank (no prefilter, inline q8) |"
+        " pipeline, inline q8 (r6) | pipeline, stored index (r7) |",
+        "|---|---|---|---|---|",
+    ]
+    for r in recs:
+        v = r["variants"]
+        out.append(
+            "| {} | {} s | {} s | {} s | {} s |".format(
+                r["sf"],
+                r["build_s"],
+                v["rerank_inline"]["median_s"],
+                v["pipeline_inline"]["median_s"],
+                v["pipeline_stored"]["median_s"],
+            )
+        )
+    out += [
+        "",
+        "**Reading (sf1):** with the index materialized the inline",
+        "quantization floor PLANS.md r6 identified (~1.8 s of the 2.5 s",
+        "inline pipeline) disappears from the query path; what remains in",
+        "the stored-index variant is dominated by the prefiltered",
+        "pair-count term plus the bounded re-rank — i.e. the cost profile",
+        "an IVF index is supposed to have, and the configuration where the",
+        "prefilter's N/cells advantage over the full-scan rerank is fully",
+        "visible (stored pipeline vs rerank at the same exactness",
+        "contract).  The q8 codes are stored as `array<tinyint>` — the",
+        "genuine 4x storage/scan compression — and widened to long inside",
+        "the dot-product lambda, so scores are bit-identical to the",
+        "inline form (asserted by the A/B tool and",
+        "tests/test_weak_ops.py).",
         "",
     ]
     return out
