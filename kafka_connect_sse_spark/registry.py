@@ -84,86 +84,88 @@ def register(name: str, oracle: str | None = None):
 # topped up from the next-oldest cohort — so no record ages past ~3
 # rounds.
 #
-# Round-6 window composition (50 entries) — VERDICT r5 item 1: the
-# complete 43-op r2 cohort rotates through, led by this round's
-# new/modified ops, topped up with the first two r3 rows in registry
-# order.  After this round no record is older than r3.
-#   1-3    new this round: u_grouped_map_batched (batch-the-keys grouped
-#          map, the executable fix for the measured 94k rows/s per-key
-#          pandas floor), x_ann_pipeline (IVF prefilter → int8
-#          shortlist → fp64 re-rank, the composition the x_ann_rerank
-#          attribution names as the scale lever), and
-#          x_containment_dedup (asymmetric shingle containment — the
-#          quoted-inside/boilerplate-wrapped duplication Jaccard-based
-#          dedup structurally misses)
-#   4-7    ops whose code changed this round: q_transitive_closure
-#          (cap-fired RuntimeWarning), src_sse_multi + snk_sse_landing
-#          (loud TimeoutError on landing-wait expiry),
-#          s_join_stream_stream_outer (pid-keyed scratch dir)
-#   8-50   the complete r2 cohort (43 ops: sources/sinks, the r2
-#          aggregates, q_win_running_sum, the 10-op streaming tier, the
-#          4-op UDF ladder, the 19 r2-era x_* text/dedup/similarity
-#          ops) — the full r3 cohort is round 7's window
+# Round-7 window composition (50 entries) — VERDICT r6 items 1-3: the
+# r3 cohort rotates through, led by the three ops whose CODE changed
+# this round (the two de-hinted joins + the materialized ANN index —
+# VERDICT r6 item 2 explicitly requires both de-hinted ops green in the
+# r7 driver window, so they take slots even though their records are
+# r6-fresh).  That leaves 47 slots for the 50-op r3 cohort; the 3
+# deferred rows are the cohort members with the strongest independent
+# current-code evidence — q_sessionize
+# (tests/test_sessionize_property.py), x_seq_pack
+# (tests/test_pack_property.py), x_corpus_prep
+# (tests/test_pipeline_ops.py), each also green in this round's
+# builder-side full sf0.01 + sf1 sweeps — and LEAD ROUND 8's window
+# ahead of the r4 cohort.
+#   1-3    code modified this round: x_containment_dedup +
+#          x_tfidf_top_term (unbounded broadcast hints dropped — AQE
+#          now decides), x_ann_pipeline (reads the materialized
+#          array<tinyint> index instead of re-quantizing inline)
+#   4-50   the r3 cohort minus the 3 deferred rows: the r3 sinks, the
+#          percentile/histogram/mode aggregate tier, the relational
+#          composites, bucketed join, top-k limit, the 6-op set-ops
+#          tier, the 14-op scalar-function tier,
+#          s_dedup_within_watermark, and the r3-era x_* corpus ops
 _PRIORITY = (
-    # new this round
-    "u_grouped_map_batched",
-    "x_ann_pipeline",
-    "x_containment_dedup",
     # modified this round — re-attest current code
-    "q_transitive_closure",
-    "src_sse_multi",
-    "snk_sse_landing",
-    "s_join_stream_stream_outer",
-    # -- r2 cohort: sources / sinks --
-    "src_jsonl_scan",
-    "src_parquet_evolve",
-    "snk_parquet",
-    "snk_memory_topic",
-    "snk_orc",
-    # -- r2 cohort: aggregates / window --
-    "q_agg_having",
-    "q_agg_collect_sorted",
-    "q_agg_approx_distinct",
-    "q_agg_bytes_by_type",
-    "q_win_running_sum",
-    # -- r2 cohort: streaming tier --
-    "s_window_tumbling",
-    "s_window_sliding",
-    "s_window_session",
-    "s_watermark_late",
-    "s_dedup_watermarked",
-    "s_join_stream_static",
-    "s_stateful_counter",
-    "s_join_stream_stream",
-    "s_foreachbatch_dlq",
-    "s_observe_metrics",
-    # -- r2 cohort: UDF ladder --
-    "u_py_udf",
-    "u_pandas_udf",
-    "u_grouped_map",
-    "u_sql_udtf",
-    # -- r2 cohort: x_* text quality / vocab --
-    "x_text_stats",
-    "x_token_count_regex",
-    "x_quality_score",
-    "x_langid_ngram",
-    "x_lang_like_filter",
+    "x_containment_dedup",
     "x_tfidf_top_term",
-    "x_text_top_bigrams",
-    "x_decontaminate",
-    # -- r2 cohort: x_* dedup family --
-    "x_dedup_exact",
-    "x_dedup_exact_hash",
-    "x_dedup_simhash",
-    "x_dedup_near_embedding",
-    "x_dedup_clusters",
-    "x_dedup_keep_best",
-    "x_ngram_jaccard",
-    # -- r2 cohort: x_* similarity / multimodal --
-    "x_embed_norms",
-    "x_sim_lsh_bucketed",
-    "x_sim_topk_lsh",
-    "x_multimodal_cols",
+    "x_ann_pipeline",
+    # -- r3 cohort: sources / sinks --
+    "snk_compact_small_files",
+    "snk_csv",
+    "snk_parquet_pruned",
+    # -- r3 cohort: aggregates --
+    "q_agg_bool_bit",
+    "q_agg_histogram",
+    "q_agg_median_mode",
+    "q_agg_percentile_approx",
+    # -- r3 cohort: relational composites / CDC / time-series --
+    "q_compact_latest",
+    "q_exists_correlated",
+    "q_incremental_merge",
+    "q_lateral_explode",
+    "q_merge_upsert",
+    "q_not_in_nullaware",
+    "q_ts_gapfill",
+    # -- r3 cohort: joins / limits --
+    "q_join_bucketed",
+    "q_limit_topk",
+    # -- r3 cohort: set operations --
+    "q_set_except",
+    "q_set_except_all",
+    "q_set_intersect",
+    "q_set_union_all",
+    "q_set_union_by_name",
+    "q_set_union_distinct",
+    # -- r3 cohort: scalar functions --
+    "q_fn_array",
+    "q_fn_bitwise",
+    "q_fn_cast",
+    "q_fn_conditional",
+    "q_fn_datetime",
+    "q_fn_hash",
+    "q_fn_higher_order",
+    "q_fn_json",
+    "q_fn_json_struct",
+    "q_fn_map",
+    "q_fn_math",
+    "q_fn_string",
+    "q_fn_string2",
+    "q_fn_struct",
+    # -- r3 cohort: streaming --
+    "s_dedup_within_watermark",
+    # -- r3 cohort: x_* corpus ops --
+    "x_dedup_near_embedding_lsh",
+    "x_doc_chunk",
+    "x_doc_concat",
+    "x_lang_balance",
+    "x_multimodal_features",
+    "x_pii_scrub",
+    "x_repetition_score",
+    "x_sample_stratified",
+    "x_sim_topk_ivf",
+    "x_sim_topk_lsh_multiprobe",
 )
 
 

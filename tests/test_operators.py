@@ -84,47 +84,50 @@ def test_salting_helpers_round_trip(spark):
     assert joined.count() == plain.count()
 
 
-def test_round6_driver_window_composition(qs):
-    """The driver checks the FIRST 50 registry entries.  Pin the round-6
-    rotation window (VERDICT r5 item 1): the three new + four modified
-    operators lead, then the COMPLETE 43-op r2 cohort — a silent
-    reordering here would burn the round's freshness evidence.  (The
-    full r3 cohort is round 7's window.)"""
+def test_round7_driver_window_composition(qs):
+    """The driver checks the FIRST 50 registry entries.  Pin the round-7
+    rotation window (VERDICT r6 items 1-2): the three ops whose code
+    changed this round lead (the two de-hinted joins, required in-window
+    by VERDICT r6 item 2, plus the materialized-index ANN pipeline),
+    then 47 of the 50-op r3 cohort — a silent reordering here would
+    burn the round's freshness evidence.  The 3 deferred r3 rows each
+    hold a dedicated current-code property/integration test and lead
+    round 8's window ahead of the r4 cohort."""
     from kafka_connect_sse_spark.registry import _PRIORITY
 
     window = list(qs)[: len(_PRIORITY)]
     assert window == list(_PRIORITY)
-    assert len(_PRIORITY) == 50, "round-6 window must fill all 50 slots"
-    # new + this-round-modified operators must re-attest first
-    assert window[:7] == [
-        "u_grouped_map_batched",
-        "x_ann_pipeline",
+    assert len(_PRIORITY) == 50, "round-7 window must fill all 50 slots"
+    # this-round-modified operators must re-attest first
+    assert window[:3] == [
         "x_containment_dedup",
-        "q_transitive_closure",
-        "src_sse_multi",
-        "snk_sse_landing",
-        "s_join_stream_stream_outer",
+        "x_tfidf_top_term",
+        "x_ann_pipeline",
     ]
-    # the complete r2 cohort (43 ops whose newest driver record is r2)
-    r2_cohort = {
-        "src_jsonl_scan", "src_parquet_evolve", "snk_parquet",
-        "snk_memory_topic", "snk_orc", "q_agg_having",
-        "q_agg_collect_sorted", "q_agg_approx_distinct",
-        "q_agg_bytes_by_type", "q_win_running_sum", "s_window_tumbling",
-        "s_window_sliding", "s_window_session", "s_watermark_late",
-        "s_dedup_watermarked", "s_join_stream_static",
-        "s_stateful_counter", "s_join_stream_stream", "s_foreachbatch_dlq",
-        "s_observe_metrics", "u_py_udf", "u_pandas_udf", "u_grouped_map",
-        "u_sql_udtf", "x_text_stats", "x_token_count_regex",
-        "x_quality_score", "x_langid_ngram", "x_lang_like_filter",
-        "x_tfidf_top_term", "x_text_top_bigrams", "x_decontaminate",
-        "x_dedup_exact", "x_dedup_exact_hash", "x_dedup_simhash",
-        "x_dedup_near_embedding", "x_dedup_clusters", "x_dedup_keep_best",
-        "x_ngram_jaccard", "x_embed_norms", "x_sim_lsh_bucketed",
-        "x_sim_topk_lsh", "x_multimodal_cols",
+    # the r3 cohort (50 ops whose newest driver record was r3) minus the
+    # 3 deferred rows
+    r3_cohort = {
+        "q_agg_bool_bit", "q_agg_histogram", "q_agg_median_mode",
+        "q_agg_percentile_approx", "q_compact_latest",
+        "q_exists_correlated", "q_fn_array", "q_fn_bitwise", "q_fn_cast",
+        "q_fn_conditional", "q_fn_datetime", "q_fn_hash",
+        "q_fn_higher_order", "q_fn_json", "q_fn_json_struct", "q_fn_map",
+        "q_fn_math", "q_fn_string", "q_fn_string2", "q_fn_struct",
+        "q_incremental_merge", "q_join_bucketed", "q_lateral_explode",
+        "q_limit_topk", "q_merge_upsert", "q_not_in_nullaware",
+        "q_sessionize", "q_set_except", "q_set_except_all",
+        "q_set_intersect", "q_set_union_all", "q_set_union_by_name",
+        "q_set_union_distinct", "q_ts_gapfill",
+        "s_dedup_within_watermark", "snk_compact_small_files", "snk_csv",
+        "snk_parquet_pruned", "x_corpus_prep",
+        "x_dedup_near_embedding_lsh", "x_doc_chunk", "x_doc_concat",
+        "x_lang_balance", "x_multimodal_features", "x_pii_scrub",
+        "x_repetition_score", "x_sample_stratified", "x_seq_pack",
+        "x_sim_topk_ivf", "x_sim_topk_lsh_multiprobe",
     }
-    assert len(r2_cohort) == 43
-    assert set(window[7:]) == r2_cohort
+    assert len(r3_cohort) == 50
+    deferred = {"q_sessionize", "x_seq_pack", "x_corpus_prep"}
+    assert set(window[3:]) == r3_cohort - deferred
     # every window op must carry an oracle (EXACT gate, not rows-only)
     from kafka_connect_sse_spark.registry import oracle_sql
 
