@@ -134,6 +134,19 @@ def main() -> None:
     }
     if conditional:
         sweep_rec["conditional_ops_excluded"] = conditional
+    # cross-round per-op regression visibility (VERDICT r6 item 6): the
+    # 192-op surface is ~10x the benched headline set, so surface the
+    # most expensive sweep entries up front.  `sec` is the checker's
+    # end-to-end per-op wall (Spark execution + DuckDB oracle + pandas
+    # canonicalization of both outputs — at sf1 the canonicalization is
+    # ~10 s for full-table 6M-row outputs, see BASELINE.md), so compare
+    # round-over-round, not against bench.py numbers.
+    sweep_rec["top_sec"] = dict(
+        sorted(
+            ((k, v["sec"]) for k, v in ops.items() if "sec" in v),
+            key=lambda kv: -kv[1],
+        )[:15]
+    )
     sweep_path = os.path.join(REPO, f"SWEEP_sf1_r{args.round:02d}.json")
     with open(sweep_path, "w") as fh:
         json.dump(sweep_rec, fh, indent=1)
