@@ -407,3 +407,26 @@ def test_ann_pipeline_scans_stored_int8_index(spark):
     assert "ann_index.parquet" in plan, plan
     assert "array<tinyint>" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dehinted_joins_carry_no_forced_broadcast(spark):
+    """VERDICT r6 weak flags: x_containment_dedup's per-doc sizes join
+    (O(n_docs)) and x_tfidf_top_term's document-frequency join
+    (O(|vocab|)) must never carry a forced broadcast hint again — AQE
+    decides from measured sizes.  Pin the analyzed-plan hint count:
+    containment has ZERO hints; tfidf exactly ONE (the 1-row corpus
+    count, which is bounded at any scale and stays hinted on purpose)."""
+    an_c = (
+        queries()["x_containment_dedup"](spark, SF)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "Hint" not in an_c, an_c
+    an_t = (
+        queries()["x_tfidf_top_term"](spark, SF)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert an_t.count("ResolvedHint") == 1, an_t
