@@ -47,7 +47,10 @@ def _staged_events_dir(sf_dir: str) -> str:
             # never see a partial copy, and two concurrent stagers can't
             # interleave writes into a shared temp file (each publishes a
             # complete copy; last os.replace wins) (ADVICE r6)
-            fd, tmp_path = tempfile.mkstemp(dir=d, suffix=".staging")
+            # "." prefix: Spark's file listing ignores dot-files, so a
+            # reader that lists the directory mid-copy can't pick up the
+            # partial temp as an input file
+            fd, tmp_path = tempfile.mkstemp(dir=d, prefix=".", suffix=".staging")
             os.close(fd)
             try:
                 shutil.copyfile(src, tmp_path)
