@@ -11,7 +11,11 @@ any fixture SF:
       -> retrieval         (two-stage: int8 shortlist -> exact fp64
                             re-rank, x_ann_rerank; and the full
                             three-stage IVF->int8->fp64 form,
-                            x_ann_pipeline)
+                            x_ann_pipeline — which since round 7 reads
+                            a MATERIALIZED build-once array<tinyint>
+                            index, similarity.ann_index_path: the
+                            first pipeline call here pays the build,
+                            repeat queries scan the stored codes)
       -> near-dup audit    (embedding-cosine duplicate pairs over the
                             LSH-bucketed candidate graph)
 
