@@ -660,7 +660,22 @@ def ann_index_path(spark: SparkSession, sf_dir: str) -> str:
 
     from ..io import scratch_dir
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    # cache key = corpus dir + a freshness fingerprint of the source
+    # table (mtime_ns + size of every data file under
+    # embeddings.parquet) — a fixture regenerated within the same
+    # process must MISS, not silently serve the stale index
+    # (ADVICE r7 item 3)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    fp = hashlib.md5(sf_dir.encode())
+    if os.path.isdir(src):
+        for root, _dirs, files in sorted(os.walk(src)):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                fp.update(f"{f}:{st.st_mtime_ns}:{st.st_size};".encode())
+    elif os.path.exists(src):
+        st = os.stat(src)
+        fp.update(f"{st.st_mtime_ns}:{st.st_size}".encode())
+    key = fp.hexdigest()[:10]
 
     d = scratch_dir(f"kcss_ann_index_{key}")
     path = os.path.join(d, "ann_index.parquet")

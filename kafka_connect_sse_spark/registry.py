@@ -45,6 +45,14 @@ _MODULES = (
     "kafka_connect_sse_spark.operators.sinks",
 )
 
+# Operators that register only when an optional dependency imports
+# (streaming/queries.py gates s_transform_with_state on protobuf).  They
+# are EXCLUDED from SURVEY.md's declared total, the COVERAGE.md
+# inventory, and the sf1 gate's completeness compare — one constant so
+# all three consumers (tools/gen_coverage.py, tools/sf1_gate.py,
+# tests/test_operators.py) cannot drift (ADVICE r7 item 1).
+CONDITIONAL_OPS = frozenset({"s_transform_with_state"})
+
 _loaded = False
 
 

@@ -149,8 +149,9 @@ def test_registry_count_matches_survey(qs):
     m = re.search(r"\*\*Declared operator total: (\d+)\*\*", text)
     assert m, "SURVEY.md must declare the operator total"
     declared = int(m.group(1))
-    conditional = {"s_transform_with_state"}
-    registered = [name for name in qs if name not in conditional]
+    from kafka_connect_sse_spark.registry import CONDITIONAL_OPS
+
+    registered = [name for name in qs if name not in CONDITIONAL_OPS]
     assert len(registered) == declared, (
         f"registry has {len(registered)} operators but SURVEY.md declares "
         f"{declared} — update both in the same commit"
@@ -387,8 +388,9 @@ def test_coverage_doc_renders_every_op_as_full_table_row(qs):
     ):
         assert m.group(1) not in rows, f"duplicate row for {m.group(1)}"
         rows[m.group(1)] = m.group(2)
-    conditional = {"s_transform_with_state"}
-    expected = set(qs) - conditional
+    from kafka_connect_sse_spark.registry import CONDITIONAL_OPS
+
+    expected = set(qs) - CONDITIONAL_OPS
     assert set(rows) == expected, (
         sorted(expected - set(rows)), sorted(set(rows) - expected))
     # and no op may fall back to a bare bullet list

@@ -229,3 +229,36 @@ def test_ann_stored_index_matches_inline_and_is_int8(spark):
     }
     assert stored == inline
     assert len(stored) > 0
+
+
+def test_ann_index_cache_misses_on_regenerated_fixture(spark, tmp_path):
+    """The build-once index cache is keyed by a freshness fingerprint of
+    the source table (mtime+size), not just the corpus path: a fixture
+    regenerated in the SAME process must produce a NEW index path, never
+    silently serve the stale one (ADVICE r7 item 3)."""
+    import os
+    import shutil
+
+    from kafka_connect_sse_spark.operators.similarity import ann_index_path
+
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    src = os.path.join(SF, "embeddings.parquet")
+    dst = os.path.join(sf_dir, "embeddings.parquet")
+    (shutil.copytree if os.path.isdir(src) else shutil.copy2)(src, dst)
+
+    first = ann_index_path(spark, sf_dir)
+    assert first == ann_index_path(spark, sf_dir)  # warm hit, same key
+
+    # "regenerate" the fixture: same bytes, new mtime
+    targets = (
+        [os.path.join(r, f) for r, _d, fs in os.walk(dst) for f in fs]
+        if os.path.isdir(dst)
+        else [dst]
+    )
+    for t in targets:
+        st = os.stat(t)
+        os.utime(t, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000_000))
+
+    second = ann_index_path(spark, sf_dir)
+    assert second != first

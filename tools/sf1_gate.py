@@ -32,6 +32,10 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF1_DIR = os.path.join(REPO, "testdata", "sf1")
 
+# run as a script (tools/ is sys.path[0]); the package lives at repo root
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
 _PASS = re.compile(r"^PASS (\S+): rows=(\d+) \(([\d.]+)s\)")
 _FAIL = re.compile(r"^FAIL ([^\s:(]+)")
 _WEAK = re.compile(r"^WEAK (\S+):")
@@ -98,7 +102,9 @@ def main() -> None:
     # optional dep IS installed the sweep legitimately runs them, and
     # without this the gate would report a fully green sweep as
     # INCOMPLETE (ADVICE r6)
-    conditional = {c: ops.pop(c) for c in ("s_transform_with_state",) if c in ops}
+    from kafka_connect_sse_spark.registry import CONDITIONAL_OPS
+
+    conditional = {c: ops.pop(c) for c in sorted(CONDITIONAL_OPS) if c in ops}
     n_pass = sum(1 for v in ops.values() if v["status"] == "PASS")
     n_fail = sum(1 for v in ops.values() if v["status"] == "FAIL")
     n_weak = sum(1 for v in ops.values() if v["status"] == "WEAK")
