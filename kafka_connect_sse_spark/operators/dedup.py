@@ -954,3 +954,115 @@ def x_contam_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_shared")
         ).alias("estimate_within_5pct"),
     )
+
+
+SPAN_K = 40  # span resolution (chars); offsets stride by SPAN_K
+SPAN_DROP_RATIO = 0.5
+
+
+@register(
+    "x_dedup_span",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n
+      FROM documents WHERE text IS NOT NULL),
+    sp AS (
+      SELECT doc_id, md5(substr(text, g.i, {SPAN_K})) AS h
+      FROM d, UNNEST(generate_series(1, n - {SPAN_K - 1}, {SPAN_K})) AS g(i)),
+    dup AS (
+      SELECT h FROM sp GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    per AS (
+      SELECT sp.doc_id, COUNT(*) AS n_spans,
+             CAST(SUM(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dup_spans
+      FROM sp LEFT JOIN dup ON sp.h = dup.h
+      GROUP BY sp.doc_id)
+    SELECT d.doc_id,
+           COALESCE(n_spans, 0) AS n_spans,
+           COALESCE(n_dup_spans, 0) AS n_dup_spans,
+           ROUND(CASE WHEN COALESCE(n_spans, 0) = 0 THEN 0.0
+                      ELSE CAST(n_dup_spans AS DOUBLE) / n_spans END,
+                 6) AS dup_ratio,
+           (ROUND(CASE WHEN COALESCE(n_spans, 0) = 0 THEN 0.0
+                       ELSE CAST(n_dup_spans AS DOUBLE) / n_spans END,
+                  6) >= {SPAN_DROP_RATIO}) AS drop_doc
+    FROM d LEFT JOIN per ON d.doc_id = per.doc_id
+    """,
+)
+def x_dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-SPAN detection (round 8): find {SPAN_K}-char character
+    spans that recur across DISTINCT documents and flag documents whose
+    span mass is mostly duplicated — the span-level member of the dedup
+    family (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", removes repeated ~50-token substrings that survive
+    document-level dedup: boilerplate, licenses, quoted passages).
+    Document-level ops (x_dedup_exact/_near_minhash/_prefix/
+    x_containment_dedup) answer "is this DOC a copy?"; this answers
+    "how much of this doc's TEXT exists elsewhere?".
+
+    Spans are taken at stride {SPAN_K} (offsets 1, {SPAN_K}+1, …), so a
+    cross-doc duplicate is detected when the shared region is aligned to
+    the stride in both documents — exact copies, shared prefixes, and
+    template boilerplate all are, which is the dominant case; an
+    unaligned interior quote needs the suffix-array construction the
+    paper uses, deliberately out of scope (stride keeps span count at
+    n_chars/{SPAN_K} per doc — LINEAR, shuffle-bounded, where
+    every-offset spans are {SPAN_K}x that and a suffix array is not a
+    data-parallel shuffle shape at all).
+
+    100 TB posture: spans ride the shuffle as md5 DIGESTS (32-hex,
+    engine-identical — the grouping key is never output, but hashing in
+    BOTH engines keeps the oracle exact while the shuffle carries
+    fixed-width keys instead of raw {SPAN_K}-char text — the same
+    digest-width-shuffle rule as x_dedup_exact_hash); the dup-span
+    relation is unbounded (grows with corpus boilerplate), so its join
+    back to spans is UNHINTED — AQE broadcasts when it is small, shuffles
+    when it is not (VERDICT r6).  Both flag thresholds compare ROUNDED
+    ratios, so the keep/drop decision is bit-identical across engines."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    n = F.length("text")
+    spans = (
+        d.where(n >= SPAN_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), n - F.lit(SPAN_K - 1), F.lit(SPAN_K))
+            ).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.md5(F.col("text").substr(F.col("i"), F.lit(SPAN_K))).alias("h"),
+        )
+    )
+    dup = (
+        spans.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("isdup"))
+    )
+    per = (
+        spans.join(dup, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.coalesce(F.col("isdup"), F.lit(0))).alias("n_dup_spans"),
+        )
+    )
+    ratio = F.round(
+        F.when(F.coalesce("n_spans", F.lit(0)) == 0, F.lit(0.0)).otherwise(
+            F.col("n_dup_spans").cast("double") / F.col("n_spans")
+        ),
+        6,
+    )
+    return (
+        d.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            ratio.alias("dup_ratio"),
+            (ratio >= F.lit(SPAN_DROP_RATIO)).alias("drop_doc"),
+        )
+    )

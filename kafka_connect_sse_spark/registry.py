@@ -92,88 +92,86 @@ def register(name: str, oracle: str | None = None):
 # topped up from the next-oldest cohort — so no record ages past ~3
 # rounds.
 #
-# Round-7 window composition (50 entries) — VERDICT r6 items 1-3: the
-# r3 cohort rotates through, led by the three ops whose CODE changed
-# this round (the two de-hinted joins + the materialized ANN index —
-# VERDICT r6 item 2 explicitly requires both de-hinted ops green in the
-# r7 driver window, so they take slots even though their records are
-# r6-fresh).  That leaves 47 slots for the 50-op r3 cohort; the 3
-# deferred rows are the cohort members with the strongest independent
-# current-code evidence — q_sessionize
-# (tests/test_sessionize_property.py), x_seq_pack
-# (tests/test_pack_property.py), x_corpus_prep
-# (tests/test_pipeline_ops.py), each also green in this round's
-# builder-side full sf0.01 + sf1 sweeps — and LEAD ROUND 8's window
-# ahead of the r4 cohort.
-#   1-3    code modified this round: x_containment_dedup +
-#          x_tfidf_top_term (unbounded broadcast hints dropped — AQE
-#          now decides), x_ann_pipeline (reads the materialized
-#          array<tinyint> index instead of re-quantizing inline)
-#   4-50   the r3 cohort minus the 3 deferred rows: the r3 sinks, the
-#          percentile/histogram/mode aggregate tier, the relational
-#          composites, bucketed join, top-k limit, the 6-op set-ops
-#          tier, the 14-op scalar-function tier,
-#          s_dedup_within_watermark, and the r3-era x_* corpus ops
+# Round-8 window composition (50 entries): the two NEW round-8
+# operators lead (never driver-attested before), then the one op whose
+# supporting code changed this round (x_ann_pipeline — ann_index_path's
+# cache key now carries a source-freshness fingerprint, ADVICE r7
+# item 3), then the 3 r3 rows round 7 deferred (the standing contract:
+# they lead ahead of the r4 cohort), then 44 of the 46-op r4 cohort.
+# The 2 deferred r4 rows are the cohort members with the strongest
+# independent current-code evidence — x_multimodal_decode and
+# x_multimodal_audio_decode, each pinned end-to-end by
+# tests/test_multimodal_decoders.py's exact-integer decoder tests and
+# green in this round's builder-side full sf0.01 + sf1 sweeps — and
+# LEAD ROUND 9's window ahead of the r5 cohort.
+#   1-2    new this round: x_dedup_span, x_perplexity_filter
+#   3      code touched this round: x_ann_pipeline
+#   4-6    r3 rows deferred from round 7: q_sessionize, x_seq_pack,
+#          x_corpus_prep
+#   7-50   the r4 cohort minus the 2 deferred rows
 _PRIORITY = (
-    # modified this round — re-attest current code
-    "x_containment_dedup",
-    "x_tfidf_top_term",
+    # new this round — first driver attestation
+    "x_dedup_span",
+    "x_perplexity_filter",
+    # code touched this round — re-attest current code
     "x_ann_pipeline",
-    # -- r3 cohort: sources / sinks --
-    "snk_compact_small_files",
-    "snk_csv",
-    "snk_parquet_pruned",
-    # -- r3 cohort: aggregates --
-    "q_agg_bool_bit",
-    "q_agg_histogram",
-    "q_agg_median_mode",
-    "q_agg_percentile_approx",
-    # -- r3 cohort: relational composites / CDC / time-series --
-    "q_compact_latest",
-    "q_exists_correlated",
-    "q_incremental_merge",
-    "q_lateral_explode",
-    "q_merge_upsert",
-    "q_not_in_nullaware",
-    "q_ts_gapfill",
-    # -- r3 cohort: joins / limits --
-    "q_join_bucketed",
-    "q_limit_topk",
-    # -- r3 cohort: set operations --
-    "q_set_except",
-    "q_set_except_all",
-    "q_set_intersect",
-    "q_set_union_all",
-    "q_set_union_by_name",
-    "q_set_union_distinct",
-    # -- r3 cohort: scalar functions --
-    "q_fn_array",
-    "q_fn_bitwise",
-    "q_fn_cast",
-    "q_fn_conditional",
-    "q_fn_datetime",
-    "q_fn_hash",
-    "q_fn_higher_order",
-    "q_fn_json",
-    "q_fn_json_struct",
-    "q_fn_map",
-    "q_fn_math",
-    "q_fn_string",
-    "q_fn_string2",
-    "q_fn_struct",
-    # -- r3 cohort: streaming --
-    "s_dedup_within_watermark",
-    # -- r3 cohort: x_* corpus ops --
-    "x_dedup_near_embedding_lsh",
-    "x_doc_chunk",
-    "x_doc_concat",
-    "x_lang_balance",
-    "x_multimodal_features",
-    "x_pii_scrub",
-    "x_repetition_score",
-    "x_sample_stratified",
-    "x_sim_topk_ivf",
-    "x_sim_topk_lsh_multiprobe",
+    # r3 rows deferred from round 7 (oldest records in the registry)
+    "q_sessionize",
+    "x_seq_pack",
+    "x_corpus_prep",
+    # -- r4 cohort: sources / sinks --
+    "snk_avro",
+    "snk_jsonl",
+    "snk_parquet_sorted",
+    "src_parquet_scan",
+    # -- r4 cohort: aggregates / sketches --
+    "q_agg_bitmap_distinct",
+    "q_agg_filtered",
+    "q_agg_global",
+    "q_agg_groupby",
+    "q_agg_hll_mergeable",
+    "q_agg_kll_mergeable",
+    "q_agg_listagg",
+    "q_agg_theta_overlap",
+    # -- r4 cohort: relational / CDC / time-series --
+    "q_cdc_scd2",
+    "q_project_rename",
+    "q_set_intersect_all",
+    "q_ts_downsample",
+    # -- r4 cohort: scalar functions --
+    "q_fn_datetime2",
+    "q_fn_string3",
+    "q_fn_try_arithmetic",
+    "q_fn_url",
+    "q_fn_variant",
+    "q_fn_xml",
+    # -- r4 cohort: joins --
+    "q_join_asof_nearest",
+    "q_join_bloom_prune",
+    "q_join_dpp",
+    "q_join_null_safe",
+    # -- r4 cohort: windows --
+    "q_win_count_distinct",
+    "q_win_time_range",
+    # -- r4 cohort: streaming --
+    "s_checkpoint_resume",
+    # -- r4 cohort: UDF surface --
+    "u_arrow_map",
+    # -- r4 cohort: x_* corpus ops --
+    "x_ann_rerank",
+    "x_contam_estimate",
+    "x_data_card",
+    "x_dedup_prefix",
+    "x_embed_quantize",
+    "x_hard_negatives",
+    "x_interleave_sources",
+    "x_multimodal_framesample",
+    "x_multimodal_resize",
+    "x_multimodal_video_sample",
+    "x_sample_reservoir",
+    "x_seq_tensorize",
+    "x_skew_profile",
+    "x_word_entropy",
 )
 
 

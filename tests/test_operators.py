@@ -84,50 +84,53 @@ def test_salting_helpers_round_trip(spark):
     assert joined.count() == plain.count()
 
 
-def test_round7_driver_window_composition(qs):
-    """The driver checks the FIRST 50 registry entries.  Pin the round-7
-    rotation window (VERDICT r6 items 1-2): the three ops whose code
-    changed this round lead (the two de-hinted joins, required in-window
-    by VERDICT r6 item 2, plus the materialized-index ANN pipeline),
-    then 47 of the 50-op r3 cohort — a silent reordering here would
-    burn the round's freshness evidence.  The 3 deferred r3 rows each
-    hold a dedicated current-code property/integration test and lead
-    round 8's window ahead of the r4 cohort."""
+def test_round8_driver_window_composition(qs):
+    """The driver checks the FIRST 50 registry entries.  Pin the round-8
+    rotation window: the two NEW operators lead (no prior driver
+    record), then x_ann_pipeline (ann_index_path cache-key change,
+    ADVICE r7 item 3), then the 3 r3 rows round 7 deferred (standing
+    contract — they lead ahead of the next cohort), then 44 of the
+    46-op r4 cohort — a silent reordering here would burn the round's
+    freshness evidence.  The 2 deferred r4 rows each hold a dedicated
+    current-code decoder test (tests/test_multimodal_decoders.py) and
+    lead round 9's window ahead of the r5 cohort."""
     from kafka_connect_sse_spark.registry import _PRIORITY
 
     window = list(qs)[: len(_PRIORITY)]
     assert window == list(_PRIORITY)
-    assert len(_PRIORITY) == 50, "round-7 window must fill all 50 slots"
-    # this-round-modified operators must re-attest first
-    assert window[:3] == [
-        "x_containment_dedup",
-        "x_tfidf_top_term",
+    assert len(_PRIORITY) == 50, "round-8 window must fill all 50 slots"
+    # new + this-round-modified operators must attest first
+    assert window[:6] == [
+        "x_dedup_span",
+        "x_perplexity_filter",
         "x_ann_pipeline",
+        "q_sessionize",
+        "x_seq_pack",
+        "x_corpus_prep",
     ]
-    # the r3 cohort (50 ops whose newest driver record was r3) minus the
-    # 3 deferred rows
-    r3_cohort = {
-        "q_agg_bool_bit", "q_agg_histogram", "q_agg_median_mode",
-        "q_agg_percentile_approx", "q_compact_latest",
-        "q_exists_correlated", "q_fn_array", "q_fn_bitwise", "q_fn_cast",
-        "q_fn_conditional", "q_fn_datetime", "q_fn_hash",
-        "q_fn_higher_order", "q_fn_json", "q_fn_json_struct", "q_fn_map",
-        "q_fn_math", "q_fn_string", "q_fn_string2", "q_fn_struct",
-        "q_incremental_merge", "q_join_bucketed", "q_lateral_explode",
-        "q_limit_topk", "q_merge_upsert", "q_not_in_nullaware",
-        "q_sessionize", "q_set_except", "q_set_except_all",
-        "q_set_intersect", "q_set_union_all", "q_set_union_by_name",
-        "q_set_union_distinct", "q_ts_gapfill",
-        "s_dedup_within_watermark", "snk_compact_small_files", "snk_csv",
-        "snk_parquet_pruned", "x_corpus_prep",
-        "x_dedup_near_embedding_lsh", "x_doc_chunk", "x_doc_concat",
-        "x_lang_balance", "x_multimodal_features", "x_pii_scrub",
-        "x_repetition_score", "x_sample_stratified", "x_seq_pack",
-        "x_sim_topk_ivf", "x_sim_topk_lsh_multiprobe",
+    # the r4 cohort (46 ops whose newest driver record was r4) minus the
+    # 2 deferred rows
+    r4_cohort = {
+        "q_agg_bitmap_distinct", "q_agg_filtered", "q_agg_global",
+        "q_agg_groupby", "q_agg_hll_mergeable", "q_agg_kll_mergeable",
+        "q_agg_listagg", "q_agg_theta_overlap", "q_cdc_scd2",
+        "q_fn_datetime2", "q_fn_string3", "q_fn_try_arithmetic",
+        "q_fn_url", "q_fn_variant", "q_fn_xml", "q_join_asof_nearest",
+        "q_join_bloom_prune", "q_join_dpp", "q_join_null_safe",
+        "q_project_rename", "q_set_intersect_all", "q_ts_downsample",
+        "q_win_count_distinct", "q_win_time_range", "s_checkpoint_resume",
+        "snk_avro", "snk_jsonl", "snk_parquet_sorted", "src_parquet_scan",
+        "u_arrow_map", "x_ann_rerank", "x_contam_estimate", "x_data_card",
+        "x_dedup_prefix", "x_embed_quantize", "x_hard_negatives",
+        "x_interleave_sources", "x_multimodal_audio_decode",
+        "x_multimodal_decode", "x_multimodal_framesample",
+        "x_multimodal_resize", "x_multimodal_video_sample",
+        "x_sample_reservoir", "x_seq_tensorize", "x_skew_profile",
+        "x_word_entropy",
     }
-    assert len(r3_cohort) == 50
-    deferred = {"q_sessionize", "x_seq_pack", "x_corpus_prep"}
-    assert set(window[3:]) == r3_cohort - deferred
+    assert len(r4_cohort) == 46
+    deferred = {"x_multimodal_decode", "x_multimodal_audio_decode"}
+    assert set(window[6:]) == r4_cohort - deferred
     # every window op must carry an oracle (EXACT gate, not rows-only)
     from kafka_connect_sse_spark.registry import oracle_sql
 
