@@ -41,6 +41,8 @@ COMMENTARY = {
     "x_ann_pipeline": "the IVF prefilter is a BroadcastHashJoin on the cell id (vs x_ann_rerank's nested loop over all pairs); stage 1 scans the MATERIALIZED int8 index (array<tinyint> parquet built once by ann_index_path — no inline re-quantization of the fp base in the query plan); the shortlist ranking exchange carries ids+iscore only; fp64 vectors rejoin after the shortlist (neighbor key join, query broadcast).",
     "x_containment_dedup": "one posting-list groupBy on (shingle, lang) is the only corpus-sized shuffle; ordered pairs expand from each posting list map-side (two Generates), pair counts partial-aggregate; the per-doc sizes join is UNHINTED — sizes is O(n_docs), so AQE broadcasts it only when its measured size is small (it is here) and degrades to a shuffled join on a billions-of-docs corpus instead of OOMing on a forced hint.",
     "x_tfidf_top_term": "tf and df are partial-aggregated before their exchanges; the df join is UNHINTED — df is O(|vocab|), unbounded on web text, so AQE broadcasts it only while it measures small (it does here) and otherwise reuses the term-keyed partitioning df's own aggregation produced; only the 1-row corpus count carries an explicit broadcast.",
+    "x_dedup_span": "spans explode map-side and immediately become md5 digests — every exchange (dup-span groupBy, dup join, per-doc rollup) carries 32-hex keys, never span text; the dup-span relation is UNHINTED (it grows with corpus boilerplate — AQE broadcasts only while it measures small); span count per doc is n_chars/40 (stride, not every offset), so the explode is linear in corpus bytes.",
+    "x_perplexity_filter": "one bigram explode feeds the LM build (lang,w1,w2 / lang,w1 partial-agg groupBys) and the scoring joins — all uniform token-keyed shuffles; the two language-level relations (context vocabulary, per-language mean) are n_langs rows and UNHINTED, so AQE broadcasts them on size; no Python anywhere, the whole LM + scoring is codegen'd joins and aggregates.",
 }
 
 
