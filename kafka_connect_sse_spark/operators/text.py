@@ -365,23 +365,56 @@ def x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition quality signals (the Gopher-rules family): mass of the
     most frequent token and distinct-token ratio per document — high
-    top-token mass or low distinct ratio flags boilerplate/spam.  The
-    explode is absorbed by partial aggregation keyed on (doc_id, tok),
-    then a second partial agg per doc_id: both shuffles carry counts, not
-    text, and parallelize per document at any corpus size."""
+    top-token mass or low distinct ratio flags boilerplate/spam.
+
+    Round-8 rewrite (13.2 s → 2.5 s at sf1): the explode + double-groupBy
+    form paid twice — `select(size(toks), explode(toks))` in one
+    projection re-evaluates size(split(text)) per exploded OUTPUT row
+    (60× amplification; see x_word_entropy), and both shuffles carried a
+    row per distinct (doc, token).  The max token count of a document is
+    just the LONGEST RUN in its sorted token array, so the whole op is
+    now map-side: materialize array_sort(toks) + n + n_distinct in one
+    projection, then a single run-length fold tracking (prev, run, max)
+    — zero Exchange, O(n log n) per doc, exact integer counts so the
+    oracle (which keeps the relational explode+groupBy form) matches
+    bit-for-bit."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    ex = d.select(
-        "doc_id", F.size(toks).alias("n"), F.explode(toks).alias("tok")
+    base = d.select(
+        "doc_id",
+        F.array_sort(toks).alias("arr"),
+        F.size(toks).cast("double").alias("nd"),
+        F.size(F.array_distinct(toks)).cast("double").alias("n_distinct"),
     )
-    cnt = ex.groupBy("doc_id", "tok").agg(
-        F.first("n").alias("n"), F.count("*").alias("c")
+    max_run = F.aggregate(
+        F.col("arr"),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("mx"),
+        ),
+        lambda acc, w: F.when(
+            w == acc["prev"],
+            F.struct(
+                acc["prev"].alias("prev"),
+                (acc["run"] + F.lit(1)).cast("long").alias("run"),
+                F.greatest(acc["mx"], (acc["run"] + F.lit(1)).cast("long")).alias("mx"),
+            ),
+        ).otherwise(
+            F.struct(
+                w.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                F.greatest(acc["mx"], F.lit(1).cast("long")).alias("mx"),
+            )
+        ),
+        lambda acc: acc["mx"],
     )
-    return cnt.groupBy("doc_id").agg(
-        F.round(F.max("c").cast("double") / F.first("n"), 6).alias(
+    return base.select(
+        "doc_id",
+        F.round(max_run.cast("double") / F.col("nd"), 6).alias(
             "top_tok_ratio"
         ),
-        F.round(F.count("*").cast("double") / F.first("n"), 6).alias(
+        F.round(F.col("n_distinct") / F.col("nd"), 6).alias(
             "distinct_ratio"
         ),
     )
@@ -409,28 +442,71 @@ def x_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy of the per-document word distribution — a
     vocabulary-free gibberish/repetition quality signal (low entropy =
     boilerplate or copy-spam; degenerate repeated-token docs score near
-    0).  Computed entirely map-side with higher-order functions: for each
-    DISTINCT token, count its occurrences with a filter() over the token
-    array — O(distinct x n) work per doc, zero shuffle, unlike the
-    explode + double-groupBy formulation whose first shuffle carries
-    every token of the corpus (the oracle uses exactly that relational
-    form, which is the point: same answer, different physical shape).
-    Rounded to 6 dp because the fold order of the partial sums differs
-    between engines."""
+    0).  Computed entirely map-side, zero shuffle, unlike the explode +
+    double-groupBy formulation whose first shuffle carries every token
+    of the corpus (the oracle uses exactly that relational form, which
+    is the point: same answer, different physical shape).
+
+    Round-8 rewrite (22.3 s → 2.4 s at sf1, 9×), two compounding fixes:
+    (1) the original form counted each DISTINCT token with a filter()
+    over the token array — O(distinct × n) higher-order-lambda
+    evaluations per document, with lambda bodies evaluated INTERPRETED
+    by Catalyst; now array_sort once, then ONE run-length fold over the
+    sorted array (runs of equal tokens ARE the token counts), ~2 lambda
+    evals per token.  (2) the fold's lambda referenced n =
+    size(split(text)) — a correlated outer expression RE-EVALUATED
+    (re-splitting the document!) per array element; now the sorted
+    array, n, and n_distinct are MATERIALIZED in a projection below the
+    fold, so split runs once per document (the same amplification bites
+    any `select(size(toks), explode(toks))` written in one projection:
+    expressions alongside a Generate evaluate per OUTPUT row, 60× here —
+    measured 10.6 s vs 0.75 s with toks materialized first).  Minimize
+    EVALS, not just shuffles.  Rounded to 6 dp because the fold order of
+    the partial sums differs between engines (and vs the pre-rewrite
+    order)."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    n = F.size(toks).cast("double")
-    ent = F.aggregate(
-        F.array_distinct(toks),
-        F.lit(0.0),
-        lambda acc, w: acc
-        - (F.size(F.filter(toks, lambda t: t == w)) / n)
-        * F.log(F.size(F.filter(toks, lambda t: t == w)) / n),
+    base = d.select(
+        "doc_id",
+        F.array_sort(toks).alias("arr"),
+        F.size(toks).cast("double").alias("nd"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
     )
-    return d.select(
+    nd = F.col("nd")
+
+    def term(run):
+        r = run.cast("double")
+        return F.when(run == 0, F.lit(0.0)).otherwise(
+            -(r / nd) * F.log(r / nd)
+        )
+
+    ent = F.aggregate(
+        F.col("arr"),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0.0).alias("acc"),
+        ),
+        lambda acc, w: F.when(
+            w == acc["prev"],
+            F.struct(
+                acc["prev"].alias("prev"),
+                (acc["run"] + F.lit(1)).cast("long").alias("run"),
+                acc["acc"].alias("acc"),
+            ),
+        ).otherwise(
+            F.struct(
+                w.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                (acc["acc"] + term(acc["run"])).alias("acc"),
+            )
+        ),
+        lambda acc: acc["acc"] + term(acc["run"]),
+    )
+    return base.select(
         "doc_id",
         F.round(ent, 6).alias("word_entropy"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.col("n_distinct"),
     )
 
 

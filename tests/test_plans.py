@@ -124,6 +124,8 @@ def test_map_only_ops_have_zero_exchanges(spark):
         "x_doc_chunk",
         "x_pii_scrub",
         "x_fingerprint",
+        "x_word_entropy",
+        "x_repetition_score",
         "x_text_stats",
         "x_token_count_regex",
         "x_quality_score",
