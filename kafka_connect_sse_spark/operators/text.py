@@ -245,23 +245,19 @@ def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-gram with the held-out set (doc_id < 20 stands in for the benchmark).
     The canonical pretraining hygiene pass — at 100 TB the benchmark-gram
     set is small and broadcast, so the scan stays single-pass with no
-    shuffle of the corpus side."""
+    shuffle of the corpus side.  Gram build shares dedup.shingles(k=5)
+    (round 8): the zip_with form evaluates its slices once per row; the
+    former transform(sequence, i -> slice(split(text), ...)) re-split
+    each document per gram (docs shorter than k tokens emit NO grams in
+    both forms, matching the oracle's empty generate_series)."""
     from pyspark.sql.functions import broadcast
 
+    from .dedup import shingles
+
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    k = 5
-    # docs shorter than k tokens emit NO grams (matches the oracle's empty
-    # generate_series — without the guard Spark would emit one truncated gram)
-    grams = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sh = d.select("doc_id", F.explode(grams).alias("gram"))
+    sh = d.select(
+        "doc_id", F.explode(shingles(F.col("text"), 5)).alias("gram")
+    )
     bench = sh.filter(F.col("doc_id") < 20).select("gram").distinct()
     return (
         sh.filter(F.col("doc_id") >= 20)
