@@ -624,7 +624,10 @@ def x_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bg"),
     ).select("doc_id", "lang", "bg.w1", "bg.w2")
     lm2 = bg.groupBy("lang", "w1", "w2").agg(F.count("*").alias("c12"))
-    lm1 = bg.groupBy("lang", "w1").agg(F.count("*").alias("c1"))
+    # c(w1) = Σ_w2 c(w1,w2): roll lm1 up from lm2 instead of re-exploding
+    # the corpus a third time — exact integer equality, and the (lang,w1)
+    # shuffle moves distinct-bigram rows, not raw tokens
+    lm1 = lm2.groupBy("lang", "w1").agg(F.sum("c12").alias("c1"))
     vl = lm1.groupBy("lang").agg(F.count("*").alias("v"))
     nll_term = -F.log(
         (F.col("c12") + F.lit(0.5)) / (F.col("c1") + F.lit(0.5) * F.col("v"))
