@@ -6,6 +6,8 @@ The chain a 100 TB data run executes, here runnable at any fixture SF:
       -> quality gate        (length + language allowlist; scan-pushed)
       -> exact dedup         (md5 digest; 32-byte shuffle keys)
       -> near-dedup          (MinHash LSH candidates + Jaccard verify)
+      -> span dedup          (stride-40 duplicated-span ratio; round 8)
+      -> perplexity filter   (per-lang bigram-LM NLL outliers; round 8)
       -> language balancing  (deterministic hash-rank quota per lang)
       -> two-level packing   ((lang, shard) contiguous fill + broadcast
                               per-shard offsets — no whole-language task)
@@ -73,6 +75,29 @@ def main() -> None:
     near = qs["x_dedup_near_minhash"](spark, args.sf_dir).select("doc_b")
     survivors = survivors.join(near, survivors.doc_id == near.doc_b, "left_anti")
     print(f"after near-dedup: {survivors.count()}")
+
+    # 3b. span-level dedup (round 8): docs whose 40-char stride spans
+    # are mostly found in OTHER docs — partial duplication the
+    # document-level stages above can't see
+    spanned = qs["x_dedup_span"](spark, args.sf_dir).filter("drop_doc")
+    survivors = survivors.join(
+        spanned.select(F.col("doc_id").alias("span_drop")),
+        survivors.doc_id == F.col("span_drop"),
+        "left_anti",
+    )
+    print(f"after span dedup: {survivors.count()}")
+
+    # 3c. LM perplexity filter (round 8): drop docs whose bigram NLL is
+    # an outlier against their own language's corpus LM
+    ppl = qs["x_perplexity_filter"](spark, args.sf_dir).filter(
+        ~F.col("keep_doc")
+    )
+    survivors = survivors.join(
+        ppl.select(F.col("doc_id").alias("ppl_drop")),
+        survivors.doc_id == F.col("ppl_drop"),
+        "left_anti",
+    )
+    print(f"after perplexity filter: {survivors.count()}")
 
     # 4-6. balance -> pack -> tensorize (registry ops run the full chain
     # from the fixture; a production run would parameterize them over the
