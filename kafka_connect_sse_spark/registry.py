@@ -92,35 +92,50 @@ def register(name: str, oracle: str | None = None):
 # topped up from the next-oldest cohort — so no record ages past ~3
 # rounds.
 #
-# Round-8 window composition (50 entries): the two NEW round-8
-# operators lead (never driver-attested before), then the one op whose
-# supporting code changed this round (x_ann_pipeline — ann_index_path's
-# cache key now carries a source-freshness fingerprint, ADVICE r7
-# item 3), then the 3 r3 rows round 7 deferred (the standing contract:
-# they lead ahead of the r4 cohort), then 44 of the 46-op r4 cohort.
-# The 2 deferred r4 rows are the cohort members with the strongest
-# independent current-code evidence — x_multimodal_decode and
-# x_multimodal_audio_decode, each pinned end-to-end by
-# tests/test_multimodal_decoders.py's exact-integer decoder tests and
-# green in this round's builder-side full sf0.01 + sf1 sweeps — and
-# LEAD ROUND 9's window ahead of the r5 cohort.
-#   1-2    new this round: x_dedup_span, x_perplexity_filter
-#   3      code touched this round: x_ann_pipeline
-#   4-6    r3 rows deferred from round 7: q_sessionize, x_seq_pack,
-#          x_corpus_prep
-#   7-50   the r4 cohort minus the 2 deferred rows
+# Round-8 window composition (50 entries): every operator whose CODE or
+# PLAN changed this round leads — the 2 new ops, x_ann_pipeline
+# (ann_index_path cache-key freshness, ADVICE r7 item 3), and the 8 ops
+# rewritten in the round-8 evaluation-cost sweep (sorted run-length
+# folds for x_word_entropy / x_repetition_score; the zip_with shingles()
+# rebuild flowing into every shingle consumer: x_decontaminate,
+# x_dedup_near_minhash, x_ngram_jaccard, x_containment_dedup,
+# x_dedup_incremental, x_contam_estimate; outputs bit-identical, but
+# their pre-r8 driver records attest pre-rewrite plans, so they
+# re-attest here).  Then the 3 r3 rows round 7 deferred (standing
+# contract), then 36 of the 46-op r4 cohort (x_word_entropy and
+# x_contam_estimate are cohort members already seated in the head).
+# The 8 deferred r4 rows are code-UNMODIFIED this round — their r4
+# driver records still attest exactly the code that runs — and carry
+# the strongest independent current-code evidence (multimodal decode
+# family: exact-integer decoder tests in
+# tests/test_multimodal_decoders.py; snk_avro: tests/test_avro_ocf.py;
+# s_checkpoint_resume: tests/test_checkpoint_crash.py;
+# x_sample_reservoir: tests/test_pipeline_ops.py + plan pin), all green
+# in this round's builder-side full sf0.01 + sf1 sweeps; they LEAD
+# ROUND 9's window ahead of the r5 cohort:
+#   x_multimodal_decode, x_multimodal_audio_decode,
+#   x_multimodal_video_sample, x_multimodal_framesample,
+#   x_multimodal_resize, snk_avro, s_checkpoint_resume,
+#   x_sample_reservoir
 _PRIORITY = (
     # new this round — first driver attestation
     "x_dedup_span",
     "x_perplexity_filter",
-    # code touched this round — re-attest current code
+    # code/plan changed this round — re-attest current code
     "x_ann_pipeline",
+    "x_word_entropy",
+    "x_repetition_score",
+    "x_decontaminate",
+    "x_dedup_near_minhash",
+    "x_ngram_jaccard",
+    "x_containment_dedup",
+    "x_dedup_incremental",
+    "x_contam_estimate",
     # r3 rows deferred from round 7 (oldest records in the registry)
     "q_sessionize",
     "x_seq_pack",
     "x_corpus_prep",
     # -- r4 cohort: sources / sinks --
-    "snk_avro",
     "snk_jsonl",
     "snk_parquet_sorted",
     "src_parquet_scan",
@@ -153,25 +168,17 @@ _PRIORITY = (
     # -- r4 cohort: windows --
     "q_win_count_distinct",
     "q_win_time_range",
-    # -- r4 cohort: streaming --
-    "s_checkpoint_resume",
     # -- r4 cohort: UDF surface --
     "u_arrow_map",
     # -- r4 cohort: x_* corpus ops --
     "x_ann_rerank",
-    "x_contam_estimate",
     "x_data_card",
     "x_dedup_prefix",
     "x_embed_quantize",
     "x_hard_negatives",
     "x_interleave_sources",
-    "x_multimodal_framesample",
-    "x_multimodal_resize",
-    "x_multimodal_video_sample",
-    "x_sample_reservoir",
     "x_seq_tensorize",
     "x_skew_profile",
-    "x_word_entropy",
 )
 
 

@@ -86,13 +86,14 @@ def test_salting_helpers_round_trip(spark):
 
 def test_round8_driver_window_composition(qs):
     """The driver checks the FIRST 50 registry entries.  Pin the round-8
-    rotation window: the two NEW operators lead (no prior driver
-    record), then x_ann_pipeline (ann_index_path cache-key change,
-    ADVICE r7 item 3), then the 3 r3 rows round 7 deferred (standing
-    contract — they lead ahead of the next cohort), then 44 of the
-    46-op r4 cohort — a silent reordering here would burn the round's
-    freshness evidence.  The 2 deferred r4 rows each hold a dedicated
-    current-code decoder test (tests/test_multimodal_decoders.py) and
+    rotation window: every operator whose code or PLAN changed this
+    round leads — the 2 new ops, x_ann_pipeline (cache-key change), and
+    the 8 ops rewritten in the evaluation-cost sweep (their pre-r8
+    driver records attest pre-rewrite plans) — then the 3 r3 rows round
+    7 deferred (standing contract), then 36 of the 46-op r4 cohort — a
+    silent reordering here would burn the round's freshness evidence.
+    The 8 deferred r4 rows are code-UNMODIFIED (their r4 records still
+    attest the running code), carry dedicated current-code tests, and
     lead round 9's window ahead of the r5 cohort."""
     from kafka_connect_sse_spark.registry import _PRIORITY
 
@@ -100,16 +101,25 @@ def test_round8_driver_window_composition(qs):
     assert window == list(_PRIORITY)
     assert len(_PRIORITY) == 50, "round-8 window must fill all 50 slots"
     # new + this-round-modified operators must attest first
-    assert window[:6] == [
+    assert window[:14] == [
         "x_dedup_span",
         "x_perplexity_filter",
         "x_ann_pipeline",
+        "x_word_entropy",
+        "x_repetition_score",
+        "x_decontaminate",
+        "x_dedup_near_minhash",
+        "x_ngram_jaccard",
+        "x_containment_dedup",
+        "x_dedup_incremental",
+        "x_contam_estimate",
         "q_sessionize",
         "x_seq_pack",
         "x_corpus_prep",
     ]
     # the r4 cohort (46 ops whose newest driver record was r4) minus the
-    # 2 deferred rows
+    # 2 head-seated members (x_word_entropy, x_contam_estimate) and the
+    # 8 deferred rows
     r4_cohort = {
         "q_agg_bitmap_distinct", "q_agg_filtered", "q_agg_global",
         "q_agg_groupby", "q_agg_hll_mergeable", "q_agg_kll_mergeable",
@@ -129,8 +139,14 @@ def test_round8_driver_window_composition(qs):
         "x_word_entropy",
     }
     assert len(r4_cohort) == 46
-    deferred = {"x_multimodal_decode", "x_multimodal_audio_decode"}
-    assert set(window[6:]) == r4_cohort - deferred
+    in_head = {"x_word_entropy", "x_contam_estimate"}
+    deferred = {
+        "x_multimodal_decode", "x_multimodal_audio_decode",
+        "x_multimodal_video_sample", "x_multimodal_framesample",
+        "x_multimodal_resize", "snk_avro", "s_checkpoint_resume",
+        "x_sample_reservoir",
+    }
+    assert set(window[14:]) == r4_cohort - in_head - deferred
     # every window op must carry an oracle (EXACT gate, not rows-only)
     from kafka_connect_sse_spark.registry import oracle_sql
 
