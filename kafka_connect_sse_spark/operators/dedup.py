@@ -687,8 +687,10 @@ def x_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one posting-list groupBy + one bounded pair aggregation instead of
     shuffling the 45M-row shingle relation on both join sides —
     measured 139 s → 50 s end-to-end at sf1 under the checker's
-    8-partition config; the remaining cost is the one unavoidable
-    O(corpus-shingles) groupBy).  The per-doc sizes join is deliberately
+    8-partition config, both sides on the pre-r8 shingle builder; the
+    round-8 zip_with shingles rebuild then cut the inverted-index form
+    itself to ~28 s checker-wall / ~19 s spark-side at sf1 — the
+    remaining cost is the one unavoidable O(corpus-shingles) groupBy).  The per-doc sizes join is deliberately
     UNHINTED: sizes is O(n_docs) rows — small at sf1 (~40k) but
     unbounded in the corpus size, so a forced broadcast() would be a
     driver/executor OOM on a billions-of-docs corpus and would override
