@@ -653,3 +653,291 @@ def x_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("nll_raw", 6) <= F.round("lang_raw", 6) + F.lit(0.15)
         ).alias("keep_doc"),
     )
+
+
+ZIPF_TOP = 40  # ranks fitted (vocab here is smaller, so all ranks fit)
+
+
+@register(
+    "x_zipf_fit",
+    oracle=f"""
+    WITH t AS (SELECT unnest(str_split(text, ' ')) AS w FROM documents),
+    c AS (SELECT w, COUNT(*) AS n FROM t GROUP BY w),
+    r AS (SELECT w, n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rnk
+          FROM c)
+    SELECT COUNT(*) AS n_vocab,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           ROUND(regr_slope(ln(CAST(n AS DOUBLE)),
+                            ln(CAST(rnk AS DOUBLE))), 6) AS zipf_slope,
+           ROUND(regr_intercept(ln(CAST(n AS DOUBLE)),
+                                ln(CAST(rnk AS DOUBLE))), 6) AS zipf_icept,
+           ROUND(regr_r2(ln(CAST(n AS DOUBLE)),
+                         ln(CAST(rnk AS DOUBLE))), 6) AS zipf_r2
+    FROM r WHERE rnk <= {ZIPF_TOP}
+    """,
+)
+def x_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf-law fit: regress log(frequency) on log(rank) over the
+    top-{ZIPF_TOP} vocabulary ranks — slope ≈ −1 is the natural-language
+    signature; a flat or cliff-shaped curve flags synthetic, templated,
+    or garbled corpora BEFORE training spends compute on them (the
+    corpus-level sibling of the per-document signals x_word_entropy /
+    x_repetition_score).  First use of Spark's linear-regression
+    aggregate family (regr_slope / regr_intercept / regr_r2 — SQL:2016,
+    Spark 3.4+), matched against DuckDB's identically-named aggregates.
+
+    100 TB posture: the only full-data pass is the token count — a
+    partial-agg shuffle on a VOCABULARY-bounded key space (map-side
+    combine sends one row per distinct token per task); the ranking
+    window and the regression then run over at most |vocab| rows, and
+    the fitted relation is capped at {ZIPF_TOP} ranks, so the
+    single-partition window exchange never sees corpus-scale data.
+    Rounded to 6 dp: the regression moments accumulate in different
+    orders across engines (Welford merges vs sequential)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "w")
+    ranked = counts.select(
+        "n", F.row_number().over(w).alias("rnk")
+    ).where(F.col("rnk") <= ZIPF_TOP)
+    ln_n = F.log(F.col("n").cast("double"))
+    ln_r = F.log(F.col("rnk").cast("double"))
+    return ranked.agg(
+        F.count("*").alias("n_vocab"),
+        F.sum("n").alias("n_tokens"),
+        F.round(F.regr_slope(ln_n, ln_r), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(ln_n, ln_r), 6).alias("zipf_icept"),
+        F.round(F.regr_r2(ln_n, ln_r), 6).alias("zipf_r2"),
+    )
+
+
+PMI_MIN_PAIR = 5  # co-occurrence support threshold (rare-pair noise gate)
+PMI_TOP = 15
+
+
+@register(
+    "x_cooccur_pmi",
+    oracle=f"""
+    WITH t AS (SELECT str_split(text, ' ') AS l FROM documents),
+    p AS (SELECT l[g.i] AS x, l[g.i + 1] AS y
+          FROM t, UNNEST(generate_series(1, len(l) - 1)) AS g(i)),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM p),
+    cp AS (SELECT x, y, COUNT(*) AS nxy FROM p GROUP BY x, y),
+    u AS (SELECT w, COUNT(*) AS nw
+          FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
+          GROUP BY w),
+    s AS (SELECT cp.x, cp.y, cp.nxy,
+                 ROUND(ln((CAST(cp.nxy AS DOUBLE) * tot.n)
+                          / (CAST(ux.nw AS DOUBLE) * CAST(uy.nw AS DOUBLE))),
+                       6) AS pmi
+          FROM cp, tot
+          JOIN u ux ON cp.x = ux.w
+          JOIN u uy ON cp.y = uy.w
+          WHERE cp.nxy >= {PMI_MIN_PAIR})
+    SELECT x, y, nxy, pmi, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, x, y) AS rnk FROM s)
+    WHERE rnk <= {PMI_TOP}
+    """,
+)
+def x_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token pointwise mutual information, top-{PMI_TOP}
+    collocations: PMI = ln(N·c(x,y) / (c(x)·c(y))) over bigrams with
+    support ≥ {PMI_MIN_PAIR} — the association statistic that separates
+    genuine collocations from chance adjacency of frequent tokens
+    (x_text_top_bigrams ranks RAW counts, which frequent-token pairs
+    dominate; PMI normalizes the marginals away).  These are exactly
+    the corpus counts a word2vec/GloVe-style embedding trainer consumes.
+
+    100 TB posture: bigrams come from zip_with over two MATERIALIZED
+    top-level slices of the token array (the round-8 shingle rule —
+    lambdas must not reference outer non-column expressions, which
+    Catalyst re-evaluates per element); pair counts and unigram counts
+    are each ONE partial-agg shuffle on a vocabulary(²)-bounded key
+    space; the marginal joins are UNHINTED — the unigram relation is
+    vocab-sized, so AQE broadcasts it while it fits and degrades to
+    shuffle join if a corpus's vocabulary outgrows that (VERDICT r6:
+    no unbounded broadcast hints); the pair-total scalar rides a
+    single-row cross join; TakeOrdered caps the ranked output at
+    {PMI_TOP} before the row_number window runs.  PMI rounded to 6 dp
+    (ln last-ulp may differ across engines); ties broken on (x, y) so
+    the reported collocations are deterministic."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    arr = d.select(F.split("text", " ").alias("l"))
+    pairs = (
+        arr.select(
+            F.slice("l", 1, F.size("l") - 1).alias("a"),
+            F.slice("l", 2, F.size("l") - 1).alias("b"),
+        )
+        .select(
+            F.explode(
+                F.zip_with(
+                    "a", "b", lambda x, y: F.struct(x.alias("x"), y.alias("y"))
+                )
+            ).alias("p")
+        )
+        .select("p.x", "p.y")
+    )
+    cp = pairs.groupBy("x", "y").agg(F.count("*").alias("nxy"))
+    tot = pairs.agg(F.count("*").cast("double").alias("n"))
+    u = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("nw"))
+    )
+    ux = u.select(F.col("w").alias("x"), F.col("nw").alias("nx"))
+    uy = u.select(F.col("w").alias("y"), F.col("nw").alias("ny"))
+    pmi = F.round(
+        F.log(
+            (F.col("nxy").cast("double") * F.col("n"))
+            / (F.col("nx").cast("double") * F.col("ny").cast("double"))
+        ),
+        6,
+    )
+    scored = (
+        cp.where(F.col("nxy") >= PMI_MIN_PAIR)
+        .crossJoin(tot)
+        .join(ux, "x")
+        .join(uy, "y")
+        .select("x", "y", "nxy", pmi.alias("pmi"))
+    )
+    top = scored.orderBy(F.col("pmi").desc(), "x", "y").limit(PMI_TOP)
+    w = Window.orderBy(F.col("pmi").desc(), "x", "y")
+    return top.select("*", F.row_number().over(w).alias("rnk"))
+
+
+CMS_DEPTH = 4  # independent hash rows (min over rows = the estimate)
+CMS_WIDTH = 64  # buckets per row; sketch = DEPTH x WIDTH counters total
+CMS_CANDIDATES = 20  # probe set size (mined from the 5% doc sample)
+CMS_SLACK = 8.0  # bound: est <= exact + SLACK * N / WIDTH
+
+
+@register(
+    "x_cms_heavy_hitters",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w
+               FROM documents),
+    samp AS (SELECT w, COUNT(*) AS n FROM t WHERE doc_id % 20 = 0
+             GROUP BY w),
+    cand AS (SELECT w FROM (
+               SELECT w, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rnk
+               FROM samp)
+             WHERE rnk <= {CMS_CANDIDATES}),
+    ex AS (SELECT t.w, COUNT(*) AS exact_count
+           FROM t JOIN cand ON t.w = cand.w GROUP BY t.w)
+    SELECT w AS token, exact_count,
+           TRUE AS overestimates, TRUE AS within_bound,
+           TRUE AS merge_consistent
+    FROM ex
+    """,
+)
+def x_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters: estimate the corpus frequency of
+    candidate tokens from a {CMS_DEPTH}x{CMS_WIDTH} counter grid instead
+    of a full vocabulary aggregation — the streaming/bounded-memory
+    member of the sketch family (q_agg_hll_mergeable: distinct counts;
+    q_agg_kll_mergeable: quantiles; q_agg_theta_overlap: set algebra;
+    this: FREQUENCIES).  Candidates are mined from the 5% doc-id sample
+    shard (top-{CMS_CANDIDATES} by sample count, deterministic
+    tiebreak) — the production shape, where a cheap sample proposes and
+    the sketch verifies against the full corpus.
+
+    Sketch guarantees, asserted as output booleans (the oracle pins the
+    candidate set + exact counts and expects every guarantee TRUE, the
+    q_agg_hll_mergeable error-bound pattern):
+      - overestimates: CMS never undercounts (min over {CMS_DEPTH}
+        rows of non-negative-error counters) — deterministic;
+      - within_bound: est <= exact + {CMS_SLACK}·N/{CMS_WIDTH}
+        (classic eN/w bound with generous constant; deterministic for a
+        fixed corpus + fixed xxhash64 rows);
+      - merge_consistent: the sketch built per-source then SUMMED
+        cell-wise equals the sketch built in one pass — counter grids
+        merge by addition, which is WHY a 1000-executor cluster can
+        sketch each partition independently and combine (and is
+        literally Spark's partial-agg plan for the same groupBy).
+
+    100 TB posture: the corpus-sized pass shuffles (row, cell) keys into
+    at most {CMS_DEPTH}x{CMS_WIDTH} = {CMS_DEPTH * CMS_WIDTH} groups
+    with map-side combine — the reduce side is CONSTANT-size regardless
+    of corpus or vocabulary scale (the whole point vs the exact groupBy,
+    whose key space is the vocabulary); probes then join the
+    {CMS_CANDIDATES}x{CMS_DEPTH} probe relation to the constant-size
+    sketch (unhinted; AQE broadcasts a 256-row side trivially)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", F.explode(F.split("text", " ")).alias("w"))
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("row"),
+                F.pmod(F.xxhash64(F.col("w"), F.lit(s)), F.lit(CMS_WIDTH)).alias(
+                    "cell"
+                ),
+            )
+            for s in range(CMS_DEPTH)
+        ]
+    )
+    cells = toks.select("source", F.explode(rows).alias("rc")).select(
+        "source", "rc.row", "rc.cell"
+    )
+    sketch = cells.groupBy("row", "cell").agg(F.count("*").alias("cnt"))
+    # mergeability: per-source partial sketches, then cell-wise sum
+    merged = (
+        cells.groupBy("source", "row", "cell")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("row", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    merge_ok = (
+        sketch.withColumnRenamed("cnt", "cnt_direct")
+        .join(
+            merged.withColumnRenamed("cnt", "cnt_merged"),
+            ["row", "cell"],
+            "full_outer",
+        )
+        .agg(
+            F.min(
+                F.coalesce(
+                    F.col("cnt_direct") == F.col("cnt_merged"), F.lit(False)
+                )
+            ).alias("ok")
+        )
+    )
+    total = toks.agg(F.count("*").cast("double").alias("n_total"))
+    samp = (
+        toks.where(F.col("doc_id") % 20 == 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    cand = samp.orderBy(F.col("n").desc(), "w").limit(CMS_CANDIDATES).select("w")
+    probes = cand.select(
+        "w", F.explode(rows).alias("rc")
+    ).select("w", "rc.row", "rc.cell")
+    est = (
+        probes.join(sketch, ["row", "cell"])
+        .groupBy("w")
+        .agg(F.min("cnt").alias("est"))
+    )
+    exact = toks.join(cand, "w").groupBy("w").agg(F.count("*").alias("exact_count"))
+    return (
+        exact.join(est, "w")
+        .crossJoin(total)
+        .crossJoin(merge_ok)
+        .select(
+            F.col("w").alias("token"),
+            "exact_count",
+            (F.col("est") >= F.col("exact_count")).alias("overestimates"),
+            (
+                F.col("est").cast("double")
+                <= F.col("exact_count")
+                + F.lit(CMS_SLACK) * F.col("n_total") / F.lit(CMS_WIDTH)
+            ).alias("within_bound"),
+            F.col("ok").alias("merge_consistent"),
+        )
+    )

@@ -93,7 +93,9 @@ def register(name: str, oracle: str | None = None):
 # rounds.
 #
 # Round-8 window composition (50 entries): every operator whose CODE or
-# PLAN changed this round leads — the 2 new ops, x_ann_pipeline
+# PLAN changed this round leads — the 5 new ops (x_zipf_fit /
+# x_cooccur_pmi / x_cms_heavy_hitters from the round-8 continuation,
+# then x_dedup_span / x_perplexity_filter), x_ann_pipeline
 # (ann_index_path cache-key freshness, ADVICE r7 item 3), and the 8 ops
 # rewritten in the round-8 evaluation-cost sweep (sorted run-length
 # folds for x_word_entropy / x_repetition_score; the zip_with shingles()
@@ -102,23 +104,29 @@ def register(name: str, oracle: str | None = None):
 # x_dedup_incremental, x_contam_estimate; outputs bit-identical, but
 # their pre-r8 driver records attest pre-rewrite plans, so they
 # re-attest here).  Then the 3 r3 rows round 7 deferred (standing
-# contract), then 36 of the 46-op r4 cohort (x_word_entropy and
+# contract), then 33 of the 46-op r4 cohort (x_word_entropy and
 # x_contam_estimate are cohort members already seated in the head).
-# The 8 deferred r4 rows are code-UNMODIFIED this round — their r4
+# The 11 deferred r4 rows are code-UNMODIFIED this round — their r4
 # driver records still attest exactly the code that runs — and carry
 # the strongest independent current-code evidence (multimodal decode
 # family: exact-integer decoder tests in
 # tests/test_multimodal_decoders.py; snk_avro: tests/test_avro_ocf.py;
 # s_checkpoint_resume: tests/test_checkpoint_crash.py;
-# x_sample_reservoir: tests/test_pipeline_ops.py + plan pin), all green
+# x_sample_reservoir: tests/test_pipeline_ops.py + plan pin;
+# x_interleave_sources / u_arrow_map: plan pins in tests/test_plans.py;
+# x_embed_quantize: tests/test_pipeline_ops.py + plan pin), all green
 # in this round's builder-side full sf0.01 + sf1 sweeps; they LEAD
 # ROUND 9's window ahead of the r5 cohort:
 #   x_multimodal_decode, x_multimodal_audio_decode,
 #   x_multimodal_video_sample, x_multimodal_framesample,
 #   x_multimodal_resize, snk_avro, s_checkpoint_resume,
-#   x_sample_reservoir
+#   x_sample_reservoir, x_interleave_sources, x_embed_quantize,
+#   u_arrow_map
 _PRIORITY = (
     # new this round — first driver attestation
+    "x_zipf_fit",
+    "x_cooccur_pmi",
+    "x_cms_heavy_hitters",
     "x_dedup_span",
     "x_perplexity_filter",
     # code/plan changed this round — re-attest current code
@@ -168,15 +176,11 @@ _PRIORITY = (
     # -- r4 cohort: windows --
     "q_win_count_distinct",
     "q_win_time_range",
-    # -- r4 cohort: UDF surface --
-    "u_arrow_map",
     # -- r4 cohort: x_* corpus ops --
     "x_ann_rerank",
     "x_data_card",
     "x_dedup_prefix",
-    "x_embed_quantize",
     "x_hard_negatives",
-    "x_interleave_sources",
     "x_seq_tensorize",
     "x_skew_profile",
 )

@@ -87,12 +87,12 @@ def test_salting_helpers_round_trip(spark):
 def test_round8_driver_window_composition(qs):
     """The driver checks the FIRST 50 registry entries.  Pin the round-8
     rotation window: every operator whose code or PLAN changed this
-    round leads — the 2 new ops, x_ann_pipeline (cache-key change), and
+    round leads — the 5 new ops, x_ann_pipeline (cache-key change), and
     the 8 ops rewritten in the evaluation-cost sweep (their pre-r8
     driver records attest pre-rewrite plans) — then the 3 r3 rows round
-    7 deferred (standing contract), then 36 of the 46-op r4 cohort — a
+    7 deferred (standing contract), then 33 of the 46-op r4 cohort — a
     silent reordering here would burn the round's freshness evidence.
-    The 8 deferred r4 rows are code-UNMODIFIED (their r4 records still
+    The 11 deferred r4 rows are code-UNMODIFIED (their r4 records still
     attest the running code), carry dedicated current-code tests, and
     lead round 9's window ahead of the r5 cohort."""
     from kafka_connect_sse_spark.registry import _PRIORITY
@@ -101,7 +101,10 @@ def test_round8_driver_window_composition(qs):
     assert window == list(_PRIORITY)
     assert len(_PRIORITY) == 50, "round-8 window must fill all 50 slots"
     # new + this-round-modified operators must attest first
-    assert window[:14] == [
+    assert window[:17] == [
+        "x_zipf_fit",
+        "x_cooccur_pmi",
+        "x_cms_heavy_hitters",
         "x_dedup_span",
         "x_perplexity_filter",
         "x_ann_pipeline",
@@ -119,7 +122,7 @@ def test_round8_driver_window_composition(qs):
     ]
     # the r4 cohort (46 ops whose newest driver record was r4) minus the
     # 2 head-seated members (x_word_entropy, x_contam_estimate) and the
-    # 8 deferred rows
+    # 11 deferred rows
     r4_cohort = {
         "q_agg_bitmap_distinct", "q_agg_filtered", "q_agg_global",
         "q_agg_groupby", "q_agg_hll_mergeable", "q_agg_kll_mergeable",
@@ -144,9 +147,10 @@ def test_round8_driver_window_composition(qs):
         "x_multimodal_decode", "x_multimodal_audio_decode",
         "x_multimodal_video_sample", "x_multimodal_framesample",
         "x_multimodal_resize", "snk_avro", "s_checkpoint_resume",
-        "x_sample_reservoir",
+        "x_sample_reservoir", "x_interleave_sources", "x_embed_quantize",
+        "u_arrow_map",
     }
-    assert set(window[14:]) == r4_cohort - in_head - deferred
+    assert set(window[17:]) == r4_cohort - in_head - deferred
     # every window op must carry an oracle (EXACT gate, not rows-only)
     from kafka_connect_sse_spark.registry import oracle_sql
 

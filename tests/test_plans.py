@@ -19,6 +19,7 @@ from kafka_connect_sse_spark.registry import queries
 # (e.g. the generated sf1) — plan SHAPE claims must be scale-invariant,
 # and running this file at sf1 proves AQE/thresholds don't flip them.
 import os as _os
+import re
 
 SF = _os.environ.get("KCSS_PLAN_SF", "/root/testdata/sf0.001")
 
@@ -432,3 +433,58 @@ def test_dehinted_joins_carry_no_forced_broadcast(spark):
         .toString()
     )
     assert an_t.count("ResolvedHint") == 1, an_t
+
+def _final_plan(df):
+    """Execute, then return only the == Final Plan == section of the
+    adaptive plan (the Initial Plan section would false-positive
+    needles like SortMergeJoin that AQE replaces at runtime)."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    cut = plan.find("== Initial Plan ==")
+    return plan if cut == -1 else plan[:cut]
+
+
+def test_cms_sketch_reduce_side_is_constant(spark):
+    """x_cms_heavy_hitters' corpus-sized pass must partial-aggregate
+    below its exchange (map-side combine caps each task's shuffle
+    contribution at DEPTH*WIDTH rows); no token-keyed sort-merge join
+    may appear (the only SMJ-eligible join is the constant-size
+    (row, cell) sketch compare) and nothing runs in Python."""
+    plan = _final_plan(queries()["x_cms_heavy_hitters"](spark, SF))
+    assert "partial_count" in plan, plan
+    for m in re.finditer(r"SortMergeJoin \[(\w+)", plan):
+        assert m.group(1) in ("row", "cell"), plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_zipf_regression_partial_aggregates_and_skips_global_sort(spark):
+    """x_zipf_fit: the regression moments must partial-aggregate
+    (partial_regr_slope — mergeable Welford state, the property that
+    lets 1000 executors fit independently and combine), the rank
+    selection must plan as TakeOrderedAndProject (per-task top-k heaps),
+    and the FINAL plan must contain NO SinglePartition exchange at all —
+    the window runs over the 40 TakeOrdered survivors, never the corpus
+    or the vocabulary."""
+    plan = _final_plan(queries()["x_zipf_fit"](spark, SF))
+    assert "partial_regr_slope" in plan, plan
+    assert "TakeOrderedAndProject(limit=40" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Exchange hashpartitioning(w" in plan, plan
+
+
+def test_cooccur_pmi_slices_are_materialized(spark):
+    """The PMI bigram build must follow the round-8 shingle rule: the
+    zip_with consumes two MATERIALIZED top-level slice columns, so
+    split(text) is never re-evaluated per exploded element — the
+    Generate line carries the zip_with over plain attributes, with
+    split confined to its own Project below; ranked output rides
+    TakeOrderedAndProject, never a full sort."""
+    plan = _final_plan(queries()["x_cooccur_pmi"](spark, SF))
+    gen_lines = [l for l in plan.splitlines() if "Generate explode(zip_with" in l]
+    assert gen_lines, plan
+    assert all("split(" not in l for l in gen_lines), gen_lines
+    assert any(
+        "slice(" in l and "Project" in l for l in plan.splitlines()
+    ), plan
+    assert "TakeOrderedAndProject(limit=15" in plan, plan
+    assert "BatchEvalPython" not in plan, plan

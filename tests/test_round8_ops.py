@@ -125,3 +125,77 @@ def test_perplexity_filter_is_per_language(spark, tmp_path, q):
     assert out[999]["nll"] > out[0]["nll"]
     assert not out[999]["keep_doc"]
     assert all(out[100 + i]["keep_doc"] for i in range(8))
+
+
+# ---- round-8 continuation ops: x_zipf_fit / x_cooccur_pmi /
+# ---- x_cms_heavy_hitters (planted-corpus semantics; oracle gate
+# ---- proves engine parity separately)
+
+
+def test_zipf_fit_recovers_planted_power_law(spark, tmp_path, q):
+    """Corpus built with freq(token_r) ~ round(1000 / r) (Zipf s=1) must
+    fit slope ≈ -1 with high r2; token totals must be exact."""
+    counts = {f"w{r:02d}": max(1, round(1000 / r)) for r in range(1, 21)}
+    words = [w for w, n in counts.items() for _ in range(n)]
+    # spread over a few docs so the count pass actually aggregates
+    docs, step = [], 200
+    for i in range(0, len(words), step):
+        chunk = " ".join(words[i : i + step])
+        docs.append((i // step, chunk, "en"))
+    sf_dir = _write_docs(tmp_path, docs)
+    row = q["x_zipf_fit"](spark, sf_dir).collect()[0]
+    assert row["n_vocab"] == 20
+    assert row["n_tokens"] == sum(counts.values())
+    assert -1.15 <= row["zipf_slope"] <= -0.85
+    assert row["zipf_r2"] >= 0.97
+
+
+def test_zipf_fit_flat_corpus_slope_zero(spark, tmp_path, q):
+    """Uniform token frequencies (the synthetic-corpus signature) must
+    fit slope ≈ 0 — the quality signal the op exists to raise."""
+    docs = [(i, " ".join(f"u{j}" for j in range(30)), "en") for i in range(10)]
+    sf_dir = _write_docs(tmp_path, docs)
+    row = q["x_zipf_fit"](spark, sf_dir).collect()[0]
+    assert row["n_vocab"] == 30 and row["n_tokens"] == 300
+    assert abs(row["zipf_slope"]) < 1e-6
+
+
+def test_cooccur_pmi_ranks_exclusive_pair_above_frequent_pair(spark, tmp_path, q):
+    """'aaa bbb' appear ONLY together (high PMI); 'xxx yyy' co-occur the
+    same number of times but each also appears everywhere else (low
+    PMI).  PMI must rank the exclusive collocation first even though raw
+    counts are equal — the exact property raw bigram counts miss."""
+    collocated = " ".join(["aaa bbb"] * 8)          # 8 aaa-bbb pairs
+    diluted = " ".join(["xxx yyy"] * 8)             # 8 xxx-yyy pairs...
+    filler = " ".join(["xxx zzz yyy qqq"] * 40)     # ...but xxx/yyy common
+    docs = [(1, collocated, "en"), (2, diluted, "en"), (3, filler, "en")]
+    sf_dir = _write_docs(tmp_path, docs)
+    out = q["x_cooccur_pmi"](spark, sf_dir).collect()
+    by_pair = {(r["x"], r["y"]): r for r in out}
+    assert ("aaa", "bbb") in by_pair and ("xxx", "yyy") in by_pair
+    ab, xy = by_pair[("aaa", "bbb")], by_pair[("xxx", "yyy")]
+    assert ab["nxy"] == 8
+    assert ab["pmi"] > xy["pmi"]
+    assert ab["rnk"] < xy["rnk"]
+    # support threshold: a pair occurring fewer than PMI_MIN_PAIR times
+    # must not be reported even though its PMI would be extreme
+    assert not any(r["nxy"] < 5 for r in out)
+
+
+def test_cms_heavy_hitters_guarantees_hold_on_skewed_corpus(spark, tmp_path, q):
+    """Planted skew: 'hot' dominates; every CMS guarantee boolean must
+    hold and the candidate exact counts must be the true frequencies
+    (doc 0 is the % 20 == 0 sample shard and contains every token, so
+    the sample proposes all of them)."""
+    base = "hot " * 50 + "warm " * 20 + " ".join(f"cold{j}" for j in range(10))
+    docs = [(i, base.strip(), "en") for i in range(10)]  # doc 0 in sample
+    sf_dir = _write_docs(tmp_path, docs)
+    out = q["x_cms_heavy_hitters"](spark, sf_dir).collect()
+    assert 0 < len(out) <= 20
+    by_tok = {r["token"]: r for r in out}
+    assert by_tok["hot"]["exact_count"] == 500
+    assert by_tok["warm"]["exact_count"] == 200
+    for r in out:
+        assert r["overestimates"], r
+        assert r["within_bound"], r
+        assert r["merge_consistent"], r
