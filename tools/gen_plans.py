@@ -43,6 +43,9 @@ COMMENTARY = {
     "x_tfidf_top_term": "tf and df are partial-aggregated before their exchanges; the df join is UNHINTED — df is O(|vocab|), unbounded on web text, so AQE broadcasts it only while it measures small (it does here) and otherwise reuses the term-keyed partitioning df's own aggregation produced; only the 1-row corpus count carries an explicit broadcast.",
     "x_dedup_span": "spans explode map-side and immediately become md5 digests — every exchange (dup-span groupBy, dup join, per-doc rollup) carries 32-hex keys, never span text; the dup-span relation is UNHINTED (it grows with corpus boilerplate — AQE broadcasts only while it measures small); span count per doc is n_chars/40 (stride, not every offset), so the explode is linear in corpus bytes.",
     "x_perplexity_filter": "one bigram explode feeds the LM build (lang,w1,w2 / lang,w1 partial-agg groupBys) and the scoring joins — all uniform token-keyed shuffles; the two language-level relations (context vocabulary, per-language mean) are n_langs rows and UNHINTED, so AQE broadcasts them on size; no Python anywhere, the whole LM + scoring is codegen'd joins and aggregates.",
+    "x_zipf_fit": "one vocabulary-bounded partial-agg shuffle is the only corpus-sized stage; rank selection is TakeOrderedAndProject (per-task heaps), and the regression carries partial_regr_* mergeable moment state — the final plan has ZERO SinglePartition exchanges.",
+    "x_cooccur_pmi": "bigrams explode from a zip_with over two MATERIALIZED slice columns (split runs once per row, never per element); pair and unigram counts each partial-aggregate on vocab-bounded keys; marginal joins UNHINTED (AQE broadcasts while vocab measures small); TakeOrdered caps the ranked output at 15 before the row_number window.",
+    "x_cms_heavy_hitters": "the corpus pass partial-aggregates into at most 4x64 = 256 (row, cell) groups — a CONSTANT-size reduce side at any corpus/vocab scale; candidate probes and the sketch compare all join against 256-row relations (AQE-broadcast); merge consistency is proven in-plan by summing per-source grids.",
 }
 
 
