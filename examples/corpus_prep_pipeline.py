@@ -12,6 +12,8 @@ The chain a 100 TB data run executes, here runnable at any fixture SF:
       -> two-level packing   ((lang, shard) contiguous fill + broadcast
                               per-shard offsets — no whole-language task)
       -> tensorization       (hash-vocab token ids, pad to budget)
+      -> health profile      (Zipf slope, PMI collocations, CMS-verified
+                              heavy hitters; round-8 continuation)
       -> parquet shards      (one directory per language)
 
 Every stage is the EXACT-oracle-checked operator from the registry; this
@@ -105,6 +107,23 @@ def main() -> None:
     packs = qs["x_seq_pack"](spark, args.sf_dir)
     tensors = qs["x_seq_tensorize"](spark, args.sf_dir)
     print(f"packs planned: {packs.count()}; tensors: {tensors.count()}")
+
+    # 6b. corpus health profile (round-8 continuation): release-gate
+    # statistics a data card ships with — Zipf slope (synthetic/garbled
+    # corpus detector), top PMI collocations, and sketch-verified
+    # heavy-hitter frequencies
+    zipf = qs["x_zipf_fit"](spark, args.sf_dir).collect()[0]
+    print(
+        f"zipf: slope={zipf['zipf_slope']} r2={zipf['zipf_r2']} "
+        f"vocab={zipf['n_vocab']}"
+    )
+    pmi_top = qs["x_cooccur_pmi"](spark, args.sf_dir).limit(3).collect()
+    print("top collocations:", [(r["x"], r["y"], r["pmi"]) for r in pmi_top])
+    hh = qs["x_cms_heavy_hitters"](spark, args.sf_dir)
+    bad_hh = hh.filter(
+        "NOT (overestimates AND within_bound AND merge_consistent)"
+    ).count()
+    print(f"heavy hitters: {hh.count()} probed, {bad_hh} guarantee violations")
 
     # 7. land language-partitioned training shards
     out = os.path.join(args.out, "tensors")

@@ -546,8 +546,15 @@ def x_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 0..65535 vocab.
 PAD_ID = 65536
 
-_NIBBLE_SPARK = "(locate(substring(md5(t), {j}, 1), '0123456789abcdef') - 1)"
-_NIBBLE_DUCK = "(strpos('0123456789abcdef', substr(md5(t), {j}, 1)) - 1)"
+# The id of token t is built from the first 4 hex digits of md5(t),
+# little-endian (digit j weighted 16^(j-1)).  md5 is bound ONCE per
+# token by an inner transform (h = md5(t)); the nibble extractions then
+# operate on the lambda variable — the naive form inlined md5(t) into
+# all four nibble expressions and Catalyst's interpreted lambda path
+# re-hashed every token 4x (round-8 continuation; same family as the
+# outer-expression re-evaluation trap in SCALE.md).
+_NIBBLE_SPARK = "(locate(substring(h, {j}, 1), '0123456789abcdef') - 1)"
+_NIBBLE_DUCK = "(strpos('0123456789abcdef', substr(h, {j}, 1)) - 1)"
 
 
 def _tok_ids_csv(nibble_tmpl: str, split_expr: str, transform_fn: str,
@@ -556,8 +563,9 @@ def _tok_ids_csv(nibble_tmpl: str, split_expr: str, transform_fn: str,
         f"{nibble_tmpl.format(j=j + 1)} * {16 ** j}" for j in range(4)
     )
     return (
-        f"{join_fn}({transform_fn}({split_expr}, "
-        f"t -> CAST({id_expr} AS VARCHAR)), ',')"
+        f"{join_fn}({transform_fn}({transform_fn}({split_expr}, "
+        f"t -> md5(t)), "
+        f"h -> CAST({id_expr} AS VARCHAR)), ',')"
     )
 
 

@@ -941,3 +941,161 @@ def x_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ok").alias("merge_consistent"),
         )
     )
+
+
+KS_SOURCE = "src0"  # the slice compared against the rest of the corpus
+
+
+@register(
+    "x_ks_drift",
+    oracle=f"""
+    WITH d AS (SELECT n_chars AS v,
+                      CASE WHEN source = '{KS_SOURCE}' THEN 1 ELSE 0 END AS a
+               FROM documents),
+    c AS (SELECT v, CAST(SUM(a) AS DOUBLE) AS na,
+                 CAST(SUM(1 - a) AS DOUBLE) AS nb
+          FROM d GROUP BY v),
+    cum AS (SELECT v,
+                   SUM(na) OVER (ORDER BY v) AS ca,
+                   SUM(nb) OVER (ORDER BY v) AS cb
+            FROM c),
+    tot AS (SELECT CAST(SUM(na) AS DOUBLE) AS ta,
+                   CAST(SUM(nb) AS DOUBLE) AS tb FROM c)
+    SELECT CAST(tot.ta AS BIGINT) AS n_a,
+           CAST(tot.tb AS BIGINT) AS n_b,
+           MAX(ROUND(ABS(cum.ca / tot.ta - cum.cb / tot.tb), 6)) AS ks_stat
+    FROM cum, tot GROUP BY tot.ta, tot.tb
+    """,
+)
+def x_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic: the max gap
+    between the empirical CDFs of document length in the {KS_SOURCE}
+    slice vs the rest of the corpus — the standard
+    distribution-drift monitor a data pipeline runs between corpus
+    snapshots / sources before a mixing change silently shifts the
+    length (or any numeric feature) distribution.  KS is
+    distribution-free: no binning choice, unlike the histogram ops.
+
+    100 TB posture: the corpus-sized pass is ONE partial-agg'd groupBy
+    on the feature VALUE (the conditional counts for both populations
+    ride the same shuffle row); the CDF window and the max then run
+    over the distinct-value relation — bounded by the feature's value
+    domain (document length here), orders of magnitude below corpus
+    cardinality.  A genuinely unbounded value domain would use the
+    two-level prefix-sum scheme x_seq_pack demonstrates
+    (range-partitioned partials + broadcast per-range offsets) — same
+    answer, no single-partition window.  The division / abs / round
+    arithmetic is identical IEEE double work in both engines, so the
+    statistic is EXACT, not error-bounded."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    a_flag = F.when(F.col("source") == KS_SOURCE, 1).otherwise(0)
+    c = (
+        d.select(F.col("n_chars").alias("v"), a_flag.alias("a"))
+        .groupBy("v")
+        .agg(
+            F.sum("a").cast("double").alias("na"),
+            F.sum(1 - F.col("a")).cast("double").alias("nb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = c.select(
+        F.sum("na").over(w).alias("ca"), F.sum("nb").over(w).alias("cb")
+    )
+    tot = c.agg(
+        F.sum("na").cast("double").alias("ta"),
+        F.sum("nb").cast("double").alias("tb"),
+    )
+    return cum.crossJoin(tot).agg(
+        F.first(F.col("ta").cast("long")).alias("n_a"),
+        F.first(F.col("tb").cast("long")).alias("n_b"),
+        F.max(
+            F.round(F.abs(F.col("ca") / F.col("ta") - F.col("cb") / F.col("tb")), 6)
+        ).alias("ks_stat"),
+    )
+
+
+CHI2_MIN_COUNT = 10  # min combined occurrences before a token is scored
+CHI2_TOP = 20
+
+
+@register(
+    "x_chi2_keyness",
+    oracle=f"""
+    WITH t AS (SELECT CASE WHEN source = '{KS_SOURCE}' THEN 1 ELSE 0 END AS s,
+                      unnest(str_split(text, ' ')) AS w
+               FROM documents),
+    c AS (SELECT w, CAST(SUM(s) AS DOUBLE) AS a,
+                 CAST(SUM(1 - s) AS DOUBLE) AS b
+          FROM t GROUP BY w),
+    tot AS (SELECT SUM(a) AS ta, SUM(b) AS tb FROM c),
+    s AS (SELECT c.w, CAST(c.a AS BIGINT) AS n_focus,
+                 CAST(c.b AS BIGINT) AS n_rest,
+                 ROUND((tot.ta + tot.tb)
+                       * POW(c.a * (tot.tb - c.b) - c.b * (tot.ta - c.a), 2)
+                       / ((c.a + c.b) * ((tot.ta - c.a) + (tot.tb - c.b))
+                          * tot.ta * tot.tb), 6) AS chi2
+          FROM c, tot WHERE c.a + c.b >= {CHI2_MIN_COUNT})
+    SELECT w, n_focus, n_rest, chi2, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY chi2 DESC, w) AS rnk FROM s)
+    WHERE rnk <= {CHI2_TOP}
+    """,
+)
+def x_chi2_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token keyness: chi-square (2×2 contingency) over-representation of
+    each token in the {KS_SOURCE} slice vs the rest of the corpus —
+    corpus-linguistics' standard "what distinguishes THIS source"
+    statistic, and the categorical sibling of x_ks_drift's numeric
+    drift test (together: a source's fingerprint in one pass each).
+    Support threshold {CHI2_MIN_COUNT} gates hapax noise exactly like
+    x_cooccur_pmi's pair floor.
+
+    100 TB posture: one partial-agg'd shuffle on the token key carries
+    BOTH population counts (the focus flag rides the row, so there is
+    no second pass / no join between per-source counts); the totals are
+    a single-row crossJoin; scoring is a map-side projection over the
+    vocab-bounded count relation and TakeOrdered caps the ranked
+    output.  The chi2 arithmetic (products/divisions of exact counts,
+    rounded at 6 dp) is identical IEEE double work in both engines."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    s_flag = F.when(F.col("source") == KS_SOURCE, 1).otherwise(0)
+    c = (
+        d.select(s_flag.alias("s"), F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(
+            F.sum("s").cast("double").alias("a"),
+            F.sum(1 - F.col("s")).cast("double").alias("b"),
+        )
+    )
+    tot = c.agg(F.sum("a").alias("ta"), F.sum("b").alias("tb"))
+    chi2 = F.round(
+        (F.col("ta") + F.col("tb"))
+        * F.pow(
+            F.col("a") * (F.col("tb") - F.col("b"))
+            - F.col("b") * (F.col("ta") - F.col("a")),
+            F.lit(2),
+        )
+        / (
+            (F.col("a") + F.col("b"))
+            * ((F.col("ta") - F.col("a")) + (F.col("tb") - F.col("b")))
+            * F.col("ta")
+            * F.col("tb")
+        ),
+        6,
+    )
+    scored = (
+        c.where(F.col("a") + F.col("b") >= CHI2_MIN_COUNT)
+        .crossJoin(tot)
+        .select(
+            "w",
+            F.col("a").cast("long").alias("n_focus"),
+            F.col("b").cast("long").alias("n_rest"),
+            chi2.alias("chi2"),
+        )
+    )
+    top = scored.orderBy(F.col("chi2").desc(), "w").limit(CHI2_TOP)
+    w = Window.orderBy(F.col("chi2").desc(), "w")
+    return top.select("*", F.row_number().over(w).alias("rnk"))

@@ -93,37 +93,42 @@ def register(name: str, oracle: str | None = None):
 # rounds.
 #
 # Round-8 window composition (50 entries): every operator whose CODE or
-# PLAN changed this round leads — the 5 new ops (x_zipf_fit /
-# x_cooccur_pmi / x_cms_heavy_hitters from the round-8 continuation,
-# then x_dedup_span / x_perplexity_filter), x_ann_pipeline
-# (ann_index_path cache-key freshness, ADVICE r7 item 3), and the 8 ops
-# rewritten in the round-8 evaluation-cost sweep (sorted run-length
-# folds for x_word_entropy / x_repetition_score; the zip_with shingles()
-# rebuild flowing into every shingle consumer: x_decontaminate,
-# x_dedup_near_minhash, x_ngram_jaccard, x_containment_dedup,
-# x_dedup_incremental, x_contam_estimate; outputs bit-identical, but
-# their pre-r8 driver records attest pre-rewrite plans, so they
-# re-attest here).  Then the 3 r3 rows round 7 deferred (standing
-# contract), then 33 of the 46-op r4 cohort (x_word_entropy and
-# x_contam_estimate are cohort members already seated in the head).
-# The 11 deferred r4 rows are code-UNMODIFIED this round — their r4
-# driver records still attest exactly the code that runs — and carry
-# the strongest independent current-code evidence (multimodal decode
-# family: exact-integer decoder tests in
-# tests/test_multimodal_decoders.py; snk_avro: tests/test_avro_ocf.py;
-# s_checkpoint_resume: tests/test_checkpoint_crash.py;
-# x_sample_reservoir: tests/test_pipeline_ops.py + plan pin;
-# x_interleave_sources / u_arrow_map: plan pins in tests/test_plans.py;
-# x_embed_quantize: tests/test_pipeline_ops.py + plan pin), all green
-# in this round's builder-side full sf0.01 + sf1 sweeps; they LEAD
-# ROUND 9's window ahead of the r5 cohort:
+# PLAN changed this round leads — the 7 new ops (x_ks_drift /
+# x_chi2_keyness / x_zipf_fit / x_cooccur_pmi / x_cms_heavy_hitters
+# from the round-8 continuation, then x_dedup_span /
+# x_perplexity_filter), x_ann_pipeline (ann_index_path cache-key
+# freshness, ADVICE r7 item 3), and the 8 ops rewritten in the round-8
+# evaluation-cost sweep (sorted run-length folds for x_word_entropy /
+# x_repetition_score; the zip_with shingles() rebuild flowing into
+# every shingle consumer: x_decontaminate, x_dedup_near_minhash,
+# x_ngram_jaccard, x_containment_dedup, x_dedup_incremental,
+# x_contam_estimate; outputs bit-identical, but their pre-r8 driver
+# records attest pre-rewrite plans, so they re-attest here) —
+# x_seq_tensorize (md5-bound-once tokenizer rewrite, continuation) is
+# ALSO code-modified and holds its window seat in the r4 tail.  Then
+# the 3 r3 rows round 7 deferred (standing contract), then 31 of the
+# 46-op r4 cohort (x_word_entropy and x_contam_estimate are cohort
+# members already seated in the head).  The 13 deferred r4 rows are
+# code-UNMODIFIED this round — their r4 driver records still attest
+# exactly the code that runs — and carry the strongest independent
+# current-code evidence (multimodal decode family: exact-integer
+# decoder tests in tests/test_multimodal_decoders.py; snk_avro:
+# tests/test_avro_ocf.py; s_checkpoint_resume:
+# tests/test_checkpoint_crash.py; x_sample_reservoir:
+# tests/test_pipeline_ops.py + plan pin; x_interleave_sources /
+# u_arrow_map / x_ann_rerank / q_ts_downsample: plan pins in
+# tests/test_plans.py; x_embed_quantize: tests/test_pipeline_ops.py +
+# plan pin), all green in this round's builder-side full sf0.01 + sf1
+# sweeps; they LEAD ROUND 9's window ahead of the r5 cohort:
 #   x_multimodal_decode, x_multimodal_audio_decode,
 #   x_multimodal_video_sample, x_multimodal_framesample,
 #   x_multimodal_resize, snk_avro, s_checkpoint_resume,
 #   x_sample_reservoir, x_interleave_sources, x_embed_quantize,
-#   u_arrow_map
+#   u_arrow_map, x_ann_rerank, q_ts_downsample
 _PRIORITY = (
     # new this round — first driver attestation
+    "x_ks_drift",
+    "x_chi2_keyness",
     "x_zipf_fit",
     "x_cooccur_pmi",
     "x_cms_heavy_hitters",
@@ -160,7 +165,6 @@ _PRIORITY = (
     "q_cdc_scd2",
     "q_project_rename",
     "q_set_intersect_all",
-    "q_ts_downsample",
     # -- r4 cohort: scalar functions --
     "q_fn_datetime2",
     "q_fn_string3",
@@ -177,7 +181,6 @@ _PRIORITY = (
     "q_win_count_distinct",
     "q_win_time_range",
     # -- r4 cohort: x_* corpus ops --
-    "x_ann_rerank",
     "x_data_card",
     "x_dedup_prefix",
     "x_hard_negatives",

@@ -87,21 +87,25 @@ def test_salting_helpers_round_trip(spark):
 def test_round8_driver_window_composition(qs):
     """The driver checks the FIRST 50 registry entries.  Pin the round-8
     rotation window: every operator whose code or PLAN changed this
-    round leads — the 5 new ops, x_ann_pipeline (cache-key change), and
+    round leads — the 7 new ops, x_ann_pipeline (cache-key change), and
     the 8 ops rewritten in the evaluation-cost sweep (their pre-r8
-    driver records attest pre-rewrite plans) — then the 3 r3 rows round
-    7 deferred (standing contract), then 33 of the 46-op r4 cohort — a
-    silent reordering here would burn the round's freshness evidence.
-    The 11 deferred r4 rows are code-UNMODIFIED (their r4 records still
-    attest the running code), carry dedicated current-code tests, and
-    lead round 9's window ahead of the r5 cohort."""
+    driver records attest pre-rewrite plans; x_seq_tensorize, also
+    code-modified, holds its seat in the r4 tail) — then the 3 r3 rows
+    round 7 deferred (standing contract), then 31 of the 46-op r4
+    cohort — a silent reordering here would burn the round's freshness
+    evidence.  The 13 deferred r4 rows are code-UNMODIFIED (their r4
+    records still attest the running code), carry dedicated
+    current-code tests, and lead round 9's window ahead of the r5
+    cohort."""
     from kafka_connect_sse_spark.registry import _PRIORITY
 
     window = list(qs)[: len(_PRIORITY)]
     assert window == list(_PRIORITY)
     assert len(_PRIORITY) == 50, "round-8 window must fill all 50 slots"
     # new + this-round-modified operators must attest first
-    assert window[:17] == [
+    assert window[:19] == [
+        "x_ks_drift",
+        "x_chi2_keyness",
         "x_zipf_fit",
         "x_cooccur_pmi",
         "x_cms_heavy_hitters",
@@ -148,9 +152,9 @@ def test_round8_driver_window_composition(qs):
         "x_multimodal_video_sample", "x_multimodal_framesample",
         "x_multimodal_resize", "snk_avro", "s_checkpoint_resume",
         "x_sample_reservoir", "x_interleave_sources", "x_embed_quantize",
-        "u_arrow_map",
+        "u_arrow_map", "x_ann_rerank", "q_ts_downsample",
     }
-    assert set(window[17:]) == r4_cohort - in_head - deferred
+    assert set(window[19:]) == r4_cohort - in_head - deferred
     # every window op must carry an oracle (EXACT gate, not rows-only)
     from kafka_connect_sse_spark.registry import oracle_sql
 

@@ -199,3 +199,51 @@ def test_cms_heavy_hitters_guarantees_hold_on_skewed_corpus(spark, tmp_path, q):
         assert r["overestimates"], r
         assert r["within_bound"], r
         assert r["merge_consistent"], r
+
+
+def _write_docs_src(tmp_path, rows):
+    """rows: (doc_id, text, lang, source)."""
+    sf_dir = str(tmp_path / "sfsrc")
+    os.makedirs(sf_dir, exist_ok=True)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(sf_dir, "documents.parquet"))
+    return sf_dir
+
+
+def test_ks_drift_detects_shifted_lengths_and_passes_identical(spark, tmp_path, q):
+    """src0 docs all length 10, others all length 30 -> disjoint CDFs,
+    KS = 1.0.  Identical length distributions -> KS = 0.0."""
+    shifted = [(i, "aaaaa aaaa", "en", "src0") for i in range(5)] + [
+        (i + 10, "b" * 30, "en", "src1") for i in range(5)
+    ]
+    row = q["x_ks_drift"](spark, _write_docs_src(tmp_path / "a", shifted)).collect()[0]
+    assert row["n_a"] == 5 and row["n_b"] == 5
+    assert row["ks_stat"] == 1.0
+    same = [(i, "x" * 20, "en", "src0") for i in range(5)] + [
+        (i + 10, "y" * 20, "en", "src1") for i in range(5)
+    ]
+    row = q["x_ks_drift"](spark, _write_docs_src(tmp_path / "b", same)).collect()[0]
+    assert row["ks_stat"] == 0.0
+
+
+def test_chi2_keyness_ranks_exclusive_token_over_shared(spark, tmp_path, q):
+    """'marker' appears only in src0, 'shared' uniformly everywhere.
+    Keyness must rank marker far above shared (shared's chi2 ~ 0)."""
+    rows = [
+        (i, "marker " * 10 + "shared " * 10, "en", "src0") for i in range(3)
+    ] + [(i + 10, "other " * 10 + "shared " * 10, "en", "src1") for i in range(3)]
+    out = q["x_chi2_keyness"](spark, _write_docs_src(tmp_path, rows)).collect()
+    by_tok = {r["w"]: r for r in out}
+    assert by_tok["marker"]["n_focus"] == 30 and by_tok["marker"]["n_rest"] == 0
+    assert by_tok["marker"]["chi2"] > by_tok["shared"]["chi2"]
+    assert by_tok["marker"]["rnk"] < by_tok["shared"]["rnk"]
+    # 'other' is exclusively NON-focus: equally key, symmetric statistic
+    assert by_tok["other"]["chi2"] == by_tok["marker"]["chi2"]
