@@ -13,7 +13,8 @@ The chain a 100 TB data run executes, here runnable at any fixture SF:
                               per-shard offsets — no whole-language task)
       -> tensorization       (hash-vocab token ids, pad to budget)
       -> health profile      (Zipf slope, PMI collocations, CMS-verified
-                              heavy hitters; round-8 continuation)
+                              heavy hitters, KS drift + chi2 keyness of
+                              the focus source; round-8 continuation)
       -> parquet shards      (one directory per language)
 
 Every stage is the EXACT-oracle-checked operator from the registry; this
@@ -124,6 +125,12 @@ def main() -> None:
         "NOT (overestimates AND within_bound AND merge_consistent)"
     ).count()
     print(f"heavy hitters: {hh.count()} probed, {bad_hh} guarantee violations")
+    ks = qs["x_ks_drift"](spark, args.sf_dir).collect()[0]
+    key = qs["x_chi2_keyness"](spark, args.sf_dir).limit(3).collect()
+    print(
+        f"src0 drift: KS={ks['ks_stat']} "
+        f"key tokens={[ (r['w'], r['chi2']) for r in key ]}"
+    )
 
     # 7. land language-partitioned training shards
     out = os.path.join(args.out, "tensors")

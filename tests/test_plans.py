@@ -488,3 +488,27 @@ def test_cooccur_pmi_slices_are_materialized(spark):
     ), plan
     assert "TakeOrderedAndProject(limit=15" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_ks_drift_reuses_count_exchange(spark):
+    """x_ks_drift: both populations' counts ride one value-keyed
+    partial-agg shuffle, and the totals branch must REUSE that exchange
+    (ReusedExchange in the final plan) rather than re-scan the corpus —
+    two logical passes, one physical one."""
+    plan = _final_plan(queries()["x_ks_drift"](spark, SF))
+    assert "partial_sum" in plan, plan
+    assert "ReusedExchange" in plan, plan
+    # exactly one corpus scan survives in the final plan
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_chi2_keyness_single_token_shuffle(spark):
+    """x_chi2_keyness: ONE token-keyed partial-agg shuffle carries both
+    population counts (no join between per-source aggregates), one
+    corpus scan feeds it (the totals reuse its exchange), and the
+    ranking is TakeOrdered-capped."""
+    plan = _final_plan(queries()["x_chi2_keyness"](spark, SF))
+    assert "partial_sum" in plan, plan
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "TakeOrderedAndProject(limit=20" in plan, plan
+    assert "BatchEvalPython" not in plan, plan

@@ -46,6 +46,8 @@ COMMENTARY = {
     "x_zipf_fit": "one vocabulary-bounded partial-agg shuffle is the only corpus-sized stage; rank selection is TakeOrderedAndProject (per-task heaps), and the regression carries partial_regr_* mergeable moment state — the final plan has ZERO SinglePartition exchanges.",
     "x_cooccur_pmi": "bigrams explode from a zip_with over two MATERIALIZED slice columns (split runs once per row, never per element); pair and unigram counts each partial-aggregate on vocab-bounded keys; marginal joins UNHINTED (AQE broadcasts while vocab measures small); TakeOrdered caps the ranked output at 15 before the row_number window.",
     "x_cms_heavy_hitters": "the corpus pass partial-aggregates into at most 4x64 = 256 (row, cell) groups — a CONSTANT-size reduce side at any corpus/vocab scale; candidate probes and the sketch compare all join against 256-row relations (AQE-broadcast); merge consistency is proven in-plan by summing per-source grids.",
+    "x_ks_drift": "both population counts ride ONE value-keyed partial-agg shuffle (the focus flag rides the row — no per-source pass, no join); the totals branch REUSES that exchange (ReusedExchange in the final plan) and the CDF window runs over the bounded distinct-value relation, never the corpus.",
+    "x_chi2_keyness": "one token-keyed partial-agg shuffle carries BOTH population counts; totals are a single-row broadcast cross join; chi2 scoring is a map-side projection over the vocab-bounded relation and TakeOrdered caps the ranking before the row_number window.",
 }
 
 
