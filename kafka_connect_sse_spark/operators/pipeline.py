@@ -836,3 +836,248 @@ def x_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_lang",
         "median_chars",
     )
+
+
+# leakage-safe split: md5 first hex nibble of the CLUSTER id -> split.
+# 12/16 train, 2/16 val, 2/16 test.
+_SPLIT_VAL = ("c", "d")
+_SPLIT_TEST = ("e", "f")
+
+
+@register(
+    "x_split_leakage_safe",
+    oracle="""
+    WITH RECURSIVE
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+          FROM embeddings WHERE vec_id < 300),
+    pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.e, b.e)
+                  / (sqrt(list_dot_product(a.e, a.e))
+                     * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.35),
+    edges AS (SELECT src, dst FROM pairs
+              UNION ALL SELECT dst, src FROM pairs),
+    reach (id, lbl) AS (
+      SELECT vec_id, vec_id FROM v
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+    clusters AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+    assigned AS (
+      SELECT d.doc_id,
+             len(str_split(d.text, ' ')) AS n_tokens,
+             COALESCE(c.cluster_id, d.doc_id) AS cl
+      FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id),
+    labeled AS (
+      SELECT *,
+             CASE WHEN substr(md5(CAST(cl AS VARCHAR)), 1, 1) IN ('c','d')
+                    THEN 'val'
+                  WHEN substr(md5(CAST(cl AS VARCHAR)), 1, 1) IN ('e','f')
+                    THEN 'test'
+                  ELSE 'train' END AS split
+      FROM assigned)
+    SELECT split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT cl) AS n_clusters,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM labeled GROUP BY split
+    """,
+)
+def x_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate CLUSTERS — not
+    documents — are the unit of assignment, so two near-dup documents can
+    never straddle train and eval (the benchmark-contamination failure
+    mode of naive per-document hashing).  Pipeline shape: pairwise
+    near-dup evidence -> connected components (x_dedup_clusters) -> every
+    document adopts its cluster id (its own id when unclustered) -> the
+    split is a pure function of md5(cluster_id): 12/16 train, 2/16 val,
+    2/16 test.
+
+    100 TB posture: the cluster relation is dup-evidence-sized (bounded
+    by documents that HAVE a near-dup, a small fraction of the corpus) so
+    its join is UNHINTED here via broadcast() only because the sample is
+    tiny; at scale AQE decides, and the split assignment itself is a
+    map-side md5 projection — one partial-agg shuffle on split plus the
+    distinct-cluster count produce the report.  Assignment depends only
+    on content-derived cluster ids: re-runs, engine swaps, and corpus
+    appends never move a previously split cluster."""
+    from .dedup import x_dedup_clusters
+
+    clusters = x_dedup_clusters(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    assigned = d.join(
+        broadcast(clusters), d.doc_id == clusters.vec_id, "left"
+    ).select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cl"),
+    )
+    nib = F.substring(F.md5(F.col("cl").cast("string")), 1, 1)
+    labeled = assigned.withColumn(
+        "split",
+        F.when(nib.isin(*_SPLIT_VAL), F.lit("val"))
+        .when(nib.isin(*_SPLIT_TEST), F.lit("test"))
+        .otherwise(F.lit("train")),
+    )
+    return labeled.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("cl").alias("n_clusters"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+
+
+MIX_WEIGHT_CAP = 5.0  # max upsampling factor per source (DoReMi-style cap)
+
+
+@register(
+    "x_domain_mix",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total_tokens,
+                   CAST(COUNT(*) AS DOUBLE) AS n_sources
+            FROM per_src),
+    w AS (
+      SELECT p.source, p.n_docs, p.n_tokens,
+             p.n_tokens / t.total_tokens AS actual_share,
+             LEAST((1.0 / t.n_sources) / (p.n_tokens / t.total_tokens),
+                   {MIX_WEIGHT_CAP}) AS weight
+      FROM per_src p, tot t),
+    r AS (
+      SELECT *, CAST(FLOOR(weight * n_tokens) AS BIGINT) AS resampled_tokens
+      FROM w),
+    rt AS (SELECT CAST(SUM(resampled_tokens) AS DOUBLE) AS total_resampled
+           FROM r)
+    SELECT r.source, r.n_docs, r.n_tokens,
+           ROUND(r.actual_share, 6) AS actual_share,
+           ROUND(r.weight, 6) AS mix_weight,
+           r.resampled_tokens,
+           ROUND(r.resampled_tokens / rt.total_resampled, 6) AS resampled_share
+    FROM r, rt
+    """,
+)
+def x_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting (DoReMi-lite, deterministic): per-source
+    token shares are pulled toward a uniform target by weight =
+    target_share / actual_share, capped at MIX_WEIGHT_CAP so a tiny
+    domain is never upsampled into dominance.  resampled_tokens =
+    floor(weight x tokens) is the post-reweight token budget per source
+    (floor keeps it an exact integer, so the resampled shares divide
+    exact BIGINTs — no order-dependent double sums cross the engines).
+
+    100 TB posture: ONE partial-agg shuffle on source builds the
+    per-domain profile; everything after runs on the |sources|-row
+    relation — the totals are single-row broadcast cross joins, the
+    weight math is a map-side projection.  The output is the sampling
+    table a mixture-weighted dataloader consumes."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+    )
+    # totals as unpartitioned windows over the |sources|-row relation:
+    # cross-join formulations re-aggregate the corpus once per total
+    # (Catalyst can't reuse the exchange across differently-pruned
+    # branches), while the windows share ONE SinglePartition exchange of
+    # a domains-count-sized relation — the corpus is scanned exactly once.
+    wall = Window.partitionBy()
+    w = per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.sum("n_tokens").over(wall).cast("double").alias("total_tokens"),
+        F.count("*").over(wall).cast("double").alias("n_sources"),
+    ).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / F.col("total_tokens")).alias("actual_share"),
+        F.least(
+            (F.lit(1.0) / F.col("n_sources"))
+            / (F.col("n_tokens") / F.col("total_tokens")),
+            F.lit(MIX_WEIGHT_CAP),
+        ).alias("weight"),
+    )
+    r = w.withColumn(
+        "resampled_tokens", F.floor(F.col("weight") * F.col("n_tokens"))
+    ).withColumn(
+        "total_resampled",
+        F.sum("resampled_tokens").over(wall).cast("double"),
+    )
+    return r.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("actual_share"), 6).alias("actual_share"),
+        F.round(F.col("weight"), 6).alias("mix_weight"),
+        "resampled_tokens",
+        F.round(
+            F.col("resampled_tokens") / F.col("total_resampled"), 6
+        ).alias("resampled_share"),
+    )
+
+
+CURRICULUM_STAGES = 4  # difficulty quartiles per language
+
+
+@register(
+    "x_curriculum_order",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(str_split(text, ' ')) AS n_tokens,
+             ROUND(CAST(n_chars AS DOUBLE)
+                   / len(str_split(text, ' ')), 6) AS difficulty
+      FROM documents),
+    staged AS (
+      SELECT *,
+             CAST(NTILE({CURRICULUM_STAGES}) OVER (
+               PARTITION BY lang
+               ORDER BY difficulty, md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS BIGINT) AS stage
+      FROM scored)
+    SELECT lang, stage,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS stage_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS ids_sum,
+           ROUND(AVG(difficulty), 6) AS avg_difficulty
+    FROM staged GROUP BY lang, stage
+    """,
+)
+def x_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging: rank documents per language by a difficulty
+    proxy (mean word length = chars/token) and cut the ranking into
+    CURRICULUM_STAGES equal-count stages with ntile — the deterministic,
+    rank-based schedule an easy-to-hard training curriculum consumes.
+    Ties break on a content-independent hash then doc_id, so stage
+    membership is exact in both engines (no FP boundary to disagree on).
+    The ids_sum checksum pins that both engines staged the SAME documents.
+
+    100 TB posture: one window shuffle on lang (x_lang_balance precedent);
+    for heavy-tail languages the scale path swaps ntile for stage
+    assignment against percentile boundaries computed by a partial-agg
+    sketch (SCALE.md) — the output contract is identical."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.round(F.col("n_chars").cast("double") / n_tokens, 6).alias(
+            "difficulty"
+        ),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        "difficulty", F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    staged = scored.withColumn(
+        "stage", F.ntile(CURRICULUM_STAGES).over(w).cast("long")
+    )
+    return staged.groupBy("lang", "stage").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("stage_tokens"),
+        F.sum("doc_id").alias("ids_sum"),
+        F.round(F.avg("difficulty"), 6).alias("avg_difficulty"),
+    )

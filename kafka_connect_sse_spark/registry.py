@@ -93,9 +93,11 @@ def register(name: str, oracle: str | None = None):
 # rounds.
 #
 # Round-8 window composition (50 entries): every operator whose CODE or
-# PLAN changed this round leads — the 7 new ops (x_ks_drift /
-# x_chi2_keyness / x_zipf_fit / x_cooccur_pmi / x_cms_heavy_hitters
-# from the round-8 continuation, then x_dedup_span /
+# PLAN changed this round leads — the 10 new ops
+# (x_split_leakage_safe / x_domain_mix / x_curriculum_order from the
+# second round-8 continuation, then x_ks_drift / x_chi2_keyness /
+# x_zipf_fit / x_cooccur_pmi / x_cms_heavy_hitters from the first
+# continuation, then x_dedup_span /
 # x_perplexity_filter), x_ann_pipeline (ann_index_path cache-key
 # freshness, ADVICE r7 item 3), and the 8 ops rewritten in the round-8
 # evaluation-cost sweep (sorted run-length folds for x_word_entropy /
@@ -106,9 +108,9 @@ def register(name: str, oracle: str | None = None):
 # records attest pre-rewrite plans, so they re-attest here) —
 # x_seq_tensorize (md5-bound-once tokenizer rewrite, continuation) is
 # ALSO code-modified and holds its window seat in the r4 tail.  Then
-# the 3 r3 rows round 7 deferred (standing contract), then 31 of the
+# the 3 r3 rows round 7 deferred (standing contract), then 28 of the
 # 46-op r4 cohort (x_word_entropy and x_contam_estimate are cohort
-# members already seated in the head).  The 13 deferred r4 rows are
+# members already seated in the head).  The 16 deferred r4 rows are
 # code-UNMODIFIED this round — their r4 driver records still attest
 # exactly the code that runs — and carry the strongest independent
 # current-code evidence (multimodal decode family: exact-integer
@@ -118,15 +120,22 @@ def register(name: str, oracle: str | None = None):
 # tests/test_pipeline_ops.py + plan pin; x_interleave_sources /
 # u_arrow_map / x_ann_rerank / q_ts_downsample: plan pins in
 # tests/test_plans.py; x_embed_quantize: tests/test_pipeline_ops.py +
-# plan pin), all green in this round's builder-side full sf0.01 + sf1
-# sweeps; they LEAD ROUND 9's window ahead of the r5 cohort:
+# plan pin; x_data_card / x_dedup_prefix / x_hard_negatives:
+# planted-corpus behavioral tests in tests/test_round8_ops.py, written
+# when the second continuation's 3 new ops took their seats), all
+# green in this round's builder-side full sf0.01 + sf1 sweeps; they
+# LEAD ROUND 9's window ahead of the r5 cohort:
 #   x_multimodal_decode, x_multimodal_audio_decode,
 #   x_multimodal_video_sample, x_multimodal_framesample,
 #   x_multimodal_resize, snk_avro, s_checkpoint_resume,
 #   x_sample_reservoir, x_interleave_sources, x_embed_quantize,
-#   u_arrow_map, x_ann_rerank, q_ts_downsample
+#   u_arrow_map, x_ann_rerank, q_ts_downsample, x_data_card,
+#   x_dedup_prefix, x_hard_negatives
 _PRIORITY = (
     # new this round — first driver attestation
+    "x_split_leakage_safe",
+    "x_domain_mix",
+    "x_curriculum_order",
     "x_ks_drift",
     "x_chi2_keyness",
     "x_zipf_fit",
@@ -181,9 +190,6 @@ _PRIORITY = (
     "q_win_count_distinct",
     "q_win_time_range",
     # -- r4 cohort: x_* corpus ops --
-    "x_data_card",
-    "x_dedup_prefix",
-    "x_hard_negatives",
     "x_seq_tensorize",
     "x_skew_profile",
 )

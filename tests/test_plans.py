@@ -512,3 +512,42 @@ def test_chi2_keyness_single_token_shuffle(spark):
     assert plan.count("FileScan parquet") == 1, plan
     assert "TakeOrderedAndProject(limit=20" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_domain_mix_single_corpus_scan(spark):
+    """x_domain_mix: the corpus is scanned ONCE (totals ride windows over
+    the |sources|-row aggregate, not re-aggregating cross joins), the
+    per-source profile partial-aggregates below its exchange, and both
+    total windows share one SinglePartition exchange of the tiny
+    relation — count the exchanges to pin it."""
+    plan = _final_plan(queries()["x_domain_mix"](spark, SF))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    # source-hash exchange + ONE shared SinglePartition window exchange
+    assert len(re.findall(r"\bExchange (?:hash|Single)", plan)) == 2, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_curriculum_order_groupby_reuses_window_partitioning(spark):
+    """x_curriculum_order: one corpus scan feeds the lang-keyed ntile
+    window, and the (lang, stage) rollup must satisfy its clustering
+    from the window's lang partitioning — exactly ONE exchange in the
+    whole plan, no Python."""
+    plan = _final_plan(queries()["x_curriculum_order"](spark, SF))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "ntile" in plan, plan
+    assert len(re.findall(r"\bExchange ", plan)) == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_split_leakage_safe_assignment_is_mapside(spark):
+    """x_split_leakage_safe: the cluster relation joins as a BROADCAST
+    left-outer (dup-evidence-sized build side), the md5 split assignment
+    is a projection below the first aggregate — the only exchanges are
+    the two of the distinct-rollup pair, and the corpus parquet is
+    scanned once."""
+    plan = _final_plan(queries()["x_split_leakage_safe"](spark, SF))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert len(re.findall(r"\bExchange hash", plan)) == 2, plan

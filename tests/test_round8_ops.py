@@ -247,3 +247,170 @@ def test_chi2_keyness_ranks_exclusive_token_over_shared(spark, tmp_path, q):
     assert by_tok["marker"]["rnk"] < by_tok["shared"]["rnk"]
     # 'other' is exclusively NON-focus: equally key, symmetric statistic
     assert by_tok["other"]["chi2"] == by_tok["marker"]["chi2"]
+
+
+def _write_docs_emb(tmp_path, rows, vecs):
+    """rows: (doc_id, text, lang, source); vecs: (vec_id, [floats], label)."""
+    sf_dir = str(tmp_path / "sfemb")
+    os.makedirs(sf_dir, exist_ok=True)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(sf_dir, "documents.parquet"))
+    emb = pa.table(
+        {
+            "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+            "embedding": pa.array(
+                [v[1] for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([v[2] for v in vecs], pa.int32()),
+        }
+    )
+    pq.write_table(emb, os.path.join(sf_dir, "embeddings.parquet"))
+    return sf_dir
+
+
+def test_split_leakage_safe_keeps_near_dup_cluster_together(spark, tmp_path, q):
+    """Docs 3 and 4 carry IDENTICAL embeddings (cos=1 -> one cluster,
+    canonical id 3); everyone else is orthogonal.  Per-doc hashing would
+    send doc 4 to train (md5('4') leads 'a') — cluster-aware assignment
+    must send it wherever doc 3 goes (md5('3') leads 'e' -> test).  The
+    expected per-split rollup is recomputed in-test from hashlib over the
+    cluster mapping, so counts, cluster counts, and token sums all pin."""
+    import hashlib
+    from collections import defaultdict
+
+    rows = [(i, f"tok{i} " * (i + 1) + "end", "en", "srcT") for i in range(6)]
+    # vecs: 3 and 4 identical; others one-hot on distinct axes
+    def onehot(k):
+        v = [0.0] * 8
+        v[k] = 1.0
+        return v
+
+    vecs = [(i, onehot(i if i != 4 else 3), 0) for i in range(6)]
+    sf_dir = _write_docs_emb(tmp_path, rows, vecs)
+    out = {r["split"]: r for r in q["x_split_leakage_safe"](spark, sf_dir).collect()}
+
+    cluster = {i: (3 if i == 4 else i) for i in range(6)}
+    exp = defaultdict(lambda: [0, set(), 0])
+    for doc_id, text, _, _ in rows:
+        cl = cluster[doc_id]
+        nib = hashlib.md5(str(cl).encode()).hexdigest()[0]
+        split = "val" if nib in "cd" else "test" if nib in "ef" else "train"
+        exp[split][0] += 1
+        exp[split][1].add(cl)
+        exp[split][2] += len(text.split(" "))
+    assert set(out) == set(exp)
+    for split, (n_docs, cls, n_toks) in exp.items():
+        r = out[split]
+        assert (r["n_docs"], r["n_clusters"], r["n_tokens"]) == (
+            n_docs, len(cls), n_toks,
+        ), (split, r)
+    # the pair itself must cohabit: doc 3's nibble is 'e' -> test has both
+    assert hashlib.md5(b"3").hexdigest()[0] == "e"
+    assert out["test"]["n_docs"] >= 2
+
+
+def test_domain_mix_caps_rare_domain_and_evens_shares(spark, tmp_path, q):
+    """src_big holds ~96% of tokens, src_small ~4%: the small domain's
+    uniform-target weight (0.5/0.04 = 12.5) must cap at 5.0, the big
+    domain downweights below 1, and the resampled shares sit strictly
+    closer to uniform than the raw shares."""
+    rows = [(i, "w " * 48 + "w", "en", "src_big") for i in range(10)] + [
+        (100, "w " * 19 + "w", "en", "src_small")
+    ]
+    out = {r["source"]: r for r in q["x_domain_mix"](spark, _write_docs_src(tmp_path, rows)).collect()}
+    big, small = out["src_big"], out["src_small"]
+    assert big["n_tokens"] == 490 and small["n_tokens"] == 20
+    assert small["mix_weight"] == 5.0  # capped (uncapped would be ~12.75)
+    assert big["mix_weight"] < 1.0
+    assert small["resampled_tokens"] == 100  # floor(5.0 * 20)
+    assert abs(small["resampled_share"] - 0.5) < abs(small["actual_share"] - 0.5)
+    assert abs(big["resampled_share"] - 0.5) < abs(big["actual_share"] - 0.5)
+    assert abs(small["resampled_share"] + big["resampled_share"] - 1.0) < 1e-9
+
+
+def test_curriculum_order_stages_easy_before_hard(spark, tmp_path, q):
+    """8 docs, one language, two difficulty levels (mean word length 2
+    vs 8): the 4 easy docs must fill stages 1-2 and the 4 hard docs
+    stages 3-4, each stage holding exactly 2 docs (ntile balance)."""
+    easy = [(i, "ab " * 9 + "ab", "en", "srcT") for i in range(4)]
+    hard = [(i + 10, "abcdefgh " * 9 + "abcdefgh", "en", "srcT") for i in range(4)]
+    out = q["x_curriculum_order"](spark, _write_docs_src(tmp_path, easy + hard)).collect()
+    by_stage = {r["stage"]: r for r in out}
+    assert set(by_stage) == {1, 2, 3, 4}
+    assert all(r["n_docs"] == 2 for r in out)
+    # stages 1-2 = easy ids {0..3} (sum 6 split 2+2... pinned via ids_sum)
+    assert by_stage[1]["ids_sum"] + by_stage[2]["ids_sum"] == sum(range(4))
+    assert by_stage[3]["ids_sum"] + by_stage[4]["ids_sum"] == sum(
+        i + 10 for i in range(4)
+    )
+    assert by_stage[1]["avg_difficulty"] < by_stage[3]["avg_difficulty"]
+
+
+# -- dedicated current-code tests for the r4 rows deferred to round 9 --
+# (window-rotation protocol: a deferred row must carry independent
+# evidence that TODAY's code is right, not just its old driver record)
+
+
+def test_dedup_prefix_clusters_shared_header_only(spark, tmp_path, q):
+    """Docs 1 and 2 share their first PREFIX_K tokens then diverge (the
+    boilerplate-header case whole-document hashing misses); doc 3 is
+    unique.  Exactly one cluster: n_docs=2, keep_id=min, ids checksum."""
+    from kafka_connect_sse_spark.operators.dedup import PREFIX_K
+
+    header = " ".join(f"h{i}" for i in range(PREFIX_K))
+    rows = [
+        (1, header + " tail one here", "en", "srcT"),
+        (2, header + " different ending entirely", "en", "srcT"),
+        (3, "completely unrelated document text", "en", "srcT"),
+    ]
+    out = q["x_dedup_prefix"](spark, _write_docs_src(tmp_path, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_docs"], r["keep_id"], r["ids_sum"]) == (2, 1, 3)
+
+
+def test_data_card_reports_deterministic_top_lang_and_median(spark, tmp_path, q):
+    """srcA: 3 en + 1 de docs -> top_lang 'en', n_langs 2; srcB: single
+    doc.  Token totals and the exact median of n_chars pin the rollup
+    (even count -> interpolated midpoint, integral here)."""
+    rows = [
+        (1, "a b c", "en", "srcA"),        # 5 chars, 3 toks
+        (2, "d e f g", "en", "srcA"),      # 7 chars, 4 toks
+        (3, "h i", "en", "srcA"),          # 3 chars, 2 toks
+        (4, "j k l m n", "de", "srcA"),    # 9 chars, 5 toks
+        (5, "o p q", "fr", "srcB"),        # 5 chars, 3 toks
+    ]
+    out = {r["source"]: r for r in q["x_data_card"](spark, _write_docs_src(tmp_path, rows)).collect()}
+    a = out["srcA"]
+    assert (a["n_docs"], a["total_tokens"], a["n_langs"], a["top_lang"]) == (
+        4, 14, 2, "en",
+    )
+    assert a["median_chars"] == 6.0  # (5 + 7) / 2
+    b = out["srcB"]
+    assert (b["n_docs"], b["top_lang"], b["median_chars"]) == (1, "fr", 5.0)
+
+
+def test_hard_negatives_picks_closest_other_label(spark, tmp_path, q):
+    """Query 0 (label 0) must rank the near-parallel label-1 vector
+    first among negatives and NEVER return a same-label vector, however
+    close.  Same-label vec 12 is nearly identical to the query — a
+    similarity-only top-k would pick it; hard-negative mining must not."""
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),          # query
+        (10, [0.9, 0.1, 0.0, 0.0], 1),          # hard negative (closest)
+        (11, [0.0, 1.0, 0.0, 0.0], 1),          # easy negative
+        (12, [0.99, 0.01, 0.0, 0.0], 0),        # same-label near-dup: excluded
+    ]
+    rows = [(i, "t", "en", "srcT") for i, _, _ in vecs]
+    sf_dir = _write_docs_emb(tmp_path, rows, vecs)
+    out = [r for r in q["x_hard_negatives"](spark, sf_dir).collect() if r["query_id"] == 0]
+    assert [r["negative_id"] for r in sorted(out, key=lambda r: r["rnk"])] == [10, 11]
+    assert all(r["neg_label"] != 0 for r in out)

@@ -48,6 +48,9 @@ COMMENTARY = {
     "x_cms_heavy_hitters": "the corpus pass partial-aggregates into at most 4x64 = 256 (row, cell) groups — a CONSTANT-size reduce side at any corpus/vocab scale; candidate probes and the sketch compare all join against 256-row relations (AQE-broadcast); merge consistency is proven in-plan by summing per-source grids.",
     "x_ks_drift": "both population counts ride ONE value-keyed partial-agg shuffle (the focus flag rides the row — no per-source pass, no join); the totals branch REUSES that exchange (ReusedExchange in the final plan) and the CDF window runs over the bounded distinct-value relation, never the corpus.",
     "x_chi2_keyness": "one token-keyed partial-agg shuffle carries BOTH population counts; totals are a single-row broadcast cross join; chi2 scoring is a map-side projection over the vocab-bounded relation and TakeOrdered caps the ranking before the row_number window.",
+    "x_split_leakage_safe": "the cluster relation (dup-evidence-sized) joins as a broadcast left-outer; split assignment is a pure md5 projection below the rollup, so the only corpus-sized exchanges are the distinct-cluster pair — assignment never shuffles the corpus on anything but the 5-way split key.",
+    "x_domain_mix": "ONE corpus scan: the per-source profile partial-aggregates below its source-keyed exchange, and BOTH totals (token sum + source count, then the resampled-token sum) ride windows over the |sources|-row relation sharing a single SinglePartition exchange — the cross-join formulation re-scanned the corpus once per total.",
+    "x_curriculum_order": "one corpus scan feeds the lang-partitioned ntile window, and the (lang, stage) rollup's clustering is satisfied by the window's lang partitioning — the final plan holds exactly ONE Exchange; difficulty ties break on a content hash, so stage membership is rank-exact with no FP boundary.",
 }
 
 
