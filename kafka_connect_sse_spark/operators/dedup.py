@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 from ..io import load_table
 from ..registry import register
@@ -1068,5 +1069,91 @@ def x_dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
             ratio.alias("dup_ratio"),
             (ratio >= F.lit(SPAN_DROP_RATIO)).alias("drop_doc"),
+        )
+    )
+
+
+@register(
+    "x_source_overlap",
+    oracle=f"""
+    WITH t AS (SELECT source, str_split(text, ' ') AS l FROM documents),
+    sh AS (SELECT source,
+             CASE WHEN len(l) >= {SHINGLE_K} THEN
+               list_distinct([array_to_string(l[i:i+{SHINGLE_K - 1}], ' ')
+                              for i in range(1, len(l) - {SHINGLE_K - 2})])
+             ELSE [] END AS s
+           FROM t),
+    ex AS (SELECT DISTINCT source, md5(UNNEST(s)) AS h FROM sh),
+    sizes AS (SELECT source, COUNT(*) AS n FROM ex GROUP BY source),
+    common AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+      FROM ex a JOIN ex b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT c.src_a, c.src_b, c.n_common,
+           sa.n AS n_a, sb.n AS n_b,
+           ROUND(CAST(c.n_common AS DOUBLE)
+                 / (sa.n + sb.n - c.n_common), 6) AS jaccard,
+           ROUND(CAST(c.n_common AS DOUBLE)
+                 / LEAST(sa.n, sb.n), 6) AS containment
+    FROM common c
+    JOIN sizes sa ON sa.source = c.src_a
+    JOIN sizes sb ON sb.source = c.src_b
+    """,
+)
+def x_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level overlap matrix: for every source pair, how much
+    shingle vocabulary they share (Jaccard) and how much of the smaller
+    source is contained in the larger — the data-governance view of the
+    dedup family ("which sources republish each other / mirror a common
+    upstream"), aggregated above document granularity so it works even
+    when no two documents are whole-text identical.
+
+    ONE corpus-sized shuffle: shingles become md5 digests map-side and
+    groupBy(h) with partial collect_set builds per-shingle SOURCE
+    posting lists — bounded by |sources| (tens), never by corpus size,
+    so there is no hot-postings problem (contrast x_containment_dedup,
+    whose doc-id posting lists need a max_df cap).  Ordered pairs expand
+    map-side from each sorted posting list (two Generates); pair counts
+    partial-aggregate on a key space bounded by |sources|²; per-source
+    vocabulary sizes come from re-exploding the posting relation
+    (|shingle vocab|-sized, NOT the corpus) and the final joins are
+    |sources|-row broadcasts."""
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select(
+        "source", F.explode(shingle_array(F.col("text"))).alias("g")
+    ).select("source", F.md5("g").alias("h"))
+    posting = (
+        ex.groupBy("h")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .localCheckpoint()
+    )
+    sizes = (
+        posting.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
+    common = (
+        posting.filter(F.size("srcs") >= 2)
+        .select(F.explode("srcs").alias("src_a"), "srcs")
+        .select("src_a", F.explode("srcs").alias("src_b"))
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    nc = F.col("n_common").cast("double")
+    return (
+        common.join(broadcast(sa), "src_a")
+        .join(broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(nc / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6)
+                .alias("jaccard"),
+            F.round(nc / F.least("n_a", "n_b"), 6).alias("containment"),
         )
     )

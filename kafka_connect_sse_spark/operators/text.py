@@ -1099,3 +1099,107 @@ def x_chi2_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy(F.col("chi2").desc(), "w").limit(CHI2_TOP)
     w = Window.orderBy(F.col("chi2").desc(), "w")
     return top.select("*", F.row_number().over(w).alias("rnk"))
+
+
+# Okapi BM25: standard constants, a fixed query term set present in the
+# fixture vocabulary, and a bounded ranked output.
+BM25_TERMS = ("join", "hash", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 20
+
+
+def _bm25_tf_sql(term: str, i: int) -> str:
+    return f"len(list_filter(l, x -> x = '{term}')) AS tf{i}"
+
+
+def _bm25_contrib_sql(i: int) -> str:
+    return (
+        f"ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0) "
+        f"* (tf{i} * ({BM25_K1} + 1.0)) "
+        f"/ (tf{i} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))"
+    )
+
+
+@register(
+    "x_bm25_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents),
+    f AS (SELECT doc_id, len(l) AS dl,
+                 {', '.join(_bm25_tf_sql(t, i) for i, t in enumerate(BM25_TERMS))}
+          FROM t),
+    s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                 {', '.join(f'CAST(COUNT(CASE WHEN tf{i} > 0 THEN 1 END) AS DOUBLE) AS df{i}' for i in range(len(BM25_TERMS)))}
+          FROM f)
+    SELECT doc_id, dl,
+           ROUND({' + '.join(_bm25_contrib_sql(i) for i in range(len(BM25_TERMS)))}, 6)
+               AS bm25
+    FROM f, s
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {BM25_TOP}
+    """,
+)
+def x_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 document ranking for a fixed query term set — the
+    retrieval scorer that turns the corpus into a searchable index-side
+    relevance ranking (tf saturation via k1, length normalization via
+    b; the statistic behind Lucene/Elasticsearch default scoring).
+
+    Term frequencies come from list_filter over the token array —
+    MAP-SIDE, no explode, no token shuffle; the only aggregates are the
+    single-row corpus statistics (N, avgdl, per-term document
+    frequencies) that broadcast back onto the per-document relation
+    (x_skew_profile pattern — the corpus parquet is scanned once per
+    branch, both column-pruned to `text`).  The per-term contributions
+    sum in fixed textual order in BOTH engines, so the double arithmetic
+    is bit-identical; ranking orders on the ROUNDED score with a doc_id
+    tiebreak and TakeOrderedAndProject caps the output at {BM25_TOP}
+    rows (per-task heaps, no global sort)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+
+    def tf(term: str):
+        # arity-1 lambda via factory: a two-parameter lambda (even with a
+        # default) makes Spark bind the second param to the ARRAY INDEX
+        # (the _min_seeded_hash trap in dedup.py).
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    f = d.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[tf(t).alias(f"tf{i}") for i, t in enumerate(BM25_TERMS)],
+    )
+    s = f.agg(
+        F.count("*").cast("double").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.count(F.when(F.col(f"tf{i}") > 0, F.lit(1)))
+            .cast("double")
+            .alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+
+    def contrib(i: int):
+        idf = F.log(
+            (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+            + 1.0
+        )
+        sat = (F.col(f"tf{i}") * (BM25_K1 + 1.0)) / (
+            F.col(f"tf{i}")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+        return idf * sat
+
+    score = contrib(0)
+    for i in range(1, len(BM25_TERMS)):
+        score = score + contrib(i)
+    from pyspark.sql.functions import broadcast
+
+    return (
+        f.crossJoin(broadcast(s))
+        .select("doc_id", "dl", F.round(score, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOP)
+    )

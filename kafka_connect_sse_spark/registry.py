@@ -93,8 +93,9 @@ def register(name: str, oracle: str | None = None):
 # rounds.
 #
 # Round-8 window composition (50 entries): every operator whose CODE or
-# PLAN changed this round leads — the 10 new ops
-# (x_split_leakage_safe / x_domain_mix / x_curriculum_order from the
+# PLAN changed this round leads — the 12 new ops
+# (x_bm25_score / x_source_overlap / x_split_leakage_safe /
+# x_domain_mix / x_curriculum_order from the
 # second round-8 continuation, then x_ks_drift / x_chi2_keyness /
 # x_zipf_fit / x_cooccur_pmi / x_cms_heavy_hitters from the first
 # continuation, then x_dedup_span /
@@ -108,9 +109,9 @@ def register(name: str, oracle: str | None = None):
 # records attest pre-rewrite plans, so they re-attest here) —
 # x_seq_tensorize (md5-bound-once tokenizer rewrite, continuation) is
 # ALSO code-modified and holds its window seat in the r4 tail.  Then
-# the 3 r3 rows round 7 deferred (standing contract), then 28 of the
+# the 3 r3 rows round 7 deferred (standing contract), then 26 of the
 # 46-op r4 cohort (x_word_entropy and x_contam_estimate are cohort
-# members already seated in the head).  The 16 deferred r4 rows are
+# members already seated in the head).  The 18 deferred r4 rows are
 # code-UNMODIFIED this round — their r4 driver records still attest
 # exactly the code that runs — and carry the strongest independent
 # current-code evidence (multimodal decode family: exact-integer
@@ -121,8 +122,10 @@ def register(name: str, oracle: str | None = None):
 # u_arrow_map / x_ann_rerank / q_ts_downsample: plan pins in
 # tests/test_plans.py; x_embed_quantize: tests/test_pipeline_ops.py +
 # plan pin; x_data_card / x_dedup_prefix / x_hard_negatives:
-# planted-corpus behavioral tests in tests/test_round8_ops.py, written
-# when the second continuation's 3 new ops took their seats), all
+# planted-corpus behavioral tests in tests/test_round8_ops.py;
+# q_join_bloom_prune / q_join_dpp: dedicated plan-shape tests in
+# tests/test_plans.py — all six deferred when the second
+# continuation's 5 new ops took their seats), all
 # green in this round's builder-side full sf0.01 + sf1 sweeps; they
 # LEAD ROUND 9's window ahead of the r5 cohort:
 #   x_multimodal_decode, x_multimodal_audio_decode,
@@ -130,9 +133,11 @@ def register(name: str, oracle: str | None = None):
 #   x_multimodal_resize, snk_avro, s_checkpoint_resume,
 #   x_sample_reservoir, x_interleave_sources, x_embed_quantize,
 #   u_arrow_map, x_ann_rerank, q_ts_downsample, x_data_card,
-#   x_dedup_prefix, x_hard_negatives
+#   x_dedup_prefix, x_hard_negatives, q_join_bloom_prune, q_join_dpp
 _PRIORITY = (
     # new this round — first driver attestation
+    "x_bm25_score",
+    "x_source_overlap",
     "x_split_leakage_safe",
     "x_domain_mix",
     "x_curriculum_order",
@@ -183,8 +188,6 @@ _PRIORITY = (
     "q_fn_xml",
     # -- r4 cohort: joins --
     "q_join_asof_nearest",
-    "q_join_bloom_prune",
-    "q_join_dpp",
     "q_join_null_safe",
     # -- r4 cohort: windows --
     "q_win_count_distinct",

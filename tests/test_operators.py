@@ -103,7 +103,9 @@ def test_round8_driver_window_composition(qs):
     assert window == list(_PRIORITY)
     assert len(_PRIORITY) == 50, "round-8 window must fill all 50 slots"
     # new + this-round-modified operators must attest first
-    assert window[:22] == [
+    assert window[:24] == [
+        "x_bm25_score",
+        "x_source_overlap",
         "x_split_leakage_safe",
         "x_domain_mix",
         "x_curriculum_order",
@@ -157,8 +159,9 @@ def test_round8_driver_window_composition(qs):
         "x_sample_reservoir", "x_interleave_sources", "x_embed_quantize",
         "u_arrow_map", "x_ann_rerank", "q_ts_downsample",
         "x_data_card", "x_dedup_prefix", "x_hard_negatives",
+        "q_join_bloom_prune", "q_join_dpp",
     }
-    assert set(window[22:]) == r4_cohort - in_head - deferred
+    assert set(window[24:]) == r4_cohort - in_head - deferred
     # every window op must carry an oracle (EXACT gate, not rows-only)
     from kafka_connect_sse_spark.registry import oracle_sql
 

@@ -551,3 +551,29 @@ def test_split_leakage_safe_assignment_is_mapside(spark):
     assert "BroadcastHashJoin" in plan and "LeftOuter" in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert len(re.findall(r"\bExchange hash", plan)) == 2, plan
+
+
+def test_bm25_tf_is_mapside_and_topk_is_heap(spark):
+    """x_bm25_score: term frequencies come from list_filter projections —
+    NO Generate (token explode) anywhere; the single-row corpus stats
+    broadcast (BroadcastNestedLoopJoin Cross), ranking is
+    TakeOrderedAndProject, nothing runs in Python."""
+    plan = _final_plan(queries()["x_bm25_score"](spark, SF))
+    assert "Generate" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan and "Cross" in plan, plan
+    assert "TakeOrderedAndProject(limit=20" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_source_overlap_pairs_expand_mapside(spark):
+    """x_source_overlap: the pair relation expands from stored posting
+    lists (Scan ExistingRDD — the corpus-sized shuffle happened once at
+    posting build) via two Generates with the a<b filter below the
+    partial aggregate; per-source sizes join as broadcasts; no Python."""
+    plan = _final_plan(queries()["x_source_overlap"](spark, SF))
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("Generate explode") >= 3, plan  # 2 pair + 1 sizes
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_count" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "FileScan parquet" not in plan, plan  # corpus not re-read

@@ -414,3 +414,38 @@ def test_hard_negatives_picks_closest_other_label(spark, tmp_path, q):
     out = [r for r in q["x_hard_negatives"](spark, sf_dir).collect() if r["query_id"] == 0]
     assert [r["negative_id"] for r in sorted(out, key=lambda r: r["rnk"])] == [10, 11]
     assert all(r["neg_label"] != 0 for r in out)
+
+
+def test_bm25_saturates_tf_and_normalizes_length(spark, tmp_path, q):
+    """Repeating a query term lifts the score sub-linearly (k1
+    saturation), a longer document with the SAME tf scores lower (b
+    length normalization), and a doc with no query terms scores 0."""
+    rows = [
+        (1, "join " * 5 + "x " * 4 + "x", "en", "srcT"),   # tf=5, dl=10
+        (2, "join " + "x " * 8 + "x", "en", "srcT"),        # tf=1, dl=10
+        (3, "join " + "x " * 28 + "x", "en", "srcT"),       # tf=1, dl=30
+        (4, "y " * 9 + "y", "en", "srcT"),                  # tf=0
+    ]
+    out = {r["doc_id"]: r for r in q["x_bm25_score"](spark, _write_docs_src(tmp_path, rows)).collect()}
+    assert out[1]["bm25"] > out[2]["bm25"] > out[3]["bm25"] > out[4]["bm25"]
+    assert out[4]["bm25"] == 0.0
+    # saturation: 5x the tf must NOT give 5x the score
+    assert out[1]["bm25"] < 5 * out[2]["bm25"]
+
+
+def test_source_overlap_finds_shared_shingles_only(spark, tmp_path, q):
+    """srcA and srcB share exactly one 3-shingle ('common phrase here');
+    srcC shares nothing.  Exactly one pair row, with exact Jaccard and
+    containment of the shingle vocabularies."""
+    rows = [
+        (1, "common phrase here tail a", "en", "srcA"),   # 3 shingles
+        (2, "lead b common phrase here", "en", "srcB"),   # 3 shingles
+        (3, "totally different text altogether now", "en", "srcC"),
+    ]
+    out = q["x_source_overlap"](spark, _write_docs_src(tmp_path, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["src_a"], r["src_b"], r["n_common"]) == ("srcA", "srcB", 1)
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert r["jaccard"] == round(1 / 5, 6)
+    assert r["containment"] == round(1 / 3, 6)

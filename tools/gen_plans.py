@@ -51,6 +51,8 @@ COMMENTARY = {
     "x_split_leakage_safe": "the cluster relation (dup-evidence-sized) joins as a broadcast left-outer; split assignment is a pure md5 projection below the rollup, so the only corpus-sized exchanges are the distinct-cluster pair — assignment never shuffles the corpus on anything but the 5-way split key.",
     "x_domain_mix": "ONE corpus scan: the per-source profile partial-aggregates below its source-keyed exchange, and BOTH totals (token sum + source count, then the resampled-token sum) ride windows over the |sources|-row relation sharing a single SinglePartition exchange — the cross-join formulation re-scanned the corpus once per total.",
     "x_curriculum_order": "one corpus scan feeds the lang-partitioned ntile window, and the (lang, stage) rollup's clustering is satisfied by the window's lang partitioning — the final plan holds exactly ONE Exchange; difficulty ties break on a content hash, so stage membership is rank-exact with no FP boundary.",
+    "x_bm25_score": "term frequencies are list_filter projections — NO token explode, the corpus scan stays a map-side feature pass; the single-row stats (N, avgdl, per-term df) broadcast back as a BNLJ cross; per-term contributions sum in fixed textual order (bit-identical doubles across engines) and TakeOrderedAndProject caps the ranking.",
+    "x_source_overlap": "the one corpus-sized shuffle builds per-shingle SOURCE posting lists (collect_set bounded by |sources| — no hot-postings cap needed, unlike doc-id postings); ordered pairs expand map-side from the stored posting relation via two Generates, pair counts partial-aggregate on a |sources|^2-bounded key space, and the size joins broadcast.",
 }
 
 
