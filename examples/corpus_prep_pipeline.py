@@ -15,6 +15,9 @@ The chain a 100 TB data run executes, here runnable at any fixture SF:
       -> health profile      (Zipf slope, PMI collocations, CMS-verified
                               heavy hitters, KS drift + chi2 keyness of
                               the focus source; round-8 continuation)
+      -> mixture + schedule  (DoReMi-lite source reweighting, leakage-safe
+                              cluster split, per-lang curriculum stages;
+                              round-8 second continuation)
       -> parquet shards      (one directory per language)
 
 Every stage is the EXACT-oracle-checked operator from the registry; this
@@ -131,6 +134,23 @@ def main() -> None:
         f"src0 drift: KS={ks['ks_stat']} "
         f"key tokens={[ (r['w'], r['chi2']) for r in key ]}"
     )
+
+    # 6c. mixture + schedule (round-8 second continuation): the sampling
+    # table a mixture-weighted dataloader consumes, the leakage-safe
+    # train/val/test assignment (near-dup clusters never straddle eval),
+    # and the easy-to-hard curriculum stages
+    mix = {r["source"]: r for r in qs["x_domain_mix"](spark, args.sf_dir).collect()}
+    capped = [s for s, r in mix.items() if r["mix_weight"] == 5.0]
+    print(f"domain mix: {len(mix)} sources, {len(capped)} at the 5x cap")
+    splits = {r["split"]: r for r in qs["x_split_leakage_safe"](spark, args.sf_dir).collect()}
+    print(
+        "split:",
+        {k: (v["n_docs"], v["n_clusters"]) for k, v in sorted(splits.items())},
+    )
+    stages = qs["x_curriculum_order"](spark, args.sf_dir)
+    s1 = stages.filter("stage = 1").agg(F.avg("avg_difficulty")).collect()[0][0]
+    s4 = stages.filter("stage = 4").agg(F.avg("avg_difficulty")).collect()[0][0]
+    print(f"curriculum: stage1 mean difficulty {s1:.3f} -> stage4 {s4:.3f}")
 
     # 7. land language-partitioned training shards
     out = os.path.join(args.out, "tensors")
