@@ -124,7 +124,7 @@ def register(name: str, oracle: str | None = None):
 # plan pin; x_data_card / x_dedup_prefix / x_hard_negatives:
 # planted-corpus behavioral tests in tests/test_round8_ops.py;
 # q_join_bloom_prune / q_join_dpp: dedicated plan-shape tests in
-# tests/test_plans.py — all six deferred when the second
+# tests/test_plans.py — all five deferred when the second
 # continuation's 5 new ops took their seats), all
 # green in this round's builder-side full sf0.01 + sf1 sweeps; they
 # LEAD ROUND 9's window ahead of the r5 cohort:
