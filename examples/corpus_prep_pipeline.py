@@ -18,6 +18,14 @@ The chain a 100 TB data run executes, here runnable at any fixture SF:
       -> mixture + schedule  (DoReMi-lite source reweighting, leakage-safe
                               cluster split, per-lang curriculum stages;
                               round-8 second continuation)
+      -> selection + shape   (logistic quality classifier, DSIR
+                              importance resampling toward the target
+                              domain, pad-to-bin waste pricing, SemDeDup
+                              cells, dup-graph degree profile; round-8
+                              third continuation)
+      -> corpus economics    (vocab-coverage/OOV curve, per-source
+                              novelty attribution, tokenizer fertility;
+                              round-8 fourth continuation)
       -> parquet shards      (one directory per language)
 
 Every stage is the EXACT-oracle-checked operator from the registry; this
@@ -151,6 +159,37 @@ def main() -> None:
     s1 = stages.filter("stage = 1").agg(F.avg("avg_difficulty")).collect()[0][0]
     s4 = stages.filter("stage = 4").agg(F.avg("avg_difficulty")).collect()[0][0]
     print(f"curriculum: stage1 mean difficulty {s1:.3f} -> stage4 {s4:.3f}")
+
+    # 6d. selection + batch shape (round-8 third continuation): the
+    # model-based quality gate, DSIR selection toward the target domain,
+    # the pad-vs-pack price sheet, and the two dedup-structure views
+    qc = qs["x_quality_classifier"](spark, args.sf_dir)
+    kept = qc.filter("keep").count()
+    print(f"quality classifier: kept {kept}/{qc.count()}")
+    dsir = qs["x_importance_resample"](spark, args.sf_dir).limit(3).collect()
+    print("DSIR top docs:", [(r["doc_id"], r["log_weight"]) for r in dsir])
+    for r in qs["x_pack_efficiency"](spark, args.sf_dir).collect():
+        print(
+            f"bin<={r['bin_cap']}: {r['n_docs']} docs, "
+            f"pad waste {r['pad_waste']:.1%}"
+        )
+    sem = qs["x_dedup_semantic"](spark, args.sf_dir)
+    print(f"SemDeDup: dropped {sem.filter('dropped').count()}/{sem.count()}")
+    degs = qs["x_dup_graph_degree"](spark, args.sf_dir).collect()
+    print("dup-graph degrees:", sorted((r["degree"], r["n_docs"]) for r in degs))
+
+    # 6e. corpus economics (round-8 fourth continuation): vocabulary
+    # sizing, per-source marginal value, tokenizer cost by language
+    cov = sorted(
+        qs["x_vocab_coverage"](spark, args.sf_dir).collect(),
+        key=lambda r: r["k"],
+    )
+    print("vocab coverage:", [(r["k"], r["coverage"]) for r in cov])
+    novel = qs["x_source_novelty"](spark, args.sf_dir)
+    top_novel = novel.orderBy(F.col("novelty_ratio").desc(), "source").limit(3).collect()
+    print("most novel sources:", [(r["source"], r["novelty_ratio"]) for r in top_novel])
+    fert = {r["lang"]: r["fertility"] for r in qs["x_tokenizer_fertility"](spark, args.sf_dir).collect()}
+    print("tokenizer fertility by lang:", dict(sorted(fert.items())))
 
     # 7. land language-partitioned training shards
     out = os.path.join(args.out, "tensors")

@@ -1157,3 +1157,214 @@ def x_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(nc / F.least("n_a", "n_b"), 6).alias("containment"),
         )
     )
+
+
+# SemDeDup (Abbas et al. 2023): k-means-cluster the embedding space,
+# then dedup ONLY within clusters.  Centroids are seeded from the K
+# lowest vec_ids and refined by ONE Lloyd step (element-wise member
+# mean, rounded to 6 decimals so the refined coordinates are identical
+# across engines before any downstream cosine touches them).
+SEM_K = 8
+SEM_TAU = 0.35
+SEM_SAMPLE = 300
+_COS = (
+    "ROUND(list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+@register(
+    "x_dedup_semantic",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+               FROM embeddings WHERE vec_id < {SEM_SAMPLE}),
+    c0 AS (SELECT vec_id AS cid, e AS c FROM v WHERE vec_id < {SEM_K}),
+    a0 AS (
+      SELECT vec_id, e, cell0 FROM (
+        SELECT v.vec_id, v.e, c0.cid AS cell0,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_COS.format(a='v.e', b='c0.c')} DESC, c0.cid
+               ) AS rk
+        FROM v, c0) WHERE rk = 1),
+    exd AS (SELECT cell0, g.i AS i, e[g.i] AS val
+            FROM a0, UNNEST(generate_series(1, len(e))) AS g(i)),
+    cm AS (SELECT cell0, i, ROUND(AVG(val), 6) AS cv
+           FROM exd GROUP BY cell0, i),
+    c1 AS (SELECT cell0 AS cid, list(cv ORDER BY i) AS c
+           FROM cm GROUP BY cell0),
+    a1 AS (
+      SELECT vec_id, e, cell, cos_c FROM (
+        SELECT v.vec_id, v.e, c1.cid AS cell,
+               {_COS.format(a='v.e', b='c1.c')} AS cos_c,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_COS.format(a='v.e', b='c1.c')} DESC, c1.cid
+               ) AS rk
+        FROM v, c1) WHERE rk = 1),
+    nb AS (
+      SELECT DISTINCT a.vec_id
+      FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      WHERE {_COS.format(a='a.e', b='b.e')} >= {SEM_TAU}
+        AND (b.cos_c < a.cos_c
+             OR (b.cos_c = a.cos_c AND b.vec_id < a.vec_id)))
+    SELECT a1.vec_id, a1.cell, a1.cos_c,
+           (nb.vec_id IS NOT NULL) AS dropped
+    FROM a1 LEFT JOIN nb ON nb.vec_id = a1.vec_id
+    """,
+)
+def x_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic deduplication: k-means cells
+    bound the pairwise work, then near-identical embeddings WITHIN a cell
+    are deduplicated keeping the member FARTHEST from the centroid (the
+    paper's keep-low-centroid-similarity rule, tiebroken on vec_id).
+    Distinct from x_dedup_near_embedding (global pairwise over a bounded
+    sample) and x_sim_topk_ivf (cell-probed SEARCH): this is the
+    cluster-scoped dedup pipeline — assignment, one Lloyd refinement
+    step, in-cell pairwise, survivor policy — end to end.
+
+    Cross-engine exactness: refined centroid coordinates are element-wise
+    member means ROUNDED to 6 decimals before any cosine; every cosine is
+    rounded to 6; assignment ranks (rounded cosine DESC, centroid id);
+    the drop rule is a pure comparison on those rounded values.
+
+    100 TB posture: K scales as N/target_cell_size so in-cell pairwise
+    stays bounded (the paper runs K=50k over 5B embeddings); assignment
+    is a broadcast cross join against the K-row centroid relation +
+    one row_number window keyed on vec_id; the Lloyd step is a
+    posexplode -> (cell, dim) partial agg (K x dim groups) -> rebuild.
+    Here the sample is bounded at {SEM_SAMPLE} vectors / K={SEM_K} so the
+    EXACT all-pairs-in-cell form is checkable at every SF."""
+    from pyspark.sql import Window
+
+    from .similarity import _as_double, dot
+
+    v = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < SEM_SAMPLE)
+        .select("vec_id", _as_double(F.col("embedding")).alias("e"))
+    )
+    c0 = v.filter(F.col("vec_id") < SEM_K).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("c")
+    )
+
+    def cos(a, b):
+        return F.round(dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))), 6)
+
+    w0 = Window.partitionBy("vec_id").orderBy(F.col("cos0").desc(), "cid")
+    a0 = (
+        v.crossJoin(broadcast(c0))
+        .select(
+            "vec_id", "e", "cid", cos(F.col("e"), F.col("c")).alias("cos0")
+        )
+        .withColumn("rk", F.row_number().over(w0))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "e", F.col("cid").alias("cell0"))
+    )
+    exd = a0.select("cell0", F.posexplode("e").alias("i", "val"))
+    c1 = (
+        exd.groupBy("cell0", "i")
+        .agg(F.round(F.avg("val"), 6).alias("cv"))
+        .groupBy("cell0")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cv"))).alias("sc"))
+        .select(F.col("cell0").alias("cid"), F.col("sc.cv").alias("c"))
+    )
+    w1 = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), "cid")
+    a1 = (
+        v.crossJoin(broadcast(c1))
+        .select(
+            "vec_id", "e", "cid", cos(F.col("e"), F.col("c")).alias("cos_c")
+        )
+        .withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "e", F.col("cid").alias("cell"), "cos_c")
+    )
+    left = a1.select(
+        F.col("vec_id").alias("va"),
+        F.col("e").alias("ea"),
+        "cell",
+        F.col("cos_c").alias("ca"),
+    )
+    right = a1.select(
+        F.col("vec_id").alias("vb"),
+        F.col("e").alias("eb"),
+        "cell",
+        F.col("cos_c").alias("cb"),
+    )
+    nb = (
+        left.join(right, "cell")
+        .filter(F.col("va") != F.col("vb"))
+        .filter(cos(F.col("ea"), F.col("eb")) >= SEM_TAU)
+        .filter(
+            (F.col("cb") < F.col("ca"))
+            | ((F.col("cb") == F.col("ca")) & (F.col("vb") < F.col("va")))
+        )
+        .select(F.col("va").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return a1.join(broadcast(nb), "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        "cos_c",
+        F.coalesce("dropped", F.lit(False)).alias("dropped"),
+    )
+
+
+@register(
+    "x_dup_graph_degree",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents),
+    sh AS (SELECT doc_id,
+             CASE WHEN len(l) >= {SHINGLE_K} THEN
+               list_distinct([array_to_string(l[i:i+{SHINGLE_K - 1}], ' ')
+                              for i in range(1, len(l) - {SHINGLE_K - 2})])
+             ELSE [] END AS s
+           FROM t),
+    ex AS (SELECT doc_id, len(s) AS ns, UNNEST(s) AS g FROM sh),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             ANY_VALUE(a.ns) AS na, ANY_VALUE(b.ns) AS nb, COUNT(*) AS c
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (SELECT doc_a, doc_b FROM common
+              WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5),
+    ends AS (SELECT doc_a AS doc_id FROM pairs
+             UNION ALL SELECT doc_b AS doc_id FROM pairs),
+    deg AS (SELECT doc_id, COUNT(*) AS degree FROM ends GROUP BY doc_id),
+    alld AS (SELECT d.doc_id, COALESCE(g.degree, 0) AS degree
+             FROM documents d LEFT JOIN deg g ON g.doc_id = d.doc_id)
+    SELECT degree, COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS ids_sum
+    FROM alld GROUP BY degree
+    """,
+)
+def x_dup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-graph degree profile: how many >= 0.5-Jaccard near-dup
+    partners each document has, histogrammed over the WHOLE corpus
+    (degree 0 = unique documents) — the corpus-duplication-structure
+    statistic that decides how aggressive dedup must be (a long-degree
+    tail means template/boilerplate families; a thin one means isolated
+    copies).  Edges come from the same banded-MinHash candidate + exact
+    verify pipeline as x_dedup_near_minhash (its recall contract — seeded
+    hash family, tests/test_minhash_recall.py — carries over verbatim);
+    the ids_sum checksum pins that both engines put the SAME documents in
+    each degree bucket.
+
+    100 TB posture: the edge relation is dup-evidence-sized (tiny vs the
+    corpus), so its degree count and the broadcast back onto the
+    documents spine add one small shuffle on doc_id + one partial-agg
+    shuffle on degree to the minhash pipeline's cost."""
+    pairs = x_dedup_near_minhash(spark, sf_dir)
+    ends = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(F.count("*").alias("degree"))
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    alld = d.join(broadcast(deg), "doc_id", "left").select(
+        "doc_id", F.coalesce("degree", F.lit(0)).alias("degree")
+    )
+    return alld.groupBy("degree").agg(
+        F.count("*").alias("n_docs"), F.sum("doc_id").alias("ids_sum")
+    )

@@ -1081,3 +1081,201 @@ def x_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("ids_sum"),
         F.round(F.avg("difficulty"), 6).alias("avg_difficulty"),
     )
+
+
+# DSIR-style importance resampling: hashed-unigram bucket count
+# (Xie et al. 2023, "Data Selection for Language Models via Importance
+# Resampling").  256 buckets = first two hex chars of md5(token); the
+# per-bucket log importance ratio is rounded to 6 decimals and carried
+# as DECIMAL so the per-document weight is an exact associative decimal
+# sum — no order-dependent double accumulation crosses the engines.
+DSIR_BUCKETS = 256
+DSIR_TARGET_LANG = "en"
+DSIR_TOP = 100
+
+
+@register(
+    "x_importance_resample",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, str_split(text, ' ') AS l
+               FROM documents),
+    ex AS (SELECT doc_id, lang,
+                  ('0x' || substr(md5(g), 1, 2))::INT AS b
+           FROM (SELECT doc_id, lang, UNNEST(l) AS g FROM t)),
+    doc AS (SELECT doc_id, lang, b, COUNT(*) AS cnt
+            FROM ex GROUP BY doc_id, lang, b),
+    prof AS (SELECT b, SUM(cnt) AS cr,
+                    COALESCE(SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}'
+                                      THEN cnt END), 0) AS ct
+             FROM doc GROUP BY b),
+    lw AS (SELECT b,
+                  CAST(ROUND(LN(((ct + 1.0)
+                                 / (SUM(ct) OVER () + {DSIR_BUCKETS}.0))
+                                / ((cr + 1.0)
+                                   / (SUM(cr) OVER () + {DSIR_BUCKETS}.0))),
+                             6) AS DECIMAL(12,6)) AS lw
+           FROM prof)
+    SELECT d.doc_id,
+           CAST(SUM(d.cnt) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(d.cnt * l.lw) AS DOUBLE), 6) AS log_weight
+    FROM doc d JOIN lw l ON l.b = d.b
+    GROUP BY d.doc_id
+    ORDER BY log_weight DESC, d.doc_id
+    LIMIT {DSIR_TOP}
+    """,
+)
+def x_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling: rank raw documents by how much their
+    hashed-unigram profile looks like a target domain (here: the corpus's
+    `{en}` slice) relative to the raw pool — the data-selection statistic
+    of Xie et al. 2023.  Per-bucket importance ratio = smoothed
+    P_target(bucket) / P_raw(bucket); a document's log weight is the sum
+    of its token-occurrence log ratios; the top-{100} weighted documents
+    are the selected training subset.
+
+    Cross-engine exactness: each bucket's log ratio is rounded to 6
+    decimals and cast to DECIMAL(12,6) BEFORE the per-document sum, so
+    the sum is exact decimal arithmetic — associative, order-free — in
+    both engines; the REPORTED weight is that exact decimal cast to
+    double (deterministic nearest) and ties break on doc_id.
+
+    100 TB posture: ONE corpus scan/explode feeds a map-side-combined
+    (doc_id, bucket) count whose fan-in is bounded by 256 buckets per
+    document; the bucket profile rolls up from that relation (256 rows,
+    windowed totals — x_domain_mix pattern), broadcasts back onto it,
+    and the ranking is TakeOrderedAndProject (per-task heaps).  The
+    hashed feature space is fixed at 256 buckets at ANY corpus size —
+    that dimensionality independence is the point of DSIR's hashing."""
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.col("text"), " ")).alias("g"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.conv(F.substring(F.md5(F.col("g")), 1, 2), 16, 10)
+        .cast("int")
+        .alias("b"),
+    )
+    # persist the (doc, bucket) counts: the profile AND the weight sum both
+    # consume this relation, and AQE plans the broadcast branch as its own
+    # stage (no cross-stage exchange reuse) — without the persist the
+    # corpus would be exploded twice.  Bounded: <= 256 rows per document.
+    doc = (
+        ex.groupBy("doc_id", "lang", "b")
+        .agg(F.count("*").alias("cnt"))
+        .persist()
+    )
+    prof = doc.groupBy("b").agg(
+        F.sum("cnt").alias("cr"),
+        F.coalesce(
+            F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("cnt"))),
+            F.lit(0),
+        ).alias("ct"),
+    )
+    wall = Window.partitionBy()
+    lw = prof.select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("ct") + 1.0) / (F.sum("ct").over(wall) + float(DSIR_BUCKETS)))
+                / ((F.col("cr") + 1.0) / (F.sum("cr").over(wall) + float(DSIR_BUCKETS)))
+            ),
+            6,
+        )
+        .cast("decimal(12,6)")
+        .alias("lw"),
+    )
+    out = (
+        doc.join(broadcast(lw), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("lw")).cast("double"), 6
+            ).alias("log_weight"),
+        )
+        .orderBy(F.col("log_weight").desc(), "doc_id")
+        .limit(DSIR_TOP)
+    )
+    try:
+        # eager localCheckpoint materializes the DSIR_TOP-row result so the
+        # persisted bucket counts release before returning (minhash pattern)
+        return out.localCheckpoint(eager=True)
+    finally:
+        doc.unpersist()
+
+
+# pack-efficiency bins: pow-2 token-length buckets (fixture docs are
+# 10..99 whitespace tokens; 256 is the open-top catch-all)
+PACK_BINS = (16, 32, 64, 128, 256)
+PACK_BIN_TOP = 256
+
+
+@register(
+    "x_pack_efficiency",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, len(str_split(text, ' ')) AS n
+               FROM documents),
+    b AS (SELECT doc_id, n,
+                 CASE WHEN n <= 16 THEN 16
+                      WHEN n <= 32 THEN 32
+                      WHEN n <= 64 THEN 64
+                      WHEN n <= 128 THEN 128
+                      ELSE {PACK_BIN_TOP} END AS bin_cap
+          FROM t),
+    g AS (SELECT bin_cap, COUNT(*) AS n_docs,
+                 CAST(SUM(n) AS BIGINT) AS sum_tokens
+          FROM b GROUP BY bin_cap)
+    SELECT bin_cap, n_docs, sum_tokens,
+           CAST(n_docs * bin_cap AS BIGINT) AS padded_tokens,
+           ROUND(1.0 - CAST(sum_tokens AS DOUBLE) / (n_docs * bin_cap), 6)
+               AS pad_waste,
+           ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 6)
+               AS doc_share
+    FROM g
+    """,
+)
+def x_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-shape planning statistic: bucket documents into power-of-two
+    token-length bins and measure the padding waste of pad-to-bin
+    batching per bin — the histogram a training dataloader consults to
+    pick bucketed-batching boundaries (versus the concat-and-chunk
+    packing that x_seq_pack materializes).  pad_waste = 1 - sum_tokens /
+    (n_docs * bin_cap): the fraction of every padded batch that would be
+    pad tokens if this bin were padded to its cap.
+
+    100 TB posture: one map-side token count + one partial-agg shuffle
+    onto |bins| (= {len(PACK_BINS)}) groups; the share column is a window
+    over the |bins|-row relation.  No explode — the token count is
+    len(split), a codegen'd projection."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.col("text"), " "))
+    bin_cap = (
+        F.when(n <= 16, 16)
+        .when(n <= 32, 32)
+        .when(n <= 64, 64)
+        .when(n <= 128, 128)
+        .otherwise(PACK_BIN_TOP)
+    )
+    g = d.select(n.alias("n"), bin_cap.alias("bin_cap")).groupBy("bin_cap").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").alias("sum_tokens"),
+    )
+    wall = Window.partitionBy()
+    return g.select(
+        "bin_cap",
+        "n_docs",
+        "sum_tokens",
+        (F.col("n_docs") * F.col("bin_cap")).cast("long").alias("padded_tokens"),
+        F.round(
+            F.lit(1.0)
+            - F.col("sum_tokens").cast("double")
+            / (F.col("n_docs") * F.col("bin_cap")),
+            6,
+        ).alias("pad_waste"),
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(wall), 6
+        ).alias("doc_share"),
+    )

@@ -839,3 +839,85 @@ def x_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("*", F.row_number().over(w).alias("rnk")).filter(
         F.col("rnk") <= TOP_K
     )
+
+
+# embedding-space outlier detection: flag the top (1 - OUT_QUANT)
+# fraction farthest from the global centroid (rank-based order
+# statistic — no interpolated percentile for the engines to disagree on)
+OUT_QUANT = 0.99
+
+
+@register(
+    "x_embed_outliers",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    exd AS (SELECT g.i AS i, e[g.i] AS val
+            FROM v, UNNEST(generate_series(1, len(e))) AS g(i)),
+    cm AS (SELECT i, ROUND(AVG(val), 6) AS cv FROM exd GROUP BY i),
+    c AS (SELECT list(cv ORDER BY i) AS c FROM cm),
+    d AS (SELECT vec_id,
+                 ROUND(SQRT(list_dot_product(v.e, v.e)
+                            - 2 * list_dot_product(v.e, c.c)
+                            + list_dot_product(c.c, c.c)), 6) AS dist
+          FROM v, c),
+    r AS (SELECT vec_id, dist,
+                 ROW_NUMBER() OVER (ORDER BY dist, vec_id) AS rnk,
+                 COUNT(*) OVER () AS n
+          FROM d)
+    SELECT vec_id, dist,
+           rnk > CEIL({OUT_QUANT} * n) AS is_outlier
+    FROM r
+    """,
+)
+def x_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection: distance of every vector to the
+    global centroid, with the farthest (1 - {OUT_QUANT}) fraction flagged
+    — the embedding-hygiene filter that catches mis-encoded / off-
+    distribution vectors before they poison ANN indexes or semantic
+    dedup (complements x_embed_norms' per-vector hygiene with a
+    DISTRIBUTIONAL check).
+
+    Cross-engine exactness: centroid coordinates are element-wise means
+    rounded to 6 dp (x_dedup_semantic discipline); the distance uses the
+    expanded form sqrt(x.x - 2 x.c + c.c) — three fixed-order
+    list_dot_product folds, identical in both engines — rounded to 6;
+    the outlier cut is a RANK (rnk > ceil(q*n), ties on vec_id), never
+    an interpolated percentile, so no FP boundary exists.
+
+    100 TB posture: the centroid is a posexplode -> per-dimension
+    partial agg (dim-bounded groups) that broadcasts back as one row;
+    the rank window is global BUT over the embedding table (orders of
+    magnitude smaller than the corpus) — at larger N the documented
+    swap is approx_percentile thresholding with the same output
+    contract."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    exd = v.select(F.posexplode("e").alias("i", "val"))
+    cm = exd.groupBy("i").agg(F.round(F.avg("val"), 6).alias("cv"))
+    c = cm.agg(
+        F.array_sort(F.collect_list(F.struct("i", "cv"))).alias("sc")
+    ).select(F.col("sc.cv").alias("c"))
+    d = v.crossJoin(broadcast(c)).select(
+        "vec_id",
+        F.round(
+            F.sqrt(
+                dot(F.col("e"), F.col("e"))
+                - 2 * dot(F.col("e"), F.col("c"))
+                + dot(F.col("c"), F.col("c"))
+            ),
+            6,
+        ).alias("dist"),
+    )
+    w = Window.partitionBy().orderBy("dist", "vec_id")
+    r = d.select(
+        "vec_id",
+        "dist",
+        F.row_number().over(w).alias("rnk"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    return r.select(
+        "vec_id",
+        "dist",
+        (F.col("rnk") > F.ceil(OUT_QUANT * F.col("n"))).alias("is_outlier"),
+    )

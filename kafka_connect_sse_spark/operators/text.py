@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 from ..io import load_table
 from ..registry import register
@@ -1202,4 +1203,290 @@ def x_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "dl", F.round(score, 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(BM25_TOP)
+    )
+
+
+# x_quality_classifier: fixed linear-model weights (a stand-in for a
+# trained fastText/logistic quality classifier — the shape, broadcast
+# weights over engineered features, is what matters; swap the constants
+# for learned ones).  Decision threshold is z >= 0 on the UNROUNDED
+# logit: the sign test is pure +-*/ arithmetic in one fixed textual
+# order, so it is bit-identical across engines — thresholding the
+# sigmoid output would put the flag one libm exp() ulp away from
+# disagreement.
+QC_BIAS = -2.0
+QC_W_LEN = 3.0
+QC_W_STOP = 4.0
+QC_W_DISTINCT = 2.0
+QC_W_WORDLEN = -0.5
+
+
+@register(
+    "x_quality_classifier",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, lang,
+             LEAST(1.0, len(str_split(text, ' ')) / 100.0) AS ls,
+             CAST(len(list_filter(str_split(text, ' '),
+                                  t -> list_contains({_STOP_SQL!s}, t)))
+                  AS DOUBLE) / len(str_split(text, ' ')) AS sr,
+             CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+                  / len(str_split(text, ' ')) AS dr,
+             (CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                  / len(str_split(text, ' '))) / 10.0 AS al
+      FROM documents),
+    z AS (
+      SELECT doc_id, lang,
+             {QC_BIAS} + {QC_W_LEN} * ls + {QC_W_STOP} * sr
+                 + {QC_W_DISTINCT} * dr + ({QC_W_WORDLEN}) * al AS z
+      FROM f)
+    SELECT doc_id, lang,
+           ROUND(1.0 / (1.0 + EXP(-z)), 6) AS quality_prob,
+           z >= 0.0 AS keep
+    FROM z
+    """,
+)
+def x_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: a logistic scorer over engineered
+    text features (length score, stopword ratio, distinct-token ratio,
+    mean word length) — the GPT-3/CCNet-style "quality classifier" stage
+    that follows the raw heuristics of x_quality_score.  The weights are
+    fixed public constants standing in for a trained model; the
+    execution shape — per-row dot product of a broadcast weight vector
+    with codegen'd features, zero shuffles, zero Python — is exactly the
+    production one.
+
+    Cross-engine exactness: the keep flag thresholds the raw logit at 0
+    (pure fixed-order arithmetic, bit-identical); only the REPORTED
+    probability goes through exp(), and it is rounded to 6 decimals.
+
+    100 TB posture: map-only projection over the pruned `text` column;
+    pushdown-friendly, no state, embarrassingly parallel."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    ls = F.least(F.lit(1.0), n / 100.0)
+    sr = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
+        "double"
+    ) / n
+    dr = F.size(F.array_distinct(toks)).cast("double") / n
+    al = (
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+        / n
+    ) / 10.0
+    z = (
+        F.lit(QC_BIAS)
+        + F.lit(QC_W_LEN) * ls
+        + F.lit(QC_W_STOP) * sr
+        + F.lit(QC_W_DISTINCT) * dr
+        + F.lit(QC_W_WORDLEN) * al
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("quality_prob"),
+        (z >= 0.0).alias("keep"),
+    )
+
+
+# vocabulary-coverage curve: ranks at which the cumulative frequency of
+# the top-k tokens is measured (the tokenizer-design / OOV statistic)
+VOCAB_KS = (100, 1000, 10000)
+VOCAB_K_MAX = 10000
+
+
+@register(
+    "x_vocab_coverage",
+    oracle=f"""
+    WITH tf AS (
+      SELECT g AS tok, COUNT(*) AS cnt
+      FROM (SELECT UNNEST(str_split(text, ' ')) AS g FROM documents)
+      GROUP BY g),
+    top AS (
+      SELECT tok, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rnk
+      FROM tf QUALIFY rnk <= {VOCAB_K_MAX}),
+    tot AS (SELECT CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS total
+            FROM documents),
+    ks AS (SELECT UNNEST([{', '.join(str(k) for k in VOCAB_KS)}]) AS k)
+    SELECT ks.k,
+           COUNT(*) AS n_top_tokens,
+           CAST(SUM(top.cnt) AS BIGINT) AS covered_tokens,
+           ANY_VALUE(tot.total) AS total_tokens,
+           ROUND(CAST(SUM(top.cnt) AS DOUBLE)
+                 / CAST(ANY_VALUE(tot.total) AS DOUBLE), 6) AS coverage
+    FROM ks JOIN top ON top.rnk <= ks.k, tot
+    GROUP BY ks.k
+    """,
+)
+def x_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage / OOV curve: the fraction of all token
+    occurrences covered by the top-k most frequent tokens, at k in
+    {VOCAB_KS} — the statistic that sizes a tokenizer's vocabulary
+    (coverage at k IS 1 - OOV rate under a k-entry word vocab).
+
+    100 TB posture: the only corpus-sized stages are one vocab-bounded
+    partial-agg shuffle and one len(split) sum (no second explode); the
+    top-{VOCAB_K_MAX} cut is TakeOrderedAndProject (per-task heaps), and
+    every window/join after runs on the {VOCAB_K_MAX}-row relation.
+    Frequency ties rank lexicographically so the cut is deterministic in
+    both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = tf.orderBy(F.col("cnt").desc(), "tok").limit(VOCAB_K_MAX)
+    from pyspark.sql import Window
+
+    rnk = F.row_number().over(
+        Window.partitionBy().orderBy(F.col("cnt").desc(), "tok")
+    )
+    ranked = top.select("tok", "cnt", rnk.alias("rnk"))
+    tot = d.agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("total")
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in VOCAB_KS])).alias("k")
+    )
+    return (
+        ks.join(ranked, ranked.rnk <= ks.k)
+        .crossJoin(broadcast(tot))
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_top_tokens"),
+            F.sum("cnt").alias("covered_tokens"),
+            F.any_value("total").alias("total_tokens"),
+            F.round(
+                F.sum("cnt").cast("double")
+                / F.any_value("total").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+    )
+
+
+@register(
+    "x_source_novelty",
+    oracle=f"""
+    WITH t AS (SELECT source, str_split(text, ' ') AS l FROM documents),
+    sh AS (SELECT source,
+             CASE WHEN len(l) >= {3} THEN
+               list_distinct([array_to_string(l[i:i+{2}], ' ')
+                              for i in range(1, len(l) - {1})])
+             ELSE [] END AS s
+           FROM t),
+    ex AS (SELECT DISTINCT source, UNNEST(s) AS g FROM sh),
+    fst AS (SELECT g, MIN(source) AS first_source FROM ex GROUP BY g),
+    nov AS (SELECT first_source AS source, COUNT(*) AS novel_shingles
+            FROM fst GROUP BY first_source),
+    tot AS (SELECT source, COUNT(*) AS distinct_shingles
+            FROM ex GROUP BY source)
+    SELECT tot.source, tot.distinct_shingles,
+           COALESCE(nov.novel_shingles, 0) AS novel_shingles,
+           ROUND(CAST(COALESCE(nov.novel_shingles, 0) AS DOUBLE)
+                 / tot.distinct_shingles, 6) AS novelty_ratio
+    FROM tot LEFT JOIN nov ON nov.source = tot.source
+    """,
+)
+def x_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-novelty attribution per source: process sources in a
+    deterministic order (source name ascending — at production scale,
+    ingestion-date rank) and credit each distinct shingle to the FIRST
+    source containing it; a source's novelty ratio is the fraction of
+    its shingle vocabulary it contributed first — the data-valuation
+    statistic ("what does adding this source actually add?") behind
+    acquisition/retention decisions, one level above x_source_overlap's
+    pairwise view.
+
+    100 TB posture: ONE corpus-sized shuffle — groupBy(shingle) with
+    MIN(source) + collect_set(source) in a single aggregate (the
+    x_source_overlap posting-list pattern; the set is bounded by
+    |sources|, so no hot-postings risk).  The vocab-bounded posting
+    relation is localCheckpointed because BOTH rollups consume it and
+    AQE plans broadcast branches as separate stages (no cross-stage
+    exchange reuse — the shingle explode would otherwise run twice);
+    both rollups land on |sources| rows, joined broadcast-side.  No
+    pairwise anything — this is the linear-cost companion to the
+    quadratic overlap matrix."""
+    from .dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    post = (
+        d.select(
+            "source",
+            F.explode(F.array_distinct(shingles(F.col("text")))).alias("g"),
+        )
+        .groupBy("g")
+        .agg(
+            F.min("source").alias("first_source"),
+            F.collect_set("source").alias("srcs"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    nov = post.groupBy("first_source").agg(
+        F.count("*").alias("novel_shingles")
+    )
+    tot = (
+        post.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("distinct_shingles"))
+    )
+    return (
+        tot.join(
+            broadcast(nov), tot.source == nov.first_source, "left"
+        )
+        .select(
+            "source",
+            "distinct_shingles",
+            F.coalesce("novel_shingles", F.lit(0)).alias("novel_shingles"),
+            F.round(
+                F.coalesce("novel_shingles", F.lit(0)).cast("double")
+                / F.col("distinct_shingles"),
+                6,
+            ).alias("novelty_ratio"),
+        )
+    )
+
+
+@register(
+    "x_tokenizer_fertility",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS words,
+           CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
+                AS BIGINT) AS bpe_tokens,
+           ROUND(CAST(SUM(len(regexp_extract_all(text,
+                                '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS DOUBLE)
+                 / SUM(len(str_split(text, ' '))), 6) AS fertility,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE)
+                 / SUM(len(regexp_extract_all(text,
+                            '[a-z]+|[0-9]+|[^a-z0-9 ]'))), 6)
+               AS bytes_per_token
+    FROM documents GROUP BY lang
+    """,
+)
+def x_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: subword (BPE-ish regex) tokens
+    per whitespace word, plus bytes per subword token — the per-language
+    cost sheet that exposes tokenizer bias (a language with fertility 2x
+    another pays 2x the sequence length for the same text; the
+    compression argument of the tokenizer-fairness literature).
+
+    100 TB posture: map-only token counting (two len() projections, no
+    explode) + one partial-agg shuffle onto |langs| groups."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.size(F.split(F.col("text"), " "))
+    bpe = F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(words).alias("words"),
+        F.sum(bpe).alias("bpe_tokens"),
+        F.round(F.sum(bpe).cast("double") / F.sum(words), 6).alias("fertility"),
+        F.round(F.sum("n_chars").cast("double") / F.sum(bpe), 6).alias(
+            "bytes_per_token"
+        ),
     )

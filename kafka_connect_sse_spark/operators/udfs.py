@@ -244,3 +244,67 @@ def u_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.mapInArrow(
         _revenue_batches, "l_orderkey long, l_linenumber int, revenue double"
     )
+
+
+def _count_rows(v: pd.Series) -> int:
+    """Series -> scalar row count (GROUPED_AGG inferred from the hints —
+    a bare lambda would be treated as a SCALAR pandas UDF)."""
+    return len(v)
+
+
+def _weighted_mean_series(v: pd.Series, w: pd.Series) -> float:
+    """Exact-integer weighted mean: dollars -> cents (int64; values are
+    2-decimal so the cast is exact), integer num/den sums (associative,
+    order-free), ONE double division at the end — the same fixed-order
+    arithmetic the oracle performs, so the result is bit-identical."""
+    import numpy as np
+
+    cents = np.rint(v.values * 100).astype("int64")
+    wi = w.values.astype("int64")
+    num = int((cents * wi).sum())
+    den = int(wi.sum())
+    return float(num) / float(den) / 100.0
+
+
+@register(
+    "u_pandas_grouped_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                          * (1 + user_id % 10)) AS DOUBLE)
+                 / CAST(SUM(1 + user_id % 10) AS DOUBLE) / 100.0, 6)
+               AS wmean_value
+    FROM events GROUP BY event_type
+    """,
+)
+def u_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas GROUPED_AGG UDAF (Series -> scalar): the fourth
+    rung of the extension ladder — a custom aggregate the built-in
+    surface lacks, executed as Arrow batches per group instead of
+    row-at-a-time.  Semantics: engagement-weighted mean event value
+    (weight = 1 + user_id % 10, computed JVM-side).
+
+    Cross-engine exactness: the UDAF sums exact int64 cents*weight (no
+    float accumulation order anywhere) and performs one double division;
+    rounding happens JVM-side (F.round) like every other op.  int64
+    headroom note: num is bounded by 1e6 * 10 * rows-per-group — exact
+    past petabyte scale, and the partial-aggregation story at scale is
+    to carry (num, den) pairs, exactly as this UDF's internals do.
+
+    100 TB posture: ONE shuffle on event_type; Arrow transfer is the
+    group's two float columns, nothing else (column-pruned scan)."""
+    # GROUPED_AGG pandas UDFs cannot mix with built-in aggregates in one
+    # agg() (INVALID_PANDAS_UDF_PLACEMENT) — the row count is a second
+    # pandas aggregate over the same Arrow batch
+    wmean = pandas_udf(_weighted_mean_series, "double")
+    nrows = pandas_udf(_count_rows, "long")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        (1 + F.pmod(F.col("user_id"), F.lit(10))).alias("w"),
+    )
+    return e.groupBy("event_type").agg(
+        nrows("value").alias("n"),
+        F.round(wmean("value", "w"), 6).alias("wmean_value"),
+    )

@@ -93,8 +93,12 @@ def register(name: str, oracle: str | None = None):
 # rounds.
 #
 # Round-8 window composition (50 entries): every operator whose CODE or
-# PLAN changed this round leads — the 12 new ops
-# (x_bm25_score / x_source_overlap / x_split_leakage_safe /
+# PLAN changed this round leads — the 22 new ops
+# (x_vocab_coverage / x_source_novelty / x_tokenizer_fertility /
+# u_pandas_grouped_agg / x_embed_outliers from the fourth round-8
+# continuation, x_quality_classifier / x_importance_resample /
+# x_pack_efficiency / x_dedup_semantic / x_dup_graph_degree from the
+# third round-8 continuation, x_bm25_score / x_source_overlap / x_split_leakage_safe /
 # x_domain_mix / x_curriculum_order from the
 # second round-8 continuation, then x_ks_drift / x_chi2_keyness /
 # x_zipf_fit / x_cooccur_pmi / x_cms_heavy_hitters from the first
@@ -109,9 +113,9 @@ def register(name: str, oracle: str | None = None):
 # records attest pre-rewrite plans, so they re-attest here) —
 # x_seq_tensorize (md5-bound-once tokenizer rewrite, continuation) is
 # ALSO code-modified and holds its window seat in the r4 tail.  Then
-# the 3 r3 rows round 7 deferred (standing contract), then 26 of the
+# the 3 r3 rows round 7 deferred (standing contract), then 16 of the
 # 46-op r4 cohort (x_word_entropy and x_contam_estimate are cohort
-# members already seated in the head).  The 18 deferred r4 rows are
+# members already seated in the head).  The 28 deferred r4 rows are
 # code-UNMODIFIED this round — their r4 driver records still attest
 # exactly the code that runs — and carry the strongest independent
 # current-code evidence (multimodal decode family: exact-integer
@@ -125,7 +129,18 @@ def register(name: str, oracle: str | None = None):
 # planted-corpus behavioral tests in tests/test_round8_ops.py;
 # q_join_bloom_prune / q_join_dpp: dedicated plan-shape tests in
 # tests/test_plans.py — all five deferred when the second
-# continuation's 5 new ops took their seats), all
+# continuation's 5 new ops took their seats; snk_parquet_sorted:
+# behavioral file-layout test in tests/test_pipeline_ops.py;
+# q_win_count_distinct / q_join_asof_nearest: plan pins in
+# tests/test_plans.py; snk_jsonl: JSON-lines parse round-trip in
+# tests/test_operators.py; src_parquet_scan: column-pruning plan pin
+# in tests/test_plans.py — five deferred when the third
+# continuation's 5 new ops took their seats; q_agg_groupby /
+# q_fn_xml / q_fn_url / q_fn_variant / q_fn_try_arithmetic: an
+# in-suite DRIVER-STYLE oracle gate (canon hash compare,
+# tests/test_operators.py::test_newly_deferred_r4_rows_pass_driver_style_oracle_gate)
+# — five more deferred when the fourth continuation's 5 new ops took
+# their seats), all
 # green in this round's builder-side full sf0.01 + sf1 sweeps; they
 # LEAD ROUND 9's window ahead of the r5 cohort:
 #   x_multimodal_decode, x_multimodal_audio_decode,
@@ -133,9 +148,22 @@ def register(name: str, oracle: str | None = None):
 #   x_multimodal_resize, snk_avro, s_checkpoint_resume,
 #   x_sample_reservoir, x_interleave_sources, x_embed_quantize,
 #   u_arrow_map, x_ann_rerank, q_ts_downsample, x_data_card,
-#   x_dedup_prefix, x_hard_negatives, q_join_bloom_prune, q_join_dpp
+#   x_dedup_prefix, x_hard_negatives, q_join_bloom_prune, q_join_dpp,
+#   snk_parquet_sorted, q_win_count_distinct, q_join_asof_nearest,
+#   snk_jsonl, src_parquet_scan, q_agg_groupby, q_fn_xml, q_fn_url,
+#   q_fn_variant, q_fn_try_arithmetic
 _PRIORITY = (
     # new this round — first driver attestation
+    "x_vocab_coverage",
+    "x_source_novelty",
+    "x_tokenizer_fertility",
+    "u_pandas_grouped_agg",
+    "x_embed_outliers",
+    "x_quality_classifier",
+    "x_importance_resample",
+    "x_pack_efficiency",
+    "x_dedup_semantic",
+    "x_dup_graph_degree",
     "x_bm25_score",
     "x_source_overlap",
     "x_split_leakage_safe",
@@ -163,14 +191,10 @@ _PRIORITY = (
     "x_seq_pack",
     "x_corpus_prep",
     # -- r4 cohort: sources / sinks --
-    "snk_jsonl",
-    "snk_parquet_sorted",
-    "src_parquet_scan",
     # -- r4 cohort: aggregates / sketches --
     "q_agg_bitmap_distinct",
     "q_agg_filtered",
     "q_agg_global",
-    "q_agg_groupby",
     "q_agg_hll_mergeable",
     "q_agg_kll_mergeable",
     "q_agg_listagg",
@@ -182,15 +206,9 @@ _PRIORITY = (
     # -- r4 cohort: scalar functions --
     "q_fn_datetime2",
     "q_fn_string3",
-    "q_fn_try_arithmetic",
-    "q_fn_url",
-    "q_fn_variant",
-    "q_fn_xml",
     # -- r4 cohort: joins --
-    "q_join_asof_nearest",
     "q_join_null_safe",
     # -- r4 cohort: windows --
-    "q_win_count_distinct",
     "q_win_time_range",
     # -- r4 cohort: x_* corpus ops --
     "x_seq_tensorize",

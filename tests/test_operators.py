@@ -87,13 +87,13 @@ def test_salting_helpers_round_trip(spark):
 def test_round8_driver_window_composition(qs):
     """The driver checks the FIRST 50 registry entries.  Pin the round-8
     rotation window: every operator whose code or PLAN changed this
-    round leads — the 7 new ops, x_ann_pipeline (cache-key change), and
+    round leads — the 22 new ops, x_ann_pipeline (cache-key change), and
     the 8 ops rewritten in the evaluation-cost sweep (their pre-r8
     driver records attest pre-rewrite plans; x_seq_tensorize, also
     code-modified, holds its seat in the r4 tail) — then the 3 r3 rows
-    round 7 deferred (standing contract), then 31 of the 46-op r4
+    round 7 deferred (standing contract), then 16 of the 46-op r4
     cohort — a silent reordering here would burn the round's freshness
-    evidence.  The 13 deferred r4 rows are code-UNMODIFIED (their r4
+    evidence.  The 28 deferred r4 rows are code-UNMODIFIED (their r4
     records still attest the running code), carry dedicated
     current-code tests, and lead round 9's window ahead of the r5
     cohort."""
@@ -103,7 +103,17 @@ def test_round8_driver_window_composition(qs):
     assert window == list(_PRIORITY)
     assert len(_PRIORITY) == 50, "round-8 window must fill all 50 slots"
     # new + this-round-modified operators must attest first
-    assert window[:24] == [
+    assert window[:34] == [
+        "x_vocab_coverage",
+        "x_source_novelty",
+        "x_tokenizer_fertility",
+        "u_pandas_grouped_agg",
+        "x_embed_outliers",
+        "x_quality_classifier",
+        "x_importance_resample",
+        "x_pack_efficiency",
+        "x_dedup_semantic",
+        "x_dup_graph_degree",
         "x_bm25_score",
         "x_source_overlap",
         "x_split_leakage_safe",
@@ -131,7 +141,7 @@ def test_round8_driver_window_composition(qs):
     ]
     # the r4 cohort (46 ops whose newest driver record was r4) minus the
     # 2 head-seated members (x_word_entropy, x_contam_estimate) and the
-    # 11 deferred rows
+    # 28 deferred rows
     r4_cohort = {
         "q_agg_bitmap_distinct", "q_agg_filtered", "q_agg_global",
         "q_agg_groupby", "q_agg_hll_mergeable", "q_agg_kll_mergeable",
@@ -159,9 +169,12 @@ def test_round8_driver_window_composition(qs):
         "x_sample_reservoir", "x_interleave_sources", "x_embed_quantize",
         "u_arrow_map", "x_ann_rerank", "q_ts_downsample",
         "x_data_card", "x_dedup_prefix", "x_hard_negatives",
-        "q_join_bloom_prune", "q_join_dpp",
+        "q_join_bloom_prune", "q_join_dpp", "snk_parquet_sorted",
+        "q_win_count_distinct", "q_join_asof_nearest", "snk_jsonl",
+        "src_parquet_scan", "q_agg_groupby", "q_fn_xml", "q_fn_url",
+        "q_fn_variant", "q_fn_try_arithmetic",
     }
-    assert set(window[24:]) == r4_cohort - in_head - deferred
+    assert set(window[34:]) == r4_cohort - in_head - deferred
     # every window op must carry an oracle (EXACT gate, not rows-only)
     from kafka_connect_sse_spark.registry import oracle_sql
 
@@ -429,3 +442,63 @@ def test_coverage_doc_renders_every_op_as_full_table_row(qs):
         sorted(expected - set(rows)), sorted(set(rows) - expected))
     # and no op may fall back to a bare bullet list
     assert not re.search(r"^- `[a-z0-9_]+`", text, re.M)
+
+
+def test_snk_jsonl_emits_parseable_json_lines(spark, qs):
+    """Independent current-code evidence for snk_jsonl (window-deferral
+    contract): beyond the oracle's aggregate pin, the files it lands
+    must BE JSON lines — every line of every part file parses, carries
+    exactly the written keys, and the line count matches the events
+    table."""
+    import glob
+    import json
+    import os
+
+    from kafka_connect_sse_spark.operators.sinks import scratch_dir
+
+    n = qs["snk_jsonl"](spark, SF).agg({"n": "sum"}).collect()[0][0]
+    parts = glob.glob(os.path.join(scratch_dir("kcss_snk_jsonl"), "part-*"))
+    assert parts, "sink landed no part files"
+    n_lines = 0
+    for p in parts:
+        with open(p) as fh:
+            for line in fh:
+                rec = json.loads(line)
+                assert set(rec) <= {"event_id", "event_type", "user_id", "value"}
+                n_lines += 1
+    assert n_lines == n
+
+
+def test_newly_deferred_r4_rows_pass_driver_style_oracle_gate(spark, qs):
+    """Dedicated current-code evidence for the five r4-cohort rows the
+    third-continuation rotation defers (q_agg_groupby / q_fn_xml /
+    q_fn_url / q_fn_variant / q_fn_try_arithmetic): run each op AND its
+    DuckDB oracle side-by-side at sf0.001 under the driver's exact
+    canonicalization (tools.check_correctness.canon) and require a hash
+    match — the same gate the driver would apply, executed in-suite."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import duckdb
+
+    from tools.check_correctness import canon
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    from kafka_connect_sse_spark.io import TABLES
+
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    osql = oracle_sql()
+    for name in (
+        "q_agg_groupby",
+        "q_fn_xml",
+        "q_fn_url",
+        "q_fn_variant",
+        "q_fn_try_arithmetic",
+    ):
+        scols, srows, shash = canon(qs[name](spark, SF).toPandas())
+        ocols, orows, ohash = canon(con.execute(osql[name]).df())
+        assert scols == ocols, (name, scols, ocols)
+        assert shash == ohash, (name, srows[:3], orows[:3])

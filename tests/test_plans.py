@@ -577,3 +577,126 @@ def test_source_overlap_pairs_expand_mapside(spark):
     assert "partial_count" in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "FileScan parquet" not in plan, plan  # corpus not re-read
+
+
+def test_quality_classifier_is_mapside_only(spark):
+    """x_quality_classifier: a logistic scorer is a pure projection —
+    ZERO exchanges, zero joins, nothing in Python, one column-pruned
+    corpus scan.  Any exchange appearing here means a feature was
+    accidentally computed as an aggregate."""
+    plan = _final_plan(queries()["x_quality_classifier"](spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string,lang:string>" in plan, plan
+
+
+def test_pack_efficiency_partial_aggregates_to_bins(spark):
+    """x_pack_efficiency: token counting is len(split) — NO Generate; the
+    corpus-sized pass partial-aggregates below its exchange onto |bins|
+    groups; the only SinglePartition exchange feeds the window over the
+    |bins|-row relation."""
+    plan = _final_plan(queries()["x_pack_efficiency"](spark, SF))
+    assert "Generate" not in plan, plan
+    assert "partial_count" in plan and "partial_sum" in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_dedup_semantic_broadcasts_centroids_no_python(spark):
+    """x_dedup_semantic: both assignment passes cross-join the K-row
+    centroid relation as broadcasts (BroadcastNestedLoopJoin Cross) — the
+    embedding relation is never shuffled by centroid; the in-cell pair
+    join and the survivor-flag join build broadcast-side too at this
+    sample size; no SinglePartition exchange, nothing in Python."""
+    plan = _final_plan(queries()["x_dedup_semantic"](spark, SF))
+    assert plan.count("BroadcastNestedLoopJoin") >= 2, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_dup_graph_degree_joins_edges_as_broadcast(spark):
+    """x_dup_graph_degree: the dup-evidence degree relation broadcasts
+    onto the documents spine (never a corpus-keyed SortMergeJoin), and
+    the histogram partial-aggregates below its exchange."""
+    plan = _final_plan(queries()["x_dup_graph_degree"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_src_parquet_scan_prunes_to_projected_columns(spark):
+    """Independent current-code evidence for src_parquet_scan (window-
+    deferral contract): the scan's ReadSchema must carry ONLY the 11
+    projected columns (l_comment and the other unused ones never leave
+    parquet) and the whole query is scan + project — zero exchanges."""
+    plan = _final_plan(queries()["src_parquet_scan"](spark, SF))
+    assert "l_comment" not in plan, plan
+    assert "Exchange" not in plan, plan
+    m = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert m and "l_shipdate" in m[0] and "l_quantity" in m[0], plan
+
+
+def test_vocab_coverage_topk_is_heap_then_tiny_window(spark):
+    """x_vocab_coverage: the vocab cut is TakeOrderedAndProject (per-task
+    heaps over the vocab-bounded count relation); the total-token branch
+    is len(split) — the plan holds exactly the two expected Generates
+    (the tf explode + the literal k explode), and the only SinglePartition
+    exchange feeds the rank window over the bounded top-k relation."""
+    plan = _final_plan(queries()["x_vocab_coverage"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Generate explode") == 2, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_source_novelty_single_corpus_shuffle(spark):
+    """x_source_novelty: the posting build is the ONLY corpus-sized stage
+    — both rollups read the localCheckpointed posting relation (Scan
+    ExistingRDD; the corpus parquet appears in no branch twice), the
+    novelty join broadcasts, and no SortMergeJoin appears."""
+    plan = _final_plan(queries()["x_source_novelty"](spark, SF))
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("FileScan parquet") == 0, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_tokenizer_fertility_is_generate_free_single_exchange(spark):
+    """x_tokenizer_fertility: both token counts are len() projections —
+    no Generate — and the lang rollup partial-aggregates below the one
+    exchange."""
+    plan = _final_plan(queries()["x_tokenizer_fertility"](spark, SF))
+    assert "Generate" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_count" in plan, plan
+
+
+def test_pandas_grouped_agg_runs_as_arrow_aggregate(spark):
+    """u_pandas_grouped_agg: the UDAF executes as the Arrow grouped
+    aggregate operator (ArrowAggregatePython) over ONE event_type
+    exchange with a column-pruned scan — the Arrow batch carries only
+    the two aggregate inputs."""
+    plan = _final_plan(queries()["u_pandas_grouped_agg"](spark, SF))
+    assert "ArrowAggregatePython" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "ReadSchema: struct<user_id:bigint,event_type:string,value:double>" in plan, plan
+
+
+def test_embed_outliers_centroid_broadcasts_rank_window_bounded(spark):
+    """x_embed_outliers: the centroid comes back as a single broadcast
+    row (BroadcastNestedLoopJoin Cross); the embedding table is scanned,
+    never shuffled by key — the only hash exchange feeds the per-
+    dimension centroid aggregate; the rank window's SinglePartition
+    exchange carries (vec_id, dist) pairs only, no vectors."""
+    plan = _final_plan(queries()["x_embed_outliers"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    import re
+
+    win_exch = [
+        l for l in plan.splitlines() if "Exchange SinglePartition" in l
+    ]
+    assert win_exch, plan

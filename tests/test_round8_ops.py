@@ -449,3 +449,207 @@ def test_source_overlap_finds_shared_shingles_only(spark, tmp_path, q):
     assert (r["n_a"], r["n_b"]) == (3, 3)
     assert r["jaccard"] == round(1 / 5, 6)
     assert r["containment"] == round(1 / 3, 6)
+
+
+def test_quality_classifier_keeps_rich_doc_drops_degenerate(spark, tmp_path, q):
+    """A 100-token stopword-rich diverse doc scores a confidently-positive
+    logit (keep); a 50-copies-of-one-word doc scores negative (drop).
+    The flag must agree with the sign test on the reported probability
+    (keep <=> prob >= 0.5) since both derive from the same logit."""
+    rich = " ".join(
+        ["the", "a", "of", "and", "to", "in"] * 10
+        + [f"word{i}" for i in range(40)]
+    )
+    degenerate = " ".join(["zzzz"] * 50)
+    rows = [(1, rich, "en"), (2, degenerate, "en")]
+    out = {
+        r["doc_id"]: r
+        for r in q["x_quality_classifier"](
+            spark, _write_docs(tmp_path, rows)
+        ).collect()
+    }
+    assert out[1]["keep"] is True and out[1]["quality_prob"] > 0.5
+    assert out[2]["keep"] is False and out[2]["quality_prob"] < 0.5
+    for r in out.values():
+        assert 0.0 < r["quality_prob"] < 1.0
+        assert r["keep"] == (r["quality_prob"] >= 0.5)
+
+
+def test_importance_resample_prefers_target_looking_docs(spark, tmp_path, q):
+    """Target domain = lang 'en', whose docs are all 'spark'-token mass.
+    Of two same-length German docs, the one written in the target's
+    vocabulary ('spark') must outweigh the one in raw-only vocabulary
+    ('und') — DSIR ranks by profile similarity to the target, not by
+    membership."""
+    rows = [
+        (1, " ".join(["spark"] * 20), "en", "srcT"),
+        (2, " ".join(["spark"] * 20), "en", "srcT"),
+        (3, " ".join(["spark"] * 20), "de", "srcT"),   # target-looking
+        (4, " ".join(["und"] * 20), "de", "srcT"),     # raw-only vocab
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in q["x_importance_resample"](
+            spark, _write_docs_src(tmp_path, rows)
+        ).collect()
+    }
+    assert out[3]["log_weight"] > out[4]["log_weight"]
+    assert out[3]["n_tokens"] == out[4]["n_tokens"] == 20
+
+
+def test_pack_efficiency_bins_and_waste(spark, tmp_path, q):
+    """10-token docs land in the 16 bin (waste 1 - 10/16 = 0.375);
+    a 33-token doc lands in the 64 bin (waste 1 - 33/64); shares
+    divide the doc count."""
+    rows = [
+        (1, " ".join(["w"] * 10), "en"),
+        (2, " ".join(["w"] * 10), "en"),
+        (3, " ".join(["w"] * 33), "en"),
+    ]
+    out = {
+        r["bin_cap"]: r
+        for r in q["x_pack_efficiency"](
+            spark, _write_docs(tmp_path, rows)
+        ).collect()
+    }
+    assert set(out) == {16, 64}
+    b16, b64 = out[16], out[64]
+    assert (b16["n_docs"], b16["sum_tokens"], b16["padded_tokens"]) == (2, 20, 32)
+    assert b16["pad_waste"] == 0.375
+    assert b64["n_docs"] == 1 and b64["pad_waste"] == round(1 - 33 / 64, 6)
+    assert b16["doc_share"] == round(2 / 3, 6)
+
+
+def test_dedup_semantic_drops_all_but_one_clique_member(spark, tmp_path, q):
+    """Vectors 0..7 seed the centroids; 8 duplicates 0 exactly and 9
+    near-duplicates it, so cell 0 holds a 3-clique of near-identical
+    vectors — EXACTLY ONE survives (the farthest-from-centroid rule has
+    a unique lexicographic minimum in a clique); singleton cells 1..7
+    are never dropped."""
+    basis = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+        [1.0, 1.0, 0.0, 0.0],
+        [0.0, 1.0, 1.0, 0.0],
+        [0.0, 0.0, 1.0, 1.0],
+        [1.0, 0.0, 0.0, 1.0],
+    ]
+    vecs = [(i, basis[i], 0) for i in range(8)]
+    vecs.append((8, [1.0, 0.0, 0.0, 0.0], 0))
+    vecs.append((9, [0.999, 0.01, 0.0, 0.0], 0))
+    rows = [(i, "t", "en", "srcT") for i, _, _ in vecs]
+    sf_dir = _write_docs_emb(tmp_path, rows, vecs)
+    out = {r["vec_id"]: r for r in q["x_dedup_semantic"](spark, sf_dir).collect()}
+    assert len(out) == 10
+    trio = [out[0], out[8], out[9]]
+    assert all(r["cell"] == 0 for r in trio)
+    assert sum(1 for r in trio if not r["dropped"]) == 1
+    assert sum(1 for r in trio if r["dropped"]) == 2
+    for i in range(1, 8):
+        assert out[i]["dropped"] is False
+
+
+def test_dup_graph_degree_histogram_counts_partners(spark, tmp_path, q):
+    """A 3-clique of identical docs (degree 2 each), an identical pair
+    (degree 1 each), two unique docs (degree 0): histogram is exactly
+    {2: 3 docs, 1: 2 docs, 0: 2 docs}, ids_sum pinning membership."""
+    clique = "alpha bravo charlie delta echo foxtrot golf hotel"
+    pair = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, clique, "en"),
+        (2, clique, "en"),
+        (3, clique, "en"),
+        (4, pair, "en"),
+        (5, pair, "en"),
+        (6, "solo unique words never repeated anywhere else at all", "en"),
+        (7, "another entirely distinct document with its own tokens", "en"),
+    ]
+    out = {
+        r["degree"]: r
+        for r in q["x_dup_graph_degree"](
+            spark, _write_docs(tmp_path, rows)
+        ).collect()
+    }
+    assert {(d, r["n_docs"]) for d, r in out.items()} == {(2, 3), (1, 2), (0, 2)}
+    assert out[2]["ids_sum"] == 1 + 2 + 3
+    assert out[1]["ids_sum"] == 4 + 5
+    assert out[0]["ids_sum"] == 6 + 7
+
+
+def test_vocab_coverage_monotone_and_exact_on_planted_freqs(spark, tmp_path, q):
+    """Planted frequencies: 'aa' x 6, 'bb' x 3, 60 singletons -> total 69.
+    With VOCAB_KS = (100, 1000, 10000) every k exceeds the 62-token
+    vocab, so all three rows cover 100% with n_top = 62; coverage is
+    monotone in k by construction."""
+    text1 = " ".join(["aa"] * 6 + ["bb"] * 3 + [f"u{i}" for i in range(30)])
+    text2 = " ".join([f"v{i}" for i in range(30)])
+    rows = [(1, text1, "en"), (2, text2, "en")]
+    out = sorted(
+        q["x_vocab_coverage"](spark, _write_docs(tmp_path, rows)).collect(),
+        key=lambda r: r["k"],
+    )
+    assert [r["k"] for r in out] == [100, 1000, 10000]
+    for r in out:
+        assert r["n_top_tokens"] == 62
+        assert r["covered_tokens"] == r["total_tokens"] == 69
+        assert r["coverage"] == 1.0
+
+
+def test_source_novelty_credits_first_source_only(spark, tmp_path, q):
+    """srcA and srcB share one document text (identical shingles); srcA
+    sorts first so it takes ALL the novelty credit; srcC is disjoint and
+    fully novel.  srcB's novelty ratio must be exactly 0."""
+    shared = "alpha bravo charlie delta echo foxtrot"
+    rows = [
+        (1, shared, "en", "srcA"),
+        (2, shared, "en", "srcB"),
+        (3, "uno dos tres cuatro cinco seis", "en", "srcC"),
+    ]
+    out = {
+        r["source"]: r
+        for r in q["x_source_novelty"](
+            spark, _write_docs_src(tmp_path, rows)
+        ).collect()
+    }
+    assert out["srcA"]["novelty_ratio"] == 1.0
+    assert out["srcB"]["novelty_ratio"] == 0.0
+    assert out["srcB"]["distinct_shingles"] == out["srcA"]["distinct_shingles"] == 4
+    assert out["srcC"]["novelty_ratio"] == 1.0
+
+
+def test_tokenizer_fertility_penalizes_fragmenting_text(spark, tmp_path, q):
+    """'de' docs are digit-punctuation soup (every word fragments into
+    several BPE-ish tokens); 'en' docs are plain lowercase words
+    (fertility exactly 1.0).  The fertility gap is the tokenizer-bias
+    signal the op exists to expose."""
+    rows = [
+        (1, "plain lower words only here", "en"),
+        (2, "ab1cd ef2gh ij3kl", "de"),   # each word -> 3 tokens
+    ]
+    out = {
+        r["lang"]: r
+        for r in q["x_tokenizer_fertility"](
+            spark, _write_docs(tmp_path, rows)
+        ).collect()
+    }
+    assert out["en"]["fertility"] == 1.0
+    assert out["de"]["fertility"] == 3.0
+    assert out["de"]["bpe_tokens"] == 9
+
+
+def test_embed_outliers_flags_exactly_the_far_tail(spark, tmp_path, q):
+    """99 vectors at the origin-ish cluster + 1 far point: ceil(0.99*100)
+    = 100... so shrink: 10 vectors -> ceil(0.99*10) = 10 means zero
+    outliers; with 200 vectors ceil gives 198 -> exactly the 2 farthest
+    flagged.  Plant 198 near-identical + 2 distant vectors and assert
+    the flags land on the planted ids."""
+    vecs = [(i, [1.0, 0.0, 0.0, 0.0], 0) for i in range(198)]
+    vecs.append((500, [9.0, 9.0, 9.0, 9.0], 0))
+    vecs.append((501, [-9.0, -9.0, -9.0, 9.0], 0))
+    rows = [(i, "t", "en", "srcT") for i, _, _ in vecs]
+    sf_dir = _write_docs_emb(tmp_path, rows, vecs)
+    out = {r["vec_id"]: r for r in q["x_embed_outliers"](spark, sf_dir).collect()}
+    flagged = {v for v, r in out.items() if r["is_outlier"]}
+    assert flagged == {500, 501}

@@ -53,6 +53,16 @@ COMMENTARY = {
     "x_curriculum_order": "one corpus scan feeds the lang-partitioned ntile window, and the (lang, stage) rollup's clustering is satisfied by the window's lang partitioning — the final plan holds exactly ONE Exchange; difficulty ties break on a content hash, so stage membership is rank-exact with no FP boundary.",
     "x_bm25_score": "term frequencies are list_filter projections — NO token explode, the corpus scan stays a map-side feature pass; the single-row stats (N, avgdl, per-term df) broadcast back as a BNLJ cross; per-term contributions sum in fixed textual order (bit-identical doubles across engines) and TakeOrderedAndProject caps the ranking.",
     "x_source_overlap": "the one corpus-sized shuffle builds per-shingle SOURCE posting lists (collect_set bounded by |sources| — no hot-postings cap needed, unlike doc-id postings); ordered pairs expand map-side from the stored posting relation via two Generates, pair counts partial-aggregate on a |sources|^2-bounded key space, and the size joins broadcast.",
+    "x_quality_classifier": "a logistic scorer is a pure projection: every feature (length score, stopword ratio, distinct ratio, mean word length) and the logit live in ONE codegen'd map stage over the column-pruned scan — ZERO exchanges, zero joins (plan-pinned); the keep flag thresholds the raw logit at 0, pure fixed-order arithmetic, so no libm ulp can flip it across engines.",
+    "x_importance_resample": "ONE corpus explode: the (doc, bucket) partial-agg counts are persisted (bounded at 256 rows/doc) because AQE plans the broadcast profile branch as its own stage and would otherwise re-explode the corpus; the 256-row log-ratio relation broadcasts back, per-doc weights sum as exact DECIMAL (order-free), and TakeOrdered heaps cap the selection at 100.",
+    "x_pack_efficiency": "token counting is len(split) — NO Generate; the corpus-sized pass partial-aggregates below its exchange onto |bins| groups, and the only SinglePartition exchange feeds the share window over the |bins|-row relation (plan-pinned).",
+    "x_dedup_semantic": "both assignment passes are broadcast cross joins against the K-row centroid relation (the embedding table is never shuffled by centroid); the Lloyd step is a posexplode -> (cell, dim) partial agg of K x dim groups; in-cell pairs and the survivor flag build broadcast-side at this sample size and key on the cell id at scale — no SinglePartition exchange, no Python (plan-pinned).",
+    "x_dup_graph_degree": "edges come from the banded-MinHash pipeline (dup-evidence-sized); the degree relation broadcasts onto the documents spine — never a corpus-keyed SortMergeJoin — and the histogram partial-aggregates onto the handful of distinct degrees (plan-pinned).",
+    "x_vocab_coverage": "the vocab cut is TakeOrderedAndProject (per-task heaps over the vocab-bounded tf relation); the total-token branch is len(split) — no second explode; the rank window and the k-join run on the 10k-row top relation, the only SinglePartition exchange (plan-pinned).",
+    "x_source_novelty": "ONE corpus-sized shuffle: groupBy(shingle) computes MIN(source) and the source posting set together; the vocab-bounded posting relation is localCheckpointed so both rollups (novelty credit + per-source totals) read it instead of replaying the explode (AQE plans broadcast branches as separate stages — no cross-stage exchange reuse); the final join broadcasts |sources| rows.",
+    "x_tokenizer_fertility": "both token counts are len() projections — Generate-free — and the lang rollup partial-aggregates below its single exchange (plan-pinned).",
+    "u_pandas_grouped_agg": "the UDAF runs as ArrowAggregatePython over one event_type exchange; the Arrow batches carry exactly the two aggregate input columns (ReadSchema-pinned); inside, the sums are exact int64 (order-free) with one double division — the (num, den) pair IS the mergeable partial-state story at scale.",
+    "x_embed_outliers": "the per-dimension centroid aggregate is the only hash exchange; the centroid rejoins as a one-row broadcast (BNLJ Cross); the global rank window's SinglePartition exchange carries (vec_id, dist) pairs — never vectors — and the embedding table is orders of magnitude smaller than the corpus (approx-percentile is the documented swap at larger N).",
 }
 
 
