@@ -987,3 +987,74 @@ def q_ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "volume",
     )
+
+
+# cohort retention offsets (days after the user's first-seen day)
+RETENTION_OFFSETS = (1, 7)
+
+
+@register(
+    "q_retention_cohort",
+    oracle="""
+    WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                 FROM events),
+    first AS (SELECT user_id, MIN(d) AS cohort_day FROM act
+              GROUP BY user_id),
+    flags AS (
+      SELECT f.cohort_day, f.user_id,
+             MAX(CASE WHEN a.d = f.cohort_day + 1 THEN 1 ELSE 0 END) AS r1,
+             MAX(CASE WHEN a.d = f.cohort_day + 7 THEN 1 ELSE 0 END) AS r7
+      FROM first f JOIN act a ON a.user_id = f.user_id
+      GROUP BY f.cohort_day, f.user_id)
+    SELECT cohort_day,
+           COUNT(*) AS n_users,
+           CAST(SUM(r1) AS BIGINT) AS retained_d1,
+           CAST(SUM(r7) AS BIGINT) AS retained_d7,
+           ROUND(CAST(SUM(r1) AS DOUBLE) / COUNT(*), 6) AS rate_d1,
+           ROUND(CAST(SUM(r7) AS DOUBLE) / COUNT(*), 6) AS rate_d7
+    FROM flags GROUP BY cohort_day
+    """,
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by their first-seen day, with D+1
+    and D+7 return rates — the second product-analytics staple (with
+    q_funnel_stages) of the SSE -> analytics topology the reference
+    feeds.  Activity is DISTINCT (user, day): multiple same-day events
+    count once.
+
+    100 TB posture: the distinct pass, the first-day aggregate, the
+    self-join, and the per-user flag rollup are ALL keyed on user_id —
+    one partitioning reused end-to-end (AQE may broadcast the
+    |users|-sized first-day relation instead); the cohort rollup's
+    shuffle is |cohort days| groups.  The (user, day) distinct relation
+    is orders of magnitude smaller than the raw event stream and is
+    localCheckpointed because BOTH the first-day aggregate and the
+    activity side of the join consume it (AQE plans broadcast branches
+    as separate stages — without this the raw events scan runs twice)."""
+    e = load_table(spark, sf_dir, "events")
+    act = (
+        e.select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    first = act.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    j = act.join(first, "user_id")
+    flags = j.groupBy("cohort_day", "user_id").agg(
+        F.max(
+            F.when(
+                F.col("d") == F.date_add(F.col("cohort_day"), 1), 1
+            ).otherwise(0)
+        ).alias("r1"),
+        F.max(
+            F.when(
+                F.col("d") == F.date_add(F.col("cohort_day"), 7), 1
+            ).otherwise(0)
+        ).alias("r7"),
+    )
+    return flags.groupBy("cohort_day").agg(
+        F.count("*").alias("n_users"),
+        F.sum("r1").alias("retained_d1"),
+        F.sum("r7").alias("retained_d7"),
+        F.round(F.sum("r1").cast("double") / F.count("*"), 6).alias("rate_d1"),
+        F.round(F.sum("r7").cast("double") / F.count("*"), 6).alias("rate_d7"),
+    )

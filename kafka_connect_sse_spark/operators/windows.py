@@ -525,3 +525,162 @@ def q_win_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.max(F.dense_rank().over(rk_w)).over(full_w).alias("n_priorities"),
     )
+
+
+@register(
+    "q_funnel_stages",
+    oracle="""
+    WITH s1 AS (SELECT user_id,
+                  MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+                FROM events GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+           FROM events e JOIN s1 ON s1.user_id = e.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t1
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+           FROM events e JOIN s2 ON s2.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+           GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM s1) AS n_users,
+           (SELECT COUNT(t1) FROM s1) AS reached_view,
+           (SELECT COUNT(*) FROM s2) AS reached_click,
+           (SELECT COUNT(*) FROM s3) AS reached_purchase,
+           ROUND(CAST((SELECT COUNT(*) FROM s2) AS DOUBLE)
+                 / (SELECT COUNT(t1) FROM s1), 6) AS conv_view_click,
+           ROUND(CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM s2), 6) AS conv_click_purchase,
+           ROUND(CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM s1), 6) AS conv_overall
+    """,
+)
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase, each stage
+    strictly AFTER the previous one for that user) — the product-
+    analytics staple the reference's SSE -> ksqlDB topology exists to
+    serve, as three CHAINED conditional-min windows: t1 = first view,
+    t2 = first click after t1, t3 = first purchase after t2.  An
+    unordered 'did all three' count would overstate conversion (a
+    purchase before the view must NOT count) — the strict ts ordering is
+    the semantic.
+
+    100 TB posture: all three windows AND the per-user rollup share ONE
+    user_id exchange (q_sessionize discipline — chained windows on the
+    same partitioning add zero shuffles); the funnel summary is a
+    single-row final aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    d = (
+        e.withColumn(
+            "t1",
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = d.groupBy("user_id").agg(
+        F.any_value("t1").alias("t1"),
+        F.any_value("t2").alias("t2"),
+        F.any_value("t3").alias("t3"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("t1").alias("reached_view"),
+        F.count("t2").alias("reached_click"),
+        F.count("t3").alias("reached_purchase"),
+        F.round(F.count("t2").cast("double") / F.count("t1"), 6).alias(
+            "conv_view_click"
+        ),
+        F.round(F.count("t3").cast("double") / F.count("t2"), 6).alias(
+            "conv_click_purchase"
+        ),
+        F.round(F.count("t3").cast("double") / F.count("*"), 6).alias(
+            "conv_overall"
+        ),
+    )
+
+
+@register(
+    "q_attribution_last_touch",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS attributed
+      FROM events)
+    SELECT COALESCE(attributed, 'none') AS attributed,
+           COUNT(*) AS n_purchases,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (), 6) AS share
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY attributed
+    """,
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase credits the user's most
+    recent PRECEDING touch event (view/click; 'none' when the purchase
+    had no prior touch) — the marketing-analytics companion to
+    q_funnel_stages, and the in-stream as-of-lookup pattern (an ordered
+    ignore-nulls last_value over a 1-preceding frame, never a self
+    join).  Same-timestamp ties order on event_id so both engines walk
+    one deterministic sequence.
+
+    100 TB posture: ONE user_id window exchange does the attribution;
+    the rollup shuffles |event types| groups and the share rides a
+    window over that bounded relation."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.last(
+            F.when(
+                F.col("event_type").isin("view", "click"),
+                F.col("event_type"),
+            ),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("attributed"),
+    )
+    p = seq.filter(F.col("event_type") == "purchase").select(
+        F.coalesce("attributed", F.lit("none")).alias("attributed")
+    )
+    g = p.groupBy("attributed").agg(F.count("*").alias("n_purchases"))
+    wall = Window.partitionBy()
+    return g.select(
+        "attributed",
+        "n_purchases",
+        F.round(
+            F.col("n_purchases").cast("double")
+            / F.sum("n_purchases").over(wall),
+            6,
+        ).alias("share"),
+    )

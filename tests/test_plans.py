@@ -700,3 +700,37 @@ def test_embed_outliers_centroid_broadcasts_rank_window_bounded(spark):
         l for l in plan.splitlines() if "Exchange SinglePartition" in l
     ]
     assert win_exch, plan
+
+
+def test_funnel_three_windows_share_one_exchange(spark):
+    """q_funnel_stages: the three chained conditional-min windows AND the
+    per-user rollup all ride ONE user_id hash exchange (q_sessionize
+    discipline); the only other exchange is the single-row final
+    aggregate's SinglePartition."""
+    plan = _final_plan(queries()["q_funnel_stages"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert plan.count("Window") >= 3, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_retention_reads_events_once(spark):
+    """q_retention_cohort: the (user, day) distinct relation is
+    localCheckpointed — the raw events parquet appears in NO branch
+    (both the first-day aggregate and the join read the checkpoint), the
+    first-day side broadcasts, and no SortMergeJoin appears."""
+    plan = _final_plan(queries()["q_retention_cohort"](spark, SF))
+    assert plan.count("FileScan parquet") == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_attribution_single_window_exchange(spark):
+    """q_attribution_last_touch: attribution is ONE user_id window
+    exchange (ignore-nulls last_value over a 1-preceding frame — no self
+    join anywhere); the rollup shuffles |event types| groups."""
+    plan = _final_plan(queries()["q_attribution_last_touch"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan

@@ -653,3 +653,86 @@ def test_embed_outliers_flags_exactly_the_far_tail(spark, tmp_path, q):
     out = {r["vec_id"]: r for r in q["x_embed_outliers"](spark, sf_dir).collect()}
     flagged = {v for v, r in out.items() if r["is_outlier"]}
     assert flagged == {500, 501}
+
+
+def _write_events(tmp_path, rows):
+    """rows: (event_id, ts_iso, user_id, event_type)."""
+    import datetime as dt
+
+    sf_dir = str(tmp_path / "sfev")
+    os.makedirs(sf_dir, exist_ok=True)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [dt.datetime.fromisoformat(r[1]) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(sf_dir, "events.parquet"))
+    return sf_dir
+
+
+def test_funnel_requires_strict_stage_order(spark, tmp_path, q):
+    """User 1 converts in order (view<click<purchase); user 2 purchased
+    BEFORE clicking — the funnel must not credit that purchase; user 3
+    clicked but never viewed — no stage reached past n_users."""
+    rows = [
+        (1, "2024-01-01T00:00:01", 1, "view"),
+        (2, "2024-01-01T00:00:02", 1, "click"),
+        (3, "2024-01-01T00:00:03", 1, "purchase"),
+        (4, "2024-01-01T00:00:01", 2, "purchase"),
+        (5, "2024-01-01T00:00:02", 2, "view"),
+        (6, "2024-01-01T00:00:03", 2, "click"),
+        (7, "2024-01-01T00:00:01", 3, "click"),
+    ]
+    r = q["q_funnel_stages"](spark, _write_events(tmp_path, rows)).collect()[0]
+    assert (r["n_users"], r["reached_view"], r["reached_click"],
+            r["reached_purchase"]) == (3, 2, 2, 1)
+    assert r["conv_overall"] == round(1 / 3, 6)
+
+
+def test_retention_cohort_counts_day_offsets(spark, tmp_path, q):
+    """Three users first seen on day 0: one returns next day (D1), one
+    returns on day 7 (D7), one never returns.  Same-day repeat events
+    count once (DISTINCT user-day)."""
+    rows = [
+        (1, "2024-01-01T10:00:00", 1, "view"),
+        (2, "2024-01-01T11:00:00", 1, "click"),   # same-day dup activity
+        (3, "2024-01-02T10:00:00", 1, "view"),     # D1 return
+        (4, "2024-01-01T10:00:00", 2, "view"),
+        (5, "2024-01-08T10:00:00", 2, "view"),     # D7 return
+        (6, "2024-01-01T10:00:00", 3, "view"),     # never returns
+    ]
+    out = q["q_retention_cohort"](spark, _write_events(tmp_path, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_users"], r["retained_d1"], r["retained_d7"]) == (3, 1, 1)
+    assert r["rate_d1"] == round(1 / 3, 6)
+
+
+def test_attribution_credits_latest_preceding_touch(spark, tmp_path, q):
+    """Purchase after view->click credits CLICK (latest touch, not
+    first); a purchase with no prior touch lands in 'none'; an 'error'
+    event between touch and purchase must not steal credit."""
+    rows = [
+        (1, "2024-01-01T00:00:01", 1, "view"),
+        (2, "2024-01-01T00:00:02", 1, "click"),
+        (3, "2024-01-01T00:00:03", 1, "error"),
+        (4, "2024-01-01T00:00:04", 1, "purchase"),   # -> click
+        (5, "2024-01-01T00:00:01", 2, "view"),
+        (6, "2024-01-01T00:00:02", 2, "purchase"),   # -> view
+        (7, "2024-01-01T00:00:01", 3, "purchase"),   # -> none
+    ]
+    out = {
+        r["attributed"]: r["n_purchases"]
+        for r in q["q_attribution_last_touch"](
+            spark, _write_events(tmp_path, rows)
+        ).collect()
+    }
+    assert out == {"click": 1, "view": 1, "none": 1}

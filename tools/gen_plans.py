@@ -63,6 +63,9 @@ COMMENTARY = {
     "x_tokenizer_fertility": "both token counts are len() projections — Generate-free — and the lang rollup partial-aggregates below its single exchange (plan-pinned).",
     "u_pandas_grouped_agg": "the UDAF runs as ArrowAggregatePython over one event_type exchange; the Arrow batches carry exactly the two aggregate input columns (ReadSchema-pinned); inside, the sums are exact int64 (order-free) with one double division — the (num, den) pair IS the mergeable partial-state story at scale.",
     "x_embed_outliers": "the per-dimension centroid aggregate is the only hash exchange; the centroid rejoins as a one-row broadcast (BNLJ Cross); the global rank window's SinglePartition exchange carries (vec_id, dist) pairs — never vectors — and the embedding table is orders of magnitude smaller than the corpus (approx-percentile is the documented swap at larger N).",
+    "q_funnel_stages": "three chained conditional-min windows (first view, first click AFTER it, first purchase after THAT) and the per-user rollup all ride ONE user_id hash exchange (plan-pinned); the funnel summary is a single-row final aggregate.",
+    "q_retention_cohort": "the DISTINCT (user, day) activity relation localCheckpoints — raw events are scanned ONCE (plan-pinned zero parquet scans downstream); the |users|-sized first-day side broadcasts back onto it and the cohort rollup shuffles |cohort days| groups.",
+    "q_attribution_last_touch": "attribution is one user_id window exchange (ignore-nulls last_value over a 1-preceding frame — the in-stream as-of lookup, no self join in the plan); the rollup shuffles |event types| groups and the share rides a window over that bounded relation.",
 }
 
 
