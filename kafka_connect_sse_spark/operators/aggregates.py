@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 from ..io import load_table, register_views
 from ..registry import register
@@ -1057,4 +1058,257 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("r7").alias("retained_d7"),
         F.round(F.sum("r1").cast("double") / F.count("*"), 6).alias("rate_d1"),
         F.round(F.sum("r7").cast("double") / F.count("*"), 6).alias("rate_d7"),
+    )
+
+
+# z-score anomaly threshold on daily event-type counts
+ANOMALY_Z = 2.0
+
+
+@register(
+    "q_anomaly_zscore_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS nd,
+             CAST(SUM(n) AS DOUBLE) AS s1,
+             CAST(SUM(n * n) AS DOUBLE) AS s2
+      FROM daily GROUP BY event_type),
+    z AS (
+      SELECT daily.event_type, daily.d, daily.n,
+             ROUND((daily.n - s.s1 / s.nd)
+                   / SQRT((s.s2 - s.s1 * s.s1 / s.nd) / (s.nd - 1.0)),
+                   6) AS z
+      FROM daily JOIN stats s ON s.event_type = daily.event_type)
+    SELECT event_type, CAST(d AS VARCHAR) AS day, n, z,
+           ABS(z) > {ANOMALY_Z} AS is_anomaly
+    FROM z
+    """,
+)
+def q_anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly detection: per event type, each day's event
+    count scored against that type's own daily distribution (sample
+    z-score), |z| > {ANOMALY_Z} flagged — the ops-monitoring query a
+    live SSE feed runs continuously.
+
+    Cross-engine exactness: mean and variance derive from INTEGER sums
+    (n, sum n, sum n²) through one fixed-order expression — no
+    Welford-vs-naive accumulation difference can appear because no
+    float ever accumulates; z is rounded to 6 and the flag thresholds
+    the rounded value.
+
+    100 TB posture: the corpus-sized stage is the (type, day)
+    partial-agg count; stats roll up from that bounded relation and
+    broadcast back onto it.  Day rendered as string (timezone-pinned
+    DATE text) per FIXTURES.md §6."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count("*").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("nd"),
+        F.sum("n").cast("double").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("double").alias("s2"),
+    )
+    z = daily.join(broadcast(stats), "event_type").select(
+        "event_type",
+        "d",
+        "n",
+        F.round(
+            (F.col("n") - F.col("s1") / F.col("nd"))
+            / F.sqrt(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("nd"))
+                / (F.col("nd") - 1.0)
+            ),
+            6,
+        ).alias("z"),
+    )
+    return z.select(
+        "event_type",
+        F.col("d").cast("string").alias("day"),
+        "n",
+        "z",
+        (F.abs(F.col("z")) > ANOMALY_Z).alias("is_anomaly"),
+    )
+
+
+# Pareto / ABC classification boundaries on cumulative revenue share
+ABC_A = 0.8
+ABC_B = 0.95
+
+
+@register(
+    "q_pareto_abc",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,4))) AS revenue
+      FROM lineitem GROUP BY l_partkey),
+    ranked AS (
+      SELECT l_partkey, revenue,
+             SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum,
+             SUM(revenue) OVER () AS total
+      FROM rev),
+    classed AS (
+      SELECT l_partkey, revenue,
+             CASE WHEN cum <= total * {ABC_A} THEN 'A'
+                  WHEN cum <= total * {ABC_B} THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked)
+    SELECT abc,
+           COUNT(*) AS n_parts,
+           CAST(SUM(revenue) AS DOUBLE) AS class_revenue,
+           ROUND(CAST(SUM(revenue) AS DOUBLE)
+                 / CAST(ANY_VALUE(t.total) AS DOUBLE), 6) AS revenue_share
+    FROM classed, (SELECT SUM(revenue) AS total FROM rev) t
+    GROUP BY abc
+    """,
+)
+def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory classification: parts ranked by revenue,
+    classed A (first {ABC_A:.0%} of cumulative revenue), B (to
+    {ABC_B:.0%}), C (tail) — the 80/20 analysis every supply-chain /
+    catalog team runs.
+
+    Cross-engine exactness: per-row discounted revenue is DECIMAL(18,4)
+    (the true product has <= 4 decimals, so nearest-grid cast recovers
+    it exactly in both engines — q_agg_groupby idiom); the running
+    cumulative sum is exact decimal, order-stable under the
+    (revenue DESC, partkey) tiebreak, and class boundaries compare
+    integer-scaled decimals (cum*100 <= total*80) — no float, no
+    rounding-mode exposure anywhere.
+
+    100 TB posture: the corpus-sized stage is the per-part partial-agg
+    revenue rollup; the ranking window runs over the |parts|-bounded
+    relation (dimension-sized — the documented swap at extreme part
+    cardinality is percentile-sketch class boundaries, same contract)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("revenue")
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy(F.col("revenue").desc(), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy()
+    ranked = rev.select(
+        "l_partkey",
+        "revenue",
+        F.sum("revenue").over(w).alias("cum"),
+        F.sum("revenue").over(wall).alias("total"),
+    )
+    classed = ranked.select(
+        "l_partkey",
+        "revenue",
+        "total",
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return classed.groupBy("abc").agg(
+        F.count("*").alias("n_parts"),
+        F.sum("revenue").cast("double").alias("class_revenue"),
+        F.round(
+            F.sum("revenue").cast("double")
+            / F.any_value("total").cast("double"),
+            6,
+        ).alias("revenue_share"),
+    )
+
+
+RFM_QUARTILES = 4
+
+
+@register(
+    "q_rfm_segments",
+    oracle=f"""
+    WITH per AS (
+      SELECT user_id,
+             MAX(CAST(ts AS DATE)) AS last_d,
+             COUNT(*) AS f,
+             SUM(CAST(value AS DECIMAL(18,2))) AS m
+      FROM events GROUP BY user_id),
+    rfm AS (
+      SELECT user_id, f, m,
+             datediff('day', last_d, MAX(last_d) OVER ()) AS r
+      FROM per),
+    q AS (
+      SELECT user_id, f, m, r,
+             NTILE({RFM_QUARTILES}) OVER (ORDER BY r, user_id) AS r_q,
+             NTILE({RFM_QUARTILES}) OVER (ORDER BY f DESC, user_id) AS f_q,
+             NTILE({RFM_QUARTILES}) OVER (ORDER BY m DESC, user_id) AS m_q
+      FROM rfm)
+    SELECT r_q, f_q, m_q,
+           COUNT(*) AS n_users,
+           CAST(SUM(f) AS BIGINT) AS total_events,
+           CAST(SUM(m) AS DOUBLE) AS total_value,
+           CAST(SUM(user_id) AS BIGINT) AS ids_sum
+    FROM q GROUP BY r_q, f_q, m_q
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-user Recency (days since last
+    event, vs the corpus max date), Frequency (event count), Monetary
+    (exact DECIMAL value sum), each quartiled by ntile with user_id
+    tiebreaks, rolled up per (R, F, M) cell — the marketing-analytics
+    segmentation grid (with q_funnel_stages / q_retention_cohort /
+    q_attribution_last_touch this completes the tier).  ids_sum pins
+    that both engines put the SAME users in each cell.
+
+    Cross-engine exactness: recency is integer date arithmetic,
+    frequency integer, monetary exact DECIMAL(18,2) (values are 2dp);
+    every ntile orders with a user_id tiebreak so quartile membership
+    is rank-exact.
+
+    100 TB posture: ONE corpus-sized partial-agg shuffle builds the
+    per-user profile — the reference date is MAX(last_d) as a window
+    over that relation, NOT a second corpus scan; the three ntile
+    windows run over the |users|-bounded relation (dimension-sized; the documented swap at extreme
+    user cardinality is percentile-boundary assignment from a quantile
+    sketch — x_curriculum_order note); the cell rollup is 4³ groups."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.max(F.col("ts").cast("date")).alias("last_d"),
+        F.count("*").alias("f"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("m"),
+    )
+    rfm = per.select(
+        "user_id",
+        "f",
+        "m",
+        F.datediff(
+            F.max("last_d").over(Window.partitionBy()), F.col("last_d")
+        ).alias("r"),
+    )
+    q = rfm.select(
+        "user_id",
+        "f",
+        "m",
+        F.ntile(RFM_QUARTILES)
+        .over(Window.partitionBy().orderBy("r", "user_id"))
+        .alias("r_q"),
+        F.ntile(RFM_QUARTILES)
+        .over(Window.partitionBy().orderBy(F.col("f").desc(), "user_id"))
+        .alias("f_q"),
+        F.ntile(RFM_QUARTILES)
+        .over(Window.partitionBy().orderBy(F.col("m").desc(), "user_id"))
+        .alias("m_q"),
+    )
+    return q.groupBy("r_q", "f_q", "m_q").agg(
+        F.count("*").alias("n_users"),
+        F.sum("f").alias("total_events"),
+        F.sum("m").cast("double").alias("total_value"),
+        F.sum("user_id").alias("ids_sum"),
     )

@@ -734,3 +734,38 @@ def test_attribution_single_window_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_anomaly_zscore_reads_events_once_stats_broadcast(spark):
+    """q_anomaly_zscore_daily: one column-pruned events scan feeds the
+    (type, day) partial-agg counts; the per-type stats roll up from that
+    relation and rejoin as a broadcast — integer-sum moments, nothing in
+    Python."""
+    plan = _final_plan(queries()["q_anomaly_zscore_daily"](spark, SF))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_count" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_pareto_abc_windows_over_parts_only(spark):
+    """q_pareto_abc: the corpus-sized stage is the per-part revenue
+    partial agg; ranking + total ride ONE SinglePartition exchange over
+    the |parts|-bounded relation (one Sort serves the cumulative
+    window)."""
+    plan = _final_plan(queries()["q_pareto_abc"](spark, SF))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial_sum" in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+
+
+def test_rfm_profile_is_single_corpus_shuffle(spark):
+    """q_rfm_segments: events scan exactly once (the reference date is a
+    window over the per-user profile, not a second MAX scan); the three
+    ntile windows run post-profile; no join anywhere."""
+    plan = _final_plan(queries()["q_rfm_segments"](spark, SF))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Window") >= 3, plan
+    assert "partial_count" in plan, plan

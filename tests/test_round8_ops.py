@@ -736,3 +736,84 @@ def test_attribution_credits_latest_preceding_touch(spark, tmp_path, q):
         ).collect()
     }
     assert out == {"click": 1, "view": 1, "none": 1}
+
+
+def test_anomaly_zscore_flags_planted_spike(spark, tmp_path, q):
+    """'view' runs 10 events/day for 9 days then 100 on day 10: the
+    spike day's z = (100-19)/sqrt((10900-190²/10)/9) ≈ 2.846 > 2 →
+    flagged; every 10-count day sits at z ≈ -0.316 → unflagged."""
+    rows = []
+    eid = 0
+    for day in range(1, 10):
+        for i in range(10):
+            rows.append((eid, f"2024-01-{day:02d}T00:00:{i:02d}", 1, "view"))
+            eid += 1
+    for i in range(100):
+        rows.append((eid, f"2024-01-10T00:{i // 60:02d}:{i % 60:02d}", 1, "view"))
+        eid += 1
+    out = {
+        r["day"]: r
+        for r in q["q_anomaly_zscore_daily"](
+            spark, _write_events(tmp_path, rows)
+        ).collect()
+    }
+    assert len(out) == 10
+    assert out["2024-01-10"]["is_anomaly"] is True
+    assert out["2024-01-10"]["z"] > 2.8
+    assert all(not r["is_anomaly"] for d, r in out.items() if d != "2024-01-10")
+
+
+def _write_lineitem(tmp_path, rows):
+    """rows: (l_partkey, l_extendedprice, l_discount)."""
+    sf_dir = str(tmp_path / "sfli")
+    os.makedirs(sf_dir, exist_ok=True)
+    tbl = pa.table(
+        {
+            "l_partkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_extendedprice": pa.array([r[1] for r in rows], pa.float64()),
+            "l_discount": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(sf_dir, "lineitem.parquet"))
+    return sf_dir
+
+
+def test_pareto_abc_exact_boundary_is_class_a(spark, tmp_path, q):
+    """Revenues 80/15/5: the top part's cumulative share is EXACTLY 80%
+    — the boundary compare (cum*100 <= total*80, exact decimals) must
+    class it A, the 95% part B, the tail C."""
+    rows = [(1, 80.0, 0.0), (2, 15.0, 0.0), (3, 5.0, 0.0)]
+    out = {
+        r["abc"]: r
+        for r in q["q_pareto_abc"](spark, _write_lineitem(tmp_path, rows)).collect()
+    }
+    assert out["A"]["n_parts"] == 1 and out["A"]["class_revenue"] == 80.0
+    assert out["B"]["n_parts"] == 1 and out["B"]["class_revenue"] == 15.0
+    assert out["C"]["n_parts"] == 1 and out["C"]["class_revenue"] == 5.0
+    assert out["A"]["revenue_share"] == 0.8
+
+
+def test_rfm_segments_rank_users_on_all_three_axes(spark, tmp_path, q):
+    """Four users with strictly ordered recency (last-seen day), event
+    frequency, and identical-per-event value: user 1 is (1,1,1) on every
+    axis, user 4 is (4,4,4); ids_sum pins the cell membership."""
+    rows = []
+    eid = 0
+    for uid, (day, n_ev) in enumerate(
+        [(10, 8), (8, 6), (6, 4), (4, 2)], start=1
+    ):
+        for i in range(n_ev):
+            rows.append(
+                (eid, f"2024-01-{day:02d}T00:00:{i:02d}", uid, "view")
+            )
+            eid += 1
+    out = {
+        (r["r_q"], r["f_q"], r["m_q"]): r
+        for r in q["q_rfm_segments"](
+            spark, _write_events(tmp_path, rows)
+        ).collect()
+    }
+    assert set(out) == {(1, 1, 1), (2, 2, 2), (3, 3, 3), (4, 4, 4)}
+    assert out[(1, 1, 1)]["ids_sum"] == 1
+    assert out[(4, 4, 4)]["ids_sum"] == 4
+    assert out[(1, 1, 1)]["total_events"] == 8

@@ -66,6 +66,9 @@ COMMENTARY = {
     "q_funnel_stages": "three chained conditional-min windows (first view, first click AFTER it, first purchase after THAT) and the per-user rollup all ride ONE user_id hash exchange (plan-pinned); the funnel summary is a single-row final aggregate.",
     "q_retention_cohort": "the DISTINCT (user, day) activity relation localCheckpoints — raw events are scanned ONCE (plan-pinned zero parquet scans downstream); the |users|-sized first-day side broadcasts back onto it and the cohort rollup shuffles |cohort days| groups.",
     "q_attribution_last_touch": "attribution is one user_id window exchange (ignore-nulls last_value over a 1-preceding frame — the in-stream as-of lookup, no self join in the plan); the rollup shuffles |event types| groups and the share rides a window over that bounded relation.",
+    "q_anomaly_zscore_daily": "one column-pruned events scan -> (type, day) partial-agg counts; per-type moment sums (n, Σn, Σn²) roll up from that bounded relation and rejoin as a broadcast — all-integer moments mean no accumulation-order exposure; z rounds before the flag compares it.",
+    "q_pareto_abc": "the corpus-sized stage is the per-part DECIMAL revenue partial agg; cumulative + total ride ONE SinglePartition exchange over the |parts|-bounded relation, and class boundaries compare integer-scaled decimals (cum*100 <= total*80) — no float anywhere past the scan.",
+    "q_rfm_segments": "ONE corpus shuffle builds the per-user profile; the reference date is MAX(last_d) as a window over that relation (not a second events scan — plan-pinned one FileScan, Join-free); three ntile windows share the profile's SinglePartition residency and the cell rollup is 4^3 groups.",
 }
 
 
