@@ -29,6 +29,11 @@ SF = "/root/testdata/sf0.001"
             ["--sf-dir", SF],
             "packs planned",
         ),
+        (
+            "examples/event_analytics_pipeline.py",
+            ["--sf-dir", SF],
+            "event analytics complete",
+        ),
     ],
 )
 def test_offline_example_runs(script, args, expect, tmp_path):
