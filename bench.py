@@ -49,6 +49,8 @@ EXTRA = [
     "x_corpus_prep",          # composite quality->dedup->balance->pack
     "q_join_bloom_prune",     # runtime bloom scan-prune + exact verify
     "x_ann_rerank",           # int8 shortlist + fp64 re-rank ANN
+    "q_funnel_stages",        # chained-window funnel (round-8 analytics)
+    "x_importance_resample",  # DSIR selection (round-8, one explode)
 ]
 
 RUNS = 3

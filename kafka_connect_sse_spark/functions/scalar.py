@@ -740,3 +740,43 @@ def q_fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed["user"].alias("x_user"),
         parsed["value"].alias("x_value"),
     )
+
+
+@register(
+    "q_fn_interval",
+    oracle="""
+    SELECT event_id,
+           CAST(date_trunc('week', ts) AS DATE) AS week_start,
+           CAST(last_day(CAST(ts AS DATE)) AS DATE) AS month_end,
+           quarter(ts) AS qtr,
+           (CAST(ts AS DATE) - DATE '2024-01-01') % 7 AS dow_mon0,
+           CAST(CAST(ts AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2m,
+           (last_day(CAST(ts AS DATE))
+            - CAST(date_trunc('month', ts) AS DATE) + 1) AS days_in_month
+    FROM events
+    """,
+)
+def q_fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar / interval arithmetic surface: week truncation, month
+    end, quarter, month addition (end-of-month CLAMP parity with the
+    oracle — Jan 31 + 1 month = Feb 29, verified both engines), and
+    days-in-month.  Day-of-week is computed as days-since-a-known-Monday
+    mod 7 — Spark's dayofweek (Sunday=1) and DuckDB's (Sunday=0)
+    disagree, so the portable formula replaces both.
+
+    All integer/date arithmetic — codegen'd map-only projection."""
+    e = load_table(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    return e.select(
+        "event_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week_start"),
+        F.last_day(d).alias("month_end"),
+        F.quarter("ts").alias("qtr"),
+        F.pmod(F.datediff(d, F.lit("2024-01-01").cast("date")), 7).alias(
+            "dow_mon0"
+        ),
+        F.add_months(d, 2).alias("plus_2m"),
+        (
+            F.datediff(F.last_day(d), F.trunc(d, "month")) + 1
+        ).alias("days_in_month"),
+    )

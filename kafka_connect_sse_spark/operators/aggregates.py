@@ -1312,3 +1312,79 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("m").cast("double").alias("total_value"),
         F.sum("user_id").alias("ids_sum"),
     )
+
+
+MAD_K = 1.4826  # normal-consistency scale for MAD
+MAD_SIGMAS = 3.0
+
+
+@register(
+    "q_agg_mad",
+    oracle=f"""
+    WITH med AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.5) AS med
+      FROM lineitem GROUP BY l_returnflag),
+    dev AS (
+      SELECT li.l_returnflag, med.med,
+             ABS(li.l_extendedprice - med.med) AS adev
+      FROM lineitem li JOIN med ON med.l_returnflag = li.l_returnflag),
+    mad AS (
+      SELECT l_returnflag,
+             ANY_VALUE(med) AS med,
+             quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY l_returnflag)
+    SELECT dev.l_returnflag,
+           ROUND(ANY_VALUE(mad.med), 6) AS median_price,
+           ROUND(ANY_VALUE(mad.mad), 6) AS mad_price,
+           CAST(SUM(CASE WHEN dev.adev
+                              > {MAD_SIGMAS} * {MAD_K} * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad ON mad.l_returnflag = dev.l_returnflag
+    GROUP BY dev.l_returnflag
+    """,
+)
+def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion + outlier counting via the median absolute
+    deviation: per group, MAD = median(|x - median|), outliers = values
+    beyond {MAD_SIGMAS} robust sigmas ({MAD_K} normal-consistency
+    scale) — the heavy-tail-safe alternative to q_anomaly_zscore_daily's
+    moment-based z-score (one extreme value moves a mean+stddev fence,
+    but not a median+MAD fence).
+
+    Cross-engine exactness: both medians are PERCENTILE_CONT semantics
+    (q_agg_percentile parity); the outlier predicate compares doubles
+    produced by the identical fixed-order expression on both sides.
+
+    100 TB posture: exact per-group medians need a sort per group (the
+    documented swap is percentile_approx); the median relations are
+    |groups| rows and broadcast back — two passes over the fact, each
+    column-pruned to two columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("med")
+    )
+    dev = li.join(broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        "med",
+        F.abs(F.col("l_extendedprice") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.any_value("med").alias("med2"),
+        F.percentile("adev", 0.5).alias("mad"),
+    )
+    return (
+        dev.join(broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.any_value("med2"), 6).alias("median_price"),
+            F.round(F.any_value("mad"), 6).alias("mad_price"),
+            F.sum(
+                F.when(
+                    F.col("adev")
+                    > F.lit(MAD_SIGMAS) * F.lit(MAD_K) * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )

@@ -921,3 +921,94 @@ def x_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dist",
         (F.col("rnk") > F.ceil(OUT_QUANT * F.col("n"))).alias("is_outlier"),
     )
+
+
+# PCA power iteration: unrolled iterations, coordinates re-rounded to 6
+# decimals between steps so both engines walk the same trajectory
+PCA_ITERS = 2
+
+
+def _pca_iter_sql(base: str, vprev: str, out: str) -> str:
+    """One unrolled power-iteration step in DuckDB SQL: score every row
+    against the previous direction, accumulate per-dimension (rounded),
+    normalize (rounded)."""
+    return f"""
+    {out}_c AS (SELECT b.e, list_dot_product(b.e, v.v) AS c
+                FROM {base} b, {vprev} v),
+    {out}_s AS (SELECT g.i AS i, ROUND(SUM(e[g.i] * c), 6) AS s
+                FROM {out}_c, UNNEST(generate_series(1, len(e))) AS g(i)
+                GROUP BY g.i),
+    {out} AS (SELECT list(ROUND(s / (SELECT SQRT(SUM(s * s))
+                                     FROM {out}_s), 6) ORDER BY i) AS v
+              FROM {out}_s)"""
+
+
+@register(
+    "x_embed_pca_power",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                  FROM embeddings),
+    v0 AS (SELECT [CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END
+                   for i in range(1, len(e) + 1)] AS v
+           FROM base ORDER BY vec_id LIMIT 1),
+    {_pca_iter_sql('base', 'v0', 'v1')},
+    {_pca_iter_sql('base', 'v1', 'v2')},
+    lam AS (SELECT ROUND(SUM(list_dot_product(b.e, v.v)
+                             * list_dot_product(b.e, v.v)), 2) AS lambda_est
+            FROM base b, v2 v)
+    SELECT g.i AS dim, v2.v[g.i] AS loading, lam.lambda_est
+    FROM v2, UNNEST(generate_series(1, len(v2.v))) AS g(i), lam
+    """,
+)
+def x_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding cloud by POWER ITERATION
+    ({PCA_ITERS} unrolled steps from a fixed unit start): the iterative
+    linear-algebra primitive behind PCA whitening / anisotropy removal
+    for embedding spaces (the all-but-the-top-component trick), run as
+    pure DataFrame ops — each step scores rows against the current
+    direction (broadcast), accumulates per-dimension partial sums
+    (dim-bounded groups), and renormalizes.
+
+    Cross-engine exactness: per-dimension accumulations and the
+    normalized coordinates are rounded to 6 decimals at EVERY step, so
+    both engines walk the same trajectory; the Rayleigh-quotient
+    eigenvalue estimate rounds to 2 (it sums |rows| squared dots).
+
+    100 TB posture: each iteration is one broadcast cross join (the
+    direction is ONE row) + a posexplode partial agg onto dim groups —
+    per-iteration cost is a single pass, state is O(dim); this is
+    exactly how distributed power iteration / Lanczos steps shard."""
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    v = base.orderBy("vec_id").limit(1).select(
+        F.transform(
+            F.sequence(F.lit(1), F.size("e")),
+            lambda i: F.when(i == 1, F.lit(1.0)).otherwise(F.lit(0.0)),
+        ).alias("v")
+    )
+    wall = Window.partitionBy()
+    for _ in range(PCA_ITERS):
+        scored = base.crossJoin(broadcast(v)).select(
+            "e", dot(F.col("e"), F.col("v")).alias("c")
+        )
+        s = (
+            scored.select(F.posexplode("e").alias("i", "val"), "c")
+            .groupBy("i")
+            .agg(F.round(F.sum(F.col("val") * F.col("c")), 6).alias("s"))
+        )
+        nrm = F.sqrt(F.sum(F.col("s") * F.col("s")).over(wall))
+        vn = s.select("i", F.round(F.col("s") / nrm, 6).alias("cv"))
+        v = vn.agg(
+            F.array_sort(F.collect_list(F.struct("i", "cv"))).alias("sc")
+        ).select(F.col("sc.cv").alias("v"))
+    lam = (
+        base.crossJoin(broadcast(v))
+        .select(dot(F.col("e"), F.col("v")).alias("c"))
+        .agg(F.round(F.sum(F.col("c") * F.col("c")), 2).alias("lambda_est"))
+    )
+    return (
+        v.select(F.posexplode("v").alias("i", "loading"))
+        .select((F.col("i") + 1).alias("dim"), "loading")
+        .crossJoin(broadcast(lam))
+    )

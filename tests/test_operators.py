@@ -87,13 +87,13 @@ def test_salting_helpers_round_trip(spark):
 def test_round8_driver_window_composition(qs):
     """The driver checks the FIRST 50 registry entries.  Pin the round-8
     rotation window: every operator whose code or PLAN changed this
-    round leads — the 28 new ops, x_ann_pipeline (cache-key change), and
+    round leads — the 31 new ops, x_ann_pipeline (cache-key change), and
     the 8 ops rewritten in the evaluation-cost sweep (their pre-r8
     driver records attest pre-rewrite plans; x_seq_tensorize, also
     code-modified, holds its seat in the r4 tail) — then the 3 r3 rows
-    round 7 deferred (standing contract), then 10 of the 46-op r4
+    round 7 deferred (standing contract), then 7 of the 46-op r4
     cohort — a silent reordering here would burn the round's freshness
-    evidence.  The 34 deferred r4 rows are code-UNMODIFIED (their r4
+    evidence.  The 37 deferred r4 rows are code-UNMODIFIED (their r4
     records still attest the running code), carry dedicated
     current-code tests, and lead round 9's window ahead of the r5
     cohort."""
@@ -103,7 +103,10 @@ def test_round8_driver_window_composition(qs):
     assert window == list(_PRIORITY)
     assert len(_PRIORITY) == 50, "round-8 window must fill all 50 slots"
     # new + this-round-modified operators must attest first
-    assert window[:40] == [
+    assert window[:43] == [
+        "q_agg_mad",
+        "q_fn_interval",
+        "x_embed_pca_power",
         "q_anomaly_zscore_daily",
         "q_pareto_abc",
         "q_rfm_segments",
@@ -147,7 +150,7 @@ def test_round8_driver_window_composition(qs):
     ]
     # the r4 cohort (46 ops whose newest driver record was r4) minus the
     # 2 head-seated members (x_word_entropy, x_contam_estimate) and the
-    # 34 deferred rows
+    # 37 deferred rows
     r4_cohort = {
         "q_agg_bitmap_distinct", "q_agg_filtered", "q_agg_global",
         "q_agg_groupby", "q_agg_hll_mergeable", "q_agg_kll_mergeable",
@@ -181,8 +184,9 @@ def test_round8_driver_window_composition(qs):
         "q_fn_variant", "q_fn_try_arithmetic", "q_agg_hll_mergeable",
         "q_agg_kll_mergeable", "q_agg_theta_overlap",
         "q_agg_bitmap_distinct", "q_agg_listagg", "q_cdc_scd2",
+        "q_agg_filtered", "q_agg_global", "q_fn_datetime2",
     }
-    assert set(window[40:]) == r4_cohort - in_head - deferred
+    assert set(window[43:]) == r4_cohort - in_head - deferred
     # every window op must carry an oracle (EXACT gate, not rows-only)
     from kafka_connect_sse_spark.registry import oracle_sql
 
@@ -514,6 +518,9 @@ def test_newly_deferred_r4_rows_pass_driver_style_oracle_gate(spark, qs):
         "q_agg_bitmap_distinct",
         "q_agg_listagg",
         "q_cdc_scd2",
+        "q_agg_filtered",
+        "q_agg_global",
+        "q_fn_datetime2",
     ):
         scols, srows, shash = canon(qs[name](spark, SF).toPandas())
         ocols, orows, ohash = canon(con.execute(osql[name]).df())

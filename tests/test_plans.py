@@ -769,3 +769,33 @@ def test_rfm_profile_is_single_corpus_shuffle(spark):
     assert "Join" not in plan, plan
     assert plan.count("Window") >= 3, plan
     assert "partial_count" in plan, plan
+
+
+def test_mad_broadcasts_group_medians(spark):
+    """q_agg_mad: both median relations are |groups| rows and broadcast
+    back onto the fact — no SortMergeJoin; both fact passes are
+    column-pruned to two columns."""
+    plan = _final_plan(queries()["q_agg_mad"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ReadSchema: struct<l_extendedprice:double,l_returnflag:string>" in plan, plan
+
+
+def test_fn_interval_is_mapside_only(spark):
+    """q_fn_interval: calendar arithmetic is one codegen'd projection —
+    zero exchanges, zero joins."""
+    plan = _final_plan(queries()["q_fn_interval"](spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_pca_power_broadcasts_direction_every_step(spark):
+    """x_embed_pca_power: every iteration scores rows against a ONE-row
+    broadcast direction (BroadcastNestedLoopJoin per step + the lambda
+    pass); per-dimension accumulations partial-aggregate onto dim-
+    bounded groups; nothing in Python."""
+    plan = _final_plan(queries()["x_embed_pca_power"](spark, SF))
+    assert plan.count("BroadcastNestedLoopJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_sum" in plan, plan
+    assert "BatchEvalPython" not in plan, plan

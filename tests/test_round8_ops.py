@@ -817,3 +817,78 @@ def test_rfm_segments_rank_users_on_all_three_axes(spark, tmp_path, q):
     assert out[(1, 1, 1)]["ids_sum"] == 1
     assert out[(4, 4, 4)]["ids_sum"] == 4
     assert out[(1, 1, 1)]["total_events"] == 8
+
+
+def _write_lineitem_rf(tmp_path, rows):
+    """rows: (l_returnflag, l_extendedprice)."""
+    sf_dir = str(tmp_path / "sflirf")
+    os.makedirs(sf_dir, exist_ok=True)
+    tbl = pa.table(
+        {
+            "l_returnflag": pa.array([r[0] for r in rows], pa.string()),
+            "l_extendedprice": pa.array([r[1] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(sf_dir, "lineitem.parquet"))
+    return sf_dir
+
+
+def test_mad_fence_survives_the_outlier_that_moves_a_zscore_fence(
+    spark, tmp_path, q
+):
+    """Group A: nine 10s and one 1000 — the median/MAD fence (10, 0)
+    still flags the 1000 (a mean/std fence would have been dragged
+    toward it); group B: 1..5 has MAD 1 and no outliers."""
+    rows = [("A", 10.0)] * 9 + [("A", 1000.0)] + [
+        ("B", float(v)) for v in (1, 2, 3, 4, 5)
+    ]
+    out = {
+        r["l_returnflag"]: r
+        for r in q["q_agg_mad"](spark, _write_lineitem_rf(tmp_path, rows)).collect()
+    }
+    a, b = out["A"], out["B"]
+    assert (a["median_price"], a["mad_price"], a["n_outliers"]) == (10.0, 0.0, 1)
+    assert (b["median_price"], b["mad_price"], b["n_outliers"]) == (3.0, 1.0, 0)
+
+
+def test_fn_interval_clamps_month_end_and_mondays(spark, tmp_path, q):
+    """2024-12-31 + 2 months must CLAMP to 2025-02-28; day-of-week is
+    days-since-Monday-2024-01-01 mod 7 (Jan 31 2024 = Wednesday = 2);
+    week_start truncates to the preceding Monday."""
+    import datetime as dt
+
+    rows = [
+        (1, "2024-01-31T12:00:00", 1, "view"),
+        (2, "2024-12-31T12:00:00", 1, "view"),
+    ]
+    out = {
+        r["event_id"]: r
+        for r in q["q_fn_interval"](spark, _write_events(tmp_path, rows)).collect()
+    }
+    jan = out[1]
+    assert jan["week_start"] == dt.date(2024, 1, 29)
+    assert jan["month_end"] == dt.date(2024, 1, 31)
+    assert (jan["qtr"], jan["dow_mon0"], jan["days_in_month"]) == (1, 2, 31)
+    assert jan["plus_2m"] == dt.date(2024, 3, 31)
+    dec = out[2]
+    assert dec["plus_2m"] == dt.date(2025, 2, 28)  # month-end clamp
+
+
+def test_pca_power_finds_dominant_axis(spark, tmp_path, q):
+    """Ten vectors hugging axis 2 (with a small axis-1 component so the
+    e1 start is not orthogonal): the returned direction must put its
+    dominant loading on dim 2, normalized to ~unit length."""
+    vecs = [
+        (i, [0.1, 5.0 + 0.01 * i, 0.05 * (i % 2), 0.0], 0)
+        for i in range(10)
+    ]
+    rows = [(i, "t", "en", "srcT") for i, _, _ in vecs]
+    sf_dir = _write_docs_emb(tmp_path, rows, vecs)
+    out = {r["dim"]: r for r in q["x_embed_pca_power"](spark, sf_dir).collect()}
+    assert len(out) == 4
+    loadings = {d: abs(r["loading"]) for d, r in out.items()}
+    assert max(loadings, key=loadings.get) == 2
+    assert loadings[2] > 0.99
+    norm = sum(v * v for v in loadings.values()) ** 0.5
+    assert abs(norm - 1.0) < 1e-4
+    assert out[1]["lambda_est"] > 0

@@ -69,6 +69,9 @@ COMMENTARY = {
     "q_anomaly_zscore_daily": "one column-pruned events scan -> (type, day) partial-agg counts; per-type moment sums (n, Σn, Σn²) roll up from that bounded relation and rejoin as a broadcast — all-integer moments mean no accumulation-order exposure; z rounds before the flag compares it.",
     "q_pareto_abc": "the corpus-sized stage is the per-part DECIMAL revenue partial agg; cumulative + total ride ONE SinglePartition exchange over the |parts|-bounded relation, and class boundaries compare integer-scaled decimals (cum*100 <= total*80) — no float anywhere past the scan.",
     "q_rfm_segments": "ONE corpus shuffle builds the per-user profile; the reference date is MAX(last_d) as a window over that relation (not a second events scan — plan-pinned one FileScan, Join-free); three ntile windows share the profile's SinglePartition residency and the cell rollup is 4^3 groups.",
+    "q_agg_mad": "two column-pruned fact passes (median, then deviation median + fence count) with the |groups|-row median relations broadcast back — no SortMergeJoin; exact per-group medians are the small-SF form, percentile_approx the documented scale swap.",
+    "q_fn_interval": "calendar arithmetic is one codegen'd projection — zero exchanges; the portable day-of-week formula (days since a known Monday mod 7) replaces the engines' disagreeing dayofweek builtins.",
+    "x_embed_pca_power": "each power-iteration step is a one-row broadcast direction (BNLJ) + posexplode partial agg onto dim-bounded groups + renormalize — per-step state is O(dim), which is how distributed Lanczos/power steps shard; coordinates re-round to 6dp per step so engines share one trajectory.",
 }
 
 
@@ -112,6 +115,7 @@ def main() -> None:
     out += _ab_bloom_section()
     out += _ab_ann_section()
     out += _ab_shingles_section()
+    out += _ab_stage_reuse_section()
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("\n".join(out))
     print("wrote PLANS.md")
@@ -228,6 +232,50 @@ def _ab_ann_section() -> list[str]:
     return out
 
 
+
+
+def _ab_stage_reuse_section() -> list[str]:
+    """Render tools/ab_stage_reuse_results.json (written by
+    tools/ab_stage_reuse.py --record): the measured cost of the AQE
+    no-cross-stage-exchange-reuse trap vs the shipped materialization
+    fixes, including where the fix does NOT pay."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "ab_stage_reuse_results.json"
+    )
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        recs = json.load(f)
+    out = [
+        "## A/B: AQE cross-stage reuse trap — materialize vs recompute (round 8)",
+        "",
+        "Measured by `tools/ab_stage_reuse.py --record` (median of 3 after",
+        "a warm run; result parity asserted before timing).  The trap form",
+        "recomputes the shared subtree once per AQE stage; the shipped form",
+        "materializes it (persist / localCheckpoint).  The decision rule",
+        "SCALE.md documents: materialize only when the shared subtree is",
+        "EXPENSIVE relative to its output size — the numbers below include",
+        "a case on each side of that line.",
+        "",
+        "| sf dir | DSIR persisted (current) | DSIR recompute (trap form) | retention checkpointed (current) | retention rescan (trap form) |",
+        "|---|---|---|---|---|",
+    ]
+    for r in recs:
+        v = r["variants"]
+        out.append(
+            "| {} | {} s | {} s | {} s | {} s |".format(
+                r["sf"],
+                v["dsir_persisted_current"]["median_s"],
+                v["dsir_no_persist_trap"]["median_s"],
+                v["retention_checkpoint_current"]["median_s"],
+                v["retention_no_checkpoint_trap"]["median_s"],
+            )
+        )
+    out.append("")
+    return out
 
 
 def _ab_shingles_section() -> list[str]:
