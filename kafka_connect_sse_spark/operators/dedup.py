@@ -1174,10 +1174,12 @@ _COS = (
 )
 
 
-@register(
-    "x_dedup_semantic",
-    oracle=f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+# shared seeded-kmeans assignment CTE: v (bounded sample) -> seeded
+# centroids -> one Lloyd step (6dp-rounded coordinates) -> a1 =
+# (vec_id, e, cell, cos_c).  Used by x_dedup_semantic AND
+# x_cluster_purity so both oracles replay the identical geometry.
+_SEM_CELLS_CTE = f"""
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e
                FROM embeddings WHERE vec_id < {SEM_SAMPLE}),
     c0 AS (SELECT vec_id AS cid, e AS c FROM v WHERE vec_id < {SEM_K}),
     a0 AS (
@@ -1202,40 +1204,12 @@ _COS = (
                  PARTITION BY v.vec_id
                  ORDER BY {_COS.format(a='v.e', b='c1.c')} DESC, c1.cid
                ) AS rk
-        FROM v, c1) WHERE rk = 1),
-    nb AS (
-      SELECT DISTINCT a.vec_id
-      FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id <> b.vec_id
-      WHERE {_COS.format(a='a.e', b='b.e')} >= {SEM_TAU}
-        AND (b.cos_c < a.cos_c
-             OR (b.cos_c = a.cos_c AND b.vec_id < a.vec_id)))
-    SELECT a1.vec_id, a1.cell, a1.cos_c,
-           (nb.vec_id IS NOT NULL) AS dropped
-    FROM a1 LEFT JOIN nb ON nb.vec_id = a1.vec_id
-    """,
-)
-def x_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023) semantic deduplication: k-means cells
-    bound the pairwise work, then near-identical embeddings WITHIN a cell
-    are deduplicated keeping the member FARTHEST from the centroid (the
-    paper's keep-low-centroid-similarity rule, tiebroken on vec_id).
-    Distinct from x_dedup_near_embedding (global pairwise over a bounded
-    sample) and x_sim_topk_ivf (cell-probed SEARCH): this is the
-    cluster-scoped dedup pipeline — assignment, one Lloyd refinement
-    step, in-cell pairwise, survivor policy — end to end.
+        FROM v, c1) WHERE rk = 1)"""
 
-    Cross-engine exactness: refined centroid coordinates are element-wise
-    member means ROUNDED to 6 decimals before any cosine; every cosine is
-    rounded to 6; assignment ranks (rounded cosine DESC, centroid id);
-    the drop rule is a pure comparison on those rounded values.
 
-    100 TB posture: K scales as N/target_cell_size so in-cell pairwise
-    stays bounded (the paper runs K=50k over 5B embeddings); assignment
-    is a broadcast cross join against the K-row centroid relation +
-    one row_number window keyed on vec_id; the Lloyd step is a
-    posexplode -> (cell, dim) partial agg (K x dim groups) -> rebuild.
-    Here the sample is bounded at {SEM_SAMPLE} vectors / K={SEM_K} so the
-    EXACT all-pairs-in-cell form is checkable at every SF."""
+def semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _SEM_CELLS_CTE: (vec_id, e, cell, cos_c) after
+    seeded assignment + one 6dp-rounded Lloyd step."""
     from pyspark.sql import Window
 
     from .similarity import _as_double, dot
@@ -1271,7 +1245,7 @@ def x_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("cell0").alias("cid"), F.col("sc.cv").alias("c"))
     )
     w1 = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), "cid")
-    a1 = (
+    return (
         v.crossJoin(broadcast(c1))
         .select(
             "vec_id", "e", "cid", cos(F.col("e"), F.col("c")).alias("cos_c")
@@ -1280,6 +1254,51 @@ def x_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("vec_id", "e", F.col("cid").alias("cell"), "cos_c")
     )
+
+
+@register(
+    "x_dedup_semantic",
+    oracle=f"""
+    WITH {_SEM_CELLS_CTE},
+    nb AS (
+      SELECT DISTINCT a.vec_id
+      FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      WHERE {_COS.format(a='a.e', b='b.e')} >= {SEM_TAU}
+        AND (b.cos_c < a.cos_c
+             OR (b.cos_c = a.cos_c AND b.vec_id < a.vec_id)))
+    SELECT a1.vec_id, a1.cell, a1.cos_c,
+           (nb.vec_id IS NOT NULL) AS dropped
+    FROM a1 LEFT JOIN nb ON nb.vec_id = a1.vec_id
+    """,
+)
+def x_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic deduplication: k-means cells
+    bound the pairwise work, then near-identical embeddings WITHIN a cell
+    are deduplicated keeping the member FARTHEST from the centroid (the
+    paper's keep-low-centroid-similarity rule, tiebroken on vec_id).
+    Distinct from x_dedup_near_embedding (global pairwise over a bounded
+    sample) and x_sim_topk_ivf (cell-probed SEARCH): this is the
+    cluster-scoped dedup pipeline — assignment, one Lloyd refinement
+    step, in-cell pairwise, survivor policy — end to end.
+
+    Cross-engine exactness: refined centroid coordinates are element-wise
+    member means ROUNDED to 6 decimals before any cosine; every cosine is
+    rounded to 6; assignment ranks (rounded cosine DESC, centroid id);
+    the drop rule is a pure comparison on those rounded values.
+
+    100 TB posture: K scales as N/target_cell_size so in-cell pairwise
+    stays bounded (the paper runs K=50k over 5B embeddings); assignment
+    is a broadcast cross join against the K-row centroid relation +
+    one row_number window keyed on vec_id; the Lloyd step is a
+    posexplode -> (cell, dim) partial agg (K x dim groups) -> rebuild.
+    Here the sample is bounded at {SEM_SAMPLE} vectors / K={SEM_K} so the
+    EXACT all-pairs-in-cell form is checkable at every SF."""
+    from .similarity import dot
+
+    def cos(a, b):
+        return F.round(dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))), 6)
+
+    a1 = semantic_cells(spark, sf_dir)
     left = a1.select(
         F.col("vec_id").alias("va"),
         F.col("e").alias("ea"),
@@ -1367,4 +1386,79 @@ def x_dup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return alld.groupBy("degree").agg(
         F.count("*").alias("n_docs"), F.sum("doc_id").alias("ids_sum")
+    )
+
+
+@register(
+    "x_cluster_purity",
+    oracle=f"""
+    WITH {_SEM_CELLS_CTE},
+    lab AS (SELECT a1.vec_id, a1.cell, e2.label
+            FROM a1 JOIN embeddings e2 ON e2.vec_id = a1.vec_id),
+    cl AS (SELECT cell, label, COUNT(*) AS n
+           FROM lab GROUP BY cell, label),
+    mj AS (SELECT cell, label AS majority_label, n AS n_majority FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+                                          ORDER BY n DESC, label) AS rk
+             FROM cl) WHERE rk = 1),
+    sz AS (SELECT cell, CAST(SUM(n) AS BIGINT) AS n_members
+           FROM cl GROUP BY cell)
+    SELECT sz.cell, sz.n_members, mj.majority_label,
+           CAST(mj.n_majority AS BIGINT) AS n_majority,
+           ROUND(CAST(mj.n_majority AS DOUBLE) / sz.n_members, 6)
+               AS cell_purity,
+           ROUND(CAST(SUM(mj.n_majority) OVER () AS DOUBLE)
+                 / SUM(sz.n_members) OVER (), 6) AS global_purity
+    FROM sz JOIN mj ON mj.cell = sz.cell
+    """,
+)
+def x_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality evaluation: label purity of the seeded-kmeans
+    cells (the x_dedup_semantic geometry, shared helper) against the
+    embeddings' stored labels — majority-label fraction per cell and
+    corpus-wide.  THE metric that says whether unsupervised cells track
+    the supervised signal (i.e. whether cell-scoped semantic dedup /
+    IVF probing respects label structure); majority ties break on the
+    lower label id so both engines elect the same winner.
+
+    100 TB posture: everything after the shared assignment runs on
+    (cell, label) count relations — K x |labels| rows; the label join
+    broadcasts the bounded sample."""
+    lab = semantic_cells(spark, sf_dir).select("vec_id", "cell")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cl = (
+        lab.join(emb, "vec_id")
+        .groupBy("cell", "label")
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy("cell").orderBy(F.col("n").desc(), "label")
+    mj = (
+        cl.withColumn("rk", F.row_number().over(wc))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cell",
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("n_majority"),
+        )
+    )
+    sz = cl.groupBy("cell").agg(F.sum("n").alias("n_members"))
+    wall = Window.partitionBy()
+    return (
+        sz.join(mj, "cell")
+        .select(
+            "cell",
+            "n_members",
+            "majority_label",
+            F.col("n_majority").cast("long").alias("n_majority"),
+            F.round(
+                F.col("n_majority").cast("double") / F.col("n_members"), 6
+            ).alias("cell_purity"),
+            F.round(
+                F.sum("n_majority").over(wall).cast("double")
+                / F.sum("n_members").over(wall),
+                6,
+            ).alias("global_purity"),
+        )
     )

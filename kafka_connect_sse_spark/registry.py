@@ -93,8 +93,10 @@ def register(name: str, oracle: str | None = None):
 # rounds.
 #
 # Round-8 window composition (50 entries): every operator whose CODE or
-# PLAN changed this round leads — the 31 new ops
-# (q_agg_mad / q_fn_interval / x_embed_pca_power — robust stats,
+# PLAN changed this round leads — the 34 new ops
+# (q_triangle_count / s_compact_latest / x_cluster_purity — graph
+# analytics, streaming log compaction, clustering evaluation — then
+# q_agg_mad / q_fn_interval / x_embed_pca_power — robust stats,
 # calendar arithmetic, power-iteration PCA — then q_funnel_stages /
 # q_retention_cohort / q_attribution_last_touch /
 # q_anomaly_zscore_daily / q_pareto_abc / q_rfm_segments —
@@ -118,9 +120,9 @@ def register(name: str, oracle: str | None = None):
 # records attest pre-rewrite plans, so they re-attest here) —
 # x_seq_tensorize (md5-bound-once tokenizer rewrite, continuation) is
 # ALSO code-modified and holds its window seat in the r4 tail.  Then
-# the 3 r3 rows round 7 deferred (standing contract), then 7 of the
+# the 3 r3 rows round 7 deferred (standing contract), then 4 of the
 # 46-op r4 cohort (x_word_entropy and x_contam_estimate are cohort
-# members already seated in the head).  The 37 deferred r4 rows are
+# members already seated in the head).  The 40 deferred r4 rows are
 # code-UNMODIFIED this round — their r4 driver records still attest
 # exactly the code that runs — and carry the strongest independent
 # current-code evidence (multimodal decode family: exact-integer
@@ -151,7 +153,9 @@ def register(name: str, oracle: str | None = None):
 # seats; q_agg_bitmap_distinct / q_agg_listagg / q_cdc_scd2: the same
 # gate again when the anomaly/ABC/RFM trio landed; q_agg_filtered /
 # q_agg_global / q_fn_datetime2: the gate once more for the
-# MAD/interval/PCA trio), all
+# MAD/interval/PCA trio; q_fn_string3 / q_project_rename /
+# q_set_intersect_all: the gate once more for the graph/streaming/
+# purity trio), all
 # green in this round's builder-side full sf0.01 + sf1 sweeps; they
 # LEAD ROUND 9's window ahead of the r5 cohort:
 #   x_multimodal_decode, x_multimodal_audio_decode,
@@ -165,9 +169,13 @@ def register(name: str, oracle: str | None = None):
 #   q_fn_variant, q_fn_try_arithmetic, q_agg_hll_mergeable,
 #   q_agg_kll_mergeable, q_agg_theta_overlap, q_agg_bitmap_distinct,
 #   q_agg_listagg, q_cdc_scd2, q_agg_filtered, q_agg_global,
-#   q_fn_datetime2
+#   q_fn_datetime2, q_fn_string3, q_project_rename,
+#   q_set_intersect_all
 _PRIORITY = (
     # new this round — first driver attestation
+    "q_triangle_count",
+    "s_compact_latest",
+    "x_cluster_purity",
     "q_agg_mad",
     "q_fn_interval",
     "x_embed_pca_power",
@@ -216,10 +224,7 @@ _PRIORITY = (
     # -- r4 cohort: sources / sinks --
     # -- r4 cohort: aggregates / sketches --
     # -- r4 cohort: relational / CDC / time-series --
-    "q_project_rename",
-    "q_set_intersect_all",
     # -- r4 cohort: scalar functions --
-    "q_fn_string3",
     # -- r4 cohort: joins --
     "q_join_null_safe",
     # -- r4 cohort: windows --

@@ -652,3 +652,42 @@ def s_join_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.select("purchase_id", "click_id", "user_id"), mode="append"
     )
     return out.filter(F.col("user_id") >= 0)
+
+
+@register(
+    "s_compact_latest",
+    oracle=f"""
+    SELECT user_id, event_type, event_id AS last_event_id,
+           strftime(ts, '{_TS_FMT_DUCK}') AS last_ts
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def s_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka log compaction ON THE STREAM: the latest record per key,
+    maintained as a running stateful aggregate — q_compact_latest's
+    streaming twin.  Window functions are unsupported on streams, so the
+    latest-record selection is MAX of a (ts, event_id) struct
+    (lexicographic — event_id breaks timestamp ties exactly like the
+    batch op's ROW_NUMBER ordering), which is an associative, mergeable
+    aggregate the state store maintains per key in O(1).
+
+    100 TB posture: per-key state is ONE struct (not the record
+    history); complete-mode memory sink here, but the production form is
+    update-mode into an upsert sink — exactly the materialization a
+    compacted topic consumer builds."""
+    sdf = events_stream(spark, sf_dir)
+    agg = (
+        sdf.groupBy("user_id", "event_type")
+        .agg(F.max(F.struct("ts", "event_id")).alias("m"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("m.event_id").alias("last_event_id"),
+            F.date_format(F.col("m.ts"), _TS_FMT).alias("last_ts"),
+        )
+    )
+    return run_to_memory(agg, mode="complete")

@@ -87,13 +87,13 @@ def test_salting_helpers_round_trip(spark):
 def test_round8_driver_window_composition(qs):
     """The driver checks the FIRST 50 registry entries.  Pin the round-8
     rotation window: every operator whose code or PLAN changed this
-    round leads — the 31 new ops, x_ann_pipeline (cache-key change), and
+    round leads — the 34 new ops, x_ann_pipeline (cache-key change), and
     the 8 ops rewritten in the evaluation-cost sweep (their pre-r8
     driver records attest pre-rewrite plans; x_seq_tensorize, also
     code-modified, holds its seat in the r4 tail) — then the 3 r3 rows
-    round 7 deferred (standing contract), then 7 of the 46-op r4
+    round 7 deferred (standing contract), then 4 of the 46-op r4
     cohort — a silent reordering here would burn the round's freshness
-    evidence.  The 37 deferred r4 rows are code-UNMODIFIED (their r4
+    evidence.  The 40 deferred r4 rows are code-UNMODIFIED (their r4
     records still attest the running code), carry dedicated
     current-code tests, and lead round 9's window ahead of the r5
     cohort."""
@@ -103,7 +103,10 @@ def test_round8_driver_window_composition(qs):
     assert window == list(_PRIORITY)
     assert len(_PRIORITY) == 50, "round-8 window must fill all 50 slots"
     # new + this-round-modified operators must attest first
-    assert window[:43] == [
+    assert window[:46] == [
+        "q_triangle_count",
+        "s_compact_latest",
+        "x_cluster_purity",
         "q_agg_mad",
         "q_fn_interval",
         "x_embed_pca_power",
@@ -150,7 +153,7 @@ def test_round8_driver_window_composition(qs):
     ]
     # the r4 cohort (46 ops whose newest driver record was r4) minus the
     # 2 head-seated members (x_word_entropy, x_contam_estimate) and the
-    # 37 deferred rows
+    # 40 deferred rows
     r4_cohort = {
         "q_agg_bitmap_distinct", "q_agg_filtered", "q_agg_global",
         "q_agg_groupby", "q_agg_hll_mergeable", "q_agg_kll_mergeable",
@@ -185,8 +188,9 @@ def test_round8_driver_window_composition(qs):
         "q_agg_kll_mergeable", "q_agg_theta_overlap",
         "q_agg_bitmap_distinct", "q_agg_listagg", "q_cdc_scd2",
         "q_agg_filtered", "q_agg_global", "q_fn_datetime2",
+        "q_fn_string3", "q_project_rename", "q_set_intersect_all",
     }
-    assert set(window[43:]) == r4_cohort - in_head - deferred
+    assert set(window[46:]) == r4_cohort - in_head - deferred
     # every window op must carry an oracle (EXACT gate, not rows-only)
     from kafka_connect_sse_spark.registry import oracle_sql
 
@@ -521,6 +525,9 @@ def test_newly_deferred_r4_rows_pass_driver_style_oracle_gate(spark, qs):
         "q_agg_filtered",
         "q_agg_global",
         "q_fn_datetime2",
+        "q_fn_string3",
+        "q_project_rename",
+        "q_set_intersect_all",
     ):
         scols, srows, shash = canon(qs[name](spark, SF).toPandas())
         ocols, orows, ohash = canon(con.execute(osql[name]).df())

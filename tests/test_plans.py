@@ -799,3 +799,25 @@ def test_pca_power_broadcasts_direction_every_step(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "partial_sum" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_triangle_count_joins_checkpointed_edges(spark):
+    """q_triangle_count: the oriented edge relation is localCheckpointed
+    (FOUR consumers: degree, two triangle sides, the count) — the
+    co-activity self-join never replays; downstream joins read Scan
+    ExistingRDD only."""
+    plan = _final_plan(queries()["q_triangle_count"](spark, SF))
+    assert plan.count("FileScan parquet") == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_cluster_purity_rolls_up_cell_label_counts(spark):
+    """x_cluster_purity: after the shared assignment, every relation is
+    (cell, label)-bounded — the final plan holds no SinglePartition
+    window over anything larger than the K-row cell relations and no
+    SortMergeJoin."""
+    plan = _final_plan(queries()["x_cluster_purity"](spark, SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "partial_count" in plan, plan

@@ -892,3 +892,70 @@ def test_pca_power_finds_dominant_axis(spark, tmp_path, q):
     norm = sum(v * v for v in loadings.values()) ** 0.5
     assert abs(norm - 1.0) < 1e-4
     assert out[1]["lambda_est"] > 0
+
+
+def test_triangle_count_on_planted_graph(spark, tmp_path, q):
+    """Users 1,2,3 co-occur in one minute bucket (a 3-clique = 1
+    triangle, 3 edges, 3 wedges); users 4,5 form an isolated edge; user
+    6 is alone.  Expect edges 4, wedges 3 + 0 + ... (path wedges from
+    the clique only) and exactly 1 triangle; clustering = 3*1/3 = 1.0
+    ... minus the pair's zero wedges: total wedges 3, clustering 1.0."""
+    rows = [
+        (1, "2024-01-01T00:00:01", 1, "view"),
+        (2, "2024-01-01T00:00:02", 2, "view"),
+        (3, "2024-01-01T00:00:03", 3, "view"),
+        (4, "2024-01-01T01:00:01", 4, "view"),
+        (5, "2024-01-01T01:00:02", 5, "view"),
+        (6, "2024-01-01T02:00:01", 6, "view"),
+    ]
+    r = q["q_triangle_count"](spark, _write_events(tmp_path, rows)).collect()[0]
+    assert (r["n_edges"], r["n_wedges"], r["n_triangles"]) == (4, 3, 1)
+    assert r["global_clustering"] == 1.0
+
+
+def test_stream_compaction_keeps_latest_with_id_tiebreak(spark, tmp_path, q):
+    """Three records for (user 1, view): latest ts wins; two records
+    share the max ts so the higher event_id breaks the tie — exactly the
+    batch q_compact_latest ordering, maintained as stream state."""
+    rows = [
+        (1, "2024-01-01T00:00:01", 1, "view"),
+        (7, "2024-01-01T00:00:05", 1, "view"),
+        (9, "2024-01-01T00:00:05", 1, "view"),   # same ts, higher id wins
+        (2, "2024-01-01T00:00:02", 2, "click"),
+    ]
+    out = {
+        (r["user_id"], r["event_type"]): r
+        for r in q["s_compact_latest"](spark, _write_events(tmp_path, rows)).collect()
+    }
+    assert out[(1, "view")]["last_event_id"] == 9
+    assert out[(1, "view")]["last_ts"] == "2024-01-01 00:00:05"
+    assert out[(2, "click")]["last_event_id"] == 2
+
+
+def test_cluster_purity_separates_planted_labels(spark, tmp_path, q):
+    """Centroid-seed vectors 0..7 alternate labels; extra vectors hug
+    axis 1 with label 0 and axis 2 with label 1 — cell 0 and cell 1 must
+    be pure (purity 1.0) with the planted majority labels, and the
+    global purity is exact integer division."""
+    basis = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+        [1.0, 1.0, 0.0, 0.0],
+        [0.0, 1.0, 1.0, 0.0],
+        [0.0, 0.0, 1.0, 1.0],
+        [1.0, 0.0, 0.0, 1.0],
+    ]
+    vecs = [(i, basis[i], i % 2) for i in range(8)]
+    vecs += [(10, [0.99, 0.01, 0.0, 0.0], 0), (11, [0.98, 0.02, 0.0, 0.0], 0)]
+    vecs += [(12, [0.01, 0.99, 0.0, 0.0], 1), (13, [0.02, 0.98, 0.0, 0.0], 1)]
+    rows = [(i, "t", "en", "srcT") for i, _, _ in vecs]
+    sf_dir = _write_docs_emb(tmp_path, rows, vecs)
+    out = {r["cell"]: r for r in q["x_cluster_purity"](spark, sf_dir).collect()}
+    c0, c1 = out[0], out[1]
+    assert (c0["n_members"], c0["majority_label"], c0["cell_purity"]) == (3, 0, 1.0)
+    assert (c1["n_members"], c1["majority_label"], c1["cell_purity"]) == (3, 1, 1.0)
+    total = sum(r["n_members"] for r in out.values())
+    maj = sum(r["n_majority"] for r in out.values())
+    assert out[0]["global_purity"] == round(maj / total, 6)

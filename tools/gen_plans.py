@@ -72,6 +72,8 @@ COMMENTARY = {
     "q_agg_mad": "two column-pruned fact passes (median, then deviation median + fence count) with the |groups|-row median relations broadcast back — no SortMergeJoin; exact per-group medians are the small-SF form, percentile_approx the documented scale swap.",
     "q_fn_interval": "calendar arithmetic is one codegen'd projection — zero exchanges; the portable day-of-week formula (days since a known Monday mod 7) replaces the engines' disagreeing dayofweek builtins.",
     "x_embed_pca_power": "each power-iteration step is a one-row broadcast direction (BNLJ) + posexplode partial agg onto dim-bounded groups + renormalize — per-step state is O(dim), which is how distributed Lanczos/power steps shard; coordinates re-round to 6dp per step so engines share one trajectory.",
+    "q_triangle_count": "the oriented edge relation localCheckpoints for its four consumers (degree, two triangle join sides, the count) — the co-activity self-join runs once; (type, minute) bucketing keeps pair volume near-linear in events (an hour bucket measured 60x the pairs at sf1); degree-based orientation is the documented skew bound.",
+    "x_cluster_purity": "after the shared seeded-kmeans assignment every relation is (cell, label)-bounded — K x |labels| rows; the label join broadcasts the bounded sample and majority election is a row_number on the tiny count relation.",
 }
 
 
