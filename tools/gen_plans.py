@@ -260,7 +260,12 @@ def _ab_stage_reuse_section() -> list[str]:
         "materializes it (persist / localCheckpoint).  The decision rule",
         "SCALE.md documents: materialize only when the shared subtree is",
         "EXPENSIVE relative to its output size — the numbers below include",
-        "a case on each side of that line.",
+        "a case on each side of that line: DSIR's token explode is worth",
+        "persisting from sf1 up (the bucket counts are tiny vs the token",
+        "stream), while retention's column-pruned events scan is cheap",
+        "enough at these tiers that the checkpoint costs ~0.4 s — it is",
+        "kept because it bounds the WORST case (at corpus scale two raw",
+        "scans dominate; the checkpointed relation is ~|users x days|).",
         "",
         "| sf dir | DSIR persisted (current) | DSIR recompute (trap form) | retention checkpointed (current) | retention rescan (trap form) |",
         "|---|---|---|---|---|",
