@@ -749,7 +749,7 @@ def q_fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(date_trunc('week', ts) AS DATE) AS week_start,
            CAST(last_day(CAST(ts AS DATE)) AS DATE) AS month_end,
            quarter(ts) AS qtr,
-           (CAST(ts AS DATE) - DATE '2024-01-01') % 7 AS dow_mon0,
+           ((CAST(ts AS DATE) - DATE '2024-01-01') % 7 + 7) % 7 AS dow_mon0,
            CAST(CAST(ts AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2m,
            (last_day(CAST(ts AS DATE))
             - CAST(date_trunc('month', ts) AS DATE) + 1) AS days_in_month
@@ -762,7 +762,11 @@ def q_fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle — Jan 31 + 1 month = Feb 29, verified both engines), and
     days-in-month.  Day-of-week is computed as days-since-a-known-Monday
     mod 7 — Spark's dayofweek (Sunday=1) and DuckDB's (Sunday=0)
-    disagree, so the portable formula replaces both.
+    disagree, so the portable formula replaces both.  The modulo is
+    PORTABLE on both sides: Spark F.pmod is always non-negative, and the
+    oracle wraps DuckDB's sign-preserving % as ((x % 7 + 7) % 7), so
+    timestamps BEFORE 2024-01-01 agree too (ADVICE r8 item 1 — parity no
+    longer leans on the fixture's ts >= 2024-01-01 floor).
 
     All integer/date arithmetic — codegen'd map-only projection."""
     e = load_table(spark, sf_dir, "events")

@@ -1323,7 +1323,7 @@ MAD_SIGMAS = 3.0
     oracle=f"""
     WITH med AS (
       SELECT l_returnflag,
-             quantile_cont(l_extendedprice, 0.5) AS med
+             ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS med
       FROM lineitem GROUP BY l_returnflag),
     dev AS (
       SELECT li.l_returnflag, med.med,
@@ -1332,11 +1332,11 @@ MAD_SIGMAS = 3.0
     mad AS (
       SELECT l_returnflag,
              ANY_VALUE(med) AS med,
-             quantile_cont(adev, 0.5) AS mad
+             ROUND(quantile_cont(adev, 0.5), 6) AS mad
       FROM dev GROUP BY l_returnflag)
     SELECT dev.l_returnflag,
-           ROUND(ANY_VALUE(mad.med), 6) AS median_price,
-           ROUND(ANY_VALUE(mad.mad), 6) AS mad_price,
+           ANY_VALUE(mad.med) AS median_price,
+           ANY_VALUE(mad.mad) AS mad_price,
            CAST(SUM(CASE WHEN dev.adev
                               > {MAD_SIGMAS} * {MAD_K} * mad.mad
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
@@ -1353,8 +1353,12 @@ def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     but not a median+MAD fence).
 
     Cross-engine exactness: both medians are PERCENTILE_CONT semantics
-    (q_agg_percentile parity); the outlier predicate compares doubles
-    produced by the identical fixed-order expression on both sides.
+    (q_agg_percentile parity), ROUNDED TO 6 DP AT THE POINT OF
+    COMPUTATION (ADVICE r8 item 4, the x_dedup_semantic rounding
+    discipline): adev derives from the rounded median and the outlier
+    fence compares against the rounded MAD, so a one-ulp interpolation
+    difference between the engines' percentile formulas cannot flip
+    n_outliers.
 
     100 TB posture: exact per-group medians need a sort per group (the
     documented swap is percentile_approx); the median relations are
@@ -1362,7 +1366,7 @@ def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     column-pruned to two columns."""
     li = load_table(spark, sf_dir, "lineitem")
     med = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", 0.5).alias("med")
+        F.round(F.percentile("l_extendedprice", 0.5), 6).alias("med")
     )
     dev = li.join(broadcast(med), "l_returnflag").select(
         "l_returnflag",
@@ -1371,14 +1375,14 @@ def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mad = dev.groupBy("l_returnflag").agg(
         F.any_value("med").alias("med2"),
-        F.percentile("adev", 0.5).alias("mad"),
+        F.round(F.percentile("adev", 0.5), 6).alias("mad"),
     )
     return (
         dev.join(broadcast(mad), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
-            F.round(F.any_value("med2"), 6).alias("median_price"),
-            F.round(F.any_value("mad"), 6).alias("mad_price"),
+            F.any_value("med2").alias("median_price"),
+            F.any_value("mad").alias("mad_price"),
             F.sum(
                 F.when(
                     F.col("adev")

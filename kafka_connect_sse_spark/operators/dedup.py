@@ -1371,6 +1371,16 @@ def x_dup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ids_sum checksum pins that both engines put the SAME documents in
     each degree bucket.
 
+    ORACLE RECALL DEPENDENCY (ADVICE r8 item 3): the oracle enumerates
+    ALL pairs with exact Jaccard >= 0.5, while the Spark side only sees
+    banded-MinHash candidate pairs — the EXACT gate therefore requires
+    the hash family to achieve recall 1.0 at the 0.5 threshold on the
+    fixture.  That is a TESTED invariant, not luck:
+    tests/test_minhash_recall.py asserts full recall on every driver
+    fixture AND that regenerated fixtures stay in the analytic
+    high-recall regime; any fixture regeneration must keep those tests
+    green before this op's gate is trusted.
+
     100 TB posture: the edge relation is dup-evidence-sized (tiny vs the
     corpus), so its degree count and the broadcast back onto the
     documents spine add one small shuffle on doc_id + one partial-agg

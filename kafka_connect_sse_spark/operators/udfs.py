@@ -256,10 +256,20 @@ def _weighted_mean_series(v: pd.Series, w: pd.Series) -> float:
     """Exact-integer weighted mean: dollars -> cents (int64; values are
     2-decimal so the cast is exact), integer num/den sums (associative,
     order-free), ONE double division at the end — the same fixed-order
-    arithmetic the oracle performs, so the result is bit-identical."""
+    arithmetic the oracle performs, so the result is bit-identical.
+
+    Rounding mode is pinned HALF-AWAY-FROM-ZERO for non-negative values
+    (floor(x*100 + 0.5)) to match DuckDB ROUND — np.rint's half-to-even
+    would diverge on any value whose *100 lands on an exact .5 (ADVICE
+    r8 item 2; fixture values are non-negative 2-decimal doubles, and
+    the guard below turns a contract break into a loud error, not a
+    silent hash mismatch)."""
     import numpy as np
 
-    cents = np.rint(v.values * 100).astype("int64")
+    if (v.values < 0).any():  # half-away via floor(+0.5) needs x >= 0
+        raise ValueError("u_pandas_grouped_agg: negative value breaks "
+                         "the pinned half-away-from-zero rounding")
+    cents = np.floor(v.values * 100 + 0.5).astype("int64")
     wi = w.values.astype("int64")
     num = int((cents * wi).sum())
     den = int(wi.sum())
