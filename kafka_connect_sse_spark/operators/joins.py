@@ -1041,26 +1041,39 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the degree relation as Σ d(d-1)/2 (integer math), and the
     clustering coefficient is 3·triangles / wedges.
 
-    Triangle enumeration uses DEGREE-RANK ORIENTATION: nodes are
-    relabeled by (degree, id) rank, every edge points low-rank ->
-    high-rank, and each triangle is counted at its unique lowest-rank
-    vertex as an out-neighbor pair (q1 < q2) closed by the oriented
-    edge (q1 -> q2).  This bounds per-node wedge fan-out by the
-    out-degree — O(sqrt |E|) even at the hubs that dominate Σ C(d,2)
-    on Zipfian graphs.  Measured honestly at sf1: the fixture's
-    co-activity graph is UNIFORM (everyone ~degree 300), where id
-    orientation already splits wedges evenly, so rank orientation is
-    timing-neutral there (21.1 s -> 22.2 s spark-side, identical
-    counts); it is kept because real co-activity graphs are Zipfian,
-    and id orientation has NO wedge bound at a hub while rank
-    orientation provably does.  The reported n_wedges stays the
-    UNDIRECTED Σ d(d-1)/2.
+    Triangle enumeration uses DEGREE-ORDER ORIENTATION: every edge
+    points from the (degree, id)-smaller endpoint to the larger, and
+    each triangle is counted at its unique order-lowest vertex as an
+    out-neighbor pair (q1 before q2 in the same order) closed by the
+    oriented edge (q1 -> q2).  This bounds per-node wedge fan-out by
+    the out-degree — O(sqrt |E|) even at the hubs that dominate
+    Σ C(d,2) on Zipfian graphs.  Measured honestly at sf1: the
+    fixture's co-activity graph is UNIFORM (everyone ~degree 300),
+    where id orientation already splits wedges evenly, so degree
+    orientation is timing-neutral there (identical counts); it is kept
+    because real co-activity graphs are Zipfian, and id orientation has
+    NO wedge bound at a hub while degree orientation provably does.
+    The reported n_wedges stays the UNDIRECTED Σ d(d-1)/2.
+
+    SCALE-SAFE ORDER (VERDICT r8 item 2): orientation needs only a
+    TOTAL ORDER on nodes, never the rank integers — so the former
+    SinglePartition row_number window (one task sorting |nodes| rows)
+    and the |nodes|-row rank broadcast (OOM at 10⁸–10⁹ users) are gone
+    entirely.  Degrees attach to edge endpoints by ordinary
+    node-keyed equi-joins (AQE broadcasts them when the graph is
+    small, sort-merge when it isn't), and the order is the (degree,
+    id) tuple comparison inlined in the orientation/wedge predicates.
+    Each oriented edge carries its head's degree so the wedge filter
+    (q1 before q2) compares by the same total order without any rank
+    relation existing at all.
 
     100 TB posture: bucketing by (type, minute) keeps co-activity pairs
     near-linear in events (pairs per bucket are bounded by per-minute
     concurrency, not by total users — an hour bucket measured 60x the
-    pair volume at sf1); the edge relation localCheckpoints for its
-    consumers; the rank relation is |nodes|-bounded and broadcasts.
+    pair volume at sf1); the edge and oriented-edge relations
+    localCheckpoint for their multiple consumers (AQE
+    no-cross-stage-reuse trap).  No global window, no node-sized
+    broadcast, no single-task stage anywhere.
     All counts integer — EXACT across engines by construction."""
     e = load_table(spark, sf_dir, "events")
     act = e.select(
@@ -1092,26 +1105,37 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedges = deg.agg(
         F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
     )
-    wr = Window.partitionBy().orderBy("d", "node")
-    rank = deg.select("node", F.row_number().over(wr).alias("rk"))
-    ru = rank.select(F.col("node").alias("u"), F.col("rk").alias("ru"))
-    rv = rank.select(F.col("node").alias("v"), F.col("rk").alias("rv"))
-    oriented = (
-        edges.join(broadcast(ru), "u")
-        .join(broadcast(rv), "v")
-        .select(
-            F.least("ru", "rv").alias("p"),
-            F.greatest("ru", "rv").alias("q"),
-        )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    # (degree, id) total order inlined — no rank relation is ever built
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    e1 = oriented.select("p", F.col("q").alias("q1"))
-    e2 = oriented.select("p", F.col("q").alias("q2"))
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("p"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("q"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dq"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e1 = oriented.select(
+        "p", F.col("q").alias("q1"), F.col("dq").alias("dq1")
+    )
+    e2 = oriented.select(
+        "p", F.col("q").alias("q2"), F.col("dq").alias("dq2")
+    )
     close = oriented.select(
         F.col("p").alias("q1"), F.col("q").alias("q2")
     )
     tri = (
         e1.join(e2, "p")
-        .filter(F.col("q1") < F.col("q2"))
+        .filter(
+            (F.col("dq1") < F.col("dq2"))
+            | ((F.col("dq1") == F.col("dq2")) & (F.col("q1") < F.col("q2")))
+        )
         .join(close, ["q1", "q2"])
         .agg(F.count("*").alias("n_triangles"))
     )

@@ -802,14 +802,18 @@ def test_pca_power_broadcasts_direction_every_step(spark):
 
 
 def test_triangle_count_joins_checkpointed_edges(spark):
-    """q_triangle_count: the oriented edge relation is localCheckpointed
-    (FOUR consumers: degree, two triangle sides, the count) — the
-    co-activity self-join never replays; downstream joins read Scan
-    ExistingRDD only."""
+    """q_triangle_count: the edge and oriented-edge relations are
+    localCheckpointed (multiple consumers each) — the co-activity
+    self-join never replays; downstream joins read Scan ExistingRDD
+    only.  SCALE PIN (VERDICT r8 item 2): orientation is the inlined
+    (degree, id) tuple comparison — the plan holds NO window operator
+    (the old SinglePartition row_number over |nodes| is gone) and no
+    rank relation exists to broadcast."""
     plan = _final_plan(queries()["q_triangle_count"](spark, SF))
     assert plan.count("FileScan parquet") == 0, plan
     assert "Scan ExistingRDD" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+    assert "Window" not in plan, plan
 
 
 def test_cluster_purity_rolls_up_cell_label_counts(spark):
