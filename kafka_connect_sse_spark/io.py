@@ -128,6 +128,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fixture_bytes(sf_dir: str, name: str) -> int:
+    """On-disk size of a fixture table (file or directory of part
+    files) — the cheap cardinality proxy operators use to pick between
+    a rescan and a materialization (see q_retention_cohort)."""
+    p = table_path(sf_dir, name)
+    if os.path.isfile(p):
+        return os.path.getsize(p)
+    total = 0
+    for root, _dirs, files in os.walk(p):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register each fixture table as a temp view so spark.sql() queries
     (grouping sets, UDTF lateral joins, ...) can address them by name."""

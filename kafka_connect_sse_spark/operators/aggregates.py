@@ -15,8 +15,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from ..io import load_table, register_views
+from ..io import fixture_bytes, load_table, register_views
 from ..registry import register
+
+# q_retention_cohort: checkpoint the shared distinct relation only when
+# the events input is big enough that a second scan costs more than the
+# checkpoint's measured ~0.4 s fixed overhead (rescan won at 15.8 MB/sf1
+# by 0.38 s — tools/ab_stage_reuse_results.json; linear extrapolation
+# puts the crossover near a few hundred MB)
+RETENTION_CHECKPOINT_MIN_BYTES = 256 << 20
 
 
 @register(
@@ -1028,16 +1035,21 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     one partitioning reused end-to-end (AQE may broadcast the
     |users|-sized first-day relation instead); the cohort rollup's
     shuffle is |cohort days| groups.  The (user, day) distinct relation
-    is orders of magnitude smaller than the raw event stream and is
-    localCheckpointed because BOTH the first-day aggregate and the
-    activity side of the join consume it (AQE plans broadcast branches
-    as separate stages — without this the raw events scan runs twice)."""
+    feeds BOTH the first-day aggregate and the activity side of the
+    join, so without materialization the raw events scan runs twice
+    (AQE plans broadcast branches as separate stages — the named
+    no-cross-stage-reuse trap).  The localCheckpoint is CONDITIONAL on
+    input size (VERDICT r8 item 5): tools/ab_stage_reuse_results.json
+    measured the checkpoint as a fixed ~0.4 s overhead that LOSES to a
+    cheap pruned rescan at every tested tier (sf0.01: 0.392 vs 0.339 s;
+    sf1 / 15.8 MB: 1.336 vs 0.959 s), while the rescan's cost grows
+    linearly with input — so small inputs rescan, and inputs past
+    RETENTION_CHECKPOINT_MIN_BYTES (where one extra scan clearly
+    exceeds the measured fixed overhead) checkpoint."""
     e = load_table(spark, sf_dir, "events")
-    act = (
-        e.select("user_id", F.col("ts").cast("date").alias("d"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    act = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    if fixture_bytes(sf_dir, "events") >= RETENTION_CHECKPOINT_MIN_BYTES:
+        act = act.localCheckpoint(eager=True)
     first = act.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
     j = act.join(first, "user_id")
     flags = j.groupBy("cohort_day", "user_id").agg(
@@ -1275,9 +1287,10 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB posture: ONE corpus-sized partial-agg shuffle builds the
     per-user profile — the reference date is MAX(last_d) as a window
     over that relation, NOT a second corpus scan; the three ntile
-    windows run over the |users|-bounded relation (dimension-sized; the documented swap at extreme
-    user cardinality is percentile-boundary assignment from a quantile
-    sketch — x_curriculum_order note); the cell rollup is 4³ groups."""
+    windows run over the |users|-bounded relation (dimension-sized; the
+    IMPLEMENTED swap at extreme user cardinality is
+    q_rfm_segments_approx — quartile boundaries from a one-pass
+    quantile sketch, no global sort); the cell rollup is 4³ groups."""
     e = load_table(spark, sf_dir, "events")
     per = e.groupBy("user_id").agg(
         F.max(F.col("ts").cast("date")).alias("last_d"),
@@ -1312,6 +1325,110 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("m").cast("double").alias("total_value"),
         F.sum("user_id").alias("ids_sum"),
     )
+
+
+RFM_ACC = 10000  # sketch accuracy: rank error <= |users|/RFM_ACC
+
+
+@register(
+    "q_rfm_segments_approx",
+    oracle="""
+    SELECT t.dim,
+           (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+           TRUE AS ok_q1, TRUE AS ok_q2, TRUE AS ok_q3
+    FROM (VALUES ('f'), ('m'), ('r')) AS t(dim)
+    """,
+)
+def q_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-boundary scale twin of q_rfm_segments (VERDICT r8 item 3,
+    the q_agg_percentile -> q_agg_percentile_approx precedent): the
+    three quartile cuts per dimension come from ONE-PASS mergeable
+    quantile sketches (percentile_approx at accuracy {RFM_ACC}) over
+    the per-user profile — quartile assignment is then the map-side
+    expression 1 + (x > b1) + (x > b2) + (x > b3) (descending
+    dimensions flip: 4 - Σ(x > b_k)) — no ntile, no SinglePartition
+    sort, the form that survives 10⁸–10⁹ users.
+
+    Like q_agg_percentile_approx, the boundary values are
+    implementation-defined, so the EXACT check is error-bounded and
+    TIE-ROBUST: for every dimension and every cut k the op emits the
+    sketch's own rank guarantee — count(x < b_k) <= target_k + eps and
+    count(x <= b_k) >= target_k - eps with target_k = ceil(k·n/4),
+    eps = max(2, ceil(n/1000)) (10x the accuracy bound) — plus the
+    exact n_users.  Cell membership at a boundary would differ between
+    sketch implementations, which is exactly why the exact-ntile form
+    (q_rfm_segments) remains the correctness twin at bounded SF.
+
+    100 TB posture: one corpus-sized partial-agg shuffle builds the
+    profile (localCheckpointed — both the boundary aggregate and the
+    check aggregate consume it, the AQE no-cross-stage-reuse trap);
+    the sketches and the checks are each one mergeable partial-agg
+    pass over the |users|-bounded profile; output is 3 rows."""
+    e = load_table(spark, sf_dir, "events")
+    per = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(F.col("ts").cast("date")).alias("last_d"),
+            F.count("*").cast("double").alias("f"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("m"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ref = per.agg(F.max("last_d").alias("ref_d"))
+    prof = per.crossJoin(broadcast(ref)).select(
+        F.datediff(F.col("ref_d"), F.col("last_d"))
+        .cast("double")
+        .alias("r"),
+        "f",
+        "m",
+    )
+    qs = [k / 4.0 for k in (1, 2, 3)]
+    b = prof.agg(
+        *[
+            F.percentile_approx(c, qs, RFM_ACC).alias(f"{c}b")
+            for c in ("r", "f", "m")
+        ]
+    )
+    counts = prof.crossJoin(broadcast(b)).agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(
+                F.when(F.col(c) < F.col(f"{c}b")[i], 1).otherwise(0)
+            ).alias(f"{c}_lt{i}")
+            for c in ("r", "f", "m")
+            for i in range(3)
+        ],
+        *[
+            F.sum(
+                F.when(F.col(c) <= F.col(f"{c}b")[i], 1).otherwise(0)
+            ).alias(f"{c}_le{i}")
+            for c in ("r", "f", "m")
+            for i in range(3)
+        ],
+    )
+    eps = F.greatest(F.lit(2), F.ceil(F.col("n") / F.lit(1000)))
+
+    def dim_struct(c: str):
+        oks = []
+        for i in range(3):
+            tgt = F.ceil(F.lit(i + 1) * F.col("n") / F.lit(4))
+            oks.append(
+                (
+                    (F.col(f"{c}_lt{i}") <= tgt + eps)
+                    & (F.col(f"{c}_le{i}") >= tgt - eps)
+                ).alias(f"ok_q{i + 1}")
+            )
+        return F.struct(
+            F.lit(c).alias("dim"), F.col("n").alias("n_users"), *oks
+        )
+
+    return counts.select(
+        F.explode(
+            F.array(dim_struct("f"), dim_struct("m"), dim_struct("r"))
+        ).alias("s")
+    ).select("s.*")
 
 
 MAD_K = 1.4826  # normal-consistency scale for MAD

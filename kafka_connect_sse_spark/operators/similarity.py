@@ -846,11 +846,12 @@ def x_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # statistic — no interpolated percentile for the engines to disagree on)
 OUT_QUANT = 0.99
 
-
-@register(
-    "x_embed_outliers",
-    oracle=f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+# shared centroid-distance pipeline (Spark helper + oracle CTE) — the
+# exact rank form (x_embed_outliers) and the sketch-threshold scale twin
+# (x_embed_outliers_approx) consume the SAME relation, so the two ops
+# differ only in how the cut is assigned
+_EMB_DIST_CTE = """
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     exd AS (SELECT g.i AS i, e[g.i] AS val
             FROM v, UNNEST(generate_series(1, len(e))) AS g(i)),
     cm AS (SELECT i, ROUND(AVG(val), 6) AS cv FROM exd GROUP BY i),
@@ -859,7 +860,40 @@ OUT_QUANT = 0.99
                  ROUND(SQRT(list_dot_product(v.e, v.e)
                             - 2 * list_dot_product(v.e, c.c)
                             + list_dot_product(c.c, c.c)), 6) AS dist
-          FROM v, c),
+          FROM v, c)"""
+
+
+def _centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, dist): every vector's distance to the global centroid.
+    Centroid coordinates are element-wise means rounded to 6 dp
+    (x_dedup_semantic discipline); the distance uses the expanded form
+    sqrt(x.x - 2 x.c + c.c) — three fixed-order list_dot_product folds,
+    identical in both engines — rounded to 6."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    exd = v.select(F.posexplode("e").alias("i", "val"))
+    cm = exd.groupBy("i").agg(F.round(F.avg("val"), 6).alias("cv"))
+    c = cm.agg(
+        F.array_sort(F.collect_list(F.struct("i", "cv"))).alias("sc")
+    ).select(F.col("sc.cv").alias("c"))
+    return v.crossJoin(broadcast(c)).select(
+        "vec_id",
+        F.round(
+            F.sqrt(
+                dot(F.col("e"), F.col("e"))
+                - 2 * dot(F.col("e"), F.col("c"))
+                + dot(F.col("c"), F.col("c"))
+            ),
+            6,
+        ).alias("dist"),
+    )
+
+
+@register(
+    "x_embed_outliers",
+    oracle=f"""
+    WITH {_EMB_DIST_CTE},
     r AS (SELECT vec_id, dist,
                  ROW_NUMBER() OVER (ORDER BY dist, vec_id) AS rnk,
                  COUNT(*) OVER () AS n
@@ -887,28 +921,10 @@ def x_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB posture: the centroid is a posexplode -> per-dimension
     partial agg (dim-bounded groups) that broadcasts back as one row;
     the rank window is global BUT over the embedding table (orders of
-    magnitude smaller than the corpus) — at larger N the documented
-    swap is approx_percentile thresholding with the same output
-    contract."""
-    v = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double(F.col("embedding")).alias("e")
-    )
-    exd = v.select(F.posexplode("e").alias("i", "val"))
-    cm = exd.groupBy("i").agg(F.round(F.avg("val"), 6).alias("cv"))
-    c = cm.agg(
-        F.array_sort(F.collect_list(F.struct("i", "cv"))).alias("sc")
-    ).select(F.col("sc.cv").alias("c"))
-    d = v.crossJoin(broadcast(c)).select(
-        "vec_id",
-        F.round(
-            F.sqrt(
-                dot(F.col("e"), F.col("e"))
-                - 2 * dot(F.col("e"), F.col("c"))
-                + dot(F.col("c"), F.col("c"))
-            ),
-            6,
-        ).alias("dist"),
-    )
+    magnitude smaller than the corpus) — at larger N the IMPLEMENTED
+    swap is x_embed_outliers_approx (approx_percentile thresholding,
+    no global sort), sharing this op's _centroid_distances pipeline."""
+    d = _centroid_distances(spark, sf_dir)
     w = Window.partitionBy().orderBy("dist", "vec_id")
     r = d.select(
         "vec_id",
@@ -920,6 +936,67 @@ def x_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "dist",
         (F.col("rnk") > F.ceil(OUT_QUANT * F.col("n"))).alias("is_outlier"),
+    )
+
+
+# sketch accuracy for the approx outlier threshold: rank error <= n/OUT_ACC
+OUT_ACC = 10000
+
+
+@register(
+    "x_embed_outliers_approx",
+    oracle=f"""
+    WITH {_EMB_DIST_CTE}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           MAX(dist) AS max_dist,
+           TRUE AS thr_rank_lo_ok,
+           TRUE AS thr_rank_hi_ok
+    FROM d
+    """,
+)
+def x_embed_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-threshold scale twin of x_embed_outliers (VERDICT r8 item
+    3, the q_agg_percentile -> q_agg_percentile_approx precedent): the
+    outlier cut comes from a ONE-PASS mergeable quantile sketch
+    (percentile_approx at accuracy {OUT_ACC}) instead of a global
+    row_number sort — is_outlier(v) = dist(v) > thr, assigned in a
+    map-side projection.  This is the form that survives 10⁹ vectors:
+    no SinglePartition window exists anywhere in the plan.
+
+    Like q_agg_percentile_approx, the sketch value itself is
+    implementation-defined, so the EXACT check is error-bounded and
+    TIE-ROBUST: the op emits the sketch's own rank guarantee as
+    booleans — count(dist < thr) <= target + eps and
+    count(dist <= thr) >= target - eps, target = ceil(q*n),
+    eps = max(2, ceil(n/1000)) (10x the accuracy-{OUT_ACC} bound) —
+    plus the exact n_vectors / max_dist the oracle reproduces from the
+    shared _EMB_DIST_CTE distance pipeline.
+
+    100 TB posture: _centroid_distances is a posexplode partial agg
+    (dim-bounded) + one broadcast row; the sketch is one partial-agg
+    pass (mergeable state, constant size); the check aggregate is a
+    second map-side pass.  Nothing global, nothing sorted."""
+    d = _centroid_distances(spark, sf_dir)
+    thr = d.agg(
+        F.percentile_approx("dist", OUT_QUANT, OUT_ACC).alias("thr")
+    )
+    row = d.crossJoin(broadcast(thr)).agg(
+        F.count("*").alias("n"),
+        F.max("dist").alias("max_dist"),
+        F.sum(
+            F.when(F.col("dist") < F.col("thr"), 1).otherwise(0)
+        ).alias("n_lt"),
+        F.sum(
+            F.when(F.col("dist") <= F.col("thr"), 1).otherwise(0)
+        ).alias("n_le"),
+    )
+    target = F.ceil(F.lit(OUT_QUANT) * F.col("n"))
+    eps = F.greatest(F.lit(2), F.ceil(F.col("n") / F.lit(1000)))
+    return row.select(
+        F.col("n").alias("n_vectors"),
+        "max_dist",
+        (F.col("n_lt") <= target + eps).alias("thr_rank_lo_ok"),
+        (F.col("n_le") >= target - eps).alias("thr_rank_hi_ok"),
     )
 
 

@@ -816,6 +816,47 @@ def test_triangle_count_joins_checkpointed_edges(spark):
     assert "Window" not in plan, plan
 
 
+def test_retention_cohort_checkpoint_is_size_conditional(spark, monkeypatch):
+    """q_retention_cohort (VERDICT r8 item 5): the shared-distinct
+    localCheckpoint is conditional on input size.  Below the threshold
+    the plan rescans parquet (the measured winner at every tested
+    tier); with the threshold forced to 0 the plan reads the
+    checkpointed RDD and the parquet scan disappears."""
+    from kafka_connect_sse_spark.operators import aggregates as agg
+
+    q = queries()["q_retention_cohort"]
+    small = _final_plan(q(spark, SF))
+    assert "FileScan parquet" in small, small
+    monkeypatch.setattr(agg, "RETENTION_CHECKPOINT_MIN_BYTES", 0)
+    big = _final_plan(q(spark, SF))
+    assert "Scan ExistingRDD" in big, big
+    assert "FileScan parquet" not in big, big
+
+
+def test_rfm_segments_approx_is_sketch_only(spark):
+    """q_rfm_segments_approx (VERDICT r8 item 3): the scale twin's plan
+    holds NO window operator — quartile cuts come from mergeable
+    percentile_approx sketches and assignment/checking are map-side
+    aggregates; the |users| profile is checkpointed so the corpus agg
+    runs once."""
+    plan = _final_plan(queries()["q_rfm_segments_approx"](spark, SF))
+    assert "Window" not in plan, plan
+    assert "percentile_approx" in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("FileScan parquet") == 0, plan
+
+
+def test_embed_outliers_approx_is_sketch_only(spark):
+    """x_embed_outliers_approx (VERDICT r8 item 3): no window operator
+    anywhere — the outlier cut is a one-pass percentile_approx sketch
+    broadcast back as one row; contrast with x_embed_outliers' global
+    rank, which this twin exists to replace at scale."""
+    plan = _final_plan(queries()["x_embed_outliers_approx"](spark, SF))
+    assert "Window" not in plan, plan
+    assert "percentile_approx" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
 def test_cluster_purity_rolls_up_cell_label_counts(spark):
     """x_cluster_purity: after the shared assignment, every relation is
     (cell, label)-bounded — the final plan holds no SinglePartition
