@@ -46,12 +46,14 @@ _MODULES = (
 )
 
 # Operators that register only when an optional dependency imports
-# (streaming/queries.py gates s_transform_with_state on protobuf).  They
-# are EXCLUDED from SURVEY.md's declared total, the COVERAGE.md
-# inventory, and the sf1 gate's completeness compare — one constant so
-# all three consumers (tools/gen_coverage.py, tools/sf1_gate.py,
-# tests/test_operators.py) cannot drift (ADVICE r7 item 1).
-CONDITIONAL_OPS = frozenset({"s_transform_with_state"})
+# (streaming/queries.py gates s_transform_with_state on protobuf;
+# operators/sinks.py gates snk_kafka_topic on the spark-sql-kafka jar +
+# a declared broker).  They are EXCLUDED from SURVEY.md's declared
+# total, the COVERAGE.md inventory, and the sf1 gate's completeness
+# compare — one constant so all three consumers (tools/gen_coverage.py,
+# tools/sf1_gate.py, tests/test_operators.py) cannot drift (ADVICE r7
+# item 1).
+CONDITIONAL_OPS = frozenset({"s_transform_with_state", "snk_kafka_topic"})
 
 _loaded = False
 
