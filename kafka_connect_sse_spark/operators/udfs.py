@@ -88,14 +88,26 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
            ROUND((o_totalprice - AVG(o_totalprice) OVER w)
                  / stddev_samp(o_totalprice) OVER w, 6) AS z
     FROM orders
+    WHERE o_custkey % 10 = 0
     WINDOW w AS (PARTITION BY o_custkey)
     QUALIFY COUNT(*) OVER w >= 2
     """,
 )
 def u_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas (per-key pandas transform = the UDAF/UDTF
-    slot); per-customer z-score, oracle re-expressed as SQL windows."""
-    o = load_table(spark, sf_dir, "orders")
+    slot); per-customer z-score, oracle re-expressed as SQL windows.
+
+    Bounded input on purpose (the u_py_udf precedent): this is
+    deliberately the slow rung of the ladder — applyInPandas pays a
+    fixed per-GROUP Python cost, ~94k rows/s measured — and its
+    scale-safe twin u_grouped_map_batched covers the FULL table with
+    identical semantics.  The deterministic 10% customer sample (both
+    sides, so the oracle gate's semantics are unchanged) bounds the
+    sweep-tier checker cost (81.7 s -> ~8 s at sf1, VERDICT r8 item
+    7) while still exercising thousands of real per-key groups."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 10 == 0
+    )
     grouped = o.groupBy("o_custkey").applyInPandas(
         _zscore_group, "o_custkey long, o_orderkey long, z double"
     )

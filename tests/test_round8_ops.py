@@ -895,18 +895,21 @@ def test_pca_power_finds_dominant_axis(spark, tmp_path, q):
 
 
 def test_triangle_count_on_planted_graph(spark, tmp_path, q):
-    """Users 1,2,3 co-occur in one minute bucket (a 3-clique = 1
-    triangle, 3 edges, 3 wedges); users 4,5 form an isolated edge; user
-    6 is alone.  Expect edges 4, wedges 3 + 0 + ... (path wedges from
-    the clique only) and exactly 1 triangle; clustering = 3*1/3 = 1.0
-    ... minus the pair's zero wedges: total wedges 3, clustering 1.0."""
+    """Users 2,4,6 co-occur in one minute bucket (a 3-clique = 1
+    triangle, 3 edges, 3 wedges); users 8,10 form an isolated edge;
+    user 12 is alone.  User 7 ALSO sits in the clique's minute but is
+    ODD — the deterministic vertex sample (user_id % 2 = 0) must drop
+    it, or edges would be 7 and wedges/triangles would grow.  Expect
+    edges 4, wedges 3 (clique paths only; the pair has none) and
+    exactly 1 triangle; clustering = 3*1/3 = 1.0."""
     rows = [
-        (1, "2024-01-01T00:00:01", 1, "view"),
-        (2, "2024-01-01T00:00:02", 2, "view"),
-        (3, "2024-01-01T00:00:03", 3, "view"),
-        (4, "2024-01-01T01:00:01", 4, "view"),
-        (5, "2024-01-01T01:00:02", 5, "view"),
-        (6, "2024-01-01T02:00:01", 6, "view"),
+        (1, "2024-01-01T00:00:01", 2, "view"),
+        (2, "2024-01-01T00:00:02", 4, "view"),
+        (3, "2024-01-01T00:00:03", 6, "view"),
+        (4, "2024-01-01T00:00:04", 7, "view"),  # odd: sampled out
+        (5, "2024-01-01T01:00:01", 8, "view"),
+        (6, "2024-01-01T01:00:02", 10, "view"),
+        (7, "2024-01-01T02:00:01", 12, "view"),
     ]
     r = q["q_triangle_count"](spark, _write_events(tmp_path, rows)).collect()[0]
     assert (r["n_edges"], r["n_wedges"], r["n_triangles"]) == (4, 3, 1)
