@@ -1509,3 +1509,410 @@ def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+@register(
+    "q_ts_ohlc",
+    oracle="""
+    SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           arg_min(value, printf('%020d|%012d',
+                                 epoch_us(ts), event_id)) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           arg_max(value, printf('%020d|%012d',
+                                 epoch_us(ts), event_id)) AS close,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+    """,
+)
+def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC (open/high/low/close) bars per event type — the
+    time-series downsampling shape every monitoring / financial rollup
+    uses, expressed as ONE partial-aggregating groupBy: open/close are
+    min_by/max_by over the total (ts, event_id) order (never a window
+    sort), high/low plain MIN/MAX.
+
+    Cross-engine exactness: open/high/low/close pass fixture doubles
+    through untouched (no arithmetic, so bit-identical); the ordering
+    key is total (event_id breaks ts ties) — Spark orders by a
+    (ts, event_id) struct, the oracle by the equivalent
+    zero-padded '%020d|%012d' string, the same total order.
+
+    100 TB posture: one corpus-sized partial-agg shuffle onto
+    (type, day) groups; min_by/max_by carry constant state per group
+    (value + key), so map-side combine does almost all the work —
+    contrast with a first_value/last_value window, which would sort
+    every partition."""
+    e = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return e.groupBy(
+        "event_type", F.col("ts").cast("date").cast("string").alias("day")
+    ).agg(
+        F.min_by("value", key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", key).alias("close"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q_ts_wow_growth",
+    oracle="""
+    WITH wk AS (
+      SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS w,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type, date_trunc('week', ts))
+    SELECT event_type, CAST(w AS VARCHAR) AS week_start, n,
+           LAG(n) OVER (PARTITION BY event_type ORDER BY w) AS prev_n,
+           ROUND(CAST(n AS DOUBLE)
+                 / LAG(n) OVER (PARTITION BY event_type ORDER BY w)
+                 - 1.0, 6) AS wow_growth
+    FROM wk
+    """,
+)
+def q_ts_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type: weekly counts with a lag-1
+    window and a growth ratio — the trend line every ops dashboard
+    draws over the landed SSE stream.
+
+    Cross-engine exactness: counts are integers; the single ratio is
+    one fixed-order double division rounded to 6.
+
+    100 TB posture: the corpus-sized stage is the (type, week)
+    partial-agg count; the lag window runs over that BOUNDED relation
+    (|types| x |weeks| rows), partitioned by type — never over raw
+    events."""
+    e = load_table(spark, sf_dir, "events")
+    wk = e.groupBy(
+        "event_type",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("w"),
+    ).agg(F.count("*").alias("n"))
+    win = Window.partitionBy("event_type").orderBy("w")
+    return wk.select(
+        "event_type",
+        F.col("w").cast("string").alias("week_start"),
+        "n",
+        F.lag("n").over(win).alias("prev_n"),
+        F.round(
+            F.col("n").cast("double") / F.lag("n").over(win) - 1.0, 6
+        ).alias("wow_growth"),
+    )
+
+
+@register(
+    "q_ts_autocorr",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    pairs AS (
+      SELECT a.event_type, a.n AS x, b.n AS y
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.d = a.d + 1),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS np,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM pairs GROUP BY event_type)
+    SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+           ROUND((np * sxy - sx * sy)
+                 / (SQRT(np * sxx - sx * sx)
+                    * SQRT(np * syy - sy * sy)), 6) AS lag1_autocorr
+    FROM s
+    """,
+)
+def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each event type's daily volume — the
+    seasonality probe (is today's traffic predicted by yesterday's?)
+    that complements q_anomaly_zscore_daily's point outliers.
+
+    Cross-engine exactness: the anomaly-op discipline — every moment
+    is an INTEGER sum over integer daily counts (n, Σx, Σy, Σxy, Σx²,
+    Σy²) fed through one fixed-order double expression, rounded to 6;
+    no float ever accumulates.
+
+    100 TB posture: the corpus-sized stage is the (type, day)
+    partial-agg count; the lag-1 self-join and the moment rollup run
+    over that bounded relation (AQE broadcasts it)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count("*").alias("n"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.d") == F.date_add(F.col("a.d"), 1)),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.n").alias("x"),
+        F.col("b.n").alias("y"),
+    )
+    s = pairs.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("np"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    return s.select(
+        "event_type",
+        F.col("np").cast("long").alias("n_pairs"),
+        F.round(
+            (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(
+                    F.col("np") * F.col("syy") - F.col("sy") * F.col("sy")
+                )
+            ),
+            6,
+        ).alias("lag1_autocorr"),
+    )
+
+
+@register(
+    "q_agg_linreg",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2)))
+                  AS DOUBLE) AS sxx
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n, 6) AS intercept
+    FROM s
+    """,
+)
+def q_agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS regression (price ~ quantity): slope and intercept
+    from closed-form normal equations — the regr_slope/regr_intercept
+    surface, rebuilt on EXACT DECIMAL moment sums instead of the
+    engines' order-dependent double accumulators (Spark's regr_* and
+    DuckDB's disagree in low bits run-to-run; DECIMAL sums are
+    associative, so partial aggregation is exact at any cluster size).
+
+    100 TB posture: one partial-agg shuffle carrying five DECIMAL
+    accumulators per group — the moments ARE the mergeable state; the
+    closed form is a |groups|-sized projection."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dx = F.col("l_quantity").cast("decimal(18,2)")
+    dy = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dx * dy).cast("double").alias("sxy"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
+
+
+WELCH_A = "1-URGENT"
+WELCH_B = "5-LOW"
+
+
+@register(
+    "q_agg_welch_t",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderpriority AS grp,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE) AS syy
+      FROM orders WHERE o_orderpriority IN ('{WELCH_A}', '{WELCH_B}')
+      GROUP BY o_orderpriority),
+    ab AS (SELECT
+             MAX(CASE WHEN grp = '{WELCH_A}' THEN n END) AS na,
+             MAX(CASE WHEN grp = '{WELCH_A}' THEN sy END) AS sya,
+             MAX(CASE WHEN grp = '{WELCH_A}' THEN syy END) AS syya,
+             MAX(CASE WHEN grp = '{WELCH_B}' THEN n END) AS nb,
+             MAX(CASE WHEN grp = '{WELCH_B}' THEN sy END) AS syb,
+             MAX(CASE WHEN grp = '{WELCH_B}' THEN syy END) AS syyb
+           FROM s)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(sya / na, 6) AS mean_a, ROUND(syb / nb, 6) AS mean_b,
+           ROUND((sya / na - syb / nb)
+                 / SQRT(((syya - sya * sya / na) / (na - 1.0)) / na
+                        + ((syyb - syb * syb / nb) / (nb - 1.0)) / nb),
+                 6) AS welch_t
+    FROM ab
+    """,
+)
+def q_agg_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t statistic (unequal variances) between two
+    order-priority cohorts' spend — the A/B-testing primitive a
+    product-analytics stack runs over the landed stream.
+
+    Cross-engine exactness: per-cohort moments are EXACT DECIMAL sums
+    (the q_agg_linreg discipline); the t statistic is one fixed-order
+    double expression over the six moments, rounded to 6.
+
+    100 TB posture: one filtered partial-agg shuffle onto TWO groups
+    (three DECIMAL accumulators each), then a 2-row pivot and a 1-row
+    projection — the entire test is mergeable map-side state."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin(WELCH_A, WELCH_B)
+    )
+    dy = F.col("o_totalprice").cast("decimal(18,2)")
+    s = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dy * dy).cast("double").alias("syy"),
+    )
+    ab = s.agg(
+        F.max(F.when(F.col("grp") == WELCH_A, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("grp") == WELCH_A, F.col("sy"))).alias("sya"),
+        F.max(F.when(F.col("grp") == WELCH_A, F.col("syy"))).alias("syya"),
+        F.max(F.when(F.col("grp") == WELCH_B, F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("grp") == WELCH_B, F.col("sy"))).alias("syb"),
+        F.max(F.when(F.col("grp") == WELCH_B, F.col("syy"))).alias("syyb"),
+    )
+    var_a = (F.col("syya") - F.col("sya") * F.col("sya") / F.col("na")) / (
+        F.col("na") - 1.0
+    )
+    var_b = (F.col("syyb") - F.col("syb") * F.col("syb") / F.col("nb")) / (
+        F.col("nb") - 1.0
+    )
+    return ab.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(F.col("sya") / F.col("na"), 6).alias("mean_a"),
+        F.round(F.col("syb") / F.col("nb"), 6).alias("mean_b"),
+        F.round(
+            (F.col("sya") / F.col("na") - F.col("syb") / F.col("nb"))
+            / F.sqrt(var_a / F.col("na") + var_b / F.col("nb")),
+            6,
+        ).alias("welch_t"),
+    )
+
+
+@register(
+    "q_agg_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS cnt
+      FROM events GROUP BY CAST(ts AS DATE), event_type),
+    t AS (
+      SELECT d,
+             CAST(SUM(cnt) AS BIGINT) AS n,
+             SUM(CAST(ROUND(cnt * LN(cnt), 6) AS DECIMAL(28,6))) AS sclogc
+      FROM c GROUP BY d)
+    SELECT CAST(d AS VARCHAR) AS day, n,
+           ROUND(LN(n) - CAST(sclogc AS DOUBLE) / n, 6) AS type_entropy
+    FROM t
+    """,
+)
+def q_agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the daily event-type mix — the
+    distribution-drift one-liner (entropy collapse = one type is
+    flooding; entropy spike = mix shift) over the landed SSE stream,
+    via the identity H = ln(n) - (Σ c·ln c)/n so only counts enter.
+
+    Cross-engine exactness: each c·ln(c) term is rounded to 6 and
+    CARRIED AS DECIMAL(28,6), so the per-day sum is associative and
+    order-free (the documented DECIMAL-carry discipline); one double
+    expression at the end, rounded to 6.
+
+    100 TB posture: one corpus-sized partial-agg shuffle onto
+    (day, type) groups; the entropy rollup runs over that bounded
+    relation onto |days| groups."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy(
+        F.col("ts").cast("date").alias("d"), "event_type"
+    ).agg(F.count("*").alias("cnt"))
+    t = c.groupBy("d").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(
+            F.round(F.col("cnt") * F.log(F.col("cnt")), 6).cast(
+                "decimal(28,6)"
+            )
+        ).alias("sclogc"),
+    )
+    return t.select(
+        F.col("d").cast("string").alias("day"),
+        "n",
+        F.round(
+            F.log(F.col("n")) - F.col("sclogc").cast("double") / F.col("n"),
+            6,
+        ).alias("type_entropy"),
+    )
+
+
+@register(
+    "q_user_stickiness",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                FROM events),
+    m AS (
+      SELECT CAST(date_trunc('month', d) AS DATE) AS mon,
+             COUNT(*) AS sum_dau,
+             COUNT(DISTINCT d) AS n_days,
+             COUNT(DISTINCT user_id) AS mau
+      FROM ud GROUP BY date_trunc('month', d))
+    SELECT CAST(mon AS VARCHAR) AS month, sum_dau, n_days, mau,
+           ROUND(CAST(sum_dau AS DOUBLE) / n_days / mau, 6) AS stickiness
+    FROM m
+    """,
+)
+def q_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month (mean daily actives over monthly
+    actives) — the engagement ratio that, with q_retention_cohort and
+    q_funnel_stages, rounds out the product-analytics tier.
+
+    Cross-engine exactness: all counts integer (distinct user-days,
+    observed days, distinct users); one double expression rounded 6.
+
+    100 TB posture: the corpus-sized stage is the DISTINCT
+    (user, day) pass (partial-agg'd); the month rollup groups that
+    relation onto |months| rows — the two distinct counts inside it
+    are per-month exact distincts over the already-distinct relation
+    (expand + partial agg, no second corpus scan)."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    m = ud.groupBy(
+        F.date_trunc("month", F.col("d")).cast("date").alias("mon")
+    ).agg(
+        F.count("*").alias("sum_dau"),
+        F.count_distinct("d").alias("n_days"),
+        F.count_distinct("user_id").alias("mau"),
+    )
+    return m.select(
+        F.col("mon").cast("string").alias("month"),
+        "sum_dau",
+        "n_days",
+        "mau",
+        F.round(
+            F.col("sum_dau").cast("double") / F.col("n_days") / F.col("mau"),
+            6,
+        ).alias("stickiness"),
+    )

@@ -1472,3 +1472,56 @@ def x_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_purity"),
         )
     )
+
+
+@register(
+    "x_dup_ratio_by_source",
+    oracle="""
+    WITH h AS (SELECT doc_id, source, md5(text) AS hh FROM documents),
+    hc AS (SELECT hh, COUNT(*) AS c FROM h GROUP BY hh)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN hc.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+           ROUND(CAST(SUM(CASE WHEN hc.c > 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS dup_ratio
+    FROM h JOIN hc ON hc.hh = h.hh
+    GROUP BY source
+    """,
+)
+def x_dup_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication profile: the share of each source's
+    documents whose full-text digest appears more than once ANYWHERE in
+    the corpus — the provenance-level duplication audit that tells a
+    data buyer which feeds are boilerplate mills before any dedup runs
+    (x_source_overlap answers the pairwise question; this is the
+    per-source marginal).
+
+    Cross-engine exactness: md5 digests and integer counts; one rounded
+    ratio.
+
+    100 TB posture: the digest is computed BEFORE the shuffle (the
+    x_dedup_exact_hash discipline — wide stages move 32-byte keys, not
+    documents); the global digest-count relation joins back on the
+    digest (AQE broadcasts it when duplication evidence is small) and
+    the rollup is |sources| groups."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select("doc_id", "source", F.md5(F.col("text")).alias("hh"))
+    hc = h.groupBy("hh").agg(F.count("*").alias("c"))
+    return (
+        h.join(hc, "hh")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias(
+                "n_dup_docs"
+            ),
+            F.round(
+                F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )

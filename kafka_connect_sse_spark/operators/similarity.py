@@ -1005,6 +1005,43 @@ def x_embed_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 PCA_ITERS = 2
 
 
+def _pca_direction(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(base, v): the embedding relation and the PCA_ITERS-step power-
+    iteration direction as a ONE-row array relation — shared by
+    x_embed_pca_power (reports the direction) and x_embed_whiten
+    (removes it).  Per step: score rows against the broadcast
+    direction, accumulate per-dimension partial sums (dim-bounded
+    groups, rounded to 6), renormalize (rounded to 6) — both engines
+    walk the same trajectory."""
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    v = base.orderBy("vec_id").limit(1).select(
+        F.transform(
+            F.sequence(F.lit(1), F.size("e")),
+            lambda i: F.when(i == 1, F.lit(1.0)).otherwise(F.lit(0.0)),
+        ).alias("v")
+    )
+    wall = Window.partitionBy()
+    for _ in range(PCA_ITERS):
+        scored = base.crossJoin(broadcast(v)).select(
+            "e", dot(F.col("e"), F.col("v")).alias("c")
+        )
+        s = (
+            scored.select(F.posexplode("e").alias("i", "val"), "c")
+            .groupBy("i")
+            .agg(F.round(F.sum(F.col("val") * F.col("c")), 6).alias("s"))
+        )
+        nrm = F.sqrt(F.sum(F.col("s") * F.col("s")).over(wall))
+        vn = s.select("i", F.round(F.col("s") / nrm, 6).alias("cv"))
+        v = vn.agg(
+            F.array_sort(F.collect_list(F.struct("i", "cv"))).alias("sc")
+        ).select(F.col("sc.cv").alias("v"))
+    return base, v
+
+
 def _pca_iter_sql(base: str, vprev: str, out: str) -> str:
     """One unrolled power-iteration step in DuckDB SQL: score every row
     against the previous direction, accumulate per-dimension (rounded),
@@ -1055,30 +1092,7 @@ def x_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     direction is ONE row) + a posexplode partial agg onto dim groups —
     per-iteration cost is a single pass, state is O(dim); this is
     exactly how distributed power iteration / Lanczos steps shard."""
-    base = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double(F.col("embedding")).alias("e")
-    )
-    v = base.orderBy("vec_id").limit(1).select(
-        F.transform(
-            F.sequence(F.lit(1), F.size("e")),
-            lambda i: F.when(i == 1, F.lit(1.0)).otherwise(F.lit(0.0)),
-        ).alias("v")
-    )
-    wall = Window.partitionBy()
-    for _ in range(PCA_ITERS):
-        scored = base.crossJoin(broadcast(v)).select(
-            "e", dot(F.col("e"), F.col("v")).alias("c")
-        )
-        s = (
-            scored.select(F.posexplode("e").alias("i", "val"), "c")
-            .groupBy("i")
-            .agg(F.round(F.sum(F.col("val") * F.col("c")), 6).alias("s"))
-        )
-        nrm = F.sqrt(F.sum(F.col("s") * F.col("s")).over(wall))
-        vn = s.select("i", F.round(F.col("s") / nrm, 6).alias("cv"))
-        v = vn.agg(
-            F.array_sort(F.collect_list(F.struct("i", "cv"))).alias("sc")
-        ).select(F.col("sc.cv").alias("v"))
+    base, v = _pca_direction(spark, sf_dir)
     lam = (
         base.crossJoin(broadcast(v))
         .select(dot(F.col("e"), F.col("v")).alias("c"))
@@ -1088,4 +1102,70 @@ def x_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.select(F.posexplode("v").alias("i", "loading"))
         .select((F.col("i") + 1).alias("dim"), "loading")
         .crossJoin(broadcast(lam))
+    )
+
+
+@register(
+    "x_embed_whiten",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                  FROM embeddings),
+    v0 AS (SELECT [CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END
+                   for i in range(1, len(e) + 1)] AS v
+           FROM base ORDER BY vec_id LIMIT 1),
+    {_pca_iter_sql('base', 'v0', 'v1')},
+    {_pca_iter_sql('base', 'v1', 'v2')}
+    SELECT b.vec_id,
+           ROUND(list_dot_product(b.e, v.v), 6) AS proj,
+           ROUND(SQRT(list_dot_product(b.e, b.e)), 6) AS norm_before,
+           ROUND(SQRT(GREATEST(
+               list_dot_product(b.e, b.e)
+               - 2 * list_dot_product(b.e, v.v)
+                   * list_dot_product(b.e, v.v)
+               + list_dot_product(b.e, v.v) * list_dot_product(b.e, v.v)
+                   * list_dot_product(v.v, v.v), 0.0)), 6) AS norm_after
+    FROM base b, v2 v
+    """,
+)
+def x_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anisotropy removal (the all-but-the-top-component trick): project
+    every embedding off the corpus' top principal direction — e' = e -
+    (e·v)v — and report the projection plus the norm before/after.
+    This is the embedding-hygiene transform published for sentence
+    embeddings (dominant-direction removal makes cosine similarity
+    discriminative again); it composes directly with x_embed_outliers /
+    x_dedup_semantic, whose geometry a dominant direction distorts.
+
+    The direction v comes from the SHARED power-iteration helper
+    (_pca_direction — exactly x_embed_pca_power's trajectory, both
+    engines re-rounded to 6 per step), so the whitened norms are
+    pinned to the same direction the PCA op reports.
+
+    Cross-engine exactness: norm_after uses the algebraic expansion
+    e·e - 2c² + c²(v·v) with UNROUNDED c = e·v — every term is the
+    same fixed-order fold in both engines — clamped at 0 (FP can dip
+    an exact-zero residual negative) and rounded to 6.
+
+    100 TB posture: the direction is ONE broadcast row; the whitening
+    pass is a map-side projection per vector (three array folds), no
+    shuffle at all beyond _pca_direction's dim-bounded iterations."""
+    base, v = _pca_direction(spark, sf_dir)
+    c = dot(F.col("e"), F.col("v"))
+    return base.crossJoin(broadcast(v)).select(
+        "vec_id",
+        F.round(c, 6).alias("proj"),
+        F.round(F.sqrt(dot(F.col("e"), F.col("e"))), 6).alias(
+            "norm_before"
+        ),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    dot(F.col("e"), F.col("e"))
+                    - 2 * c * c
+                    + c * c * dot(F.col("v"), F.col("v")),
+                    F.lit(0.0),
+                )
+            ),
+            6,
+        ).alias("norm_after"),
     )

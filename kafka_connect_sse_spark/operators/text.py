@@ -1490,3 +1490,45 @@ def x_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bytes_per_token"
         ),
     )
+
+
+@register(
+    "x_heaps_law",
+    oracle="""
+    WITH tok AS (SELECT source, UNNEST(str_split(text, ' ')) AS w
+                 FROM documents)
+    SELECT source,
+           COUNT(*) AS n_tokens,
+           COUNT(DISTINCT w) AS n_vocab,
+           ROUND(LN(COUNT(DISTINCT w)) / LN(COUNT(*)), 6)
+               AS heaps_exponent
+    FROM tok GROUP BY source
+    """,
+)
+def x_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth profile per source: total tokens,
+    distinct vocabulary, and the empirical exponent ln(V)/ln(N) — the
+    corpus-health statistic that separates natural text (β ≈ 0.4–0.6)
+    from template spam (β → 0, vocabulary saturates) and noise/code
+    (β → 1, every token novel).  Complements x_zipf_fit (rank-frequency
+    shape) with the growth view of the same distribution.
+
+    Cross-engine exactness: both counts integer; one double expression
+    rounded to 6.  Tokenization is the corpus ops' whitespace split on
+    BOTH sides.
+
+    100 TB posture: one explode -> (source, word) partial-agg distinct
+    (the shuffle carries words once per (source, word), not per
+    occurrence, thanks to map-side combine), then a |sources|-group
+    rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    return tok.groupBy("source").agg(
+        F.count("*").alias("n_tokens"),
+        F.count_distinct("w").alias("n_vocab"),
+        F.round(
+            F.log(F.count_distinct("w")) / F.log(F.count("*")), 6
+        ).alias("heaps_exponent"),
+    )

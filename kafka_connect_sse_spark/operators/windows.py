@@ -684,3 +684,153 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share"),
     )
+
+
+@register(
+    "q_session_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type AS next_type,
+           COUNT(*) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY prev_type), 6)
+               AS p_next
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order user-journey transition matrix: for every in-session
+    step, the (previous event type -> next event type) pair, counted,
+    with the conditional probability P(next | prev) — the Markov-chain
+    path analysis behind 'where do users go after X' (with
+    q_funnel_stages' fixed funnel this covers both directed and
+    exploratory flow questions).
+
+    Cross-engine exactness: counts integer; same-timestamp ties order
+    on event_id (the q_attribution_last_touch discipline) so both
+    engines walk one deterministic sequence; the share is one rounded
+    division.
+
+    100 TB posture: ONE user_id window exchange produces the lag; the
+    rollup is a (|types|²)-group partial agg and the row-probability
+    window runs over that bounded matrix."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    g = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return g.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wp), 6
+        ).alias("p_next"),
+    )
+
+
+@register(
+    "q_attribution_linear",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, event_id,
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS grp
+      FROM events),
+    touches AS (
+      SELECT user_id, grp, event_type, COUNT(*) AS c
+      FROM seq WHERE event_type IN ('view', 'click')
+      GROUP BY user_id, grp, event_type),
+    ks AS (
+      SELECT user_id, grp, SUM(c) AS k FROM touches
+      GROUP BY user_id, grp),
+    purch AS (
+      SELECT DISTINCT user_id, grp FROM seq
+      WHERE event_type = 'purchase'),
+    credit AS (
+      SELECT t.event_type AS attributed,
+             CAST(SUM(t.c) AS BIGINT) AS n_touches,
+             SUM(t.c * CAST(ROUND(1.0 / ks.k, 6) AS DECIMAL(18,6)))
+                 AS credit_dec
+      FROM touches t
+      JOIN ks ON ks.user_id = t.user_id AND ks.grp = t.grp
+      JOIN purch p ON p.user_id = t.user_id AND p.grp = t.grp
+      GROUP BY t.event_type)
+    SELECT attributed, n_touches,
+           CAST(credit_dec AS DOUBLE) AS credit
+    FROM credit
+    """,
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-split) multi-touch attribution: every purchase
+    spreads one unit of credit evenly over ALL the user's touch events
+    (view/click) since their previous purchase — the multi-touch
+    counterpart to q_attribution_last_touch (which hands the whole unit
+    to the final touch).  Touch groups form by a running purchase count
+    over the ordered per-user sequence (the strictly-before frame puts
+    each purchase at the CLOSE of its own group); groups with no
+    closing purchase earn nothing (inner join against the purchase
+    spine).
+
+    Cross-engine exactness: per-touch credit 1/k is rounded to 6 and
+    CARRIED AS DECIMAL (the q_agg_entropy discipline) so the grouped
+    sums are associative and order-free; ties order on event_id.
+
+    100 TB posture: ONE user_id window exchange builds the groups; the
+    touch rollup, group-size rollup, and purchase spine are all keyed
+    (user, grp) — one partitioning reused across the two joins (AQE
+    may broadcast the smaller sides); final rollup is |types| groups."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.count(
+            F.when(F.col("event_type") == "purchase", F.lit(1))
+        )
+        .over(w)
+        .alias("grp"),
+    )
+    touches = (
+        seq.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id", "grp", "event_type")
+        .agg(F.count("*").alias("c"))
+    )
+    ks = touches.groupBy("user_id", "grp").agg(F.sum("c").alias("k"))
+    purch = (
+        seq.filter(F.col("event_type") == "purchase")
+        .select("user_id", "grp")
+        .distinct()
+    )
+    credit = (
+        touches.join(ks, ["user_id", "grp"])
+        .join(purch, ["user_id", "grp"])
+        .groupBy(F.col("event_type").alias("attributed"))
+        .agg(
+            F.sum("c").alias("n_touches"),
+            F.sum(
+                F.col("c")
+                * F.round(F.lit(1.0) / F.col("k"), 6).cast("decimal(18,6)")
+            ).alias("credit_dec"),
+        )
+    )
+    return credit.select(
+        "attributed",
+        "n_touches",
+        F.col("credit_dec").cast("double").alias("credit"),
+    )
