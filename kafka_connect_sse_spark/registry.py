@@ -94,8 +94,35 @@ def register(name: str, oracle: str | None = None):
 # topped up from the next-oldest cohort — so no record ages past ~3
 # rounds.
 #
-# Round-8 window composition (50 entries): every operator whose CODE or
-# PLAN changed this round leads — the 34 new ops
+# Round-9 window composition (50 entries):
+#   (a) the 14 new ops — the two sketch-quantile scale twins
+#       (q_rfm_segments_approx / x_embed_outliers_approx, VERDICT r8
+#       item 3) and the 12-op analytics/corpus batch;
+#   (b) the 10 ops whose CODE or ORACLE changed this round and must
+#       re-attest: q_triangle_count (scale-safe degree-order
+#       orientation + vertex sample), u_grouped_map (bounded-input
+#       sample), q_retention_cohort (size-conditional checkpoint),
+#       q_fn_interval / u_pandas_grouped_agg / q_agg_mad (ADVICE r8
+#       exactness fixes), x_embed_outliers / x_embed_pca_power
+#       (shared-helper refactors), x_dup_graph_degree / q_rfm_segments
+#       (docstring-contract updates — included conservatively);
+#   (c) the 5 standing deferrals VERDICT r8 item 1 names, whose last
+#       driver rows are r4-era: x_interleave_sources, x_embed_quantize,
+#       u_arrow_map, x_ann_rerank, q_ts_downsample;
+#   (d) 21 more of the r4-era cohort in the round-8 rotation order
+#       (multimodal decode family, snk_avro, s_checkpoint_resume, ...).
+# The 14 r4-era rows deferred AGAIN (q_fn_variant,
+# q_fn_try_arithmetic, q_agg_hll_mergeable, q_agg_kll_mergeable,
+# q_agg_theta_overlap, q_agg_bitmap_distinct, q_agg_listagg,
+# q_cdc_scd2, q_agg_filtered, q_agg_global, q_fn_datetime2,
+# q_fn_string3, q_project_rename, q_set_intersect_all) each hold
+# independent current-code evidence via the in-suite DRIVER-STYLE
+# oracle gate
+# (tests/test_operators.py::test_newly_deferred_r4_rows_pass_driver_style_oracle_gate)
+# and the builder-side full sf0.01 + sf1 sweeps this round.
+#
+# Round-8 window composition (kept for the audit trail): every
+# operator whose CODE or PLAN changed that round led — the 34 new ops
 # (q_triangle_count / s_compact_latest / x_cluster_purity — graph
 # analytics, streaming log compaction, clustering evaluation — then
 # q_agg_mad / q_fn_interval / x_embed_pca_power — robust stats,
@@ -174,66 +201,60 @@ def register(name: str, oracle: str | None = None):
 #   q_fn_datetime2, q_fn_string3, q_project_rename,
 #   q_set_intersect_all
 _PRIORITY = (
-    # new this round — first driver attestation
+    # (a) new this round — first driver attestation
+    "q_rfm_segments_approx",
+    "x_embed_outliers_approx",
+    "q_ts_ohlc",
+    "q_ts_wow_growth",
+    "q_ts_autocorr",
+    "q_agg_linreg",
+    "q_agg_welch_t",
+    "q_agg_entropy",
+    "q_user_stickiness",
+    "q_session_paths",
+    "q_attribution_linear",
+    "x_heaps_law",
+    "x_dup_ratio_by_source",
+    "x_embed_whiten",
+    # (b) code/oracle changed this round — re-attest current code
     "q_triangle_count",
-    "s_compact_latest",
-    "x_cluster_purity",
-    "q_agg_mad",
-    "q_fn_interval",
-    "x_embed_pca_power",
-    "q_anomaly_zscore_daily",
-    "q_pareto_abc",
-    "q_rfm_segments",
-    "q_funnel_stages",
+    "u_grouped_map",
     "q_retention_cohort",
-    "q_attribution_last_touch",
-    "x_vocab_coverage",
-    "x_source_novelty",
-    "x_tokenizer_fertility",
+    "q_fn_interval",
     "u_pandas_grouped_agg",
+    "q_agg_mad",
     "x_embed_outliers",
-    "x_quality_classifier",
-    "x_importance_resample",
-    "x_pack_efficiency",
-    "x_dedup_semantic",
+    "x_embed_pca_power",
     "x_dup_graph_degree",
-    "x_bm25_score",
-    "x_source_overlap",
-    "x_split_leakage_safe",
-    "x_domain_mix",
-    "x_curriculum_order",
-    "x_ks_drift",
-    "x_chi2_keyness",
-    "x_zipf_fit",
-    "x_cooccur_pmi",
-    "x_cms_heavy_hitters",
-    "x_dedup_span",
-    "x_perplexity_filter",
-    # code/plan changed this round — re-attest current code
-    "x_ann_pipeline",
-    "x_word_entropy",
-    "x_repetition_score",
-    "x_decontaminate",
-    "x_dedup_near_minhash",
-    "x_ngram_jaccard",
-    "x_containment_dedup",
-    "x_dedup_incremental",
-    "x_contam_estimate",
-    # r3 rows deferred from round 7 (oldest records in the registry)
-    "q_sessionize",
-    "x_seq_pack",
-    "x_corpus_prep",
-    # -- r4 cohort: sources / sinks --
-    # -- r4 cohort: aggregates / sketches --
-    # -- r4 cohort: relational / CDC / time-series --
-    # -- r4 cohort: scalar functions --
-    # -- r4 cohort: joins --
-    "q_join_null_safe",
-    # -- r4 cohort: windows --
-    "q_win_time_range",
-    # -- r4 cohort: x_* corpus ops --
-    "x_seq_tensorize",
-    "x_skew_profile",
+    "q_rfm_segments",
+    # (c) the VERDICT r8 item-1 deferrals (r4-era driver rows)
+    "x_interleave_sources",
+    "x_embed_quantize",
+    "u_arrow_map",
+    "x_ann_rerank",
+    "q_ts_downsample",
+    # (d) oldest-evidence r4-era cohort, round-8 rotation order
+    "x_multimodal_decode",
+    "x_multimodal_audio_decode",
+    "x_multimodal_video_sample",
+    "x_multimodal_framesample",
+    "x_multimodal_resize",
+    "snk_avro",
+    "s_checkpoint_resume",
+    "x_sample_reservoir",
+    "x_data_card",
+    "x_dedup_prefix",
+    "x_hard_negatives",
+    "q_join_bloom_prune",
+    "q_join_dpp",
+    "snk_parquet_sorted",
+    "q_win_count_distinct",
+    "q_join_asof_nearest",
+    "snk_jsonl",
+    "src_parquet_scan",
+    "q_agg_groupby",
+    "q_fn_xml",
+    "q_fn_url",
 )
 
 

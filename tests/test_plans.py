@@ -714,14 +714,13 @@ def test_funnel_three_windows_share_one_exchange(spark):
     assert "BatchEvalPython" not in plan, plan
 
 
-def test_retention_reads_events_once(spark):
-    """q_retention_cohort: the (user, day) distinct relation is
-    localCheckpointed — the raw events parquet appears in NO branch
-    (both the first-day aggregate and the join read the checkpoint), the
-    first-day side broadcasts, and no SortMergeJoin appears."""
+def test_retention_join_shape(spark):
+    """q_retention_cohort: the first-day side broadcasts and no
+    SortMergeJoin appears — true in BOTH checkpoint branches (the
+    round-9 size-conditional materialization is covered by
+    test_retention_cohort_checkpoint_is_size_conditional; at this SF
+    the measured-faster rescan branch is active)."""
     plan = _final_plan(queries()["q_retention_cohort"](spark, SF))
-    assert plan.count("FileScan parquet") == 0, plan
-    assert "Scan ExistingRDD" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
 

@@ -72,8 +72,20 @@ COMMENTARY = {
     "q_agg_mad": "two column-pruned fact passes (median, then deviation median + fence count) with the |groups|-row median relations broadcast back — no SortMergeJoin; exact per-group medians are the small-SF form, percentile_approx the documented scale swap.",
     "q_fn_interval": "calendar arithmetic is one codegen'd projection — zero exchanges; the portable day-of-week formula (days since a known Monday mod 7) replaces the engines' disagreeing dayofweek builtins.",
     "x_embed_pca_power": "each power-iteration step is a one-row broadcast direction (BNLJ) + posexplode partial agg onto dim-bounded groups + renormalize — per-step state is O(dim), which is how distributed Lanczos/power steps shard; coordinates re-round to 6dp per step so engines share one trajectory.",
-    "q_triangle_count": "the oriented edge relation localCheckpoints for its four consumers (degree, two triangle join sides, the count) — the co-activity self-join runs once; (type, minute) bucketing keeps pair volume near-linear in events (an hour bucket measured 60x the pairs at sf1); degree-based orientation is the documented skew bound.",
+    "q_triangle_count": "the edge and oriented-edge relations localCheckpoint for their consumers — the co-activity self-join runs once; degree-ORDER orientation is inlined (degree, id) tuple comparisons with degrees attached by unhinted node-keyed joins (AQE broadcasts only while the graph measures small) — NO Window operator and NO rank relation exist in the plan (round 9, plan-pinned); (type, minute) bucketing keeps pair volume near-linear in events and the deterministic vertex sample halves it again.",
     "x_cluster_purity": "after the shared seeded-kmeans assignment every relation is (cell, label)-bounded — K x |labels| rows; the label join broadcasts the bounded sample and majority election is a row_number on the tiny count relation.",
+    "q_rfm_segments_approx": "the per-user profile partial-aggregates once and localCheckpoints (both the sketch aggregate and the check aggregate consume it — the AQE no-cross-stage-reuse trap); percentile_approx carries mergeable sketch state through ONE partial-agg pass; NO window operator anywhere (plan-pinned) — contrast q_rfm_segments' three ntile sorts.",
+    "x_embed_outliers_approx": "the sketch threshold is one mergeable percentile_approx pass over the shared centroid-distance projection, rejoined as a one-row broadcast; no SinglePartition window exists (plan-pinned) — this is x_embed_outliers' documented swap, implemented.",
+    "q_ts_ohlc": "ONE partial-agg shuffle onto (type, day): min_by/max_by carry constant (value, key) state per group, so map-side combine does nearly all the work — the window-sort formulation would sort every partition instead.",
+    "q_ts_autocorr": "the corpus-sized stage is the (type, day) partial-agg count; the lag-1 self-join and moment rollup run over that bounded relation (AQE broadcasts it); all moments are integer sums — no accumulation-order exposure.",
+    "q_attribution_linear": "ONE user_id window exchange builds the purchase-count groups; touch rollup, group sizes, and the purchase spine all key on (user, grp) — AQE broadcasts the smaller sides; per-touch 1/k credits are rounded then CARRIED AS DECIMAL so the grouped sums are order-free.",
+    "q_session_paths": "one user_id window exchange produces the lag pairs; the transition rollup partial-aggregates onto a |types|^2-bounded matrix and the conditional-probability window rides that tiny relation.",
+    "q_user_stickiness": "the corpus-sized stage is the DISTINCT (user, day) partial-agg pass; the month rollup (with its two exact distincts) expands over the already-distinct relation onto |months| groups — no second corpus scan.",
+    "x_heaps_law": "one explode feeds a (source, word) partial-agg distinct — the shuffle carries each (source, word) once, not per occurrence; the rollup is |sources| groups.",
+    "x_dup_ratio_by_source": "the md5 digest is computed BEFORE the shuffle (32-byte keys, never documents); the global digest-count relation joins back unhinted (AQE broadcasts while duplication evidence measures small) and the rollup is |sources| groups.",
+    "x_embed_whiten": "the power-iteration direction is ONE broadcast row; the whitening pass is a pure codegen'd projection per vector (three array folds) — zero exchanges beyond _pca_direction's dim-bounded iterations.",
+    "q_agg_linreg": "one partial-agg shuffle carrying five DECIMAL moment accumulators per group — exact associative partial state at any cluster size; the closed-form solve is a |groups|-row projection.",
+    "q_agg_entropy": "one corpus-sized (day, type) partial-agg count; the c*ln(c) terms round then sum as DECIMAL over the bounded relation — associative, order-free — onto |days| groups.",
 }
 
 
