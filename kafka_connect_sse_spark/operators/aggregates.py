@@ -1916,3 +1916,113 @@ def q_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("stickiness"),
     )
+
+
+@register(
+    "q_agg_hhi",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(ts AS DATE) AS d, user_id, COUNT(*) AS c
+      FROM events GROUP BY CAST(ts AS DATE), user_id)
+    SELECT CAST(d AS VARCHAR) AS day,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           COUNT(*) AS n_users,
+           ROUND(CAST(SUM(c * c) AS DOUBLE)
+                 / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)),
+                 6) AS hhi
+    FROM c GROUP BY d
+    """,
+)
+def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily Herfindahl-Hirschman concentration of user activity: HHI =
+    Σ share² = (Σ c²) / (Σ c)² over per-user daily event counts — the
+    concentration one-liner that flags bot floods (one user dominating
+    a day drives HHI toward 1) where q_agg_entropy flags type-mix
+    drift.
+
+    Cross-engine exactness: both moments are INTEGER sums (Σc, Σc²);
+    one fixed-order double expression rounded to 6 — the
+    q_ts_autocorr discipline.
+
+    100 TB posture: one corpus-sized (day, user) partial-agg count,
+    then a |days|-group rollup carrying two integer accumulators."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).agg(F.count("*").alias("c"))
+    return c.groupBy("d").agg(
+        F.sum("c").alias("n_events"),
+        F.count("*").alias("n_users"),
+        F.round(
+            F.sum(F.col("c") * F.col("c")).cast("double")
+            / (F.sum("c").cast("double") * F.sum("c").cast("double")),
+            6,
+        ).alias("hhi"),
+    ).select(
+        F.col("d").cast("string").alias("day"),
+        "n_events",
+        "n_users",
+        "hhi",
+    )
+
+
+EWMA_ALPHA = 0.5
+
+
+@register(
+    "q_ts_ewma",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    series AS (
+      SELECT event_type,
+             COUNT(*) AS n_days,
+             list(CAST(n AS DOUBLE) ORDER BY d) AS l
+      FROM daily GROUP BY event_type)
+    SELECT event_type, n_days,
+           list_reduce(l, (acc, x) -> ROUND({EWMA_ALPHA} * x
+                                            + {1 - EWMA_ALPHA} * acc, 6))
+               AS ewma_last
+    FROM series
+    """,
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of each type's daily volume
+    (α = {EWMA_ALPHA}, seeded at the first day, final smoothed value
+    reported) — the sequential-recurrence time-series primitive
+    (EWMA/Holt smoothing share this fold shape), expressed as an
+    ordered-array FOLD per group: the per-type daily series is bounded
+    (|days| elements), so collecting it into a sorted array and folding
+    with F.aggregate is the scale-correct form — the recurrence runs
+    inside one row per GROUP, never as a global sequential pass.
+
+    Cross-engine exactness: the fold re-rounds to 6 at EVERY step (the
+    x_embed_pca_power trajectory discipline) and both engines fold the
+    same explicitly ORDERED array left-to-right (Spark F.aggregate =
+    DuckDB list_reduce, both seeded with the first element).
+
+    100 TB posture: one corpus-sized (type, day) partial-agg count;
+    the collect_list is |days|-bounded per type; the fold is a map-side
+    expression over the |types|-row relation."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count("*").alias("n"))
+    series = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.array_sort(
+            F.collect_list(F.struct("d", F.col("n").cast("double").alias("n")))
+        ).alias("sl"),
+    ).select("event_type", "n_days", F.col("sl.n").alias("l"))
+    return series.select(
+        "event_type",
+        "n_days",
+        F.aggregate(
+            F.slice(F.col("l"), 2, F.size("l") - 1),
+            F.element_at(F.col("l"), 1),
+            lambda acc, x: F.round(
+                F.lit(EWMA_ALPHA) * x + F.lit(1 - EWMA_ALPHA) * acc, 6
+            ),
+        ).alias("ewma_last"),
+    )

@@ -1004,16 +1004,51 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_triangle_count",
-    oracle="""
-    WITH act AS (SELECT DISTINCT event_type,
+# co-activity graph (edge = two users active in the same (event_type,
+# minute) bucket, deterministic vertex sample user_id % 2 = 0) — shared
+# by q_triangle_count and q_pagerank_iter on both engine sides
+_COACT_EDGES_CTE = """act AS (SELECT DISTINCT event_type,
                         date_trunc('minute', ts) AS m, user_id
                  FROM events WHERE user_id % 2 = 0),
     edges AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
               FROM act a JOIN act b
                 ON a.event_type = b.event_type AND a.m = b.m
-               AND a.user_id < b.user_id),
+               AND a.user_id < b.user_id)"""
+
+
+def _coactivity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected co-activity edges (u < v), localCheckpointed —
+    the self-join runs once per caller regardless of downstream fan-out
+    (AQE no-cross-stage-reuse trap)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 2 == 0
+    )
+    act = e.select(
+        "event_type",
+        F.date_trunc("minute", F.col("ts")).alias("m"),
+        "user_id",
+    ).distinct()
+    a = act.alias("a")
+    b = act.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.m") == F.col("b.m"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+@register(
+    "q_triangle_count",
+    oracle=f"""
+    WITH {_COACT_EDGES_CTE},
     deg AS (SELECT node, COUNT(*) AS d FROM (
               SELECT u AS node FROM edges
               UNION ALL SELECT v AS node FROM edges) GROUP BY node),
@@ -1084,29 +1119,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-cross-stage-reuse trap).  No global window, no node-sized
     broadcast, no single-task stage anywhere.
     All counts integer — EXACT across engines by construction."""
-    e = load_table(spark, sf_dir, "events").filter(
-        F.col("user_id") % 2 == 0
-    )
-    act = e.select(
-        "event_type",
-        F.date_trunc("minute", F.col("ts")).alias("m"),
-        "user_id",
-    ).distinct()
-    a = act.alias("a")
-    b = act.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.m") == F.col("b.m"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .select(
-            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    edges = _coactivity_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -1166,4 +1179,111 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("global_clustering"),
         )
+    )
+
+
+PR_DAMP = 0.85
+PR_ITERS = 2
+PR_TOPK = 20
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    """One unrolled PageRank step in DuckDB SQL: DECIMAL-carried
+    neighbor contributions (each term rounded to 9 then summed exactly,
+    so accumulation order cannot matter), then the damped update
+    rounded to 9."""
+    return f"""
+    {out}_c AS (SELECT und.v AS node,
+                       SUM(CAST(ROUND({prev}.pr / deg.d, 9)
+                                AS DECIMAL(28,9))) AS s
+                FROM und JOIN {prev} ON {prev}.node = und.u
+                         JOIN deg ON deg.node = und.u
+                GROUP BY und.v),
+    {out} AS (SELECT deg.node,
+                     ROUND(0.15::DOUBLE / nr.n
+                           + 0.85::DOUBLE
+                             * CAST(COALESCE({out}_c.s, 0) AS DOUBLE),
+                           9) AS pr
+              FROM deg LEFT JOIN {out}_c ON {out}_c.node = deg.node, nr)"""
+
+
+@register(
+    "q_pagerank_iter",
+    oracle=f"""
+    WITH {_COACT_EDGES_CTE},
+    und AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v
+            FROM edges),
+    deg AS (SELECT u AS node, COUNT(*) AS d FROM und GROUP BY u),
+    nr AS (SELECT COUNT(*) AS n FROM deg),
+    pr0 AS (SELECT node, ROUND(1.0::DOUBLE / nr.n, 9) AS pr
+            FROM deg, nr),
+    {_pr_iter_sql('pr0', 'pr1')},
+    {_pr_iter_sql('pr1', 'pr2')}
+    SELECT pr2.node, pr2.pr AS pagerank, CAST(nr.n AS BIGINT) AS n_nodes
+    FROM pr2, nr ORDER BY pr2.pr DESC, pr2.node LIMIT {PR_TOPK}
+    """,
+)
+def q_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-activity graph, {PR_ITERS} unrolled damped
+    iterations from the uniform start, top-{PR_TOPK} hubs reported —
+    the iterative-graph-algorithm shape (with q_transitive_closure's
+    reachability loop and x_embed_pca_power's eigensolver this covers
+    the repo's three iterative families) expressed as pure joins and
+    aggregates over the SHARED _coactivity_edges relation.
+
+    Cross-engine exactness: each neighbor contribution pr(u)/deg(u) is
+    rounded to 9 and CARRIED AS DECIMAL so the per-node sum is
+    associative and order-free (the q_agg_entropy discipline); the
+    damped update re-rounds to 9 per iteration (the x_embed_pca_power
+    trajectory pinning); the top-k cut orders (pr DESC, node) so tie
+    selection is deterministic.
+
+    100 TB posture: per iteration, ONE shuffle keyed on the
+    destination node (the contribution aggregate — partial-agg'd
+    map-side) plus node-keyed joins that reuse the same partitioning;
+    rank state is O(|nodes|) split across the cluster, never resident
+    on one task; the top-k is TakeOrderedAndProject (per-task heaps),
+    not a global sort.  The damping teleport uses the 1-row node count
+    broadcast — no SinglePartition relation above 1 row anywhere."""
+    edges = _coactivity_edges(spark, sf_dir)
+    und = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    nr = deg.agg(F.count("*").alias("n"))
+    pr = deg.crossJoin(broadcast(nr)).select(
+        "node", F.round(F.lit(1.0) / F.col("n"), 9).alias("pr")
+    )
+    for _ in range(PR_ITERS):
+        prd = pr.join(deg, "node").select(
+            "node",
+            F.round(F.col("pr") / F.col("d"), 9)
+            .cast("decimal(28,9)")
+            .alias("t"),
+        )
+        contrib = (
+            und.join(prd, und["u"] == prd["node"])
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("t").alias("s"))
+        )
+        pr = (
+            deg.join(contrib, "node", "left")
+            .crossJoin(broadcast(nr))
+            .select(
+                "node",
+                F.round(
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(PR_DAMP)
+                    * F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
+                    9,
+                ).alias("pr"),
+            )
+        )
+    return (
+        pr.crossJoin(broadcast(nr))
+        .select("node", F.col("pr").alias("pagerank"), F.col("n").alias("n_nodes"))
+        .orderBy(F.col("pagerank").desc(), "node")
+        .limit(PR_TOPK)
     )

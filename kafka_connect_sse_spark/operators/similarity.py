@@ -1169,3 +1169,78 @@ def x_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("norm_after"),
     )
+
+
+@register(
+    "x_label_separation",
+    oracle="""
+    WITH v AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+    exd AS (SELECT label, g.i AS i, e[g.i] AS val
+            FROM v, UNNEST(generate_series(1, len(e))) AS g(i)),
+    cm AS (SELECT label, i, ROUND(AVG(val), 6) AS cv
+           FROM exd GROUP BY label, i),
+    c AS (SELECT label, list(cv ORDER BY i) AS c, COUNT(*) AS dim
+          FROM cm GROUP BY label),
+    n AS (SELECT label, COUNT(*) AS n_members FROM v GROUP BY label)
+    SELECT a.label AS label_a, b.label AS label_b,
+           na.n_members AS n_a, nb.n_members AS n_b,
+           ROUND(list_dot_product(a.c, b.c)
+                 / (SQRT(list_dot_product(a.c, a.c))
+                    * SQRT(list_dot_product(b.c, b.c))), 6)
+               AS centroid_cosine
+    FROM c a JOIN c b ON a.label < b.label
+    JOIN n na ON na.label = a.label
+    JOIN n nb ON nb.label = b.label
+    """,
+)
+def x_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-class separation matrix: pairwise cosine between per-label
+    embedding centroids — the labeled-data QA statistic that says
+    whether classes are geometrically separable BEFORE training a
+    classifier on them (near-1 centroid cosine between two labels =
+    expect confusion; complements x_cluster_purity, which evaluates
+    unsupervised cells against these same labels).
+
+    Cross-engine exactness: per-label centroids are element-wise means
+    rounded to 6 (the x_embed_outliers discipline, per label); the
+    cosine is three fixed-order folds over the rounded centroids,
+    rounded to 6.
+
+    100 TB posture: one posexplode -> (label, dim) partial agg builds
+    all centroids (|labels| x dim groups); the pair matrix is
+    |labels|²-bounded — every relation after the one corpus-sized pass
+    is label-bounded."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "label", _as_double(F.col("embedding")).alias("e")
+    )
+    exd = v.select("label", F.posexplode("e").alias("i", "val"))
+    cm = exd.groupBy("label", "i").agg(
+        F.round(F.avg("val"), 6).alias("cv")
+    )
+    c = cm.groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct("i", "cv"))).alias("sc")
+    ).select("label", F.col("sc.cv").alias("c"))
+    n = v.groupBy("label").agg(F.count("*").alias("n_members"))
+    a = c.alias("a")
+    b = c.alias("b")
+    na = n.alias("na")
+    nb = n.alias("nb")
+    return (
+        a.join(b, F.col("a.label") < F.col("b.label"))
+        .join(na, F.col("na.label") == F.col("a.label"))
+        .join(nb, F.col("nb.label") == F.col("b.label"))
+        .select(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+            F.col("na.n_members").alias("n_a"),
+            F.col("nb.n_members").alias("n_b"),
+            F.round(
+                dot(F.col("a.c"), F.col("b.c"))
+                / (
+                    F.sqrt(dot(F.col("a.c"), F.col("a.c")))
+                    * F.sqrt(dot(F.col("b.c"), F.col("b.c")))
+                ),
+                6,
+            ).alias("centroid_cosine"),
+        )
+    )

@@ -1532,3 +1532,58 @@ def x_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(F.count_distinct("w")) / F.log(F.count("*")), 6
         ).alias("heaps_exponent"),
     )
+
+
+@register(
+    "x_langid_confusion",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang,
+             CASE WHEN len(list_filter(str_split(text, ' '),
+                                       t -> list_contains({_STOP_SQL!s}, t)))
+                       * 10 >= len(str_split(text, ' '))
+                  THEN 'en_like' ELSE 'other' END AS langid_pred
+      FROM documents)
+    SELECT lang, langid_pred, COUNT(*) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY lang), 6) AS row_share
+    FROM pred GROUP BY lang, langid_pred
+    """,
+)
+def x_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the x_langid_ngram predictor scored
+    against the documents' STORED language labels — per (true lang,
+    prediction) counts and row-normalized shares.  This is the
+    evaluation loop for the classifier tier (x_cluster_purity evaluates
+    the clustering ops the same way): a corpus team reads exactly this
+    table before trusting a language filter at 100 TB.
+
+    Cross-engine exactness: the predictor is the same deterministic
+    stopword-density expression on both sides; counts integer; one
+    rounded division over the bounded matrix.
+
+    100 TB posture: prediction is a pure map-side expression; the
+    rollup partial-aggregates onto a (|langs| x 2)-bounded matrix and
+    the share window rides that tiny relation."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    pred = d.select(
+        "lang",
+        F.when(n_stop * 10 >= F.size(toks), "en_like")
+        .otherwise("other")
+        .alias("langid_pred"),
+    )
+    from pyspark.sql import Window
+
+    g = pred.groupBy("lang", "langid_pred").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang")
+    return g.select(
+        "lang",
+        "langid_pred",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias(
+            "row_share"
+        ),
+    )

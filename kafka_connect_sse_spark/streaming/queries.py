@@ -691,3 +691,61 @@ def s_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, mode="complete")
+
+
+@register(
+    "s_ohlc_tumbling",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                    '{_TS_FMT_DUCK}') AS win_start,
+           event_type,
+           arg_min(value, printf('%020d|%012d',
+                                 epoch_us(ts), event_id)) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           arg_max(value, printf('%020d|%012d',
+                                 epoch_us(ts), event_id)) AS close,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def s_ohlc_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars maintained ON THE STREAM — q_ts_ohlc's streaming
+    twin (the pairing discipline of q_compact_latest/s_compact_latest):
+    open/close are min_by/max_by over the total (ts, event_id) order
+    and high/low plain MIN/MAX, ALL of them associative mergeable
+    aggregates, so per-(window, type) state is four values + two keys —
+    O(1) — and the state store maintains live bars a financial/metrics
+    consumer reads directly.
+
+    Cross-engine exactness: values pass through untouched
+    (bit-identical doubles); the ordering key is the same total order
+    as the batch twin (oracle uses the padded-string rendering).
+
+    100 TB posture: mergeable O(1)-state aggregates are exactly what
+    keeps streaming OHLC viable — a first/last_value-over-window form
+    would be unbounded state; epoch-aligned tumbling windows match
+    DuckDB time_bucket."""
+    sdf = events_stream(spark, sf_dir)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    agg = (
+        sdf.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), _TS_FMT).alias(
+                "win_start"
+            ),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
+    )
+    return run_to_memory(agg, mode="complete")
