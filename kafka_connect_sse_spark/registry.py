@@ -95,7 +95,9 @@ def register(name: str, oracle: str | None = None):
 # rounds.
 #
 # Round-9 window composition (50 entries):
-#   (a) the 14 new ops — the two sketch-quantile scale twins
+#   (a) the 20 new ops — the second batch (q_pagerank_iter,
+#       s_ohlc_tumbling, q_ts_ewma, q_agg_hhi, x_langid_confusion,
+#       x_label_separation), the two sketch-quantile scale twins
 #       (q_rfm_segments_approx / x_embed_outliers_approx, VERDICT r8
 #       item 3) and the 12-op analytics/corpus batch;
 #   (b) the 10 ops whose CODE or ORACLE changed this round and must
@@ -109,17 +111,19 @@ def register(name: str, oracle: str | None = None):
 #   (c) the 5 standing deferrals VERDICT r8 item 1 names, whose last
 #       driver rows are r4-era: x_interleave_sources, x_embed_quantize,
 #       u_arrow_map, x_ann_rerank, q_ts_downsample;
-#   (d) 21 more of the r4-era cohort in the round-8 rotation order
+#   (d) 15 more of the r4-era cohort in the round-8 rotation order
 #       (multimodal decode family, snk_avro, s_checkpoint_resume, ...).
-# The 14 r4-era rows deferred AGAIN (q_fn_variant,
-# q_fn_try_arithmetic, q_agg_hll_mergeable, q_agg_kll_mergeable,
-# q_agg_theta_overlap, q_agg_bitmap_distinct, q_agg_listagg,
-# q_cdc_scd2, q_agg_filtered, q_agg_global, q_fn_datetime2,
-# q_fn_string3, q_project_rename, q_set_intersect_all) each hold
-# independent current-code evidence via the in-suite DRIVER-STYLE
-# oracle gate
+# The 20 r4-era rows deferred (q_fn_variant, q_fn_try_arithmetic,
+# q_agg_hll_mergeable, q_agg_kll_mergeable, q_agg_theta_overlap,
+# q_agg_bitmap_distinct, q_agg_listagg, q_cdc_scd2, q_agg_filtered,
+# q_agg_global, q_fn_datetime2, q_fn_string3, q_project_rename,
+# q_set_intersect_all, plus q_agg_groupby / q_fn_xml / q_fn_url —
+# all in the in-suite DRIVER-STYLE oracle gate
 # (tests/test_operators.py::test_newly_deferred_r4_rows_pass_driver_style_oracle_gate)
-# and the builder-side full sf0.01 + sf1 sweeps this round.
+# — and q_join_asof_nearest / src_parquet_scan (plan pins in
+# tests/test_plans.py) / snk_jsonl (parse round-trip in
+# tests/test_operators.py)) each hold independent current-code
+# evidence, plus the builder-side full sf0.01 + sf1 sweeps this round.
 #
 # Round-8 window composition (kept for the audit trail): every
 # operator whose CODE or PLAN changed that round led — the 34 new ops
@@ -201,7 +205,14 @@ def register(name: str, oracle: str | None = None):
 #   q_fn_datetime2, q_fn_string3, q_project_rename,
 #   q_set_intersect_all
 _PRIORITY = (
-    # (a) new this round — first driver attestation
+    # (a) new this round — first driver attestation (second batch first:
+    # graph/stream/time-series additions, then the twins + first batch)
+    "q_pagerank_iter",
+    "s_ohlc_tumbling",
+    "q_ts_ewma",
+    "q_agg_hhi",
+    "x_langid_confusion",
+    "x_label_separation",
     "q_rfm_segments_approx",
     "x_embed_outliers_approx",
     "q_ts_ohlc",
@@ -249,12 +260,6 @@ _PRIORITY = (
     "q_join_dpp",
     "snk_parquet_sorted",
     "q_win_count_distinct",
-    "q_join_asof_nearest",
-    "snk_jsonl",
-    "src_parquet_scan",
-    "q_agg_groupby",
-    "q_fn_xml",
-    "q_fn_url",
 )
 
 

@@ -86,16 +86,17 @@ def test_salting_helpers_round_trip(spark):
 
 def test_round9_driver_window_composition(qs):
     """The driver checks the FIRST 50 registry entries.  Pin the round-9
-    rotation window: (a) the 14 new ops (two sketch-quantile scale
-    twins + the 12-op analytics/corpus batch), (b) the 10 ops whose
-    code or oracle changed this round, (c) the 5 standing deferrals
-    VERDICT r8 item 1 names (r4-era driver rows), (d) 21 more of the
-    r4-era cohort in the round-8 rotation order — a silent reordering
-    here would burn the round's freshness evidence.  The 14 r4-era rows
-    deferred AGAIN are code-UNMODIFIED (their r4 records still attest
-    the running code) and every one sits in the in-suite driver-style
-    oracle gate below
-    (test_newly_deferred_r4_rows_pass_driver_style_oracle_gate)."""
+    rotation window: (a) the 20 new ops (second batch, the two
+    sketch-quantile scale twins, the 12-op analytics/corpus batch),
+    (b) the 10 ops whose code or oracle changed this round, (c) the 5
+    standing deferrals VERDICT r8 item 1 names (r4-era driver rows),
+    (d) 15 more of the r4-era cohort in the round-8 rotation order — a
+    silent reordering here would burn the round's freshness evidence.
+    The 20 r4-era rows deferred are code-UNMODIFIED (their r4 records
+    still attest the running code) and each holds independent
+    current-code evidence: 17 sit in the in-suite driver-style oracle
+    gate below, q_join_asof_nearest / src_parquet_scan carry plan pins,
+    snk_jsonl a parse round-trip test."""
     from kafka_connect_sse_spark.registry import _PRIORITY
 
     window = list(qs)[: len(_PRIORITY)]
@@ -103,6 +104,12 @@ def test_round9_driver_window_composition(qs):
     assert len(_PRIORITY) == 50, "round-9 window must fill all 50 slots"
     assert window == [
         # (a) new this round
+        "q_pagerank_iter",
+        "s_ohlc_tumbling",
+        "q_ts_ewma",
+        "q_agg_hhi",
+        "x_langid_confusion",
+        "x_label_separation",
         "q_rfm_segments_approx",
         "x_embed_outliers_approx",
         "q_ts_ohlc",
@@ -150,12 +157,6 @@ def test_round9_driver_window_composition(qs):
         "q_join_dpp",
         "snk_parquet_sorted",
         "q_win_count_distinct",
-        "q_join_asof_nearest",
-        "snk_jsonl",
-        "src_parquet_scan",
-        "q_agg_groupby",
-        "q_fn_xml",
-        "q_fn_url",
     ]
     # every window op must carry an oracle (EXACT gate, not rows-only)
     from kafka_connect_sse_spark.registry import oracle_sql

@@ -856,6 +856,24 @@ def test_embed_outliers_approx_is_sketch_only(spark):
     assert "BatchEvalPython" not in plan, plan
 
 
+def test_pagerank_topk_uses_heaps_not_global_sort(spark):
+    """q_pagerank_iter: the top-k cut is TakeOrderedAndProject (per-task
+    heaps + driver merge of k rows — never a global sort), the edge
+    relation reads the checkpoint (self-join runs once), no Window
+    operator exists, and the contribution aggregates partial-combine
+    map-side.  Runs at sf0.01: the sampled co-activity graph is EMPTY
+    at sf0.001 and AQE's empty-relation propagation collapses the whole
+    plan (a correct optimization that would make this pin vacuous)."""
+    plan = _final_plan(
+        queries()["q_pagerank_iter"](spark, "/root/testdata/sf0.01")
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "partial_sum" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
 def test_cluster_purity_rolls_up_cell_label_counts(spark):
     """x_cluster_purity: after the shared assignment, every relation is
     (cell, label)-bounded — the final plan holds no SinglePartition

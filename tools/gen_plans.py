@@ -86,6 +86,11 @@ COMMENTARY = {
     "x_embed_whiten": "the power-iteration direction is ONE broadcast row; the whitening pass is a pure codegen'd projection per vector (three array folds) — zero exchanges beyond _pca_direction's dim-bounded iterations.",
     "q_agg_linreg": "one partial-agg shuffle carrying five DECIMAL moment accumulators per group — exact associative partial state at any cluster size; the closed-form solve is a |groups|-row projection.",
     "q_agg_entropy": "one corpus-sized (day, type) partial-agg count; the c*ln(c) terms round then sum as DECIMAL over the bounded relation — associative, order-free — onto |days| groups.",
+    "q_pagerank_iter": "per iteration ONE destination-keyed partial-agg shuffle (DECIMAL contribution terms combine map-side) + node-keyed joins reusing that partitioning; the edge self-join reads the checkpoint once; top-k is TakeOrderedAndProject heaps, the teleport count a 1-row broadcast — no Window, no SinglePartition relation above 1 row (plan-pinned).",
+    "q_ts_ewma": "one (type, day) partial-agg count; collect_list is |days|-bounded per type and the EWMA fold is a codegen'd array aggregate over the |types|-row relation — the sequential recurrence never leaves the row.",
+    "q_agg_hhi": "one corpus-sized (day, user) partial-agg count, then a |days|-group rollup carrying two integer accumulators — the moments are the mergeable state.",
+    "x_label_separation": "one posexplode partial agg builds every label centroid ((|labels| x dim) groups); the pair matrix and size joins are |labels|-bounded — label-bounded everything after the single corpus pass.",
+    "x_langid_confusion": "prediction is a pure map-side array expression; the rollup partial-aggregates onto a (|langs| x 2) matrix and the share window rides that tiny relation.",
 }
 
 
