@@ -784,3 +784,49 @@ def q_fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.last_day(d), F.trunc(d, "month")) + 1
         ).alias("days_in_month"),
     )
+
+
+@register(
+    "q_fn_editdist",
+    oracle="""
+    WITH t AS (SELECT DISTINCT event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           levenshtein(a.event_type, b.event_type) AS edit_dist,
+           ABS(len(a.event_type) - len(b.event_type)) AS len_diff,
+           levenshtein(a.event_type, b.event_type)
+             <= GREATEST(len(a.event_type), len(b.event_type)) / 2
+               AS is_close
+    FROM t a JOIN t b ON a.event_type < b.event_type
+    """,
+)
+def q_fn_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance surface (Levenshtein) over the distinct event-type
+    vocabulary, pairwise — the fuzzy-matching primitive behind schema
+    reconciliation / typo-tolerant joins (at scale the same expression
+    sits inside a band-filtered join, never all-pairs; the distinct
+    relation here is |types|-bounded so the cross is metadata-sized).
+
+    Cross-engine exactness: Levenshtein distance is a well-defined
+    integer; the is_close band compares integers (GREATEST(len)/2 is
+    integer division on both sides for string lengths)."""
+    e = load_table(spark, sf_dir, "events")
+    t = e.select("event_type").distinct()
+    a = t.select(F.col("event_type").alias("type_a"))
+    b = t.select(F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.levenshtein("type_a", "type_b").alias("edit_dist"),
+            F.abs(F.length("type_a") - F.length("type_b")).alias(
+                "len_diff"
+            ),
+            (
+                F.levenshtein("type_a", "type_b")
+                <= F.floor(
+                    F.greatest(F.length("type_a"), F.length("type_b")) / 2
+                )
+            ).alias("is_close"),
+        )
+    )

@@ -2026,3 +2026,63 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("ewma_last"),
     )
+
+
+TOPN_SHARE = 10
+
+
+@register(
+    "q_agg_topn_share",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(ts AS DATE) AS d, user_id, COUNT(*) AS c
+      FROM events GROUP BY CAST(ts AS DATE), user_id),
+    r AS (
+      SELECT d, c,
+             ROW_NUMBER() OVER (PARTITION BY d
+                                ORDER BY c DESC, user_id) AS rk
+      FROM c)
+    SELECT CAST(d AS VARCHAR) AS day,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN rk <= {TOPN_SHARE} THEN c ELSE 0 END)
+                AS BIGINT) AS topn_events,
+           ROUND(CAST(SUM(CASE WHEN rk <= {TOPN_SHARE} THEN c ELSE 0 END)
+                      AS DOUBLE) / SUM(c), 6) AS topn_share
+    FROM r GROUP BY d
+    """,
+)
+def q_agg_topn_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N concentration per day: the share of each day's events
+    produced by its {TOPN_SHARE} most active users — the whale/bot
+    dashboard number that q_agg_hhi summarizes as one index, here with
+    the explicit head/tail split (rank ties break on user_id).
+
+    100 TB posture: one corpus-sized (day, user) partial-agg count;
+    the ranking window partitions BY DAY over that bounded relation —
+    per-partition sort of users-active-that-day, never a global sort —
+    and Spark's WindowGroupLimit pushes the rank<=N cut into it; the
+    final rollup is |days| groups."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).agg(F.count("*").alias("c"))
+    w = Window.partitionBy("d").orderBy(F.col("c").desc(), "user_id")
+    r = c.select("d", "c", F.row_number().over(w).alias("rk"))
+    return r.groupBy("d").agg(
+        F.sum("c").alias("n_events"),
+        F.sum(F.when(F.col("rk") <= TOPN_SHARE, F.col("c")).otherwise(0)).alias(
+            "topn_events"
+        ),
+        F.round(
+            F.sum(
+                F.when(F.col("rk") <= TOPN_SHARE, F.col("c")).otherwise(0)
+            ).cast("double")
+            / F.sum("c"),
+            6,
+        ).alias("topn_share"),
+    ).select(
+        F.col("d").cast("string").alias("day"),
+        "n_events",
+        "topn_events",
+        "topn_share",
+    )

@@ -1525,3 +1525,75 @@ def x_dup_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ratio"),
         )
     )
+
+
+@register(
+    "x_dup_cross_lang",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents),
+    sh AS (SELECT doc_id,
+             CASE WHEN len(l) >= {SHINGLE_K} THEN
+               list_distinct([array_to_string(l[i:i+{SHINGLE_K - 1}], ' ')
+                              for i in range(1, len(l) - {SHINGLE_K - 2})])
+             ELSE [] END AS s
+           FROM t),
+    ex AS (SELECT doc_id, len(s) AS ns, UNNEST(s) AS g FROM sh),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             ANY_VALUE(a.ns) AS na, ANY_VALUE(b.ns) AS nb, COUNT(*) AS c
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (SELECT doc_a, doc_b FROM common
+              WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5),
+    langed AS (
+      SELECT LEAST(da.lang, db.lang) AS lang_a,
+             GREATEST(da.lang, db.lang) AS lang_b
+      FROM pairs
+      JOIN documents da ON da.doc_id = pairs.doc_a
+      JOIN documents db ON db.doc_id = pairs.doc_b)
+    SELECT lang_a, lang_b, lang_a <> lang_b AS cross_lang,
+           COUNT(*) AS n_pairs
+    FROM langed GROUP BY lang_a, lang_b
+    """,
+)
+def x_dup_cross_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate language matrix: the x_dedup_near_minhash pair
+    relation joined back to each endpoint's language, rolled up per
+    normalized (lang_a <= lang_b) pair with a cross_lang flag — the
+    audit that separates intra-language boilerplate (dedup's job) from
+    CROSS-language duplication (translation artifacts / template
+    localization, which token-level dedup thresholds usually miss and
+    which leaks eval translations into training data).
+
+    Inherits the minhash pipeline's recall-1.0 oracle dependency
+    (x_dup_graph_degree's documented contract —
+    tests/test_minhash_recall.py pins it).
+
+    100 TB posture: adds two doc-keyed joins of the dup-evidence-sized
+    pair relation against the (doc_id, lang) projection (AQE
+    broadcasts the pairs when duplication evidence is small) and a
+    |langs|²-group rollup to the minhash pipeline's cost."""
+    pairs = x_dedup_near_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    da = d.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("la")
+    )
+    db = d.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lb")
+    )
+    langed = (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            F.least("la", "lb").alias("lang_a"),
+            F.greatest("la", "lb").alias("lang_b"),
+        )
+    )
+    return langed.groupBy("lang_a", "lang_b").agg(
+        F.count("*").alias("n_pairs")
+    ).select(
+        "lang_a",
+        "lang_b",
+        (F.col("lang_a") != F.col("lang_b")).alias("cross_lang"),
+        "n_pairs",
+    )

@@ -1279,3 +1279,86 @@ def x_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs").cast("double") / F.sum("n_docs").over(wall), 6
         ).alias("doc_share"),
     )
+
+
+TOKEN_BUDGET = 100_000
+
+
+@register(
+    "x_token_budget",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS t
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(t) AS BIGINT) AS total FROM s),
+    q AS (
+      SELECT source, t,
+             ({TOKEN_BUDGET} * t) // tot.total AS fl,
+             ({TOKEN_BUDGET} * t) % tot.total AS rem
+      FROM s, tot),
+    k AS (SELECT {TOKEN_BUDGET} - CAST(SUM(fl) AS BIGINT) AS extra FROM q),
+    r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+          FROM q)
+    SELECT r.source, r.t AS n_tokens,
+           CAST(r.fl + CASE WHEN r.rk <= k.extra THEN 1 ELSE 0 END
+                AS BIGINT) AS quota,
+           r.rk <= k.extra AS got_remainder
+    FROM r, k
+    """,
+)
+def x_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional token-budget allocation across sources by LARGEST
+    REMAINDER (Hamilton apportionment): each source's quota is
+    floor(B·t_s/T) plus one extra token for the sources with the
+    largest integer remainders until the budget is exactly exhausted —
+    the deterministic answer to "give me a {TOKEN_BUDGET}-token mix at
+    the corpus' natural proportions" that plain floor() (undershoots)
+    or round() (over/undershoots unpredictably) cannot give.  Σ quota
+    == B exactly, by construction, in integers.
+
+    Cross-engine exactness: EVERYTHING is 64-bit integer arithmetic —
+    B·t_s fits bigint past petabyte corpora; remainder ties rank on
+    source so the extra-token set is deterministic.
+
+    100 TB posture: token counting is len(split) (Generate-free,
+    map-side) into a |sources|-group partial agg; the total, the
+    remainder rank, and the extras all ride windows over the
+    |sources|-row relation through one SinglePartition exchange (the
+    x_domain_mix plan discipline)."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("t")
+    )
+    wall = Window.partitionBy()
+    total = F.sum("t").over(wall)
+    rem = (F.lit(TOKEN_BUDGET) * F.col("t")) % total
+    # floor division done in EXACT integer arithmetic: (B*t - rem) is
+    # divisible by total, so the one double division below is exact
+    # (both operands and the quotient are <= 2^53) — never F.floor on a
+    # raw double quotient, which could misfloor one ulp differently
+    # from the oracle's integer `//`
+    q = s.select(
+        "source",
+        "t",
+        ((F.lit(TOKEN_BUDGET) * F.col("t") - rem) / total)
+        .cast("long")
+        .alias("fl"),
+        rem.alias("rem"),
+    )
+    r = q.select(
+        "*",
+        F.row_number()
+        .over(Window.partitionBy().orderBy(F.col("rem").desc(), "source"))
+        .alias("rk"),
+        (F.lit(TOKEN_BUDGET) - F.sum("fl").over(wall)).alias("extra"),
+    )
+    return r.select(
+        "source",
+        F.col("t").alias("n_tokens"),
+        (
+            F.col("fl")
+            + F.when(F.col("rk") <= F.col("extra"), 1).otherwise(0)
+        ).alias("quota"),
+        (F.col("rk") <= F.col("extra")).alias("got_remainder"),
+    )

@@ -1587,3 +1587,72 @@ def x_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "row_share"
         ),
     )
+
+
+@register(
+    "x_length_outliers",
+    oracle=f"""
+    WITH med AS (
+      SELECT lang, ROUND(quantile_cont(n_chars, 0.5), 6) AS med
+      FROM documents GROUP BY lang),
+    dev AS (
+      SELECT d.lang, med.med,
+             ABS(d.n_chars - med.med) AS adev
+      FROM documents d JOIN med ON med.lang = d.lang),
+    mad AS (
+      SELECT lang, ANY_VALUE(med) AS med,
+             ROUND(quantile_cont(adev, 0.5), 6) AS mad
+      FROM dev GROUP BY lang)
+    SELECT dev.lang,
+           COUNT(*) AS n_docs,
+           ANY_VALUE(mad.med) AS median_chars,
+           ANY_VALUE(mad.mad) AS mad_chars,
+           CAST(SUM(CASE WHEN dev.adev > 3.0 * 1.4826 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad ON mad.lang = dev.lang
+    GROUP BY dev.lang
+    """,
+)
+def x_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-language document-length outlier fence (median + MAD,
+    3 robust sigmas) — q_agg_mad's discipline applied to corpus QA:
+    truncated scrapes and concatenation blowups sit far outside a
+    language's length distribution, and a mean/stddev fence would be
+    dragged by exactly the blowups it should catch.
+
+    Cross-engine exactness: medians rounded to 6 at computation on
+    both sides (the ADVICE-r8 q_agg_mad fix, applied from birth here);
+    adev derives from the rounded median; the fence compares the
+    rounded MAD.
+
+    100 TB posture: two column-pruned passes over (lang, n_chars) with
+    the |langs|-row median relations broadcast back — metadata-only
+    scans (n_chars is a fixture column; no text is ever read)."""
+    d = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    med = d.groupBy("lang").agg(
+        F.round(F.percentile("n_chars", 0.5), 6).alias("med")
+    )
+    dev = d.join(broadcast(med), "lang").select(
+        "lang",
+        "med",
+        F.abs(F.col("n_chars") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("lang").agg(
+        F.any_value("med").alias("med2"),
+        F.round(F.percentile("adev", 0.5), 6).alias("mad"),
+    )
+    return (
+        dev.join(broadcast(mad), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.any_value("med2").alias("median_chars"),
+            F.any_value("mad").alias("mad_chars"),
+            F.sum(
+                F.when(
+                    F.col("adev") > F.lit(3.0) * F.lit(1.4826) * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )

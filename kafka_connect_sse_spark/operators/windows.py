@@ -834,3 +834,62 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_touches",
         F.col("credit_dec").cast("double").alias("credit"),
     )
+
+
+@register(
+    "q_win_streaks",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                FROM events),
+    isl AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS island
+      FROM ud),
+    streaks AS (
+      SELECT user_id, island, COUNT(*) AS len
+      FROM isl GROUP BY user_id, island),
+    best AS (SELECT user_id, MAX(len) AS max_streak
+             FROM streaks GROUP BY user_id)
+    SELECT max_streak,
+           COUNT(*) AS n_users,
+           CAST(SUM(user_id) AS BIGINT) AS ids_sum
+    FROM best GROUP BY max_streak
+    """,
+)
+def q_win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user, histogrammed —
+    the GAPS-AND-ISLANDS pattern (the one classic relational idiom the
+    surface still lacked): island key = day minus the per-user day
+    rank, so consecutive days share a key and any gap starts a new
+    island.  ids_sum pins that both engines put the SAME users in each
+    streak bucket.
+
+    Cross-engine exactness: pure integer date arithmetic and counts;
+    DISTINCT (user, day) first so same-day multi-activity can't split
+    or extend a streak.
+
+    100 TB posture: the corpus-sized stage is the DISTINCT (user, day)
+    partial-agg pass; the island window partitions BY USER over that
+    bounded relation, and the island/best/histogram rollups are all
+    (user)- then |streak-length|-keyed — the window's user_id exchange
+    is reused by the island rollup (same clustering)."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = ud.select(
+        "user_id",
+        F.date_sub(
+            F.col("d"), F.row_number().over(w)
+        ).alias("island"),
+    )
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count("*").alias("len")
+    )
+    best = streaks.groupBy("user_id").agg(F.max("len").alias("max_streak"))
+    return best.groupBy("max_streak").agg(
+        F.count("*").alias("n_users"),
+        F.sum("user_id").alias("ids_sum"),
+    )

@@ -95,11 +95,14 @@ def register(name: str, oracle: str | None = None):
 # rounds.
 #
 # Round-9 window composition (50 entries):
-#   (a) the 20 new ops — the second batch (q_pagerank_iter,
-#       s_ohlc_tumbling, q_ts_ewma, q_agg_hhi, x_langid_confusion,
-#       x_label_separation), the two sketch-quantile scale twins
-#       (q_rfm_segments_approx / x_embed_outliers_approx, VERDICT r8
-#       item 3) and the 12-op analytics/corpus batch;
+#   (a) the 26 new ops — the third batch (q_agg_topn_share,
+#       q_win_streaks gaps-and-islands, q_fn_editdist,
+#       x_dup_cross_lang, x_length_outliers, x_token_budget), the
+#       second batch (q_pagerank_iter, s_ohlc_tumbling, q_ts_ewma,
+#       q_agg_hhi, x_langid_confusion, x_label_separation), the two
+#       sketch-quantile scale twins (q_rfm_segments_approx /
+#       x_embed_outliers_approx, VERDICT r8 item 3) and the 12-op
+#       analytics/corpus batch;
 #   (b) the 10 ops whose CODE or ORACLE changed this round and must
 #       re-attest: q_triangle_count (scale-safe degree-order
 #       orientation + vertex sample), u_grouped_map (bounded-input
@@ -111,19 +114,22 @@ def register(name: str, oracle: str | None = None):
 #   (c) the 5 standing deferrals VERDICT r8 item 1 names, whose last
 #       driver rows are r4-era: x_interleave_sources, x_embed_quantize,
 #       u_arrow_map, x_ann_rerank, q_ts_downsample;
-#   (d) 15 more of the r4-era cohort in the round-8 rotation order
-#       (multimodal decode family, snk_avro, s_checkpoint_resume, ...).
-# The 20 r4-era rows deferred (q_fn_variant, q_fn_try_arithmetic,
-# q_agg_hll_mergeable, q_agg_kll_mergeable, q_agg_theta_overlap,
-# q_agg_bitmap_distinct, q_agg_listagg, q_cdc_scd2, q_agg_filtered,
-# q_agg_global, q_fn_datetime2, q_fn_string3, q_project_rename,
-# q_set_intersect_all, plus q_agg_groupby / q_fn_xml / q_fn_url —
-# all in the in-suite DRIVER-STYLE oracle gate
-# (tests/test_operators.py::test_newly_deferred_r4_rows_pass_driver_style_oracle_gate)
-# — and q_join_asof_nearest / src_parquet_scan (plan pins in
-# tests/test_plans.py) / snk_jsonl (parse round-trip in
-# tests/test_operators.py)) each hold independent current-code
-# evidence, plus the builder-side full sf0.01 + sf1 sweeps this round.
+#   (d) 9 more of the r4-era cohort in the round-8 rotation order
+#       (multimodal decode family, snk_avro, s_checkpoint_resume,
+#       x_sample_reservoir, x_data_card).
+# The 26 r4-era rows deferred each hold independent current-code
+# evidence: 17 sit in the in-suite DRIVER-STYLE oracle gate
+# (tests/test_operators.py::test_newly_deferred_r4_rows_pass_driver_style_oracle_gate
+# — q_fn_variant, q_fn_try_arithmetic, q_agg_hll/kll_mergeable,
+# q_agg_theta_overlap, q_agg_bitmap_distinct, q_agg_listagg,
+# q_cdc_scd2, q_agg_filtered, q_agg_global, q_fn_datetime2,
+# q_fn_string3, q_project_rename, q_set_intersect_all, q_agg_groupby,
+# q_fn_xml, q_fn_url); q_join_asof_nearest / src_parquet_scan /
+# q_join_bloom_prune / q_join_dpp / q_win_count_distinct carry
+# dedicated plan pins in tests/test_plans.py; snk_jsonl a parse
+# round-trip and snk_parquet_sorted a file-layout test; x_dedup_prefix
+# / x_hard_negatives planted-corpus tests in tests/test_round8_ops.py
+# — plus the builder-side full sf0.01 + sf1 sweeps this round.
 #
 # Round-8 window composition (kept for the audit trail): every
 # operator whose CODE or PLAN changed that round led — the 34 new ops
@@ -205,8 +211,14 @@ def register(name: str, oracle: str | None = None):
 #   q_fn_datetime2, q_fn_string3, q_project_rename,
 #   q_set_intersect_all
 _PRIORITY = (
-    # (a) new this round — first driver attestation (second batch first:
-    # graph/stream/time-series additions, then the twins + first batch)
+    # (a) new this round — first driver attestation (third batch, then
+    # second batch, then the twins + first batch)
+    "q_agg_topn_share",
+    "q_win_streaks",
+    "q_fn_editdist",
+    "x_dup_cross_lang",
+    "x_length_outliers",
+    "x_token_budget",
     "q_pagerank_iter",
     "s_ohlc_tumbling",
     "q_ts_ewma",
@@ -254,12 +266,6 @@ _PRIORITY = (
     "s_checkpoint_resume",
     "x_sample_reservoir",
     "x_data_card",
-    "x_dedup_prefix",
-    "x_hard_negatives",
-    "q_join_bloom_prune",
-    "q_join_dpp",
-    "snk_parquet_sorted",
-    "q_win_count_distinct",
 )
 
 

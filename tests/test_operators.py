@@ -86,17 +86,20 @@ def test_salting_helpers_round_trip(spark):
 
 def test_round9_driver_window_composition(qs):
     """The driver checks the FIRST 50 registry entries.  Pin the round-9
-    rotation window: (a) the 20 new ops (second batch, the two
-    sketch-quantile scale twins, the 12-op analytics/corpus batch),
-    (b) the 10 ops whose code or oracle changed this round, (c) the 5
-    standing deferrals VERDICT r8 item 1 names (r4-era driver rows),
-    (d) 15 more of the r4-era cohort in the round-8 rotation order — a
-    silent reordering here would burn the round's freshness evidence.
-    The 20 r4-era rows deferred are code-UNMODIFIED (their r4 records
-    still attest the running code) and each holds independent
-    current-code evidence: 17 sit in the in-suite driver-style oracle
-    gate below, q_join_asof_nearest / src_parquet_scan carry plan pins,
-    snk_jsonl a parse round-trip test."""
+    rotation window: (a) the 26 new ops (third batch, second batch,
+    the two sketch-quantile scale twins, the 12-op analytics/corpus
+    batch), (b) the 10 ops whose code or oracle changed this round,
+    (c) the 5 standing deferrals VERDICT r8 item 1 names (r4-era
+    driver rows), (d) 9 more of the r4-era cohort in the round-8
+    rotation order — a silent reordering here would burn the round's
+    freshness evidence.  The 26 r4-era rows deferred are
+    code-UNMODIFIED (their r4 records still attest the running code)
+    and each holds independent current-code evidence: 17 sit in the
+    in-suite driver-style oracle gate below; q_join_asof_nearest /
+    src_parquet_scan / q_join_bloom_prune / q_join_dpp /
+    q_win_count_distinct carry dedicated plan pins; snk_jsonl a parse
+    round-trip, snk_parquet_sorted a file-layout test; x_dedup_prefix
+    / x_hard_negatives planted-corpus tests."""
     from kafka_connect_sse_spark.registry import _PRIORITY
 
     window = list(qs)[: len(_PRIORITY)]
@@ -104,6 +107,12 @@ def test_round9_driver_window_composition(qs):
     assert len(_PRIORITY) == 50, "round-9 window must fill all 50 slots"
     assert window == [
         # (a) new this round
+        "q_agg_topn_share",
+        "q_win_streaks",
+        "q_fn_editdist",
+        "x_dup_cross_lang",
+        "x_length_outliers",
+        "x_token_budget",
         "q_pagerank_iter",
         "s_ohlc_tumbling",
         "q_ts_ewma",
@@ -151,12 +160,6 @@ def test_round9_driver_window_composition(qs):
         "s_checkpoint_resume",
         "x_sample_reservoir",
         "x_data_card",
-        "x_dedup_prefix",
-        "x_hard_negatives",
-        "q_join_bloom_prune",
-        "q_join_dpp",
-        "snk_parquet_sorted",
-        "q_win_count_distinct",
     ]
     # every window op must carry an oracle (EXACT gate, not rows-only)
     from kafka_connect_sse_spark.registry import oracle_sql

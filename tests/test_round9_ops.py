@@ -361,3 +361,107 @@ def test_streaming_ohlc_matches_batch_bars(spark, tmp_path, q):
     assert (row["open"], row["high"], row["low"], row["close"], row["n"]) == (
         5.0, 9.0, 2.0, 2.0, 3,
     )
+
+
+def test_streaks_gaps_and_islands(spark, tmp_path, q):
+    """User 1 is active Jan 1,2,3 then (gap) Jan 5 -> max streak 3.
+    User 2 is active Jan 1 and Jan 3 -> max streak 1.  Same-day double
+    activity (user 1, Jan 2) must not split or extend a streak."""
+    rows = [
+        (1, "2024-01-01T00:00:01", 1, "view", 1.0),
+        (2, "2024-01-02T00:00:01", 1, "view", 1.0),
+        (3, "2024-01-02T12:00:00", 1, "click", 1.0),  # same day dup
+        (4, "2024-01-03T00:00:01", 1, "view", 1.0),
+        (5, "2024-01-05T00:00:01", 1, "view", 1.0),
+        (6, "2024-01-01T00:00:01", 2, "view", 1.0),
+        (7, "2024-01-03T00:00:01", 2, "view", 1.0),
+    ]
+    got = {
+        r["max_streak"]: (r["n_users"], r["ids_sum"])
+        for r in q["q_win_streaks"](
+            spark, _write_events_v(tmp_path, rows)
+        ).collect()
+    }
+    assert got == {3: (1, 1), 1: (1, 2)}
+
+
+def test_topn_share_splits_head_and_tail(spark, tmp_path, q):
+    """12 users with one event each on one day: the top-10 cut (ties on
+    user_id) captures exactly 10 of 12 events -> share 10/12."""
+    rows = [
+        (i, f"2024-01-01T00:00:{i:02d}", i, "view", 1.0)
+        for i in range(1, 13)
+    ]
+    r = q["q_agg_topn_share"](
+        spark, _write_events_v(tmp_path, rows)
+    ).collect()
+    assert len(r) == 1
+    assert (r[0]["n_events"], r[0]["topn_events"]) == (12, 10)
+    assert r[0]["topn_share"] == pytest.approx(10 / 12, abs=1e-6)
+
+
+def test_editdist_known_values(spark, q):
+    """Pairwise distances over the fixture's five event types include
+    the classic click/view distance and the self-similar band flag."""
+    rows = q["q_fn_editdist"](spark, "/root/testdata/sf0.001").collect()
+    got = {(r["type_a"], r["type_b"]): r["edit_dist"] for r in rows}
+    assert len(got) == 10  # C(5,2) ordered pairs
+    assert got[("click", "view")] == 4
+    assert got[("purchase", "signup")] > 0
+
+
+def test_token_budget_sums_exactly_and_is_proportional(spark, tmp_path, q):
+    """Three sources with 10/30/60 tokens and B=100000: quotas must sum
+    to EXACTLY B and order like the token counts."""
+    rows = [
+        (1, " ".join(["a"] * 10), "en", "small"),
+        (2, " ".join(["b"] * 30), "en", "mid"),
+        (3, " ".join(["c"] * 60), "en", "big"),
+    ]
+    got = {
+        r["source"]: r["quota"]
+        for r in q["x_token_budget"](
+            spark, _write_docs_src(tmp_path, rows)
+        ).collect()
+    }
+    assert sum(got.values()) == 100_000
+    assert got["big"] == 60_000 and got["mid"] == 30_000
+    assert got["small"] == 10_000
+
+
+def test_cross_lang_dup_flags_translation_template(spark, tmp_path, q):
+    """Two byte-identical long documents labeled DIFFERENT languages
+    (template localization gone wrong) must surface as a cross_lang
+    pair; the same-language duplicate pair must not."""
+    base = " ".join(f"tok{i}" for i in range(40))
+    rows = [
+        (1, base, "en", "A"),
+        (2, base, "de", "A"),          # cross-lang dup
+        (3, base + " extraa", "fr", "A"),
+        (4, "totally different words " + " ".join(f"z{i}" for i in range(40)), "en", "A"),
+    ]
+    got = {
+        (r["lang_a"], r["lang_b"]): (r["cross_lang"], r["n_pairs"])
+        for r in q["x_dup_cross_lang"](
+            spark, _write_docs_src(tmp_path, rows)
+        ).collect()
+    }
+    assert got[("de", "en")][0] is True
+    assert ("en", "en") not in got  # doc 4 shares nothing
+
+
+def test_length_outliers_catch_concat_blowup(spark, tmp_path, q):
+    """20 English docs of ~10 words and ONE 400-word concatenation
+    blowup: the MAD fence must flag exactly the blowup (a mean/stddev
+    fence would be dragged toward it)."""
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(10)), "en", "A")
+        for i in range(20)
+    ]
+    rows.append((99, " ".join(f"b{j}" for j in range(400)), "en", "A"))
+    r = q["x_length_outliers"](
+        spark, _write_docs_src(tmp_path, rows)
+    ).collect()
+    assert len(r) == 1
+    assert r[0]["n_docs"] == 21
+    assert r[0]["n_outliers"] == 1

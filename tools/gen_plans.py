@@ -91,6 +91,11 @@ COMMENTARY = {
     "q_agg_hhi": "one corpus-sized (day, user) partial-agg count, then a |days|-group rollup carrying two integer accumulators — the moments are the mergeable state.",
     "x_label_separation": "one posexplode partial agg builds every label centroid ((|labels| x dim) groups); the pair matrix and size joins are |labels|-bounded — label-bounded everything after the single corpus pass.",
     "x_langid_confusion": "prediction is a pure map-side array expression; the rollup partial-aggregates onto a (|langs| x 2) matrix and the share window rides that tiny relation.",
+    "q_win_streaks": "the corpus-sized stage is the DISTINCT (user, day) partial-agg pass; the island window partitions BY USER over that bounded relation and its user_id exchange is reused by the island rollup (same clustering); the histogram is |streak-length| groups.",
+    "q_agg_topn_share": "one (day, user) partial-agg count; the ranking window partitions BY DAY over the bounded relation — WindowGroupLimit-eligible per-partition sort, never global; |days|-group rollup.",
+    "x_token_budget": "len(split) token counting (Generate-free) into a |sources|-group partial agg; total, remainder rank, and the extras all ride windows over the |sources|-row relation through one SinglePartition exchange; floor division is exact integer arithmetic (rem-subtraction), never F.floor of a double quotient.",
+    "x_length_outliers": "two metadata-only (lang, n_chars) passes (ReadSchema-pruned — no text column is read); the |langs|-row median relations broadcast back; medians 6-dp-rounded at computation on both sides.",
+    "x_dup_cross_lang": "two doc-keyed joins of the dup-evidence-sized pair relation against the (doc_id, lang) projection (AQE broadcasts the pairs) + a |langs|²-group rollup over the minhash pipeline.",
 }
 
 
