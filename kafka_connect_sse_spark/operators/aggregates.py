@@ -1539,9 +1539,14 @@ def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB posture: one corpus-sized partial-agg shuffle onto
     (type, day) groups; min_by/max_by carry constant state per group
-    (value + key), so map-side combine does almost all the work —
-    contrast with a first_value/last_value window, which would sort
-    every partition."""
+    (value + key), so map-side combine does almost all the work.
+    Measured honestly against the first/last_value window-sort form
+    (tools/ab_ohlc.py, identical bars): at sf1 the window form is
+    timing-NEUTRAL (1.11 s vs 1.31 s — the fixture has only ~150 dense
+    groups, where a partition sort is cheap); the aggregate form is
+    kept because its state is O(groups) while the window form sorts
+    and materializes EVERY row per partition — at 10⁹-row groups the
+    sort is the memory-and-spill hazard, the combine is not."""
     e = load_table(spark, sf_dir, "events")
     key = F.struct(F.col("ts"), F.col("event_id"))
     return e.groupBy(

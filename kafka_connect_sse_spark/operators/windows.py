@@ -787,10 +787,16 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     CARRIED AS DECIMAL (the q_agg_entropy discipline) so the grouped
     sums are associative and order-free; ties order on event_id.
 
-    100 TB posture: ONE user_id window exchange builds the groups; the
-    touch rollup, group-size rollup, and purchase spine are all keyed
-    (user, grp) — one partitioning reused across the two joins (AQE
-    may broadcast the smaller sides); final rollup is |types| groups."""
+    100 TB posture: the user_id window runs EXACTLY ONCE — its single
+    consumer is the (user, grp, type) count rollup, which is
+    localCheckpointed because THREE downstream branches (touch counts,
+    group sizes, the purchase spine) consume it and AQE would
+    otherwise replay the corpus window per broadcast stage (the named
+    no-cross-stage-reuse trap — this op's first draft measured the
+    window 3x in its final plan; the pin below holds it at 1).  The
+    checkpointed relation is (user x purchase-epoch x type)-bounded —
+    orders of magnitude smaller than events; everything after it keys
+    on (user, grp) and the final rollup is |types| groups."""
     e = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -806,14 +812,15 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("grp"),
     )
-    touches = (
-        seq.filter(F.col("event_type").isin("view", "click"))
-        .groupBy("user_id", "grp", "event_type")
+    cnt = (
+        seq.groupBy("user_id", "grp", "event_type")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
     )
+    touches = cnt.filter(F.col("event_type").isin("view", "click"))
     ks = touches.groupBy("user_id", "grp").agg(F.sum("c").alias("k"))
     purch = (
-        seq.filter(F.col("event_type") == "purchase")
+        cnt.filter(F.col("event_type") == "purchase")
         .select("user_id", "grp")
         .distinct()
     )

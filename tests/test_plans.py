@@ -874,6 +874,62 @@ def test_pagerank_topk_uses_heaps_not_global_sort(spark):
     assert "BatchEvalPython" not in plan, plan
 
 
+def test_ohlc_is_one_partial_agg_no_window(spark):
+    """q_ts_ohlc: ONE partial-aggregating groupBy (min_by/max_by carry
+    constant per-group state, combine runs map-side) — no window
+    operator, no join, one parquet scan."""
+    plan = _final_plan(queries()["q_ts_ohlc"](spark, SF))
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan or "partial_count" in plan, plan
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_length_outliers_reads_metadata_columns_only(spark):
+    """x_length_outliers: both passes are metadata-only — the ReadSchema
+    of every documents scan carries (lang, n_chars) and never the text
+    column (the whole point: robust corpus QA without touching bytes)."""
+    plan = _final_plan(queries()["x_length_outliers"](spark, SF))
+    assert "text" not in plan.split("ReadSchema")[1][:200], plan
+    assert re.search(r"ReadSchema:.*n_chars", plan), plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_token_budget_windows_ride_one_exchange(spark):
+    """x_token_budget: token counting is len(split) (no Generate); the
+    total/rank/extras windows all ride the |sources|-row relation
+    through SinglePartition — the corpus never passes through it."""
+    plan = _final_plan(queries()["x_token_budget"](spark, SF))
+    assert "Generate" not in plan, plan
+    assert plan.count("SinglePartition") <= 2, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_attribution_linear_single_user_window(spark):
+    """q_attribution_linear: the corpus-sized user_id window runs
+    EXACTLY ONCE (its only consumer, the bounded count rollup, is
+    checkpointed for the three downstream branches — the first draft
+    replayed the window 3x via the AQE no-cross-stage-reuse trap and
+    this pin caught it).  The checkpoint truncates lineage, so the
+    final plan holds ZERO Window operators (the one window executed at
+    materialization) and every branch reads Scan ExistingRDD; no
+    parquet rescan, no BatchEvalPython."""
+    plan = _final_plan(queries()["q_attribution_linear"](spark, SF))
+    assert plan.count("Window") == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("FileScan parquet") == 0, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_streaks_window_exchange_reused_by_island_rollup(spark):
+    """q_win_streaks: the island window partitions by user over the
+    DISTINCT (user, day) relation and the island rollup reuses that
+    clustering — exactly one Window, no extra exchange between them."""
+    plan = _final_plan(queries()["q_win_streaks"](spark, SF))
+    assert plan.count("Window") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
 def test_cluster_purity_rolls_up_cell_label_counts(spark):
     """x_cluster_purity: after the shared assignment, every relation is
     (cell, label)-bounded — the final plan holds no SinglePartition
