@@ -465,3 +465,37 @@ def test_length_outliers_catch_concat_blowup(spark, tmp_path, q):
     assert len(r) == 1
     assert r[0]["n_docs"] == 21
     assert r[0]["n_outliers"] == 1
+
+
+def test_token_budget_single_source_gets_everything(spark, tmp_path, q):
+    """Degenerate apportionment: one source -> its quota IS the budget."""
+    rows = [(1, "a b c", "en", "only")]
+    got = q["x_token_budget"](
+        spark, _write_docs_src(tmp_path, rows, name="sfd9a")
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["quota"] == 100_000
+
+
+def test_token_budget_tie_remainders_rank_on_source(spark, tmp_path, q, monkeypatch):
+    """Budget 5 over three equal 1-token sources: floor = 1 each (5/3),
+    remainders all tie -> the 2 extras go to the lexicographically
+    first sources ('a', 'b'), never 'c' — the deterministic-tie
+    contract."""
+    from kafka_connect_sse_spark.operators import pipeline as pl
+
+    monkeypatch.setattr(pl, "TOKEN_BUDGET", 5)
+    rows = [(1, "x", "en", "a"), (2, "y", "en", "b"), (3, "z", "en", "c")]
+    # bypass the registered wrapper (which closes over the module
+    # constant at call time — monkeypatch works because the op reads
+    # pl.TOKEN_BUDGET via module global)
+    got = {
+        r["source"]: (r["quota"], r["got_remainder"])
+        for r in pl.x_token_budget(
+            spark, _write_docs_src(tmp_path, rows, name="sfd9b")
+        ).collect()
+    }
+    assert sum(v[0] for v in got.values()) == 5
+    assert got["a"] == (2, True)
+    assert got["b"] == (2, True)
+    assert got["c"] == (1, False)
