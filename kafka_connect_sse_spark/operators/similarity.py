@@ -975,8 +975,14 @@ def x_embed_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB posture: _centroid_distances is a posexplode partial agg
     (dim-bounded) + one broadcast row; the sketch is one partial-agg
     pass (mergeable state, constant size); the check aggregate is a
-    second map-side pass.  Nothing global, nothing sorted."""
-    d = _centroid_distances(spark, sf_dir)
+    second map-side pass.  The (vec_id, dist) relation is
+    localCheckpointed because BOTH the sketch aggregate and the check
+    aggregate consume it (the AQE no-cross-stage-reuse trap — the
+    round-9 plan audit caught the distance pipeline recomputing per
+    branch); it is two narrow columns per vector, far smaller than the
+    embedding table it derives from.  Nothing global, nothing
+    sorted."""
+    d = _centroid_distances(spark, sf_dir).localCheckpoint(eager=True)
     thr = d.agg(
         F.percentile_approx("dist", OUT_QUANT, OUT_ACC).alias("thr")
     )
