@@ -794,7 +794,7 @@ def q_fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
            levenshtein(a.event_type, b.event_type) AS edit_dist,
            ABS(len(a.event_type) - len(b.event_type)) AS len_diff,
            levenshtein(a.event_type, b.event_type)
-             <= GREATEST(len(a.event_type), len(b.event_type)) / 2
+             <= GREATEST(len(a.event_type), len(b.event_type)) // 2
                AS is_close
     FROM t a JOIN t b ON a.event_type < b.event_type
     """,
@@ -807,8 +807,11 @@ def q_fn_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation here is |types|-bounded so the cross is metadata-sized).
 
     Cross-engine exactness: Levenshtein distance is a well-defined
-    integer; the is_close band compares integers (GREATEST(len)/2 is
-    integer division on both sides for string lengths)."""
+    integer; the is_close band compares integers — Spark floors the
+    quotient explicitly (F.floor), the oracle uses DuckDB's integer
+    division `//` (plain `/` there is FLOAT division; ADVICE r9
+    item 4 — the earlier `/ 2` only matched because an integer lev
+    compared against 2.5 is equivalent to comparing against 2)."""
     e = load_table(spark, sf_dir, "events")
     t = e.select("event_type").distinct()
     a = t.select(F.col("event_type").alias("type_a"))

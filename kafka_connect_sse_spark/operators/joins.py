@@ -1183,6 +1183,10 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PR_DAMP = 0.85
+# the teleport term, derived ONCE so Spark (F.lit) and the DuckDB
+# oracle (f-string interpolation) share the identical double bit
+# pattern — never write 0.15 literally in either engine
+PR_TELEPORT = 1.0 - PR_DAMP
 PR_ITERS = 2
 PR_TOPK = 20
 
@@ -1191,7 +1195,9 @@ def _pr_iter_sql(prev: str, out: str) -> str:
     """One unrolled PageRank step in DuckDB SQL: DECIMAL-carried
     neighbor contributions (each term rounded to 9 then summed exactly,
     so accumulation order cannot matter), then the damped update
-    rounded to 9."""
+    rounded to 9.  Damping interpolates from the SAME PR_DAMP constant
+    the Spark side uses, so editing PR_DAMP cannot desynchronize oracle
+    and operator (ADVICE r9 item 3)."""
     return f"""
     {out}_c AS (SELECT und.v AS node,
                        SUM(CAST(ROUND({prev}.pr / deg.d, 9)
@@ -1200,8 +1206,8 @@ def _pr_iter_sql(prev: str, out: str) -> str:
                          JOIN deg ON deg.node = und.u
                 GROUP BY und.v),
     {out} AS (SELECT deg.node,
-                     ROUND(0.15::DOUBLE / nr.n
-                           + 0.85::DOUBLE
+                     ROUND({PR_TELEPORT!r}::DOUBLE / nr.n
+                           + {PR_DAMP!r}::DOUBLE
                              * CAST(COALESCE({out}_c.s, 0) AS DOUBLE),
                            9) AS pr
               FROM deg LEFT JOIN {out}_c ON {out}_c.node = deg.node, nr)"""
@@ -1274,7 +1280,7 @@ def q_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "node",
                 F.round(
-                    F.lit(0.15) / F.col("n")
+                    F.lit(PR_TELEPORT) / F.col("n")
                     + F.lit(PR_DAMP)
                     * F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
                     9,

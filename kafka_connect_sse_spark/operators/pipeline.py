@@ -1332,19 +1332,21 @@ def x_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wall = Window.partitionBy()
     total = F.sum("t").over(wall)
-    rem = (F.lit(TOKEN_BUDGET) * F.col("t")) % total
-    # floor division done in EXACT integer arithmetic: (B*t - rem) is
-    # divisible by total, so the one double division below is exact
-    # (both operands and the quotient are <= 2^53) — never F.floor on a
-    # raw double quotient, which could misfloor one ulp differently
-    # from the oracle's integer `//`
+    # floor division in EXACT 64-bit integer arithmetic end to end:
+    # SQL `div` is integral division on longs, so B·t_s div T matches
+    # the oracle's integer `//` for every bigint-representable corpus —
+    # no double round-trip anywhere (a double-rounded numerator past
+    # 2^53 could misfloor one ulp; ADVICE r9 item 1)
     q = s.select(
         "source",
         "t",
-        ((F.lit(TOKEN_BUDGET) * F.col("t") - rem) / total)
-        .cast("long")
-        .alias("fl"),
-        rem.alias("rem"),
+        (F.lit(TOKEN_BUDGET) * F.col("t")).alias("bt"),
+        total.alias("tot"),
+    ).select(
+        "source",
+        "t",
+        F.expr("bt div tot").alias("fl"),
+        (F.col("bt") % F.col("tot")).alias("rem"),
     )
     r = q.select(
         "*",

@@ -1500,8 +1500,9 @@ def x_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            COUNT(*) AS n_tokens,
            COUNT(DISTINCT w) AS n_vocab,
-           ROUND(LN(COUNT(DISTINCT w)) / LN(COUNT(*)), 6)
-               AS heaps_exponent
+           CASE WHEN COUNT(*) > 1
+                THEN ROUND(LN(COUNT(DISTINCT w)) / LN(COUNT(*)), 6)
+                ELSE NULL END AS heaps_exponent
     FROM tok GROUP BY source
     """,
 )
@@ -1515,7 +1516,11 @@ def x_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cross-engine exactness: both counts integer; one double expression
     rounded to 6.  Tokenization is the corpus ops' whitespace split on
-    BOTH sides.
+    BOTH sides.  The degenerate one-token source (ln N = 0) emits an
+    explicit NULL on both sides — Spark's non-ANSI Divide returns NULL
+    on /0 while DuckDB's IEEE division returns inf, so the exponent is
+    guarded with the same n_tokens > 1 CASE in both engines (ADVICE r9
+    item 2).
 
     100 TB posture: one explode -> (source, word) partial-agg distinct
     (the shuffle carries words once per (source, word), not per
@@ -1528,8 +1533,9 @@ def x_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok.groupBy("source").agg(
         F.count("*").alias("n_tokens"),
         F.count_distinct("w").alias("n_vocab"),
-        F.round(
-            F.log(F.count_distinct("w")) / F.log(F.count("*")), 6
+        F.when(
+            F.count("*") > 1,
+            F.round(F.log(F.count_distinct("w")) / F.log(F.count("*")), 6),
         ).alias("heaps_exponent"),
     )
 
