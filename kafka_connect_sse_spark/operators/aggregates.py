@@ -1477,8 +1477,14 @@ def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference between the engines' percentile formulas cannot flip
     n_outliers.
 
-    100 TB posture: exact per-group medians need a sort per group (the
-    documented swap is percentile_approx); the median relations are
+    100 TB posture / bounded-cardinality contract: Spark's exact
+    `percentile` buffers a value->count map PER GROUP in one
+    aggregation buffer — safe here because l_extendedprice is
+    cents-granular (bounded distinct values), a memory hazard on a
+    continuous measure at 100x.  The scale path is the registered
+    sketch twin q_agg_mad_approx (one-pass mergeable percentile_approx,
+    O(accuracy) state); this exact form is the bounded-SF correctness
+    twin (the q_agg_percentile precedent).  The median relations are
     |groups| rows and broadcast back — two passes over the fact, each
     column-pruned to two columns."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -1508,6 +1514,106 @@ def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(0)
             ).alias("n_outliers"),
         )
+    )
+
+
+MAD_ACC = 10000  # sketch accuracy: rank error <= n_group/MAD_ACC
+
+
+@register(
+    "q_agg_mad_approx",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           TRUE AS ok_med, TRUE AS ok_mad
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_mad_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch scale twin of q_agg_mad (VERDICT r9 item 7, the
+    q_rfm_segments_approx precedent): both medians come from ONE-PASS
+    mergeable quantile sketches (percentile_approx at accuracy
+    {MAD_ACC}) instead of Spark's exact `percentile`, whose
+    value->count aggregation buffer per group is a memory hazard on a
+    continuous measure at 100x — the sketch state is O(accuracy),
+    corpus-size-independent, and merge-associative.
+
+    Like the RFM twin, sketch boundary VALUES are implementation-
+    defined, so the EXACT gate is error-bounded and tie-robust: the op
+    emits, per group, the sketch's own rank guarantee for the median
+    (count(x < m) <= ceil(n/2)+eps AND count(x <= m) >= ceil(n/2)-eps,
+    eps = max(2, ceil(n/1000)) — 10x the configured rank error) and
+    the same guarantee for the MAD within the |x - m| distribution
+    derived from the sketched median, plus the exact group count.
+    q_agg_mad remains the value-level correctness twin at bounded SF
+    (its docstring pins the bounded-cardinality contract).
+
+    100 TB posture: three column-pruned scans of the fact, each a
+    map-side partial agg onto |groups| rows (median sketch + n, MAD
+    sketch over adev, guarantee counts) with the |groups|-row boundary
+    relations broadcast back — no per-group sort, no value->count
+    buffer, no SinglePartition relation above |groups| rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.percentile_approx("l_extendedprice", 0.5, MAD_ACC), 6
+        ).alias("med"),
+    )
+    mad = (
+        li.join(broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.percentile_approx(
+                    F.abs(F.col("l_extendedprice") - F.col("med")),
+                    0.5,
+                    MAD_ACC,
+                ),
+                6,
+            ).alias("mad")
+        )
+    )
+    bounds = med.join(mad, "l_returnflag")
+    counts = (
+        li.join(broadcast(bounds), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n",
+            "med",
+            "mad",
+            F.abs(F.col("l_extendedprice") - F.col("med")).alias("adev"),
+            F.col("l_extendedprice").alias("x"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.any_value("n").alias("n"),
+            F.sum(F.when(F.col("x") < F.col("med"), 1).otherwise(0)).alias(
+                "x_lt"
+            ),
+            F.sum(F.when(F.col("x") <= F.col("med"), 1).otherwise(0)).alias(
+                "x_le"
+            ),
+            F.sum(
+                F.when(F.col("adev") < F.col("mad"), 1).otherwise(0)
+            ).alias("a_lt"),
+            F.sum(
+                F.when(F.col("adev") <= F.col("mad"), 1).otherwise(0)
+            ).alias("a_le"),
+        )
+    )
+    eps = F.greatest(F.lit(2), F.ceil(F.col("n") / F.lit(1000)))
+    tgt = F.ceil(F.col("n") / F.lit(2))
+    return counts.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        ((F.col("x_lt") <= tgt + eps) & (F.col("x_le") >= tgt - eps)).alias(
+            "ok_med"
+        ),
+        ((F.col("a_lt") <= tgt + eps) & (F.col("a_le") >= tgt - eps)).alias(
+            "ok_mad"
+        ),
     )
 
 
@@ -2091,3 +2197,516 @@ def q_agg_topn_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "topn_events",
         "topn_share",
     )
+
+
+HOLT_ALPHA = 0.5  # level smoothing — binary-exact (1/2)
+HOLT_BETA = 0.25  # trend smoothing — binary-exact (1/4)
+HOLT_SCALE = 1_000_000  # state carried in integer micro-units
+
+
+@register(
+    "q_ts_holt",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    series AS (
+      SELECT event_type,
+             COUNT(*) AS n_days,
+             list_transform(list(CAST(n AS DOUBLE) ORDER BY d),
+                            x -> [x * {HOLT_SCALE}, 0.0, 0.0]) AS le
+      FROM daily GROUP BY event_type HAVING COUNT(*) >= 2),
+    fin AS (
+      SELECT event_type, n_days,
+             list_reduce(le, (acc, e) -> CASE
+               WHEN acc[3] = 0.0
+               THEN [acc[1], e[1] - acc[1], 1.0]
+               ELSE [ROUND({HOLT_ALPHA} * e[1]
+                           + {1 - HOLT_ALPHA} * (acc[1] + acc[2]), 0),
+                     ROUND({HOLT_BETA}
+                             * (ROUND({HOLT_ALPHA} * e[1]
+                                      + {1 - HOLT_ALPHA}
+                                        * (acc[1] + acc[2]), 0)
+                                - acc[1])
+                           + {1 - HOLT_BETA} * acc[2], 0),
+                     acc[3] + 1.0] END) AS st
+      FROM series)
+    SELECT event_type, n_days,
+           st[1] / {HOLT_SCALE} AS level,
+           st[2] / {HOLT_SCALE} AS trend,
+           (st[1] + st[2]) / {HOLT_SCALE} AS forecast_1
+    FROM fin
+    """,
+)
+def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend,
+    α={HOLT_ALPHA}, β={HOLT_BETA}) of each type's daily volume, seeded
+    l₁=x₁, b₁=x₂−x₁, with the one-step-ahead forecast — the trend-aware
+    upgrade of q_ts_ewma's recurrence, same ordered-array FOLD shape:
+    the state is a (level, trend) pair threaded through F.aggregate
+    per group, never a global sequential pass.
+
+    Cross-engine exactness — the fold state is EXACT-INTEGER
+    micro-units (×{HOLT_SCALE}), not re-rounded doubles: the q_ts_ewma
+    6-dp re-round discipline is systematically hazardous for
+    multi-component folds because every step's output sits ON the
+    decimal grid, so the NEXT round call is always near a tie boundary
+    where Spark (exact BigDecimal HALF_UP) and DuckDB (×1e6
+    double-multiply round) can split one ulp apart — observed live on
+    this op's first draft.  With α=1/2 and β=1/4 every product of an
+    integer state is a binary-EXACT multiple of 0.25, the only
+    rounding is ROUND(exact_value, 0) whose .5 ties both engines
+    resolve half-away-from-zero, and the state stays integral — the
+    engines cannot diverge.  The output division by {HOLT_SCALE} is
+    the same two exact operands in both engines, hence bit-identical.
+
+    100 TB posture: one corpus-sized (type, day) partial-agg count;
+    the collect_list is |days|-bounded per type; the fold is a
+    map-side expression over the |types|-row relation.  (DuckDB 1.0's
+    list_reduce is 2-arg — accumulator type == element type, seeded
+    with the first element — so the oracle folds uniform
+    [x·scale, state, counter] triples with a seed-detect CASE; Spark
+    folds a proper struct via F.aggregate's explicit init.)"""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count("*").alias("n"))
+    series = (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "d",
+                        (F.col("n").cast("double") * HOLT_SCALE).alias("n"),
+                    )
+                )
+            ).alias("sl"),
+        )
+        .filter(F.col("n_days") >= 2)
+        .select("event_type", "n_days", F.col("sl.n").alias("l"))
+    )
+
+    def step(acc, x):
+        new_lv = F.round(
+            F.lit(HOLT_ALPHA) * x
+            + F.lit(1 - HOLT_ALPHA) * (acc["lv"] + acc["tr"]),
+            0,
+        )
+        return F.struct(
+            new_lv.alias("lv"),
+            F.round(
+                F.lit(HOLT_BETA) * (new_lv - acc["lv"])
+                + F.lit(1 - HOLT_BETA) * acc["tr"],
+                0,
+            ).alias("tr"),
+        )
+
+    st = F.aggregate(
+        F.slice(F.col("l"), 3, F.greatest(F.size("l") - 2, F.lit(0))),
+        F.struct(
+            F.element_at(F.col("l"), 1).alias("lv"),
+            (F.element_at(F.col("l"), 2) - F.element_at(F.col("l"), 1)).alias(
+                "tr"
+            ),
+        ),
+        step,
+    )
+    return series.select(
+        "event_type",
+        "n_days",
+        (st["lv"] / HOLT_SCALE).alias("level"),
+        (st["tr"] / HOLT_SCALE).alias("trend"),
+        ((st["lv"] + st["tr"]) / HOLT_SCALE).alias("forecast_1"),
+    )
+
+
+CUSUM_H = 4.0  # alert threshold in units of the series stddev
+
+
+@register(
+    "q_ts_cusum",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    series AS (
+      SELECT event_type,
+             COUNT(*) AS n_days,
+             CAST(SUM(n) AS BIGINT) AS s1,
+             CAST(SUM(n * n) AS BIGINT) AS s2,
+             list(CAST(n AS DOUBLE) ORDER BY d) AS l
+      FROM daily GROUP BY event_type HAVING COUNT(*) >= 2),
+    params AS (
+      SELECT *,
+             ROUND(CAST(s1 AS DOUBLE) / n_days, 6) AS mu,
+             ROUND(sqrt((CAST(s2 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_days)
+                        / (n_days - 1)), 6) AS sd
+      FROM series),
+    fin AS (
+      SELECT event_type, n_days, mu, sd,
+             list_reduce(
+               list_prepend([0.0, 0.0],
+                            list_transform(l, x -> [x, 0.0])),
+               (acc, e) -> [
+                 GREATEST(0.0, acc[1] + n_days * e[1] - s1),
+                 acc[2] + CASE WHEN GREATEST(0.0,
+                                             acc[1] + n_days * e[1] - s1)
+                                    > {CUSUM_H} * sd * n_days
+                               THEN 1.0 ELSE 0.0 END]) AS st
+      FROM params)
+    SELECT event_type, n_days, mu AS mean_daily, sd AS sd_daily,
+           st[1] / n_days AS cusum_final, CAST(st[2] AS BIGINT) AS n_alerts
+    FROM fin
+    """,
+)
+def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detector on each type's daily volume:
+    s_i = max(0, s_(i-1) + x_i − μ) with μ the series' own mean, alert
+    when s exceeds {CUSUM_H}·σ — the classic sequential change-point
+    statistic (Page 1954), third member of the ordered-array-fold
+    family (q_ts_ewma, q_ts_holt): the running sum AND the alert count
+    thread through one two-slot fold per group.
+
+    Cross-engine exactness — the q_ts_holt integer-state discipline:
+    the fold carries S_i = n·s_i = max(0, S_(i-1) + n·x_i − Σx), which
+    is EXACT integer arithmetic with no rounding anywhere in the loop
+    (daily counts are integers).  The alert compare S > {CUSUM_H}·σ·n
+    pits that exact integer against a threshold both engines compute
+    through the identical expression from identical inputs (the
+    once-rounded σ) — IEEE doubles are deterministic, so an identical
+    op sequence cannot split.  μ and σ come from exact BIGINT moment
+    sums, rounded once at 6 (the single-shot round every aggregate op
+    uses); the final s = S/n division is the same two exact operands
+    in both engines.
+
+    100 TB posture: identical to q_ts_holt — one (type, day)
+    partial-agg count, |days|-bounded arrays, map-side fold over
+    |types| rows.  The oracle prepends a [0,0] zero-state element so
+    DuckDB's 2-arg list_reduce still processes every observation."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count("*").alias("n"))
+    series = (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("n").alias("s1"),
+            F.sum(F.col("n") * F.col("n")).alias("s2"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct("d", F.col("n").cast("double").alias("n"))
+                )
+            ).alias("sl"),
+        )
+        .filter(F.col("n_days") >= 2)
+        .select("event_type", "n_days", "s1", "s2", F.col("sl.n").alias("l"))
+    )
+    params = series.select(
+        "*",
+        F.round(F.col("s1").cast("double") / F.col("n_days"), 6).alias("mu"),
+        F.round(
+            F.sqrt(
+                (
+                    F.col("s2").cast("double")
+                    - F.col("s1").cast("double")
+                    * F.col("s1").cast("double")
+                    / F.col("n_days")
+                )
+                / (F.col("n_days") - 1)
+            ),
+            6,
+        ).alias("sd"),
+    )
+
+    def step(acc, x):
+        new_s = F.greatest(
+            F.lit(0.0),
+            acc["s"] + F.col("n_days") * x - F.col("s1"),
+        )
+        return F.struct(
+            new_s.alias("s"),
+            (
+                acc["a"]
+                + F.when(
+                    F.greatest(
+                        F.lit(0.0),
+                        acc["s"] + F.col("n_days") * x - F.col("s1"),
+                    )
+                    > F.lit(CUSUM_H) * F.col("sd") * F.col("n_days"),
+                    F.lit(1.0),
+                ).otherwise(F.lit(0.0))
+            ).alias("a"),
+        )
+
+    st = F.aggregate(
+        F.col("l"),
+        F.struct(F.lit(0.0).alias("s"), F.lit(0.0).alias("a")),
+        step,
+    )
+    return params.select(
+        "event_type",
+        "n_days",
+        F.col("mu").alias("mean_daily"),
+        F.col("sd").alias("sd_daily"),
+        (st["s"] / F.col("n_days")).alias("cusum_final"),
+        st["a"].cast("long").alias("n_alerts"),
+    )
+
+
+@register(
+    "q_ts_seasonal_dow",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    tot AS (
+      SELECT event_type,
+             CAST(SUM(n) AS BIGINT) AS t_n, COUNT(*) AS t_days
+      FROM daily GROUP BY event_type)
+    SELECT daily.event_type, isodow(d) AS dow,
+           COUNT(*) AS n_days,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           ROUND((CAST(SUM(n) AS DOUBLE) / COUNT(*))
+                 / (CAST(ANY_VALUE(t_n) AS DOUBLE) / ANY_VALUE(t_days)),
+                 6) AS seasonal_index
+    FROM daily JOIN tot ON tot.event_type = daily.event_type
+    GROUP BY daily.event_type, isodow(d)
+    """,
+)
+def q_ts_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index per event type: mean daily volume on
+    each ISO weekday divided by the type's overall mean daily volume —
+    the multiplicative seasonality profile behind every
+    weekday-adjusted anomaly fence (q_anomaly_zscore_daily without this
+    index alerts every Saturday).
+
+    Cross-engine exactness: all counts are exact integers; ONE double
+    expression at the end, written with the identical division order in
+    both engines, rounded to 6.  Weekday numbering is pinned to ISO
+    (1=Monday..7=Sunday): Spark weekday()+1 == DuckDB isodow().
+
+    100 TB posture: one corpus-sized (type, day) partial-agg count;
+    both the per-dow rollup and the per-type totals aggregate the
+    |types|x|days| bounded relation; the totals join is a broadcast of
+    |types| rows."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count("*").alias("n"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("n").alias("t_n"), F.count("*").alias("t_days")
+    )
+    return (
+        daily.join(broadcast(tot), "event_type")
+        .groupBy("event_type", (F.weekday("d") + 1).alias("dow"))
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("n").alias("n_events"),
+            F.round(
+                (F.sum("n").cast("double") / F.count("*"))
+                / (
+                    F.any_value("t_n").cast("double")
+                    / F.any_value("t_days")
+                ),
+                6,
+            ).alias("seasonal_index"),
+        )
+    )
+
+@register(
+    "q_agg_skew_kurt",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(q * q) AS BIGINT) AS DOUBLE) AS s2,
+             CAST(CAST(SUM(q * q * q) AS BIGINT) AS DOUBLE) AS s3,
+             CAST(CAST(SUM(q * q * q * q) AS BIGINT) AS DOUBLE) AS s4
+      FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
+            FROM lineitem)
+      GROUP BY l_returnflag),
+    m AS (
+      SELECT l_returnflag, n, s1 / n AS m1, s2, s3, s4 FROM s),
+    v AS (
+      SELECT l_returnflag, n, m1, s3, s4,
+             s2 / n - m1 * m1 AS var_pop FROM m)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           ROUND(var_pop, 6) AS var_pop,
+           ROUND((s3 / n - 3 * m1 * (var_pop + m1 * m1)
+                  + 2 * m1 * m1 * m1)
+                 / POW(var_pop, 1.5), 6) AS skewness,
+           ROUND((s4 / n - 4 * m1 * (s3 / n)
+                  + 6 * m1 * m1 * (var_pop + m1 * m1)
+                  - 3 * m1 * m1 * m1 * m1)
+                 / (var_pop * var_pop) - 3, 6) AS kurtosis_excess
+    FROM v
+    """,
+)
+def q_agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment shape statistics per group: population variance,
+    skewness m₃/m₂^1.5 and excess kurtosis m₄/m₂²−3 of l_quantity —
+    the distribution-shape tier above q_agg_stats' mean/stddev, built
+    on the q_agg_linreg discipline: EXACT integer power sums (the
+    measure is integer-valued, so Σq..Σq⁴ are exact BIGINTs — no
+    order-dependent double accumulation anywhere), then ONE closed-form
+    double expression per statistic, written with the identical
+    operation sequence in both engines and rounded to 6.
+
+    Note s2/n is re-derived as (var_pop + m1²) in the central-moment
+    expansions so both engines share the named subexpression — the
+    formulas are algebraically the standard m₃ = s3/n − 3·m1·s2/n
+    + 2·m1³ and m₄ = s4/n − 4·m1·s3/n + 6·m1²·s2/n − 3·m1⁴.
+
+    100 TB posture: one partial-agg shuffle carrying four BIGINT
+    accumulators per group — the moments are the mergeable state
+    (Σq⁴ ≤ 50⁴·rows keeps headroom to ~10¹⁴ rows); the closed form is
+    a |groups|-sized projection."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(q).cast("double").alias("s1"),
+        F.sum(q * q).cast("double").alias("s2"),
+        F.sum(q * q * q).cast("double").alias("s3"),
+        F.sum(q * q * q * q).cast("double").alias("s4"),
+    )
+    m = s.select(
+        "l_returnflag",
+        "n",
+        (F.col("s1") / F.col("n")).alias("m1"),
+        "s2",
+        "s3",
+        "s4",
+    )
+    v = m.select(
+        "l_returnflag",
+        "n",
+        "m1",
+        "s3",
+        "s4",
+        (F.col("s2") / F.col("n") - F.col("m1") * F.col("m1")).alias(
+            "var_pop"
+        ),
+    )
+    m1, var_pop = F.col("m1"), F.col("var_pop")
+    return v.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(var_pop, 6).alias("var_pop"),
+        F.round(
+            (
+                F.col("s3") / F.col("n")
+                - F.lit(3) * m1 * (var_pop + m1 * m1)
+                + F.lit(2) * m1 * m1 * m1
+            )
+            / F.pow(var_pop, 1.5),
+            6,
+        ).alias("skewness"),
+        F.round(
+            (
+                F.col("s4") / F.col("n")
+                - F.lit(4) * m1 * (F.col("s3") / F.col("n"))
+                + F.lit(6) * m1 * m1 * (var_pop + m1 * m1)
+                - F.lit(3) * m1 * m1 * m1 * m1
+            )
+            / (var_pop * var_pop)
+            - F.lit(3),
+            6,
+        ).alias("kurtosis_excess"),
+    )
+
+
+_CORR_VARS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "q_agg_corr_matrix",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             {", ".join(
+                 f"CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) AS s_{i}"
+                 for i, c in enumerate(_CORR_VARS))},
+             {", ".join(
+                 f"CAST(SUM(CAST({a} AS DECIMAL(18,2))"
+                 f" * CAST({b} AS DECIMAL(18,2))) AS DOUBLE) AS p_{i}_{j}"
+                 for i, a in enumerate(_CORR_VARS)
+                 for j, b in enumerate(_CORR_VARS) if i <= j)}
+      FROM lineitem GROUP BY l_returnflag),
+    pairs AS (
+      {" UNION ALL ".join(
+          f"SELECT l_returnflag, '{a}' AS var_a, '{b}' AS var_b,"
+          f" CAST(n AS BIGINT) AS n_rows,"
+          f" ROUND((n * p_{i}_{j} - s_{i} * s_{j})"
+          f" / sqrt((n * p_{i}_{i} - s_{i} * s_{i})"
+          f" * (n * p_{j}_{j} - s_{j} * s_{j})), 6) AS corr FROM s"
+          for i, a in enumerate(_CORR_VARS)
+          for j, b in enumerate(_CORR_VARS) if i < j)})
+    SELECT * FROM pairs
+    """,
+)
+def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the four lineitem
+    measures (quantity, extendedprice, discount, tax) per return flag
+    — the feature-correlation screen every modeling pipeline runs
+    before trusting a regression, as the corr() surface rebuilt on the
+    q_agg_linreg discipline: ONE pass accumulates exact DECIMAL(18,2)
+    sums and all 10 upper-triangle product moments (mergeable,
+    order-free), then each of the 6 pair correlations is a closed-form
+    double expression written identically in both engines, rounded 6.
+
+    100 TB posture: a single partial-agg shuffle carrying 15 DECIMAL
+    accumulators per group — adding measures grows the state
+    quadratically but the pass count never leaves 1; the pair
+    expansion (explode of a 6-element literal array) runs on the
+    |groups|-row relation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").cast("double").alias("n")]
+    for i, c in enumerate(_CORR_VARS):
+        aggs.append(
+            F.sum(F.col(c).cast("decimal(18,2)"))
+            .cast("double")
+            .alias(f"s_{i}")
+        )
+    for i, a in enumerate(_CORR_VARS):
+        for j, b in enumerate(_CORR_VARS):
+            if i <= j:
+                aggs.append(
+                    F.sum(
+                        F.col(a).cast("decimal(18,2)")
+                        * F.col(b).cast("decimal(18,2)")
+                    )
+                    .cast("double")
+                    .alias(f"p_{i}_{j}")
+                )
+    s = li.groupBy("l_returnflag").agg(*aggs)
+    n = F.col("n")
+    cells = []
+    for i, a in enumerate(_CORR_VARS):
+        for j, b in enumerate(_CORR_VARS):
+            if i < j:
+                si, sj = F.col(f"s_{i}"), F.col(f"s_{j}")
+                cells.append(
+                    F.struct(
+                        F.lit(a).alias("var_a"),
+                        F.lit(b).alias("var_b"),
+                        n.cast("long").alias("n_rows"),
+                        F.round(
+                            (n * F.col(f"p_{i}_{j}") - si * sj)
+                            / F.sqrt(
+                                (n * F.col(f"p_{i}_{i}") - si * si)
+                                * (n * F.col(f"p_{j}_{j}") - sj * sj)
+                            ),
+                            6,
+                        ).alias("corr"),
+                    )
+                )
+    return s.select(
+        "l_returnflag", F.explode(F.array(*cells)).alias("c")
+    ).select("l_returnflag", "c.*")
