@@ -1250,3 +1250,81 @@ def x_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_cosine"),
         )
     )
+
+
+EMBED_DEAD_STD = 0.001  # a dimension with stddev below this is "dead"
+
+
+@register(
+    "x_embed_dim_stats",
+    oracle=f"""
+    WITH comp AS (
+      SELECT g.i - 1 AS dim,
+             CAST(ROUND(CAST(embedding[g.i] AS DOUBLE), 6)
+                  AS DECIMAL(18,7)) AS x
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)),
+    s AS (
+      SELECT dim, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(x * x) AS sxx
+      FROM comp GROUP BY dim)
+    SELECT dim, CAST(n AS BIGINT) AS n_vecs,
+           ROUND(CAST(sx AS DOUBLE) / n, 6) AS mean,
+           ROUND(sqrt((CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                      / (n - 1)), 6) AS stddev,
+           sqrt((CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                / (n - 1)) < {EMBED_DEAD_STD} AS is_dead
+    FROM s
+    """,
+)
+def x_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding profile: mean, stddev, and a dead-dim
+    flag (σ < {EMBED_DEAD_STD}) for every coordinate — the collapsed /
+    constant-dimension screen run before any whitening or quantization
+    step trusts the space (a dead dim wastes an int8 code slot in
+    x_embed_quantize and makes x_embed_whiten's covariance singular).
+
+    Cross-engine exactness: each float32 component is rounded to 6 as
+    a double (single-shot round of a generic value) and CARRIED AS
+    DECIMAL(18,7), so the cross-row sums are associative and
+    order-free at any parallelism — the corpus-sum analog of the
+    per-row rounding the rest of the embedding family uses; the final
+    mean/stddev are one double expression each, written identically
+    in both engines, rounded 6.  The dead flag compares the UNROUNDED
+    stddev expression — identical doubles both sides.
+
+    100 TB posture: posexplode then ONE partial-agg shuffle onto
+    |dims| groups carrying two DECIMAL accumulators — mergeable state,
+    map-side combine absorbs the 64x row expansion; output is
+    |dims| rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        F.posexplode("embedding").alias("dim", "xf")
+    ).select(
+        "dim",
+        F.round(F.col("xf").cast("double"), 6)
+        .cast("decimal(18,7)")
+        .alias("x"),
+    )
+    s = comp.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    sd_expr = F.sqrt(
+        (
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double")
+            * F.col("sx").cast("double")
+            / F.col("n")
+        )
+        / (F.col("n") - 1)
+    )
+    return s.select(
+        F.col("dim").cast("long").alias("dim"),
+        F.col("n").alias("n_vecs"),
+        F.round(F.col("sx").cast("double") / F.col("n"), 6).alias("mean"),
+        F.round(sd_expr, 6).alias("stddev"),
+        (sd_expr < F.lit(EMBED_DEAD_STD)).alias("is_dead"),
+    )

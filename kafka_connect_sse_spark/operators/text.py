@@ -6,7 +6,7 @@ path — so they scale to 100 TB as ordinary codegen'd projections.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -1660,5 +1660,203 @@ def x_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                     1,
                 ).otherwise(0)
             ).alias("n_outliers"),
+        )
+    )
+
+
+TOKHIST_W = 10  # bucket width in tokens
+TOKHIST_CAP = 9  # top bucket index (>= cap*width tokens pools here)
+
+
+@register(
+    "x_tok_len_hist",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang,
+             LEAST(len(str_split(text, ' ')) // {TOKHIST_W},
+                   {TOKHIST_CAP}) AS bucket
+      FROM documents),
+    tot AS (SELECT lang, COUNT(*) AS t FROM d GROUP BY lang)
+    SELECT d.lang, d.bucket,
+           CAST(d.bucket * {TOKHIST_W} AS BIGINT) AS bucket_lo,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(tot.t), 6) AS share
+    FROM d JOIN tot ON tot.lang = d.lang
+    GROUP BY d.lang, d.bucket
+    """,
+)
+def x_tok_len_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram per language: fixed-width
+    ({TOKHIST_W}-token) buckets of per-document token counts with a
+    pooled top bucket — the length profile a packing planner
+    (x_seq_pack) and a context-window budgeter read before choosing
+    max_seq_len; per-language because tokenizer fertility skews the
+    distribution (x_tokenizer_fertility measures why).
+
+    Cross-engine exactness: bucketing is integer division on integer
+    token counts; shares are one double division over integer counts,
+    rounded 6.
+
+    100 TB posture: bucket assignment is map-side (no explode — token
+    count is len(split)); one partial-agg shuffle onto the bounded
+    |langs|×{TOKHIST_CAP + 1} histogram; the per-lang totals broadcast
+    back."""
+    d = load_table(spark, sf_dir, "documents")
+    b = d.select(
+        "lang",
+        F.least(
+            F.expr(f"size(split(text, ' ')) div {TOKHIST_W}"),
+            F.lit(TOKHIST_CAP).cast("long"),
+        ).alias("bucket"),
+    )
+    tot = b.groupBy("lang").agg(F.count("*").alias("t"))
+    return (
+        b.join(broadcast(tot), "lang")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.any_value(F.col("bucket") * TOKHIST_W)
+            .cast("long")
+            .alias("bucket_lo"),
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.count("*").cast("double") / F.any_value("t"), 6
+            ).alias("share"),
+        )
+        .select("lang", "bucket", "bucket_lo", "n_docs", "share")
+    )
+
+
+@register(
+    "x_doc_len_gini",
+    oracle="""
+    WITH d AS (
+      SELECT source, doc_id,
+             CAST(len(str_split(text, ' ')) AS BIGINT) AS nt
+      FROM documents),
+    r AS (
+      SELECT source, nt,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY nt, doc_id) AS rk
+      FROM d)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens,
+           ROUND(CAST(2 * SUM(rk * nt) - (COUNT(*) + 1) * SUM(nt)
+                      AS DOUBLE)
+                 / CAST(COUNT(*) * SUM(nt) AS DOUBLE), 6) AS gini
+    FROM r GROUP BY source
+    """,
+)
+def x_doc_len_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of document-length inequality per source, via
+    the rank formula G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over lengths
+    sorted ascending — the one-number skew summary that flags a source
+    as "a few giant documents plus stubs" (high G starves sequence
+    packing and biases token budgets; x_skew_profile gives the
+    partition-level view, this gives the document-level view).
+
+    Cross-engine exactness: the rank formula is EXACT INTEGER
+    arithmetic end to end (ranks × integer token counts, ties broken
+    by doc_id make the rank assignment deterministic — i·xᵢ is
+    tie-order-invariant anyway since tied x share the same value);
+    one double division at the end, rounded 6.
+
+    100 TB posture: the ranking window partitions BY SOURCE (one
+    shuffle, per-source sort that spills cleanly — the q_agg_topn_share
+    shape); everything after is a partial agg onto |sources| rows.
+    For a pathologically dominant single source, pre-aggregating equal
+    lengths ((len, count) pairs + prefix-sum ranks) bounds the sort,
+    the documented refinement if one source ever exceeds a task."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("nt"),
+    )
+    w = Window.partitionBy("source").orderBy("nt", "doc_id")
+    r = base.select("source", "nt", F.row_number().over(w).alias("rk"))
+    return r.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nt").alias("total_tokens"),
+        F.round(
+            (
+                F.lit(2) * F.sum(F.col("rk") * F.col("nt"))
+                - (F.count("*") + F.lit(1)) * F.sum("nt")
+            ).cast("double")
+            / (F.count("*") * F.sum("nt")).cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "x_char_ngram_entropy",
+    oracle="""
+    WITH tri AS (
+      SELECT lang, UNNEST(list_transform(
+               generate_series(1, len(text) - 2),
+               i -> substring(text, i, 3))) AS g
+      FROM documents),
+    cnt AS (SELECT lang, g, COUNT(*) AS c FROM tri GROUP BY lang, g),
+    tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t,
+                   COUNT(*) AS n_distinct
+            FROM cnt GROUP BY lang)
+    SELECT cnt.lang, ANY_VALUE(tot.t) AS n_trigrams,
+           ANY_VALUE(tot.n_distinct) AS n_distinct,
+           ROUND(CAST(SUM(CAST(ROUND(
+                     -(CAST(c AS DOUBLE) / tot.t)
+                       * LN(CAST(c AS DOUBLE) / tot.t), 9)
+                   AS DECIMAL(28,9))) AS DOUBLE), 6) AS entropy_nats
+    FROM cnt JOIN tot ON tot.lang = cnt.lang
+    GROUP BY cnt.lang
+    """,
+)
+def x_char_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level character-trigram Shannon entropy per language —
+    the script/orthography health signal that catches mojibake,
+    encoding corruption, and synthetic gibberish which WORD-level
+    statistics miss (x_word_entropy is per-document over words; this
+    is per-language over the pooled character-trigram distribution,
+    the fastText-style signal language-ID models train on).
+
+    Cross-engine exactness: trigram counts are exact integers; each
+    −p·ln p term is rounded to 9 and CARRIED AS DECIMAL so the
+    per-language sum is associative and order-free (the q_agg_entropy
+    / q_pagerank_iter discipline), then the total re-rounds to 6.
+
+    100 TB posture: the explode shuffles (lang, trigram) pairs with
+    map-side combine — the wide state is the |langs|×|trigrams|
+    bounded count relation (trigram space ≤ charset³), never raw
+    text; the entropy reduction is a second partial agg onto |langs|
+    rows with the 1-row-per-lang totals joined broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    tri = d.select(
+        "lang",
+        F.explode(
+            F.when(
+                F.length("text") >= 3,
+                F.expr(
+                    "transform(sequence(1, length(text) - 2),"
+                    " i -> substring(text, i, 3))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    cnt = tri.groupBy("lang", "g").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("lang").agg(
+        F.sum("c").alias("t"), F.count("*").alias("n_distinct")
+    )
+    p = F.col("c").cast("double") / F.col("t")
+    return (
+        cnt.join(broadcast(tot), "lang")
+        .groupBy("lang")
+        .agg(
+            F.any_value("t").alias("n_trigrams"),
+            F.any_value("n_distinct").alias("n_distinct"),
+            F.round(
+                F.sum(
+                    F.round(-p * F.log(p), 9).cast("decimal(28,9)")
+                ).cast("double"),
+                6,
+            ).alias("entropy_nats"),
         )
     )

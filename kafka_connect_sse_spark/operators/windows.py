@@ -900,3 +900,127 @@ def q_win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_users"),
         F.sum("user_id").alias("ids_sum"),
     )
+
+
+@register(
+    "q_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    cnt AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type)
+    SELECT from_type, to_type, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM cnt
+    """,
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    consecutive event pair within a user's timeline (ordered by ts with
+    event_id tiebreak), the count and row-normalized probability
+    P(next=to | cur=from) — the input to every journey simulation /
+    next-action model, and the generalization q_session_paths
+    specializes to its top-k paths.
+
+    Cross-engine exactness: counts are integers; the row
+    normalization is one double division over integer sums, rounded 6.
+
+    100 TB posture: the lead() window partitions PER USER (bounded
+    state per task, the q_sessionize discipline), then one partial-agg
+    shuffle onto the |types|² transition relation; the normalizing
+    window runs over |types|² rows."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    cnt = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count("*").alias("n"))
+    wf = Window.partitionBy("from_type")
+    return cnt.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wf), 6).alias(
+            "p"
+        ),
+    )
+
+
+FUNNEL_TTC_FROM = "signup"
+FUNNEL_TTC_TO = "purchase"
+
+
+@register(
+    "q_funnel_ttc",
+    oracle=f"""
+    WITH a AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = '{FUNNEL_TTC_FROM}' GROUP BY user_id),
+    b AS (
+      SELECT e.user_id,
+             CAST(epoch(MIN(e.ts)) - epoch(ANY_VALUE(a.t0)) AS BIGINT)
+                 AS ttc_sec
+      FROM events e JOIN a ON a.user_id = e.user_id
+      WHERE e.event_type = '{FUNNEL_TTC_TO}' AND e.ts > a.t0
+      GROUP BY e.user_id)
+    SELECT COUNT(*) AS n_converted,
+           CAST(MIN(ttc_sec) AS BIGINT) AS min_sec,
+           ROUND(quantile_cont(ttc_sec, 0.5), 6) AS p50_sec,
+           ROUND(quantile_cont(ttc_sec, 0.9), 6) AS p90_sec,
+           CAST(MAX(ttc_sec) AS BIGINT) AS max_sec
+    FROM b
+    """,
+)
+def q_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the {FUNNEL_TTC_FROM} →
+    {FUNNEL_TTC_TO} funnel: per user, seconds from the FIRST
+    {FUNNEL_TTC_FROM} to the first LATER {FUNNEL_TTC_TO}, summarized
+    as count / min / p50 / p90 / max — the latency companion to
+    q_funnel_stages' conversion counts (how MANY convert) answering
+    how FAST they convert.
+
+    Cross-engine exactness: epoch differences are exact integer
+    seconds; the two interpolated percentiles follow the
+    q_agg_percentile precedent (PERCENTILE_CONT semantics both sides,
+    rounded 6 — interpolation midpoints of integer seconds are exactly
+    representable halves).
+
+    100 TB posture: two filtered partial-agg passes (each pushes an
+    event_type predicate to the scan) joined per-user — the first-stage
+    relation broadcasts when small and shuffles cleanly otherwise; the
+    summary is a global agg onto one row with mergeable state."""
+    e = load_table(spark, sf_dir, "events")
+    a = (
+        e.filter(F.col("event_type") == FUNNEL_TTC_FROM)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    b = (
+        e.filter(F.col("event_type") == FUNNEL_TTC_TO)
+        .join(a, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(
+            (
+                F.unix_timestamp(F.min("ts"))
+                - F.unix_timestamp(F.any_value("t0"))
+            ).alias("ttc_sec")
+        )
+    )
+    return b.agg(
+        F.count("*").alias("n_converted"),
+        F.min("ttc_sec").alias("min_sec"),
+        F.round(F.percentile("ttc_sec", 0.5), 6).alias("p50_sec"),
+        F.round(F.percentile("ttc_sec", 0.9), 6).alias("p90_sec"),
+        F.max("ttc_sec").alias("max_sec"),
+    )
