@@ -94,7 +94,32 @@ def register(name: str, oracle: str | None = None):
 # topped up from the next-oldest cohort — so no record ages past ~3
 # rounds.
 #
-# Round-9 window composition (50 entries):
+# Round-10 window composition (50 entries):
+#   (a) the 12 new ops — the q_agg_mad sketch twin (VERDICT r9 item 7),
+#       the time-series recurrence pair (q_ts_holt, q_ts_cusum — exact
+#       integer fold state), q_ts_seasonal_dow, the higher-moment stats
+#       pair (q_agg_skew_kurt, q_agg_corr_matrix), the journey pair
+#       (q_markov_transitions, q_funnel_ttc), and the corpus/embedding
+#       profilers (x_tok_len_hist, x_doc_len_gini, x_char_ngram_entropy,
+#       x_embed_dim_stats);
+#   (b) the 5 ops whose CODE or ORACLE changed this round and must
+#       re-attest: the four ADVICE r9 exactness fixes (x_token_budget
+#       integral div, x_heaps_law degenerate-source guard,
+#       q_pagerank_iter PR_DAMP-interpolated oracle, q_fn_editdist
+#       integer-division oracle) plus q_agg_mad (docstring-contract
+#       update naming the sketch twin — included conservatively, the
+#       round-9 precedent);
+#   (c) the FULL 26-op r4-era cohort VERDICT r9 item 1 names — the
+#       last rows whose newest driver record predates round 5; after
+#       this round every operator's newest record is r5+;
+#   (d) 7 of the oldest r5-era rows, alphabetical from that cohort's
+#       aggregates (q_agg_count_distinct .. q_agg_rollup), starting the
+#       r5 rotation the same way the r4 cohort rotated.
+# Deferral evidence: every op leaving the window is code-UNMODIFIED
+# this round, so its r8/r9 driver record attests exactly the running
+# code, plus the builder-side full sf0.01 + sf1 sweeps each round.
+#
+# Round-9 window composition (kept for the audit trail):
 #   (a) the 26 new ops — the third batch (q_agg_topn_share,
 #       q_win_streaks gaps-and-islands, q_fn_editdist,
 #       x_dup_cross_lang, x_length_outliers, x_token_budget), the
@@ -211,61 +236,60 @@ def register(name: str, oracle: str | None = None):
 #   q_fn_datetime2, q_fn_string3, q_project_rename,
 #   q_set_intersect_all
 _PRIORITY = (
-    # (a) new this round — first driver attestation (third batch, then
-    # second batch, then the twins + first batch)
-    "q_agg_topn_share",
-    "q_win_streaks",
-    "q_fn_editdist",
-    "x_dup_cross_lang",
-    "x_length_outliers",
-    "x_token_budget",
-    "q_pagerank_iter",
-    "s_ohlc_tumbling",
-    "q_ts_ewma",
-    "q_agg_hhi",
-    "x_langid_confusion",
-    "x_label_separation",
-    "q_rfm_segments_approx",
-    "x_embed_outliers_approx",
-    "q_ts_ohlc",
-    "q_ts_wow_growth",
-    "q_ts_autocorr",
-    "q_agg_linreg",
-    "q_agg_welch_t",
-    "q_agg_entropy",
-    "q_user_stickiness",
-    "q_session_paths",
-    "q_attribution_linear",
-    "x_heaps_law",
-    "x_dup_ratio_by_source",
-    "x_embed_whiten",
+    # (a) new this round — first driver attestation
+    "q_agg_mad_approx",
+    "q_ts_holt",
+    "q_ts_cusum",
+    "q_ts_seasonal_dow",
+    "q_agg_skew_kurt",
+    "q_agg_corr_matrix",
+    "q_markov_transitions",
+    "q_funnel_ttc",
+    "x_tok_len_hist",
+    "x_doc_len_gini",
+    "x_char_ngram_entropy",
+    "x_embed_dim_stats",
     # (b) code/oracle changed this round — re-attest current code
-    "q_triangle_count",
-    "u_grouped_map",
-    "q_retention_cohort",
-    "q_fn_interval",
-    "u_pandas_grouped_agg",
+    "x_token_budget",
+    "x_heaps_law",
+    "q_pagerank_iter",
+    "q_fn_editdist",
     "q_agg_mad",
-    "x_embed_outliers",
-    "x_embed_pca_power",
-    "x_dup_graph_degree",
-    "q_rfm_segments",
-    # (c) the VERDICT r8 item-1 deferrals (r4-era driver rows)
-    "x_interleave_sources",
-    "x_embed_quantize",
-    "u_arrow_map",
-    "x_ann_rerank",
-    "q_ts_downsample",
-    # (d) oldest-evidence r4-era cohort, round-8 rotation order
-    "x_multimodal_decode",
-    "x_multimodal_audio_decode",
-    "x_multimodal_video_sample",
-    "x_multimodal_framesample",
-    "x_multimodal_resize",
-    "snk_avro",
-    "s_checkpoint_resume",
-    "x_sample_reservoir",
-    "x_data_card",
+    # (c) the full 26-op r4-era cohort (VERDICT r9 item 1)
+    "q_agg_bitmap_distinct",
+    "q_agg_filtered",
+    "q_agg_global",
+    "q_agg_groupby",
+    "q_agg_hll_mergeable",
+    "q_agg_kll_mergeable",
+    "q_agg_listagg",
+    "q_agg_theta_overlap",
+    "q_cdc_scd2",
+    "q_fn_datetime2",
+    "q_fn_string3",
+    "q_fn_try_arithmetic",
+    "q_fn_url",
+    "q_fn_variant",
+    "q_fn_xml",
+    "q_join_asof_nearest",
+    "q_join_bloom_prune",
+    "q_join_dpp",
+    "q_project_rename",
+    "q_set_intersect_all",
+    "q_win_count_distinct",
+    "snk_jsonl",
+    "snk_parquet_sorted",
+    "src_parquet_scan",
+    "x_dedup_prefix",
+    "x_hard_negatives",
+    # (d) oldest r5-era rows, alphabetical from that cohort
+    "q_agg_count_distinct",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_agg_min_max_by",
+    "q_agg_percentile",
+    "q_agg_pivot",
+    "q_agg_rollup",
 )
 
 

