@@ -43,7 +43,7 @@ def test_gate_refuses_truncated_sweep(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     proc = subprocess.run(
         [sys.executable, os.path.join(repo, "tools", "sf1_gate.py"),
-         "--round", "99", "--skip-gen", "--skip-bench",
+         "--round", "99", "--skip-gen", "--skip-bench", "--skip-plan-audit",
          "--sweep-log", str(log)],
         capture_output=True, text=True, cwd=repo,
     )
@@ -56,6 +56,25 @@ def test_gate_refuses_truncated_sweep(tmp_path):
             os.remove(os.path.join(repo, "SWEEP_sf1_r99.json"))
         except FileNotFoundError:
             pass
+
+
+def test_parse_sweep_captures_phase_split():
+    """Round-10 checker lines carry the [spark= oracle= canon=] phase
+    split (VERDICT r9 item 4); the parser must record it so a sweep-wall
+    regression is attributable — and still accept old-format lines."""
+    ops = sf1_gate.parse_sweep(
+        "PASS q_new: rows=3 (9.1s) [spark=7.2s oracle=1.4s canon=0.5s]\n"
+        "PASS q_old: rows=3 (1.3s)\n"
+    )
+    assert ops["q_new"] == {
+        "status": "PASS",
+        "rows": 3,
+        "sec": 9.1,
+        "spark_sec": 7.2,
+        "oracle_sec": 1.4,
+        "canon_sec": 0.5,
+    }
+    assert "spark_sec" not in ops["q_old"]
 
 
 def test_parse_sweep_fail_variants():
@@ -94,7 +113,7 @@ def test_gate_excludes_conditional_ops_from_completeness(tmp_path):
     rec_path = os.path.join(repo, "SWEEP_sf1_r98.json")
     proc = subprocess.run(
         [sys.executable, os.path.join(repo, "tools", "sf1_gate.py"),
-         "--round", "98", "--skip-gen", "--skip-bench",
+         "--round", "98", "--skip-gen", "--skip-bench", "--skip-plan-audit",
          "--sweep-log", str(log)],
         capture_output=True, text=True, cwd=repo,
     )

@@ -122,11 +122,14 @@ def main():
             n_fail += 1
             failures.append(name)
             continue
-        dt = time.time() - t0
+        t_spark = time.time() - t0
         if name not in oracles:
-            print(f"WEAK {name}: rows={len(spdf)} ({dt:.1f}s, no oracle)")
+            print(
+                f"WEAK {name}: rows={len(spdf)} ({t_spark:.1f}s, no oracle)"
+            )
             n_weak += 1
             continue
+        t1 = time.time()
         try:
             opdf = con.execute(oracles[name]).df()
         except Exception as exc:
@@ -134,6 +137,8 @@ def main():
             n_fail += 1
             failures.append(name)
             continue
+        t_oracle = time.time() - t1
+        t2 = time.time()
         problems = []
         try:
             scols, srows, shash = canon(spdf)
@@ -156,12 +161,22 @@ def main():
                 problems.append(
                     "value hash mismatch:\n" + diff_summary(srows, orows)
                 )
+        t_canon = time.time() - t2
+        dt = time.time() - t0
         if problems:
             print(f"FAIL {name} ({dt:.1f}s): " + "; ".join(problems))
             n_fail += 1
             failures.append(name)
         else:
-            print(f"PASS {name}: rows={len(srows)} ({dt:.1f}s)")
+            # the phase split makes cross-round regressions ATTRIBUTABLE
+            # (VERDICT r9 item 4: a checker-wall swing was previously
+            # indistinguishable between Spark execution, the DuckDB
+            # oracle, and pandas canonicalization)
+            print(
+                f"PASS {name}: rows={len(srows)} ({dt:.1f}s) "
+                f"[spark={t_spark:.1f}s oracle={t_oracle:.1f}s "
+                f"canon={t_canon:.1f}s]"
+            )
             n_pass += 1
 
     print(f"\n== {n_pass} pass, {n_weak} weak, {n_fail} fail")

@@ -1,67 +1,190 @@
-"""Repo-wide rescan audit: execute every batch operator at sf0.001 and
-count FileScan operators per table in the FINAL adaptive plan — the
-detector for the AQE no-cross-stage-reuse trap (a relation feeding two
-consumers silently recomputes when one consumer becomes a broadcast
-stage; see SCALE.md "Named trap").
+"""Repo-wide rescan audit + gate: execute every batch operator at
+sf0.001 and count FileScan operators per table in the FINAL adaptive
+plan — the institutional detector for the AQE no-cross-stage-reuse trap
+(a relation feeding two consumers silently recomputes when one consumer
+becomes a broadcast stage; see SCALE.md "Named trap").  Round 9 it
+caught a live 3× corpus-window replay in q_attribution_linear; round 10
+it caught q_agg_mad_approx at 4 scans (fixed to its documented 3) and
+x_tok_len_hist rescanning the corpus for its totals (fixed to 1) before
+either shipped.
 
-    python tools/plan_audit.py
+    python tools/plan_audit.py          # report all >=2-scan ops
+    python tools/plan_audit.py --gate   # exit 1 on NEW or WORSENED ops
 
-Round-9 findings (all adjudicated):
-  * q_attribution_linear showed 3 corpus windows -> FIXED (checkpointed
-    bounded rollup; plan pin holds it at zero).
-  * x_embed_outliers_approx recomputed the distance pipeline per
-    consumer -> FIXED (checkpointed (vec_id, dist)).
-  * The remaining >=3x ops are DOCUMENTED multi-pass algorithms:
-    x_cms_heavy_hitters (sketch + candidate mining + per-source
-    merge-consistency proof), x_perplexity_filter (LM build + scoring),
-    the power-iteration family (one scan per unrolled step is the
-    algorithm), q_agg_mad / x_length_outliers (median-then-deviation
-    two-pass with column-pruned scans), q_ts_gapfill (bounds + spine +
-    daily).  2x ops are two-branch reads by construction (set ops,
-    query-vs-candidate similarity, mergeable-sketch halves).
+The gate compares against ALLOWLIST below: every entry is a DOCUMENTED
+multi-pass shape with its maximum per-table scan count.  An op missing
+from the allowlist with >=2 scans of one table, or exceeding its
+allowed count, fails the gate — tools/sf1_gate.py runs this before the
+sf1 sweep so a rescan regression can never ride into a green round
+record.  When a new op legitimately multi-passes, add it here WITH the
+reason, in the same commit.
 """
 
 from __future__ import annotations
 
+import argparse
 import re
 import sys
 from collections import Counter
 
 sys.path.insert(0, "/root/repo")
 
-from kafka_connect_sse_spark.registry import queries  # noqa: E402
-from kafka_connect_sse_spark.session import get_spark  # noqa: E402
-
 SF = "/root/testdata/sf0.001"
 
+# {op: max FileScans allowed for any single table}.  Triage classes:
+#   multi-pass algorithms (>=3): sketch+mine+proof (x_cms_heavy_hitters),
+#     LM build+score (x_perplexity_filter), median-then-deviation
+#     (q_agg_mad, x_length_outliers), sketch+sketch+guarantee-counts
+#     (q_agg_mad_approx), power-iteration unrolls (x_embed_pca_power,
+#     x_embed_whiten), shortlist+rerank (x_ann_rerank), shared
+#     seeded-kmeans passes (x_dedup_semantic, x_cluster_purity),
+#     bounds+spine+daily (q_ts_gapfill), mergeable-sketch halves+proof
+#     (q_agg_hll_mergeable), shingle-set pair relations
+#     (x_ngram_jaccard, x_contam_estimate, x_dedup_span), tf+df+join
+#     (x_tfidf_top_term, x_cooccur_pmi);
+#   two-branch by construction (2): set ops, self/semi/anti joins and
+#     subqueries reading the relation on both sides, query-vs-candidate
+#     similarity ops, mergeable-sketch halves, filtered funnel stages
+#     (q_funnel_ttc), profile-vs-corpus compares (x_skew_profile,
+#     x_data_card, x_dup_ratio_by_source, x_vocab_coverage, ...).
+ALLOWLIST = {
+    "q_agg_hll_mergeable": 3,
+    "q_agg_kll_mergeable": 2,
+    "q_agg_mad": 3,
+    "q_agg_mad_approx": 3,
+    "q_agg_median_mode": 2,
+    "q_agg_theta_overlap": 2,
+    "q_exists_correlated": 2,
+    "q_funnel_ttc": 2,
+    "q_incremental_merge": 2,
+    "q_join_null_safe": 2,
+    "q_join_range_banded": 2,
+    "q_join_self": 2,
+    "q_merge_upsert": 2,
+    "q_retention_cohort": 2,
+    "q_scalar_subquery": 2,
+    "q_set_except": 2,
+    "q_set_except_all": 2,
+    "q_set_intersect": 2,
+    "q_set_intersect_all": 2,
+    "q_set_union_all": 2,
+    "q_set_union_distinct": 2,
+    "q_ts_gapfill": 3,
+    "u_grouped_map": 2,
+    "x_ann_pipeline": 2,
+    "x_ann_rerank": 4,
+    "x_bm25_score": 2,
+    "x_cluster_purity": 4,
+    "x_cms_heavy_hitters": 6,
+    "x_containment_dedup": 2,
+    "x_contam_estimate": 3,
+    "x_cooccur_pmi": 3,
+    "x_data_card": 2,
+    "x_decontaminate": 2,
+    "x_dedup_near_embedding": 2,
+    "x_dedup_near_embedding_lsh": 2,
+    "x_dedup_semantic": 4,
+    "x_dedup_span": 3,
+    "x_doc_concat": 2,
+    "x_dup_ratio_by_source": 2,
+    "x_embed_outliers": 2,
+    "x_embed_pca_power": 4,
+    "x_embed_whiten": 4,
+    "x_hard_negatives": 2,
+    "x_label_separation": 2,
+    "x_length_outliers": 3,
+    "x_ngram_jaccard": 3,
+    "x_perplexity_filter": 5,
+    "x_seq_pack": 2,
+    "x_seq_tensorize": 2,
+    "x_sim_topk_cosine": 2,
+    "x_sim_topk_ivf": 2,
+    "x_sim_topk_lsh": 2,
+    "x_sim_topk_lsh_multiprobe": 2,
+    "x_skew_profile": 2,
+    "x_tfidf_top_term": 3,
+    "x_tok_len_hist": 1,
+    "x_vocab_coverage": 2,
+}
 
-def main() -> None:
-    spark = get_spark(shuffle_partitions=8)
-    spark.sparkContext.setLogLevel("ERROR")
-    flagged = []
-    for name, fn in queries().items():
+
+def scan_counts(df) -> dict[str, int]:
+    """Per-table FileScan counts in the FINAL adaptive plan of an
+    executed DataFrame."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    cut = plan.find("== Initial Plan ==")
+    plan = plan if cut == -1 else plan[:cut]
+    c: Counter = Counter()
+    for line in plan.splitlines():
+        if "FileScan parquet" in line:
+            m = re.search(r"(\w+)\.parquet", line)
+            if m:
+                c[m.group(1)] += 1
+    return dict(c)
+
+
+def audit(spark, sf: str = SF, queries_dict=None) -> dict[str, dict]:
+    """Run every batch op, return {op: {table: n_scans}} for ops with
+    >=2 FileScans of one table."""
+    if queries_dict is None:
+        from kafka_connect_sse_spark.registry import queries
+
+        queries_dict = queries()
+    flagged: dict[str, dict] = {}
+    for name, fn in queries_dict.items():
         if name[:2] == "s_" or name[:4] in ("snk_", "src_"):
             continue  # streaming/sink ops drive their own execution
         try:
-            df = fn(spark, SF)
+            df = fn(spark, sf)
             df.collect()
-            plan = df._jdf.queryExecution().executedPlan().toString()
-            cut = plan.find("== Initial Plan ==")
-            plan = plan if cut == -1 else plan[:cut]
-            c: Counter = Counter()
-            for line in plan.splitlines():
-                if "FileScan parquet" in line:
-                    m = re.search(r"(\w+)\.parquet", line)
-                    if m:
-                        c[m.group(1)] += 1
-            multi = {t: n for t, n in c.items() if n >= 2}
+            multi = {
+                t: n for t, n in scan_counts(df).items() if n >= 2
+            }
             if multi:
-                flagged.append((name, multi))
+                flagged[name] = multi
         except Exception as e:  # pragma: no cover - audit tool
             print("ERR", name, str(e)[:80])
-    print("ops with >=2 FileScans of one table (see docstring triage):")
-    for name, multi in sorted(flagged, key=lambda x: -max(x[1].values())):
+    return flagged
+
+
+def violations(flagged: dict[str, dict]) -> list[str]:
+    """Gate rule: an op with a >=2 scan of any table must sit in the
+    allowlist and stay within its allowed maximum."""
+    out = []
+    for name, multi in flagged.items():
+        worst = max(multi.values())
+        allowed = ALLOWLIST.get(name, 1)
+        if worst > allowed:
+            out.append(
+                f"{name}: {multi} exceeds allowlisted max {allowed} — "
+                "a relation is being recomputed (AQE no-cross-stage-"
+                "reuse); restructure to one pass or localCheckpoint, "
+                "or document the multi-pass in ALLOWLIST"
+            )
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gate", action="store_true",
+                    help="exit 1 on any op over its allowlisted scan count")
+    args = ap.parse_args()
+
+    from kafka_connect_sse_spark.session import get_spark
+
+    spark = get_spark(shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    flagged = audit(spark)
+    print("ops with >=2 FileScans of one table (see ALLOWLIST triage):")
+    for name, multi in sorted(flagged.items(), key=lambda x: -max(x[1].values())):
         print(" ", name, multi)
+    bad = violations(flagged)
+    if bad:
+        print("\nPLAN-AUDIT VIOLATIONS:")
+        for b in bad:
+            print(" ", b)
+    if args.gate:
+        sys.exit(1 if bad else 0)
 
 
 if __name__ == "__main__":

@@ -14,6 +14,11 @@ Options:
                         instead of re-running the ~45 min sweep
     --skip-bench        sweep only (e.g. while a perf-sensitive run owns
                         the machine)
+    --skip-plan-audit   skip the sf0.001 rescan audit (tools/plan_audit
+                        --gate) that otherwise runs first — a NEW or
+                        WORSENED >=2-FileScan op outside the documented
+                        allowlist fails the round before the 40-min
+                        sweep starts (VERDICT r9 item 5)
 
 The fixture is bit-deterministic (tools/gen_fixture.py, seed pinned), so
 "regenerate" never changes the data — it only guarantees the tier exists
@@ -37,6 +42,9 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 _PASS = re.compile(r"^PASS (\S+): rows=(\d+) \(([\d.]+)s\)")
+_SPLIT = re.compile(
+    r"\[spark=([\d.]+)s oracle=([\d.]+)s canon=([\d.]+)s\]"
+)
 _FAIL = re.compile(r"^FAIL ([^\s:(]+)")
 _WEAK = re.compile(r"^WEAK (\S+):")
 
@@ -46,11 +54,20 @@ def parse_sweep(text: str) -> dict:
     for line in text.splitlines():
         m = _PASS.match(line)
         if m:
-            ops[m.group(1)] = {
+            rec = {
                 "status": "PASS",
                 "rows": int(m.group(2)),
                 "sec": float(m.group(3)),
             }
+            # per-phase attribution (VERDICT r9 item 4): spark
+            # execution vs DuckDB oracle vs pandas canonicalization —
+            # absent on logs captured by older checkers
+            ms = _SPLIT.search(line)
+            if ms:
+                rec["spark_sec"] = float(ms.group(1))
+                rec["oracle_sec"] = float(ms.group(2))
+                rec["canon_sec"] = float(ms.group(3))
+            ops[m.group(1)] = rec
             continue
         m = _FAIL.match(line)
         if m:
@@ -68,7 +85,23 @@ def main() -> None:
     ap.add_argument("--skip-gen", action="store_true")
     ap.add_argument("--sweep-log")
     ap.add_argument("--skip-bench", action="store_true")
+    ap.add_argument("--skip-plan-audit", action="store_true")
     args = ap.parse_args()
+
+    if not args.skip_plan_audit:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "plan_audit.py"),
+             "--gate"],
+            capture_output=True, text=True,
+        )
+        sys.stdout.write(proc.stdout[-4000:])
+        if proc.returncode != 0:
+            print("plan audit FAILED — an op rescans a relation beyond "
+                  "its documented allowance (tools/plan_audit.ALLOWLIST); "
+                  "fix the plan or document the multi-pass before the "
+                  "sweep", file=sys.stderr)
+            sys.stderr.write(proc.stderr[-2000:])
+            sys.exit(1)
 
     if not args.skip_gen:
         subprocess.run(
