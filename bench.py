@@ -269,7 +269,20 @@ def streaming_latency_bench(spark, sf_dir: str, n_files: int = 8) -> dict:
     SCALE.md §Streaming) with the same curves recorded — eviction is a
     property of the watermark contract, not of the state backend, and
     the `*_rocksdb` keys are the recorded form of that
-    provider-agnosticism at bench scale."""
+    provider-agnosticism at bench scale.
+
+    Round 10 (VERDICT r9 item 6): the streaming queries run at 8 state
+    partitions instead of the session's 32.  A watermarked stream-stream
+    join instantiates FOUR state stores per shuffle partition, each
+    paying commit/snapshot overhead EVERY micro-batch regardless of row
+    volume, so at ~12.5k rows/batch the partition count WAS the p50
+    floor: tools/ab_stream_join.py measured the outer join at 4.52 s
+    p50 @32 partitions -> 1.89 @16 -> 1.03 @8 -> 0.94 @4 (RocksDB
+    4.13 -> 1.19 @8) with identical results — per-partition fixed cost,
+    not data.  8 partitions ≈ 1.5k rows/partition/batch keeps real
+    parallelism while sizing state stores to the volume; a production
+    deployment sizes this knob to its own batch volume (the same
+    spark.sql.shuffle.partitions discipline the batch tier documents)."""
     import shutil
     import statistics as _st
 
@@ -361,6 +374,9 @@ def streaming_latency_bench(spark, sf_dir: str, n_files: int = 8) -> dict:
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider"
     )
+    parts_key = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(parts_key)
+    spark.conf.set(parts_key, "8")  # pace state partitions to volume
     try:
         sess_p50, sess_state = batches(session_agg)
         join_p50, join_state = batches(outer_join)
@@ -383,8 +399,10 @@ def streaming_latency_bench(spark, sf_dir: str, n_files: int = 8) -> dict:
             "s_join_stream_outer_p50_batch_sec_rocksdb": r_join_p50,
             "s_window_session_state_rows_rocksdb": r_sess_state,
             "s_join_stream_outer_state_rows_rocksdb": r_join_state,
+            "state_partitions": 8,
         }
     finally:
+        spark.conf.set(parts_key, prev_parts)
         shutil.rmtree(src, ignore_errors=True)
     return out
 
