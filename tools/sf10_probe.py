@@ -48,8 +48,17 @@ def main() -> None:
               file=sys.stderr)
         sys.exit(1)
 
+    path = os.path.join(REPO, f"BENCH_sf10_r{args.round:02d}.json")
+
+    def save(rec):
+        with open(path, "w") as fh:
+            json.dump(rec, fh, indent=1)
+        print(f"wrote {path}", flush=True)
+
     rec: dict = {"sf": 10.0, "sf_dir": SF10}
-    if not args.skip_bench:
+    if os.path.exists(path):
+        rec.update(json.load(open(path)))  # resume after a crash
+    if not args.skip_bench and "queries" not in rec:
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF10)
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
@@ -65,6 +74,13 @@ def main() -> None:
             print(proc.stdout[-3000:], proc.stderr[-3000:], file=sys.stderr)
             sys.exit(1)
         rec.update(json.loads(line))
+        save(rec)  # the bench result must survive an expensive-op crash
+
+    # the expensive-op session gets a tier-sized heap: the first probe
+    # attempt OOM'd x_containment_dedup's posting-list pair expansion at
+    # the default 8g — sizing the driver to the tier is the same
+    # decision a cluster deployment makes per executor; recorded below
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 
     from kafka_connect_sse_spark.registry import queries
     from kafka_connect_sse_spark.session import get_spark
@@ -72,26 +88,32 @@ def main() -> None:
     spark = get_spark(app_name="sf10-probe")
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()
-    ops: dict[str, float] = {}
+    ops: dict = dict(rec.get("expensive_ops_spark_sec", {}))
     for name in EXPENSIVE:
+        if isinstance(ops.get(name), (int, float)):
+            continue
         fn = qs[name]
-        times = []
-        for i in range(2):  # warm-up + timed
-            t0 = time.perf_counter()
-            df = fn(spark, SF10)
-            n = df.count()
-            if n <= 100_000:
-                df.collect()
-            times.append(time.perf_counter() - t0)
-        ops[name] = round(times[-1], 3)
-        print(f"# {name}: {ops[name]}s spark-side (n={n})",
-              file=sys.stderr, flush=True)
-    rec["expensive_ops_spark_sec"] = ops
-
-    path = os.path.join(REPO, f"BENCH_sf10_r{args.round:02d}.json")
-    with open(path, "w") as fh:
-        json.dump(rec, fh, indent=1)
-    print(f"wrote {path}")
+        try:
+            times = []
+            for i in range(2):  # warm-up + timed
+                t0 = time.perf_counter()
+                df = fn(spark, SF10)
+                n = df.count()
+                if n <= 100_000:
+                    df.collect()
+                times.append(time.perf_counter() - t0)
+            ops[name] = round(times[-1], 3)
+            print(f"# {name}: {ops[name]}s spark-side (n={n})",
+                  file=sys.stderr, flush=True)
+        except Exception as exc:  # record, don't die — partial probe
+            ops[name] = f"FAILED: {str(exc)[:120]}"
+            print(f"# {name}: FAILED {str(exc)[:200]}",
+                  file=sys.stderr, flush=True)
+        rec["expensive_ops_spark_sec"] = ops
+        rec["expensive_ops_driver_mem"] = os.environ[
+            "SPARK_GRAFT_DRIVER_MEM"
+        ]
+        save(rec)
 
 
 if __name__ == "__main__":
