@@ -709,8 +709,17 @@ def x_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeping recall on real contained pairs at 1.0
     (tests/test_weak_ops.py proves both properties on a synthetic
     boilerplate-heavy corpus).  The registered op runs cap-free
-    (max_df=None) because the fixture corpus needs no cap, keeping Spark
-    and oracle EXACT.  Docs with fewer than
+    (max_df=None) because the fixture corpus needs no cap AT THE
+    ORACLE TIERS (sf<=1), keeping Spark and oracle EXACT.  Measured
+    limit (round-10 sf10 probe, BENCH_sf10_r10.json): at 500k docs of
+    the fixture's 30-token synthetic vocabulary the per-(shingle,lang)
+    df is ~uniform ~150 (148k lists, max 516), candidate pairs measure
+    6.9e9, and the uncapped form OOMs a 48g local driver — while a cap
+    sized to actually bind (max_df=64) completes in 145 s and returns
+    zero pairs over the threshold, the correct reading of a corpus
+    with no discriminative shingles.  100 TB deployment rule: size
+    max_df to the corpus' boilerplate knee (≈ p99 of a sampled df
+    distribution), never run uncapped.  Docs with fewer than
     {CONTAIN_MIN_SHINGLES} shingles are excluded as inner side — too
     short to assert containment.  Both directions are emitted (full
     mutual containment = two rows), which is what a survivor policy
