@@ -968,7 +968,7 @@ FUNNEL_TTC_TO = "purchase"
       WHERE event_type = '{FUNNEL_TTC_FROM}' GROUP BY user_id),
     b AS (
       SELECT e.user_id,
-             CAST(epoch(MIN(e.ts)) - epoch(ANY_VALUE(a.t0)) AS BIGINT)
+             (epoch_us(MIN(e.ts)) - epoch_us(ANY_VALUE(a.t0))) // 1000000
                  AS ttc_sec
       FROM events e JOIN a ON a.user_id = e.user_id
       WHERE e.event_type = '{FUNNEL_TTC_TO}' AND e.ts > a.t0
@@ -989,11 +989,15 @@ def q_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_funnel_stages' conversion counts (how MANY convert) answering
     how FAST they convert.
 
-    Cross-engine exactness: epoch differences are exact integer
-    seconds; the two interpolated percentiles follow the
-    q_agg_percentile precedent (PERCENTILE_CONT semantics both sides,
-    rounded 6 — interpolation midpoints of integer seconds are exactly
-    representable halves).
+    Cross-engine exactness: the latency is computed in EXACT
+    MICROSECOND integers — unix_micros diff then integral div by 1e6
+    on both sides.  (First draft truncated each timestamp to seconds
+    BEFORE subtracting on the Spark side while the oracle truncated
+    the difference: floor(a)−floor(b) ≠ floor(a−b) on the
+    microsecond-precision ts column — caught by the sf1 sweep, an
+    off-by-one on min_sec.)  The two interpolated percentiles follow
+    the q_agg_percentile precedent (PERCENTILE_CONT semantics both
+    sides, rounded 6).
 
     100 TB posture: two filtered partial-agg passes (each pushes an
     event_type predicate to the scan) joined per-user — the first-stage
@@ -1011,9 +1015,9 @@ def q_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t0"))
         .groupBy("user_id")
         .agg(
-            (
-                F.unix_timestamp(F.min("ts"))
-                - F.unix_timestamp(F.any_value("t0"))
+            F.expr(
+                "(unix_micros(min(ts)) - unix_micros(any_value(t0)))"
+                " div 1000000"
             ).alias("ttc_sec")
         )
     )
