@@ -246,19 +246,37 @@ def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-gram with the held-out set (doc_id < 20 stands in for the benchmark).
     The canonical pretraining hygiene pass — at 100 TB the benchmark-gram
     set is small and broadcast, so the scan stays single-pass with no
-    shuffle of the corpus side.  Gram build shares dedup.shingles(k=5)
-    (round 8): the zip_with form evaluates its slices once per row; the
-    former transform(sequence, i -> slice(split(text), ...)) re-split
-    each document per gram (docs shorter than k tokens emit NO grams in
-    both forms, matching the oracle's empty generate_series)."""
+    shuffle of the corpus side.
+
+    Gram build (round-10 rewrite, measured at sf10 / 26M grams): ONE
+    transform(sequence, i -> concat_ws(slice(toks, i, 5))) over a
+    MATERIALIZED token column — 36.9 s vs the shared shingles() k=5
+    zip_with chain's 59.8 s (four chained interpreted lambdas allocate
+    three intermediate concat arrays per doc; one slice+concat lambda
+    allocates none).  The round-8 objection to the transform form was
+    its lambda RE-SPLITTING text per element — that applied to an
+    outer split(text) expression, not to a materialized attribute,
+    which re-reads for free (the x_word_entropy materialization rule).
+    A posexplode+lead-window build measured 15.8 s but pays a FULL
+    CORPUS token shuffle — the wrong trade at 100 TB, where shuffle-
+    free map-side work beats network (A/B in SCALE.md).  Docs shorter
+    than 5 tokens emit NO grams (greatest(size-4, 0) gives an empty
+    sequence), matching the oracle's empty generate_series."""
     from pyspark.sql.functions import broadcast
 
-    from .dedup import shingles
-
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(shingles(F.col("text"), 5)).alias("gram")
-    )
+    base = d.select("doc_id", F.split("text", " ").alias("toks"))
+    # guard BEFORE sequence(): Spark's sequence(1, 0) steps DOWN to
+    # [1, 0] rather than yielding an empty array, which would emit a
+    # truncated gram for a short doc
+    grams = F.when(
+        F.size("toks") >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 4),
+            lambda i: F.concat_ws(" ", F.slice("toks", i, 5)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = base.select("doc_id", F.explode(grams).alias("gram"))
     bench = sh.filter(F.col("doc_id") < 20).select("gram").distinct()
     return (
         sh.filter(F.col("doc_id") >= 20)

@@ -108,12 +108,15 @@ def register(name: str, oracle: str | None = None):
 #       q_pagerank_iter PR_DAMP-interpolated oracle, q_fn_editdist
 #       integer-division oracle) plus q_agg_mad (docstring-contract
 #       update naming the sketch twin — included conservatively, the
-#       round-9 precedent);
+#       round-9 precedent), plus x_decontaminate (post-gate gram-build
+#       rewrite, 1.6x at sf10 — seated here and individually
+#       re-attested at sf0.01 + sf1; q_agg_rollup yields its (d) slot,
+#       its r5 record still satisfying the no-older-than-r5 invariant);
 #   (c) the FULL 26-op r4-era cohort VERDICT r9 item 1 names — the
 #       last rows whose newest driver record predates round 5; after
 #       this round every operator's newest record is r5+;
-#   (d) 7 of the oldest r5-era rows, alphabetical from that cohort's
-#       aggregates (q_agg_count_distinct .. q_agg_rollup), starting the
+#   (d) 6 of the oldest r5-era rows, alphabetical from that cohort's
+#       aggregates (q_agg_count_distinct .. q_agg_pivot), starting the
 #       r5 rotation the same way the r4 cohort rotated.
 # Deferral evidence: every op leaving the window is code-UNMODIFIED
 # this round, so its r8/r9 driver record attests exactly the running
@@ -255,6 +258,7 @@ _PRIORITY = (
     "q_pagerank_iter",
     "q_fn_editdist",
     "q_agg_mad",
+    "x_decontaminate",
     # (c) the full 26-op r4-era cohort (VERDICT r9 item 1)
     "q_agg_bitmap_distinct",
     "q_agg_filtered",
@@ -289,7 +293,6 @@ _PRIORITY = (
     "q_agg_min_max_by",
     "q_agg_percentile",
     "q_agg_pivot",
-    "q_agg_rollup",
 )
 
 

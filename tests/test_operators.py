@@ -86,12 +86,13 @@ def test_salting_helpers_round_trip(spark):
 
 def test_round10_driver_window_composition(qs):
     """The driver checks the FIRST 50 registry entries.  Pin the
-    round-10 rotation window: (a) the 12 new ops, (b) the 5 ops whose
-    code or oracle changed this round (the four ADVICE r9 fixes +
-    q_agg_mad's docstring contract), (c) the FULL 26-op r4-era cohort
-    VERDICT r9 item 1 names — after this round no operator's newest
-    driver record predates round 5 — and (d) 7 of the oldest r5 rows,
-    alphabetical from that cohort.  A silent reordering here would
+    round-10 rotation window: (a) the 12 new ops, (b) the 6 ops whose
+    code or oracle changed this round (the four ADVICE r9 fixes,
+    q_agg_mad's docstring contract, and x_decontaminate's post-gate
+    gram-build rewrite), (c) the FULL 26-op r4-era cohort VERDICT r9
+    item 1 names — after this round no operator's newest driver record
+    predates round 5 — and (d) 6 of the oldest r5 rows, alphabetical
+    from that cohort.  A silent reordering here would
     burn the round's freshness evidence.  Every deferred op is
     code-UNMODIFIED this round (its r8/r9 driver record attests the
     running code) and the full-registry sf0.01 + sf1 sweeps re-cover
@@ -121,6 +122,7 @@ def test_round10_driver_window_composition(qs):
         "q_pagerank_iter",
         "q_fn_editdist",
         "q_agg_mad",
+        "x_decontaminate",
         # (c) the full 26-op r4-era cohort (VERDICT r9 item 1)
         "q_agg_bitmap_distinct",
         "q_agg_filtered",
@@ -155,7 +157,6 @@ def test_round10_driver_window_composition(qs):
         "q_agg_min_max_by",
         "q_agg_percentile",
         "q_agg_pivot",
-        "q_agg_rollup",
     ]
     # every window op must carry an oracle (EXACT gate, not rows-only)
     from kafka_connect_sse_spark.registry import oracle_sql

@@ -337,3 +337,20 @@ def test_mad_approx_guarantees_hold_on_fixture(spark, q):
     assert len(rows) == 3
     assert all(r["ok_med"] and r["ok_mad"] for r in rows)
     assert all(r["n_rows"] > 0 for r in rows)
+
+
+def test_decontaminate_short_docs_emit_no_grams(spark, tmp_path, q):
+    """The round-10 gram-build rewrite guards sequence() BEFORE
+    evaluation: Spark's sequence(1, 0) steps DOWN to [1, 0] instead of
+    yielding an empty list, which would emit a truncated gram for a
+    sub-5-token doc.  A 3-token training doc must produce zero hits
+    even when its full text appears inside a benchmark doc."""
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta", "en", "s"),  # bench
+        (25, "alpha beta gamma", "en", "s"),  # too short for any 5-gram
+        (26, "alpha beta gamma delta epsilon zeta eta", "en", "s"),
+    ]
+    out = q["x_decontaminate"](spark, _write_docs(tmp_path, docs)).collect()
+    by = {r["doc_id"]: r["n_hits"] for r in out}
+    assert 25 not in by  # no 5-grams at all -> no row
+    assert by[26] == 2  # shares 'alpha..epsilon' and 'beta..zeta'

@@ -25,6 +25,7 @@ COMMENTARY = {
     "q_sessionize": "lag + running-sum windows and the session rollup share ONE user_id exchange (the rollup's (user, session) clustering is satisfied by the window partitioning).",
     "q_merge_upsert": "the CDC apply is a single FullOuter SortMergeJoin; bucketing the base side on the key removes its exchange for repeated merges.",
     "q_ts_gapfill": "the (types x days) spine broadcasts (metadata-sized at any SF); the fact table's only shuffles are the daily aggregate's partial+final pair.",
+    "x_decontaminate": "ONE map-side pass builds 5-grams via a single transform(sequence, i -> concat_ws(slice(toks, i, 5))) lambda over a MATERIALIZED token column (round-10 rewrite: 1.6x over the 4-chained-zip_with form at sf10, and shuffle-free — the 3.8x posexplode+lead-window alternative pays a full corpus token exchange, the wrong trade at 100 TB); the benchmark gram set broadcasts; its branch rescans only doc_id<20 via pushdown.",
     "x_corpus_prep": "quality filter pushed into the scan; dedup window shuffles 32-byte md5 keys (text dropped pre-exchange); balance window + final agg are the only other wide stages.",
     "x_seq_pack": "two-level packing: the corpus window partitions by (lang, shard) — never bare lang — and the per-shard offsets branch is a partial-aggregated groupBy + tiny window that comes back as a BroadcastExchange.",
     "x_embed_quantize": "map-only: scan -> one codegen'd projection of higher-order lambdas; no Exchange anywhere.",
