@@ -939,3 +939,99 @@ def test_cluster_purity_rolls_up_cell_label_counts(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_mad_approx_three_pruned_scans_no_window(spark):
+    """q_agg_mad_approx: exactly THREE column-pruned lineitem scans
+    (median sketch + n, MAD sketch with n/med carried through, guarantee
+    counts) and ZERO Window operators — the first draft hit four scans
+    when `med` fed two broadcast stages (the AQE no-cross-stage-reuse
+    trap, caught by tools/plan_audit.py) and no per-group sort may ever
+    appear (the sketch replaces exact percentile's sort/buffer)."""
+    plan = _final_plan(queries()["q_agg_mad_approx"](spark, SF))
+    assert plan.count("FileScan parquet") == 3, plan
+    assert plan.count("Window") == 0, plan
+    assert "percentile_approx" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_holt_and_cusum_single_scan_fold(spark):
+    """q_ts_holt / q_ts_cusum: ONE events scan each — the recurrence is
+    an array fold per group (no Window, no second pass for the moment
+    sums, which ride the same grouped aggregate as the array)."""
+    for name in ("q_ts_holt", "q_ts_cusum"):
+        plan = _final_plan(queries()[name](spark, SF))
+        assert plan.count("FileScan parquet") == 1, (name, plan)
+        assert plan.count("Window") == 0, (name, plan)
+        assert "BatchEvalPython" not in plan, (name, plan)
+
+
+def test_seasonal_dow_single_scan_totals_broadcast(spark):
+    """q_ts_seasonal_dow: the per-type totals derive from the SAME
+    (type, day) daily aggregate as the per-dow rollup — one events
+    scan, totals rejoin as a broadcast."""
+    plan = _final_plan(queries()["q_ts_seasonal_dow"](spark, SF))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_skew_kurt_and_corr_matrix_one_pass_moments(spark):
+    """q_agg_skew_kurt / q_agg_corr_matrix: ONE scan, ONE partial-agg
+    pass — the moments ARE the mergeable state; no window, no join, no
+    second pass for any of the closed-form statistics."""
+    for name in ("q_agg_skew_kurt", "q_agg_corr_matrix"):
+        plan = _final_plan(queries()[name](spark, SF))
+        assert plan.count("FileScan parquet") == 1, (name, plan)
+        assert plan.count("Window") == 0, (name, plan)
+        assert "partial_" in plan, (name, plan)
+
+
+def test_markov_lead_window_feeds_partial_agg(spark):
+    """q_markov_transitions: one events scan; the per-user lead()
+    window is the only corpus-sized sort and the transition rollup
+    partial-aggregates above it; the normalizing window rides the
+    bounded |types|^2 relation (2 windows total, 1 scan)."""
+    plan = _final_plan(queries()["q_markov_transitions"](spark, SF))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("Window") == 2, plan
+    assert "partial_count" in plan, plan
+
+
+def test_tok_len_hist_single_scan_no_generate(spark):
+    """x_tok_len_hist: token counting is len(split) — NO Generate — and
+    totals derive from the bounded histogram, so exactly one documents
+    scan exists (the first draft's totals branch rescanned the corpus;
+    caught by the plan-audit gate)."""
+    plan = _final_plan(queries()["x_tok_len_hist"](spark, SF))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Generate" not in plan, plan
+
+
+def test_doc_len_gini_one_scan_one_window(spark):
+    """x_doc_len_gini: one documents scan, the per-source ranking
+    window, and the rank-formula rollup reusing its clustering."""
+    plan = _final_plan(queries()["x_doc_len_gini"](spark, SF))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("Window") == 1, plan
+
+
+def test_embed_dim_stats_single_posexplode_partial_agg(spark):
+    """x_embed_dim_stats: posexplode -> ONE (dim)-keyed partial agg;
+    one embeddings scan, no window, no join."""
+    plan = _final_plan(queries()["x_embed_dim_stats"](spark, SF))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("Window") == 0, plan
+    assert "Generate" in plan, plan  # the posexplode
+
+
+def test_decontaminate_is_shuffle_free_map_side_gram_build(spark):
+    """x_decontaminate (round-10 rewrite): grams build in ONE map-side
+    transform+slice lambda — no Window (the rejected lead()-window
+    variant would show 4), and the benchmark branch's rescan is
+    doc_id-pruned (PushedFilters), so neither scan is 'the corpus
+    twice'."""
+    plan = _final_plan(queries()["x_decontaminate"](spark, SF))
+    assert plan.count("Window") == 0, plan
+    assert plan.count("FileScan parquet") == 2, plan
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,20)]" in plan \
+        or "LessThan(doc_id,20)" in plan, plan

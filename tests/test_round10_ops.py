@@ -42,14 +42,14 @@ def _write_events_v(tmp_path, rows, name="sfev10"):
 
 
 def _daily_counts(tmp_path, counts, name="sfdc10"):
-    """One 'view' series: counts[i] events on day 2024-01-(i+1)."""
+    """One 'view' series: counts[i] events on day 2024-01-01 + i."""
     rows, eid = [], 0
+    base = dt.date(2024, 1, 1)
     for i, c in enumerate(counts):
+        day = (base + dt.timedelta(days=i)).isoformat()
         for _ in range(c):
             eid += 1
-            rows.append(
-                (eid, f"2024-01-{i + 1:02d}T12:00:00", 1, "view", 1.0)
-            )
+            rows.append((eid, f"{day}T12:00:00", 1, "view", 1.0))
     return _write_events_v(tmp_path, rows, name)
 
 
@@ -354,3 +354,59 @@ def test_decontaminate_short_docs_emit_no_grams(spark, tmp_path, q):
     by = {r["doc_id"]: r["n_hits"] for r in out}
     assert 25 not in by  # no 5-grams at all -> no row
     assert by[26] == 2  # shares 'alpha..epsilon' and 'beta..zeta'
+
+
+def test_holt_fold_matches_python_reference_on_random_series(
+    spark, tmp_path, q
+):
+    """Property check: over seeded random daily-count series the Spark
+    fold reproduces a pure-Python implementation of the SAME
+    integer-micro-unit recurrence EXACTLY (the recurrence is exact
+    integer arithmetic, so equality is ==, not approx).  The reference
+    must round HALF AWAY FROM ZERO like Spark's BigDecimal HALF_UP and
+    DuckDB's std::round — Python's built-in round() is half-to-EVEN
+    and diverges one micro-unit on exact .5 ties (this test originally
+    caught exactly that, in its own reference)."""
+    import random
+
+    def half_away(v):
+        return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+    rng = random.Random(1007)
+    for case in range(4):
+        counts = [rng.randint(1, 500) for _ in range(rng.randint(2, 40))]
+        scale = 1_000_000
+        lv, tr = counts[0] * scale, (counts[1] - counts[0]) * scale
+        for x in counts[2:]:
+            new_lv = half_away(0.5 * x * scale + 0.5 * (lv + tr))
+            tr = half_away(0.25 * (new_lv - lv) + 0.75 * tr)
+            lv = new_lv
+        r = q["q_ts_holt"](
+            spark, _daily_counts(tmp_path, counts, name=f"holtp{case}")
+        ).collect()[0]
+        assert r["level"] == lv / scale, (case, counts)
+        assert r["trend"] == tr / scale, (case, counts)
+
+
+def test_cusum_fold_matches_python_reference_on_random_series(
+    spark, tmp_path, q
+):
+    """Same property for CUSUM: the n-scaled integer recurrence and the
+    alert count match a pure-Python reference exactly."""
+    import random
+
+    rng = random.Random(2024)
+    for case in range(4):
+        counts = [rng.randint(1, 300) for _ in range(rng.randint(2, 40))]
+        n, s1 = len(counts), sum(counts)
+        s2 = sum(c * c for c in counts)
+        sd = round(math.sqrt((s2 - s1 * s1 / n) / (n - 1)), 6)
+        s_int, alerts = 0, 0
+        for c in counts:
+            s_int = max(0, s_int + n * c - s1)
+            alerts += 1 if s_int > 4.0 * sd * n else 0
+        r = q["q_ts_cusum"](
+            spark, _daily_counts(tmp_path, counts, name=f"cusump{case}")
+        ).collect()[0]
+        assert r["cusum_final"] == s_int / n, (case, counts)
+        assert r["n_alerts"] == alerts, (case, counts)
