@@ -12,12 +12,30 @@ from __future__ import annotations
 
 import glob
 import os
+import shutil
 import subprocess
 import sys
 
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _clean_src_copy(dst: str) -> str:
+    """Copy ONLY the shippable source (pyproject + package tree) into a
+    scratch dir and build there.  Building in the repo checkout with
+    --no-build-isolation lets setuptools reuse a stale build/lib staging
+    dir, so files deleted/renamed in the source can silently ship in
+    future wheels (ADVICE r10 item 1) — a clean copy can't."""
+    os.makedirs(dst, exist_ok=True)
+    shutil.copy2(os.path.join(REPO, "pyproject.toml"), dst)
+    shutil.copy2(os.path.join(REPO, "README.md"), dst)  # pyproject readme=
+    shutil.copytree(
+        os.path.join(REPO, "kafka_connect_sse_spark"),
+        os.path.join(dst, "kafka_connect_sse_spark"),
+        ignore=shutil.ignore_patterns("__pycache__", "*.pyc"),
+    )
+    return dst
 
 
 def _wheel_pkg_path() -> str | None:
@@ -52,14 +70,16 @@ def test_wheel_builds_installs_and_runs_a_query_offline(tmp_path):
     if whl_pkg:
         env["PYTHONPATH"] = whl_pkg
 
-    # 1. build the wheel with NO network and NO build isolation
+    # 1. build the wheel with NO network and NO build isolation, from a
+    #    CLEAN source copy (never the live checkout — see _clean_src_copy)
+    src = _clean_src_copy(str(tmp_path / "src"))
     out = subprocess.run(
         [
             sys.executable,
             "-m",
             "pip",
             "wheel",
-            REPO,
+            src,
             "--no-deps",
             "--no-index",
             "--no-build-isolation",
