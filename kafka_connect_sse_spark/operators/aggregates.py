@@ -2543,13 +2543,15 @@ def q_ts_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
              s2 / n - m1 * m1 AS var_pop FROM m)
     SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
            ROUND(var_pop, 6) AS var_pop,
-           ROUND((s3 / n - 3 * m1 * (var_pop + m1 * m1)
-                  + 2 * m1 * m1 * m1)
-                 / POW(var_pop, 1.5), 6) AS skewness,
-           ROUND((s4 / n - 4 * m1 * (s3 / n)
-                  + 6 * m1 * m1 * (var_pop + m1 * m1)
-                  - 3 * m1 * m1 * m1 * m1)
-                 / (var_pop * var_pop) - 3, 6) AS kurtosis_excess
+           CASE WHEN var_pop > 0 THEN
+             ROUND((s3 / n - 3 * m1 * (var_pop + m1 * m1)
+                    + 2 * m1 * m1 * m1)
+                   / POW(var_pop, 1.5), 6) END AS skewness,
+           CASE WHEN var_pop > 0 THEN
+             ROUND((s4 / n - 4 * m1 * (s3 / n)
+                    + 6 * m1 * m1 * (var_pop + m1 * m1)
+                    - 3 * m1 * m1 * m1 * m1)
+                   / (var_pop * var_pop) - 3, 6) END AS kurtosis_excess
     FROM v
     """,
 )
@@ -2600,29 +2602,39 @@ def q_agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     m1, var_pop = F.col("m1"), F.col("var_pop")
+    # var_pop > 0 guard on BOTH engine sides (ADVICE r10 item 2): a
+    # constant group makes Spark's non-ANSI Divide return NULL while
+    # DuckDB's IEEE division returns inf/nan — guard to NULL/NULL, the
+    # x_heaps_law degenerate-source discipline.
     return v.select(
         "l_returnflag",
         F.col("n").cast("long").alias("n_rows"),
         F.round(var_pop, 6).alias("var_pop"),
-        F.round(
-            (
-                F.col("s3") / F.col("n")
-                - F.lit(3) * m1 * (var_pop + m1 * m1)
-                + F.lit(2) * m1 * m1 * m1
-            )
-            / F.pow(var_pop, 1.5),
-            6,
+        F.when(
+            var_pop > 0,
+            F.round(
+                (
+                    F.col("s3") / F.col("n")
+                    - F.lit(3) * m1 * (var_pop + m1 * m1)
+                    + F.lit(2) * m1 * m1 * m1
+                )
+                / F.pow(var_pop, 1.5),
+                6,
+            ),
         ).alias("skewness"),
-        F.round(
-            (
-                F.col("s4") / F.col("n")
-                - F.lit(4) * m1 * (F.col("s3") / F.col("n"))
-                + F.lit(6) * m1 * m1 * (var_pop + m1 * m1)
-                - F.lit(3) * m1 * m1 * m1 * m1
-            )
-            / (var_pop * var_pop)
-            - F.lit(3),
-            6,
+        F.when(
+            var_pop > 0,
+            F.round(
+                (
+                    F.col("s4") / F.col("n")
+                    - F.lit(4) * m1 * (F.col("s3") / F.col("n"))
+                    + F.lit(6) * m1 * m1 * (var_pop + m1 * m1)
+                    - F.lit(3) * m1 * m1 * m1 * m1
+                )
+                / (var_pop * var_pop)
+                - F.lit(3),
+                6,
+            ),
         ).alias("kurtosis_excess"),
     )
 
@@ -2649,9 +2661,11 @@ _CORR_VARS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       {" UNION ALL ".join(
           f"SELECT l_returnflag, '{a}' AS var_a, '{b}' AS var_b,"
           f" CAST(n AS BIGINT) AS n_rows,"
+          f" CASE WHEN n * p_{i}_{i} - s_{i} * s_{i} > 0"
+          f" AND n * p_{j}_{j} - s_{j} * s_{j} > 0 THEN"
           f" ROUND((n * p_{i}_{j} - s_{i} * s_{j})"
           f" / sqrt((n * p_{i}_{i} - s_{i} * s_{i})"
-          f" * (n * p_{j}_{j} - s_{j} * s_{j})), 6) AS corr FROM s"
+          f" * (n * p_{j}_{j} - s_{j} * s_{j})), 6) END AS corr FROM s"
           for i, a in enumerate(_CORR_VARS)
           for j, b in enumerate(_CORR_VARS) if i < j)})
     SELECT * FROM pairs
@@ -2698,18 +2712,23 @@ def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j, b in enumerate(_CORR_VARS):
             if i < j:
                 si, sj = F.col(f"s_{i}"), F.col(f"s_{j}")
+                # constant-measure guard, both engine sides (ADVICE r10
+                # item 2): zero variance -> NULL corr in BOTH engines,
+                # never Spark-NULL vs DuckDB inf/nan.
+                var_i = n * F.col(f"p_{i}_{i}") - si * si
+                var_j = n * F.col(f"p_{j}_{j}") - sj * sj
                 cells.append(
                     F.struct(
                         F.lit(a).alias("var_a"),
                         F.lit(b).alias("var_b"),
                         n.cast("long").alias("n_rows"),
-                        F.round(
-                            (n * F.col(f"p_{i}_{j}") - si * sj)
-                            / F.sqrt(
-                                (n * F.col(f"p_{i}_{i}") - si * si)
-                                * (n * F.col(f"p_{j}_{j}") - sj * sj)
+                        F.when(
+                            (var_i > 0) & (var_j > 0),
+                            F.round(
+                                (n * F.col(f"p_{i}_{j}") - si * sj)
+                                / F.sqrt(var_i * var_j),
+                                6,
                             ),
-                            6,
                         ).alias("corr"),
                     )
                 )

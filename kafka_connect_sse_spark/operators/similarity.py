@@ -1269,12 +1269,15 @@ EMBED_DEAD_STD = 0.001  # a dimension with stddev below this is "dead"
       FROM comp GROUP BY dim)
     SELECT dim, CAST(n AS BIGINT) AS n_vecs,
            ROUND(CAST(sx AS DOUBLE) / n, 6) AS mean,
-           ROUND(sqrt((CAST(sxx AS DOUBLE)
-                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
-                      / (n - 1)), 6) AS stddev,
-           sqrt((CAST(sxx AS DOUBLE)
-                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
-                / (n - 1)) < {EMBED_DEAD_STD} AS is_dead
+           CASE WHEN n > 1 THEN
+             ROUND(sqrt((CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                        / (n - 1)), 6) END AS stddev,
+           CASE WHEN n > 1 THEN
+             sqrt((CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                  / (n - 1)) < {EMBED_DEAD_STD}
+           ELSE FALSE END AS is_dead
     FROM s
     """,
 )
@@ -1321,10 +1324,19 @@ def x_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / (F.col("n") - 1)
     )
+    # n > 1 guard, both engine sides (ADVICE r10 item 2): a single-row
+    # group divides by n-1 = 0 — Spark's non-ANSI Divide yields NULL,
+    # DuckDB yields inf; guard stddev to NULL/NULL.  The dead flag
+    # stays a NON-NULL boolean (FALSE at n=1 — one row can't attest a
+    # collapsed dim): a nullable boolean renders 'None' from Spark but
+    # 'nan' from duckdb.df() and would hash-split the engines.
+    one = F.col("n") > 1
     return s.select(
         F.col("dim").cast("long").alias("dim"),
         F.col("n").alias("n_vecs"),
         F.round(F.col("sx").cast("double") / F.col("n"), 6).alias("mean"),
-        F.round(sd_expr, 6).alias("stddev"),
-        (sd_expr < F.lit(EMBED_DEAD_STD)).alias("is_dead"),
+        F.when(one, F.round(sd_expr, 6)).alias("stddev"),
+        F.when(one, sd_expr < F.lit(EMBED_DEAD_STD))
+        .otherwise(F.lit(False))
+        .alias("is_dead"),
     )

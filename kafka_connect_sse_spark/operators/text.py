@@ -260,8 +260,9 @@ def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     A posexplode+lead-window build measured 15.8 s but pays a FULL
     CORPUS token shuffle — the wrong trade at 100 TB, where shuffle-
     free map-side work beats network (A/B in SCALE.md).  Docs shorter
-    than 5 tokens emit NO grams (greatest(size-4, 0) gives an empty
-    sequence), matching the oracle's empty generate_series."""
+    than 5 tokens emit NO grams via the F.when(size >= 5) guard below
+    (sequence(1, 0) would step DOWN to [1, 0], not empty), matching
+    the oracle's empty generate_series."""
     from pyspark.sql.functions import broadcast
 
     d = load_table(spark, sf_dir, "documents")

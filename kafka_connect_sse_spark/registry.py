@@ -102,7 +102,7 @@ def register(name: str, oracle: str | None = None):
 #       (q_markov_transitions, q_funnel_ttc), and the corpus/embedding
 #       profilers (x_tok_len_hist, x_doc_len_gini, x_char_ngram_entropy,
 #       x_embed_dim_stats);
-#   (b) the 5 ops whose CODE or ORACLE changed this round and must
+#   (b) the 6 ops whose CODE or ORACLE changed this round and must
 #       re-attest: the four ADVICE r9 exactness fixes (x_token_budget
 #       integral div, x_heaps_law degenerate-source guard,
 #       q_pagerank_iter PR_DAMP-interpolated oracle, q_fn_editdist

@@ -1,0 +1,159 @@
+"""Round-11 behavioral tests: the ADVICE r10 item 2 degenerate-group
+guards (constant measure / single row) must yield NULL on BOTH engine
+sides — the fixture has no degenerate group, so these planted corpora
+are the only executable evidence the guard class works.  Each test runs
+the Spark op AND its DuckDB oracle on the same planted parquet under
+the driver's canonicalization (tools.check_correctness.canon)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from kafka_connect_sse_spark.registry import oracle_sql, queries
+
+
+@pytest.fixture(scope="module")
+def q():
+    return queries()
+
+
+@pytest.fixture(scope="module")
+def osql():
+    return oracle_sql()
+
+
+def _duck_view(sf_dir: str, table: str):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        f"CREATE VIEW {table} AS SELECT * FROM '{sf_dir}/{table}.parquet'"
+    )
+    return con
+
+
+def _cross_engine(spark, q, osql, name, sf_dir, table):
+    from tools.check_correctness import canon
+
+    spdf = q[name](spark, sf_dir).toPandas()
+    con = _duck_view(sf_dir, table)
+    opdf = con.execute(osql[name]).df()
+    scols, srows, shash = canon(spdf)
+    ocols, orows, ohash = canon(opdf)
+    assert scols == ocols, (name, scols, ocols)
+    assert shash == ohash, (name, srows[:4], orows[:4])
+    return spdf
+
+
+def _write_lineitem(tmp_path, rows, name):
+    """rows: (l_returnflag, l_quantity, l_extendedprice, l_discount,
+    l_tax)."""
+    sf_dir = str(tmp_path / name)
+    os.makedirs(sf_dir, exist_ok=True)
+    tbl = pa.table(
+        {
+            "l_returnflag": pa.array([r[0] for r in rows], pa.string()),
+            "l_quantity": pa.array(
+                [float(r[1]) for r in rows], pa.float64()
+            ),
+            "l_extendedprice": pa.array(
+                [float(r[2]) for r in rows], pa.float64()
+            ),
+            "l_discount": pa.array(
+                [float(r[3]) for r in rows], pa.float64()
+            ),
+            "l_tax": pa.array([float(r[4]) for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(sf_dir, "lineitem.parquet"))
+    return sf_dir
+
+
+def _write_emb(tmp_path, vecs, name):
+    sf_dir = str(tmp_path / name)
+    os.makedirs(sf_dir, exist_ok=True)
+    emb = pa.table(
+        {
+            "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+            "embedding": pa.array(
+                [v[1] for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([v[2] for v in vecs], pa.int32()),
+        }
+    )
+    pq.write_table(emb, os.path.join(sf_dir, "embeddings.parquet"))
+    return sf_dir
+
+
+def test_skew_kurt_constant_group_nulls_match_oracle(
+    spark, tmp_path, q, osql
+):
+    """Group A is constant (var_pop = 0): skewness/kurtosis must be
+    NULL in BOTH engines (Spark would NULL on divide-by-zero anyway;
+    DuckDB would return inf/nan without the CASE guard)."""
+    sf = _write_lineitem(
+        tmp_path,
+        [("A", 7, 1, 0.1, 0.1)] * 3
+        + [("B", v, 1, 0.1, 0.1) for v in (1, 2, 3, 10)],
+        "sfskd11",
+    )
+    spdf = _cross_engine(
+        spark, q, osql, "q_agg_skew_kurt", sf, "lineitem"
+    )
+    a = spdf[spdf.l_returnflag == "A"].iloc[0]
+    assert a["var_pop"] == 0.0
+    assert a["skewness"] is None or a["skewness"] != a["skewness"]
+    assert (
+        a["kurtosis_excess"] is None
+        or a["kurtosis_excess"] != a["kurtosis_excess"]
+    )
+    b = spdf[spdf.l_returnflag == "B"].iloc[0]
+    assert b["skewness"] == b["skewness"] and b["skewness"] is not None
+
+
+def test_corr_matrix_constant_measure_nulls_match_oracle(
+    spark, tmp_path, q, osql
+):
+    """l_tax is constant: every pair involving it has zero variance and
+    must be NULL corr in BOTH engines; the quantity/extendedprice pair
+    (perfectly correlated) stays 1.0."""
+    sf = _write_lineitem(
+        tmp_path,
+        [("A", v, 10 * v, 0.01 * v, 0.05) for v in (1, 2, 3, 4)],
+        "sfcorr11",
+    )
+    spdf = _cross_engine(
+        spark, q, osql, "q_agg_corr_matrix", sf, "lineitem"
+    )
+    tax = spdf[(spdf.var_a == "l_tax") | (spdf.var_b == "l_tax")]
+    assert len(tax) == 3
+    assert tax["corr"].isna().all()
+    qp = spdf[
+        (spdf.var_a == "l_quantity") & (spdf.var_b == "l_extendedprice")
+    ].iloc[0]
+    assert qp["corr"] == 1.0
+
+
+def test_embed_dim_stats_single_vector_nulls_match_oracle(
+    spark, tmp_path, q, osql
+):
+    """One vector: stddev divides by n-1 = 0 — NULL stddev in BOTH
+    engines (DuckDB would yield inf unguarded); the dead flag stays a
+    non-null FALSE (one row can't attest a collapsed dim, and a
+    nullable boolean renders 'None' vs 'nan' across engines)."""
+    sf = _write_emb(tmp_path, [(1, [0.5, -0.25, 3.0], 0)], "sfemb11")
+    spdf = _cross_engine(
+        spark, q, osql, "x_embed_dim_stats", sf, "embeddings"
+    )
+    assert len(spdf) == 3
+    assert spdf["stddev"].isna().all()
+    assert not spdf["is_dead"].any()
+    assert list(spdf.sort_values("dim")["mean"]) == [0.5, -0.25, 3.0]

@@ -47,17 +47,24 @@ def main() -> None:
     print(f"| query | " + " | ".join(f"sf{sf:g} (s)" for sf in sfs)
           + " | exponent b |")
     print("|---|" + "---|" * (len(sfs) + 1))
+    def _num(v) -> float | None:
+        # bench records can hold None / 0 / 'FAILED: ...' strings (the
+        # sf10 probe writes them for OOM'd ops) — only positive numbers
+        # are fit points or printable cells (ADVICE r10 item 3)
+        return v if isinstance(v, (int, float)) and v > 0 else None
+
     for q in names:
-        pts = [(r[0], r[1][q]) for r in recs if r[1][q] and r[1][q] > 0]
+        pts = [(r[0], _num(r[1][q])) for r in recs]
+        pts = [(sf, t) for sf, t in pts if t is not None]
         if len(pts) < 2:
             continue
         b = fit(pts)
         flag = " **superlinear**" if b > 1.15 else ""
-        print(
-            f"| {q} | "
-            + " | ".join(f"{r[1][q]:.2f}" for r in recs)
-            + f" | {b:.2f}{flag} |"
+        cells = " | ".join(
+            f"{_num(r[1][q]):.2f}" if _num(r[1][q]) is not None else "-"
+            for r in recs
         )
+        print(f"| {q} | {cells} | {b:.2f}{flag} |")
 
 
 if __name__ == "__main__":
