@@ -625,6 +625,17 @@ def x_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CONTAIN_THR = 0.8  # containment threshold for x_containment_dedup
 CONTAIN_MIN_SHINGLES = 10  # ignore docs too short to assert containment
+# Auto-knee hot-postings cap (VERDICT r10 item 2: "never run uncapped").
+# The cap is COMPUTED FROM THE DATA with a rule deterministic enough to
+# write in ANSI SQL, so the oracle applies the identical cap and the
+# gate stays EXACT: p99 of the per-(shingle,lang) document frequency
+# over a 1/16 deterministic shingle sample (md5 prefix — identical hex
+# in Spark and DuckDB), with HEADROOM x p99 keeping moderately-popular
+# but still discriminative shingles and FLOOR guaranteeing small-corpus
+# recall (a shingle shared by <= 64 docs always counts).
+CONTAIN_DF_FLOOR = 64
+CONTAIN_DF_HEADROOM = 8
+CONTAIN_PROFILE_PREFIX = "0"  # md5 LIKE '0%' = 1/16 sample
 
 
 def shingle_array(text_col):
@@ -650,10 +661,39 @@ def shingle_array(text_col):
              l[g.i] || ' ' || l[g.i+1] || ' ' || l[g.i+2] AS shingle
       FROM tok_lists, UNNEST(generate_series(1, len(l)-2)) AS g(i)),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    -- auto-knee hot-postings cap, the same deterministic rule the
+    -- Spark side computes: exact per-(shingle,lang) df of the 1/16
+    -- md5-prefix shingle sample, p99 as a rank statistic off the df
+    -- histogram, cap = max(FLOOR, HEADROOM * p99)
+    prof AS (
+      SELECT shingle, lang, COUNT(*) AS df FROM sh
+      WHERE lang IS NOT NULL
+        AND md5(shingle) LIKE '{CONTAIN_PROFILE_PREFIX}%'
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    hist AS (SELECT df, COUNT(*) AS cnt FROM prof GROUP BY df),
+    tot AS (SELECT SUM(cnt) AS n FROM hist),
+    cum AS (
+      SELECT h.df, SUM(h2.cnt) AS cum
+      FROM hist h JOIN hist h2 ON h2.df <= h.df GROUP BY h.df),
+    p99 AS (
+      SELECT MIN(df) AS p99_df FROM cum, tot
+      WHERE cum >= (99 * n + 99) // 100),
+    cap AS (
+      SELECT GREATEST({CONTAIN_DF_FLOOR},
+                      {CONTAIN_DF_HEADROOM} * COALESCE(p99_df, 0))
+             AS max_df FROM p99),
+    dfs AS (
+      SELECT shingle, lang, COUNT(*) AS df FROM sh
+      WHERE lang IS NOT NULL GROUP BY 1, 2),
+    kept AS (
+      SELECT s.doc_id, s.lang, s.shingle
+      FROM sh s JOIN dfs d
+        ON d.shingle = s.shingle AND d.lang = s.lang, cap
+      WHERE d.df BETWEEN 2 AND cap.max_df),
     inter AS (
       SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
              COUNT(*) AS n_common
-      FROM sh a JOIN sh b
+      FROM kept a JOIN kept b
         ON a.shingle = b.shingle AND a.lang = b.lang
            AND a.doc_id <> b.doc_id
       GROUP BY 1, 2)
@@ -708,18 +748,25 @@ def x_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists by definition, so a generous cap bounds Σ|postings|² while
     keeping recall on real contained pairs at 1.0
     (tests/test_weak_ops.py proves both properties on a synthetic
-    boilerplate-heavy corpus).  The registered op runs cap-free
-    (max_df=None) because the fixture corpus needs no cap AT THE
-    ORACLE TIERS (sf<=1), keeping Spark and oracle EXACT.  Measured
-    limit (round-10 sf10 probe, BENCH_sf10_r10.json): at 500k docs of
-    the fixture's 30-token synthetic vocabulary the per-(shingle,lang)
-    df is ~uniform ~150 (148k lists, max 516), candidate pairs measure
-    6.9e9, and the uncapped form OOMs a 48g local driver — while a cap
-    sized to actually bind (max_df=64) completes in 145 s and returns
-    zero pairs over the threshold, the correct reading of a corpus
-    with no discriminative shingles.  100 TB deployment rule: size
-    max_df to the corpus' boilerplate knee (≈ p99 of a sampled df
-    distribution), never run uncapped.  Docs with fewer than
+    boilerplate-heavy corpus).
+
+    Round 11 (VERDICT r10 item 2): the registered op NEVER runs
+    uncapped — max_df defaults to "auto", sized from the data by a
+    rule deterministic enough to mirror in the oracle SQL, so the gate
+    stays EXACT while the cap is no hand-picked constant: an extra
+    map-side pass computes the exact df of the 1/16 md5-prefix shingle
+    sample (shuffle carries 1/16 of the shingle keyspace — cheaper
+    than re-aggregating or caching the full postings relation, and no
+    AQE cross-stage recompute of the main groupBy), p99 of that df
+    profile is a rank statistic off its tiny histogram (self-join on
+    |distinct df values| rows — no global window), and
+    cap = max({CONTAIN_DF_FLOOR}, {CONTAIN_DF_HEADROOM} x p99).
+    Boilerplate posting lists sit orders of magnitude above p99 and
+    are dropped; discriminative shingles (df <= dup-cluster size) sit
+    far below FLOOR and always count.  The round-10 sf10 probe
+    measured WHY uncapped is fatal: 6.9e9 candidate pairs / 48g OOM
+    on a corpus whose every shingle was hot, vs a binding cap
+    completing in 145 s.  Docs with fewer than
     {CONTAIN_MIN_SHINGLES} shingles are excluded as inner side — too
     short to assert containment.  Both directions are emitted (full
     mutual containment = two rows), which is what a survivor policy
@@ -728,17 +775,21 @@ def x_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def containment_dedup(
-    spark: SparkSession, sf_dir: str, max_df: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    max_df: int | None | str = "auto",
 ) -> DataFrame:
     """Parameterized body of x_containment_dedup.
 
     max_df: hot-postings cap — shingles appearing in more than max_df
     documents (per lang) are dropped before pair expansion, bounding
     every posting list at max_df and the pair work at Σ min(|p|,
-    max_df)².  None (the registered default) disables the cap so the
-    oracle comparison stays EXACT.  The drop happens on the aggregated
-    posting list (one size() predicate after the groupBy that already
-    exists), so the cap adds zero extra shuffles.
+    max_df)².  "auto" (the registered default) sizes the cap from the
+    sampled-df p99 knee (see the @register docstring); an int pins it;
+    None disables it (measured-fatal at sf10 — test/ablation use only).
+    The drop happens on the aggregated posting list (one size()
+    predicate after the groupBy that already exists), so the cap adds
+    zero shuffles beyond the 1/16-sampled profile pass.
     """
     d = load_table(spark, sf_dir, "documents")
     sh = d.select(
@@ -753,7 +804,46 @@ def containment_dedup(
         .agg(F.collect_list("doc_id").alias("ds"))
         .filter(F.size("ds") >= 2)
     )
-    if max_df is not None:
+    if max_df == "auto":
+        # exact dfs of the deterministic 1/16 shingle sample; p99 as a
+        # rank statistic over the df HISTOGRAM (tiny: |distinct df
+        # values| rows), cumulated by self-join — no global window,
+        # no second pass over the full postings aggregation
+        prof = (
+            sh.filter(F.col("lang").isNotNull())
+            .filter(
+                F.md5(F.col("shingle")).startswith(CONTAIN_PROFILE_PREFIX)
+            )
+            .groupBy("shingle", "lang")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") >= 2)
+        )
+        hist = prof.groupBy("df").agg(F.count("*").alias("cnt"))
+        h2 = hist.select(
+            F.col("df").alias("df2"), F.col("cnt").alias("cnt2")
+        )
+        cum = (
+            hist.join(h2, F.col("df2") <= F.col("df"))
+            .groupBy("df")
+            .agg(F.sum("cnt2").alias("cum"))
+        )
+        tot = hist.agg(F.sum("cnt").alias("n_lists"))
+        p99 = (
+            cum.crossJoin(tot)
+            .filter(F.col("cum") >= F.expr("(99 * n_lists + 99) div 100"))
+            .agg(F.min("df").alias("p99_df"))
+        )
+        cap = p99.select(
+            F.greatest(
+                F.lit(CONTAIN_DF_FLOOR),
+                F.lit(CONTAIN_DF_HEADROOM)
+                * F.coalesce(F.col("p99_df"), F.lit(0)),
+            ).alias("cap_df")
+        )
+        postings = postings.crossJoin(F.broadcast(cap)).filter(
+            F.size("ds") <= F.col("cap_df")
+        )
+    elif max_df is not None:
         postings = postings.filter(F.size("ds") <= max_df)
     inter = (
         postings.select(F.explode("ds").alias("inner_id"), "ds")

@@ -76,7 +76,11 @@ ALLOWLIST = {
     "x_bm25_score": 2,
     "x_cluster_purity": 4,
     "x_cms_heavy_hitters": 6,
-    "x_containment_dedup": 2,
+    # 3 = sizes pass + postings pass + the r11 auto-knee 1/16-sampled
+    # df profile pass (deliberate: re-scanning 1/16 of the shingle
+    # keyspace beats re-aggregating or caching the full postings
+    # relation — see the op docstring)
+    "x_containment_dedup": 3,
     "x_contam_estimate": 3,
     "x_cooccur_pmi": 3,
     "x_data_card": 2,
