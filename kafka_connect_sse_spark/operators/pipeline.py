@@ -1207,6 +1207,158 @@ def x_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc.unpersist()
 
 
+DSIR_SAMPLE_MOD = 16  # x_importance_resample_sampled profiles docs where
+#                       doc_id % 16 == 0 — deterministic, oracle-mirrored
+
+
+@register(
+    "x_importance_resample_sampled",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, str_split(text, ' ') AS l
+               FROM documents),
+    ex AS (SELECT doc_id, lang,
+                  ('0x' || substr(md5(g), 1, 2))::INT AS b
+           FROM (SELECT doc_id, lang, UNNEST(l) AS g FROM t
+                 WHERE doc_id % {DSIR_SAMPLE_MOD} = 0)),
+    prof AS (SELECT b, COUNT(*) AS cr,
+                    COALESCE(SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}'
+                                      THEN 1 END), 0) AS ct
+             FROM ex GROUP BY b),
+    spine AS (SELECT g.i AS b
+              FROM UNNEST(generate_series(0, {DSIR_BUCKETS} - 1)) g(i)),
+    fp AS (SELECT s.b, COALESCE(p.cr, 0) AS cr, COALESCE(p.ct, 0) AS ct
+           FROM spine s LEFT JOIN prof p ON p.b = s.b),
+    lw AS (SELECT b,
+                  CAST(ROUND(LN(((ct + 1.0)
+                                 / (SUM(ct) OVER () + {DSIR_BUCKETS}.0))
+                                / ((cr + 1.0)
+                                   / (SUM(cr) OVER () + {DSIR_BUCKETS}.0))),
+                             6) AS DECIMAL(12,6)) AS lw
+           FROM fp),
+    lwm AS (SELECT b, CAST(lw * 1000000 AS BIGINT) AS lw_micros FROM lw),
+    exall AS (SELECT doc_id,
+                     ('0x' || substr(md5(g), 1, 2))::INT AS b
+              FROM (SELECT doc_id, UNNEST(l) AS g FROM t))
+    SELECT e.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(CAST(SUM(l.lw_micros) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS log_weight
+    FROM exall e JOIN lwm l ON l.b = e.b
+    GROUP BY e.doc_id
+    ORDER BY log_weight DESC, e.doc_id
+    LIMIT {DSIR_TOP}
+    """,
+)
+def x_importance_resample_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DSIR importance resampling, the SCALE twin of
+    x_importance_resample (VERDICT r10 item 4: the steepest measured
+    riser — b=0.48, 8.7x sf1->sf10, dominated by the corpus-side token
+    explode + (doc, bucket) shuffle).  Two structural changes, per the
+    exact op's own documented posture:
+
+    1. SAMPLED PROFILE BUILD: the 256-bucket raw/target profile is
+       estimated from the deterministic 1/{DSIR_SAMPLE_MOD} document
+       sample (doc_id % {DSIR_SAMPLE_MOD} = 0) — the profile is a
+       corpus-level density ratio, so a fixed-fraction sample estimates
+       it with error O(1/sqrt(sample tokens)) while cutting the explode
+       that feeds the profile shuffle {DSIR_SAMPLE_MOD}x.  The rule is
+       mirrored verbatim in the oracle, so the gate stays EXACT on the
+       twin's own contract (same estimator, both engines).
+    2. ZERO-SHUFFLE WEIGHT PASS: the per-document weight no longer
+       round-trips a corpus-sized (doc, bucket, cnt) relation through a
+       shuffle + persist + broadcast-back join.  The bucket log-ratio
+       table is DENSIFIED onto a 0..255 spine, quantized to LONG
+       micro-units (exact-integer fold state, the q_ts_holt
+       discipline), collected as ONE 256-element array, broadcast, and
+       each document folds its own token array against it map-side
+       (F.aggregate over element_at) — the only remaining exchange is
+       the DSIR_TOP TakeOrderedAndProject heap merge.  Integer
+       addition is associative and allocation-free, and both engines
+       divide the IDENTICAL micro-unit sum by 1e6, so log_weight is
+       bit-identical with no terminal rounding.
+
+    100 TB posture: profile pass = 1/{DSIR_SAMPLE_MOD} of a corpus
+    explode feeding a 256-key partial agg; weight pass = one corpus
+    scan, no exchange wider than top-{DSIR_TOP} rows.  No persist, no
+    AQE cross-stage recompute surface."""
+    d = load_table(spark, sf_dir, "documents")
+    sampled = d.filter(F.col("doc_id") % DSIR_SAMPLE_MOD == 0)
+    ex = sampled.select(
+        "lang",
+        F.explode(F.split(F.col("text"), " ")).alias("g"),
+    ).select(
+        "lang",
+        F.conv(F.substring(F.md5(F.col("g")), 1, 2), 16, 10)
+        .cast("int")
+        .alias("b"),
+    )
+    prof = ex.groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.coalesce(
+            F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, F.lit(1))),
+            F.lit(0),
+        ).alias("ct"),
+    )
+    spine = spark.range(DSIR_BUCKETS).select(F.col("id").cast("int").alias("b"))
+    fp = spine.join(prof, "b", "left").select(
+        "b",
+        F.coalesce("cr", F.lit(0)).alias("cr"),
+        F.coalesce("ct", F.lit(0)).alias("ct"),
+    )
+    wall = Window.partitionBy()
+    lw = fp.select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("ct") + 1.0) / (F.sum("ct").over(wall) + float(DSIR_BUCKETS)))
+                / ((F.col("cr") + 1.0) / (F.sum("cr").over(wall) + float(DSIR_BUCKETS)))
+            ),
+            6,
+        )
+        .cast("decimal(12,6)")
+        .alias("lw"),
+    )
+    # densified -> one 256-element LONG array (micro-units, position =
+    # bucket id): the fold state is an exact integer (the q_ts_holt
+    # lesson — decimal folds allocate a BigDecimal per step; long adds
+    # don't), and both engines derive log_weight from the IDENTICAL
+    # integer, so the final double is bit-identical with no rounding
+    lw_arr = lw.groupBy().agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "b", (F.col("lw") * 1000000).cast("long").alias("m")
+                )
+            )
+        ).alias("s")
+    ).select(F.col("s.m").alias("lws"))
+    toks = F.split(F.col("text"), " ")
+    bs = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 2), 16, 10).cast("int"),
+    )
+    return (
+        d.crossJoin(broadcast(lw_arr))
+        .select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            (
+                F.aggregate(
+                    bs,
+                    F.lit(0).cast("long"),
+                    lambda acc, b: acc
+                    + F.element_at(F.col("lws"), b + F.lit(1)),
+                ).cast("double")
+                / F.lit(1000000.0)
+            ).alias("log_weight"),
+        )
+        .orderBy(F.col("log_weight").desc(), "doc_id")
+        .limit(DSIR_TOP)
+    )
+
+
 # pack-efficiency bins: pow-2 token-length buckets (fixture docs are
 # 10..99 whitespace tokens; 256 is the open-top catch-all)
 PACK_BINS = (16, 32, 64, 128, 256)

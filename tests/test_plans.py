@@ -1035,3 +1035,18 @@ def test_decontaminate_is_shuffle_free_map_side_gram_build(spark):
     assert plan.count("FileScan parquet") == 2, plan
     assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,20)]" in plan \
         or "LessThan(doc_id,20)" in plan, plan
+
+
+def test_importance_resample_sampled_weight_pass_is_mapside(spark):
+    """x_importance_resample_sampled (the DSIR scale twin): the weight
+    pass folds each document's token array against ONE broadcast
+    256-element decimal array — no persist (zero InMemoryTableScan,
+    unlike the exact op), ONE Generate (the 1/16-sampled profile
+    explode; the corpus-wide weight pass must NOT explode), two
+    documents scans (profile + weight), and the final ranking is a
+    TakeOrderedAndProject heap, never a global sort."""
+    plan = _final_plan(queries()["x_importance_resample_sampled"](spark, SF))
+    assert "InMemoryTableScan" not in plan, plan
+    assert plan.count("Generate") == 1, plan
+    assert plan.count("FileScan parquet") == 2, plan
+    assert "TakeOrderedAndProject" in plan, plan

@@ -157,3 +157,44 @@ def test_embed_dim_stats_single_vector_nulls_match_oracle(
     assert spdf["stddev"].isna().all()
     assert not spdf["is_dead"].any()
     assert list(spdf.sort_values("dim")["mean"]) == [0.5, -0.25, 3.0]
+
+
+def test_importance_resample_sampled_ranks_target_like_docs(
+    spark, tmp_path, q, osql
+):
+    """DSIR twin semantics on a planted corpus: the 1/16 profile sample
+    (doc_id % 16 == 0) sees an en doc made of 'alpha' tokens and a de
+    doc made of 'beta' tokens, so alpha's bucket gets a positive log
+    ratio and beta's a negative one — every alpha-heavy doc must
+    outrank every beta-heavy doc, and the result must hash-match the
+    oracle on the same planted parquet."""
+    rows = []
+    for i in range(32):
+        if i < 16:  # sample (doc_id 0, 16) sees one doc of each kind
+            rows.append((i, " ".join(["alpha"] * 20), "en", "s"))
+        else:
+            rows.append((i, " ".join(["beta"] * 20), "de", "s"))
+    sf = _write_docs_r11(tmp_path, rows, "sfdsir11")
+    spdf = _cross_engine(
+        spark, q, osql, "x_importance_resample_sampled", sf, "documents"
+    )
+    ranked = list(spdf.sort_values("log_weight", ascending=False)["doc_id"])
+    assert set(ranked[:16]) == set(range(16))
+    assert (spdf["n_tokens"] == 20).all()
+
+
+def _write_docs_r11(tmp_path, rows, name):
+    """rows: (doc_id, text, lang, source)."""
+    sf_dir = str(tmp_path / name)
+    os.makedirs(sf_dir, exist_ok=True)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(sf_dir, "documents.parquet"))
+    return sf_dir

@@ -19,7 +19,11 @@ empirical DISTRIBUTIONS (profiled from sf0.1):
                            qty int 1..50, price U(900,105k) 2dp
   events      1M * sf      ts = cumsum(Exp(30d/N)) from 2024-01-01,
                            value Exp(mean 50) 2dp, props {"k": 0..99}
-  documents   50k * sf     10..100 tokens from the 30-word vocab;
+  documents   50k * sf     10..100 tokens drawn Zipf(s=1.07) from a
+                           50k-word vocabulary (round 11 — the old
+                           30-word uniform vocab made every shingle
+                           hot at sf10; see zipf_vocab()); ~8% carry a
+                           12-token boilerplate header (hot postings);
                            5% near-dups: ORDERED copy of a >=60-token
                            base with one 'dup' token inserted (keeps
                            shingle-Jaccard >= ~0.89, the LSH
@@ -56,6 +60,44 @@ VOCAB = [
     "filter", "group", "hash", "join", "key", "line", "merge", "order",
     "part", "query", "row", "scan", "slow", "small", "sort", "spark",
     "stream", "table", "the", "value", "vector", "window",
+]
+
+# --- Zipfian document vocabulary (round 11, VERDICT r10 item 3) ---
+# The original 30-word VOCAB makes EVERY 3-shingle hot at sf10 density
+# (uniform df ~150, max 516 — BENCH_sf10_r10.json), a df distribution
+# no real corpus has: posting-list cost attributions measured on it
+# were meaningless and the guarded containment run was vacuous.  Real
+# text is Zipfian: rank-k word probability ∝ 1/k^s with s ≈ 1.07, so
+# most shingles are unique (df=1) and a short head is ubiquitous.
+# Words are syllable-encodings of their rank (head words short, tail
+# words long — also text-like).  Boilerplate headers (site chrome) on
+# ~8% of docs supply the genuinely-hot posting lists the containment
+# auto-knee cap exists to drop.
+ZIPF_V = 50_000
+ZIPF_S = 1.07
+_SYL = ["ba", "ce", "di", "fo", "gu", "ha", "je", "ki", "lo", "mu",
+        "na", "pe", "qi", "ro", "su", "ta", "ve", "wi", "xo", "zu"]
+
+
+def zipf_vocab() -> np.ndarray:
+    words = []
+    for k in range(ZIPF_V):
+        w, k2 = _SYL[k % 20], k // 20
+        while k2:
+            w += _SYL[k2 % 20]
+            k2 //= 20
+        words.append(w)
+    return np.array(words)
+
+
+def zipf_cdf() -> np.ndarray:
+    w = 1.0 / np.arange(1, ZIPF_V + 1) ** ZIPF_S
+    return np.cumsum(w / w.sum())
+
+
+BOILER_FRAC = 0.08  # fraction of fresh docs carrying a boilerplate header
+BOILERPLATE = [
+    " ".join(f"hdr{t}tok{j}" for j in range(12)) for t in range(4)
 ]
 ADJS = ["blue", "cold", "hot", "large", "new", "old", "red", "small"]
 NOUNS = ["anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod", "widget"]
@@ -193,7 +235,8 @@ def gen_events(out: str, n: int, n_users: int, seed: int) -> None:
 
 def gen_documents(out: str, n: int, seed: int) -> None:
     r = np.random.default_rng(seed)
-    vocab = np.array(VOCAB)
+    vocab = zipf_vocab()
+    cdf = zipf_cdf()
     texts: list[str] = []
     langs: list[str] = []
     long_ids: list[int] = []  # near-dup base candidates (>= 60 tokens)
@@ -219,7 +262,17 @@ def gen_documents(out: str, n: int, seed: int) -> None:
             langs.append(langs[base])
         else:
             nw = int(r.integers(10, 101))
-            texts.append(" ".join(vocab[r.integers(0, len(vocab), nw)]))
+            # Zipf draws via inverse-CDF (searchsorted, not choice(p=..)
+            # which would rebuild the cumulative per call)
+            body = " ".join(vocab[np.searchsorted(cdf, r.random(nw))])
+            if r.uniform() < BOILER_FRAC:
+                # site-chrome header: the hot-posting-list source;
+                # dup branches copy base text wholesale, inheriting it
+                body = (
+                    BOILERPLATE[int(r.integers(0, len(BOILERPLATE)))]
+                    + " " + body
+                )
+            texts.append(body)
             langs.append(LANGS[int(r.choice(len(LANGS), p=LANG_P))])
             if nw >= 60:
                 long_ids.append(i)
@@ -253,6 +306,11 @@ def main() -> None:
         help="override document count (the near-dup ORACLES are all-pairs "
         "by design; cap this if the DuckDB side must stay tractable)",
     )
+    ap.add_argument(
+        "--only", default=None,
+        help="regenerate a single table (e.g. 'documents') in place — "
+        "per-table seeds make every other table bit-identical anyway",
+    )
     a = ap.parse_args()
     out = a.out or f"/root/repo/testdata/sf{a.sf:g}"
     os.makedirs(out, exist_ok=True)
@@ -260,17 +318,26 @@ def main() -> None:
     n_docs = a.documents if a.documents is not None else int(50_000 * sf)
     # embeddings grow 4x per 10x sf (driver pattern: 500@.01, 2000@.1)
     n_emb = int(round(2000 * 4 ** np.log10(sf / 0.1)))
-    print(f"generating sf{sf:g} -> {out}")
-    gen_dims(out)
-    gen_customer(out, int(150_000 * sf), a.seed + 1)
-    gen_supplier(out, int(10_000 * sf), a.seed + 2)
-    gen_part(out, int(200_000 * sf), a.seed + 3)
-    gen_orders(out, int(1_500_000 * sf), int(150_000 * sf), a.seed + 4)
-    gen_lineitem(out, int(6_000_000 * sf), int(1_500_000 * sf),
-                 int(200_000 * sf), int(10_000 * sf), a.seed + 5)
-    gen_events(out, int(1_000_000 * sf), max(int(15_000 * sf), 1), a.seed + 6)
-    gen_documents(out, n_docs, a.seed + 7)
-    gen_embeddings(out, n_emb, a.seed + 8)
+    print(f"generating sf{sf:g} -> {out}"
+          + (f" (only {a.only})" if a.only else ""))
+    gens = {
+        "dims": lambda: gen_dims(out),
+        "customer": lambda: gen_customer(out, int(150_000 * sf), a.seed + 1),
+        "supplier": lambda: gen_supplier(out, int(10_000 * sf), a.seed + 2),
+        "part": lambda: gen_part(out, int(200_000 * sf), a.seed + 3),
+        "orders": lambda: gen_orders(
+            out, int(1_500_000 * sf), int(150_000 * sf), a.seed + 4),
+        "lineitem": lambda: gen_lineitem(
+            out, int(6_000_000 * sf), int(1_500_000 * sf),
+            int(200_000 * sf), int(10_000 * sf), a.seed + 5),
+        "events": lambda: gen_events(
+            out, int(1_000_000 * sf), max(int(15_000 * sf), 1), a.seed + 6),
+        "documents": lambda: gen_documents(out, n_docs, a.seed + 7),
+        "embeddings": lambda: gen_embeddings(out, n_emb, a.seed + 8),
+    }
+    for name, fn in gens.items():
+        if a.only is None or name == a.only:
+            fn()
     with open(os.path.join(out, "MANIFEST.json"), "w") as f:
         json.dump({"sf": sf, "seed": a.seed, "documents": n_docs,
                    "embeddings": n_emb}, f)
