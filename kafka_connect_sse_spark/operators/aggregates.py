@@ -2735,3 +2735,216 @@ def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag", F.explode(F.array(*cells)).alias("c")
     ).select("l_returnflag", "c.*")
+
+
+@register(
+    "q_ts_theil_sen",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    di AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', day) AS x,
+             CAST(n AS BIGINT) AS y
+      FROM d),
+    slopes AS (
+      SELECT a.event_type,
+             CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS s
+      FROM di a JOIN di b
+        ON a.event_type = b.event_type AND a.x < b.x),
+    agg AS (
+      SELECT event_type, COUNT(*) AS n_pairs,
+             list_sort(list(s)) AS ss
+      FROM slopes GROUP BY event_type),
+    nd AS (SELECT event_type, COUNT(*) AS n_days FROM di GROUP BY 1)
+    SELECT a.event_type, nd.n_days, a.n_pairs,
+           ss[CAST((a.n_pairs + 1) // 2 AS INT)] AS ts_slope
+    FROM agg a JOIN nd ON nd.event_type = a.event_type
+    """,
+)
+def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: the MEDIAN of all
+    pairwise day-over-day slopes of the daily event count — the
+    outlier-resistant trend estimator (up to 29% contamination
+    breakdown) one tier above q_agg_linreg's OLS, which a single
+    traffic spike can swing arbitrarily.
+
+    Cross-engine exactness: each slope is (Δcount)/(Δdays) — one IEEE
+    division of exact integers, bit-identical in both engines; the
+    estimator is the lower median picked by RANK from the sorted slope
+    list (element (n+1)//2 — an order statistic of identical doubles,
+    no interpolation, no rounding anywhere).
+
+    100 TB posture: the only corpus-sized stage is the (type, day)
+    partial-agg count; the pair expansion is a self-join of the
+    BOUNDED daily relation (|days|² pairs per type — ~16k at a year of
+    days, CONSTANT in corpus size), and the per-type slope list the
+    median indexes into is equally bounded.  The day spine never
+    grows with data volume — only with calendar time.  The daily
+    relation feeds THREE consumers (both self-join sides + the
+    n_days rollup), so it is localCheckpointed — the bounded-relation
+    arm of the AQE no-cross-stage-reuse rule; without it the corpus
+    agg replays once per consumer (plan-pinned: zero events scans in
+    the final plan)."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count("*").alias("n"))
+    di = d.select(
+        "event_type",
+        F.datediff(F.col("day"), F.lit("1970-01-01")).alias("x"),
+        F.col("n").cast("long").alias("y"),
+    ).localCheckpoint(eager=True)
+    a, b = di.alias("a"), di.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x"))
+        ).alias("s"),
+    )
+    agg = slopes.groupBy("event_type").agg(
+        F.count("*").alias("n_pairs"),
+        F.array_sort(F.collect_list("s")).alias("ss"),
+    )
+    nd = di.groupBy("event_type").agg(F.count("*").alias("n_days"))
+    return (
+        agg.join(nd, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_pairs",
+            F.element_at(
+                F.col("ss"),
+                F.expr("CAST((n_pairs + 1) div 2 AS INT)"),
+            ).alias("ts_slope"),
+        )
+    )
+
+
+TRIM_PCT = 5  # q_agg_trimmed_mean drops/clips the lowest+highest 5%
+
+
+@register(
+    "q_agg_trimmed_mean",
+    oracle=f"""
+    WITH h AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1, 2),
+    w AS (
+      SELECT l_returnflag, q, cnt,
+             SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY q) AS cum,
+             SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+      FROM h),
+    k AS (
+      SELECT *, ({TRIM_PCT} * n) // 100 AS k,
+             GREATEST(0, LEAST(cum, n - ({TRIM_PCT} * n) // 100)
+                        - GREATEST(cum - cnt, ({TRIM_PCT} * n) // 100))
+               AS kept
+      FROM w),
+    agg AS (
+      SELECT l_returnflag,
+             CAST(MAX(n) AS BIGINT) AS n_rows,
+             CAST(MAX(k) AS BIGINT) AS trim_k,
+             CAST(SUM(q * kept) AS BIGINT) AS tsum,
+             CAST(MIN(CASE WHEN cum >= k + 1 THEN q END) AS BIGINT)
+               AS lo_clip,
+             CAST(MIN(CASE WHEN cum >= n - k THEN q END) AS BIGINT)
+               AS hi_clip
+      FROM k GROUP BY l_returnflag)
+    SELECT l_returnflag, n_rows, trim_k, lo_clip, hi_clip,
+           CAST(tsum AS DOUBLE) / (n_rows - 2 * trim_k) AS trimmed_mean,
+           CAST(tsum + trim_k * lo_clip + trim_k * hi_clip AS DOUBLE) / n_rows
+             AS winsorized_mean
+    FROM agg
+    """,
+)
+def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust central tendency per group: the {TRIM_PCT}%-trimmed mean
+    (drop the k = floor(0.05n) lowest and highest l_quantity values)
+    and the winsorized mean (clip them to the surviving boundary
+    values) — the outlier-resistant location estimators between
+    q_agg_stats' mean and q_agg_mad's median.
+
+    Mechanics — the value-HISTOGRAM form, not a sort: l_quantity has a
+    bounded integer domain (1..50), so the exact order statistics come
+    from cumulative counts over a |groups| x |values| relation.  Each
+    value's kept copies = overlap of its cumulative span (cum-cnt,
+    cum] with the kept rank band (k, n-k]; the boundary clips are the
+    (k+1)-th and (n-k)-th smallest values read off the same cumulative.
+
+    Cross-engine exactness: everything up to the final division is
+    BIGINT arithmetic (counts, ranks, value*kept products); the two
+    means are single IEEE divisions of identical integers — emitted
+    UNROUNDED because bit-identical inputs give bit-identical doubles.
+
+    100 TB posture: ONE corpus-sized partial-agg shuffle onto
+    (group, value) cells — mergeable state, map-side combine absorbs
+    the row volume; the window runs over the |values|-bounded
+    histogram (50 rows per group), never over raw rows.  Unlike
+    q_agg_mad's exact form this carries NO bounded-cardinality caveat:
+    the histogram IS the bound.  For unbounded-domain measures, bucket
+    first (q_agg_histogram) or use the sketch tier
+    (q_agg_percentile_approx)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("q")
+    ).agg(F.count("*").alias("cnt"))
+    win_o = Window.partitionBy("l_returnflag").orderBy("q")
+    win_a = Window.partitionBy("l_returnflag")
+    w = h.select(
+        "l_returnflag",
+        "q",
+        "cnt",
+        F.sum("cnt").over(win_o).alias("cum"),
+        F.sum("cnt").over(win_a).alias("n"),
+    )
+    kq = w.select(
+        "*",
+        F.expr(f"({TRIM_PCT} * n) div 100").alias("k"),
+    ).select(
+        "*",
+        F.greatest(
+            F.lit(0),
+            F.least(F.col("cum"), F.col("n") - F.col("k"))
+            - F.greatest(F.col("cum") - F.col("cnt"), F.col("k")),
+        ).alias("kept"),
+    )
+    agg = kq.groupBy("l_returnflag").agg(
+        F.max("n").cast("long").alias("n_rows"),
+        F.max("k").cast("long").alias("trim_k"),
+        F.sum(F.col("q") * F.col("kept")).cast("long").alias("tsum"),
+        F.min(F.when(F.col("cum") >= F.col("k") + 1, F.col("q")))
+        .cast("long")
+        .alias("lo_clip"),
+        F.min(F.when(F.col("cum") >= F.col("n") - F.col("k"), F.col("q")))
+        .cast("long")
+        .alias("hi_clip"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        "trim_k",
+        "lo_clip",
+        "hi_clip",
+        (
+            F.col("tsum").cast("double")
+            / (F.col("n_rows") - 2 * F.col("trim_k"))
+        ).alias("trimmed_mean"),
+        (
+            (
+                F.col("tsum")
+                + F.col("trim_k") * F.col("lo_clip")
+                + F.col("trim_k") * F.col("hi_clip")
+            ).cast("double")
+            / F.col("n_rows")
+        ).alias("winsorized_mean"),
+    )

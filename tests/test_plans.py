@@ -1050,3 +1050,23 @@ def test_importance_resample_sampled_weight_pass_is_mapside(spark):
     assert plan.count("Generate") == 1, plan
     assert plan.count("FileScan parquet") == 2, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_theil_sen_pairs_expand_on_checkpointed_daily_relation(spark):
+    """q_ts_theil_sen: the (type, day) relation feeds three consumers
+    (both self-join sides + n_days), so it must be localCheckpointed —
+    zero events FileScans in the final plan (lineage truncated), the
+    AQE no-cross-stage-reuse rule's bounded-relation arm."""
+    plan = _final_plan(queries()["q_ts_theil_sen"](spark, SF))
+    assert plan.count("FileScan parquet") == 0, plan
+    assert "ExistingRDD" in plan, plan
+
+
+def test_trimmed_mean_windows_run_on_histogram_not_rows(spark):
+    """q_agg_trimmed_mean: ONE lineitem scan feeding the (group, value)
+    partial agg; the cumulative/total windows run over the 50-value
+    histogram, never over raw rows (the scan's aggregate sits BELOW
+    both Window operators in the plan)."""
+    plan = _final_plan(queries()["q_agg_trimmed_mean"](spark, SF))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "HashAggregate" in plan, plan

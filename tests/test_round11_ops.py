@@ -198,3 +198,78 @@ def _write_docs_r11(tmp_path, rows, name):
     )
     pq.write_table(tbl, os.path.join(sf_dir, "documents.parquet"))
     return sf_dir
+
+
+def _write_events_r11(tmp_path, rows, name):
+    """rows: (event_id, ts_iso, user_id, event_type, value)."""
+    import datetime as dt
+
+    sf_dir = str(tmp_path / name)
+    os.makedirs(sf_dir, exist_ok=True)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [dt.datetime.fromisoformat(r[1]) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(sf_dir, "events.parquet"))
+    return sf_dir
+
+
+def test_theil_sen_ignores_single_spike_ols_would_not(
+    spark, tmp_path, q, osql
+):
+    """Daily counts 1,2,3,4,100: of the 10 pairwise slopes, six are
+    exactly 1.0 and the lower median (5th of 10) is 1.0 — the planted
+    spike that would drag an OLS slope to ~+17 leaves Theil-Sen at
+    exactly the clean trend.  Cross-engine hash must match on the same
+    planted parquet."""
+    import datetime as dt
+
+    rows, eid = [], 0
+    base = dt.date(2024, 3, 1)
+    for i, c in enumerate([1, 2, 3, 4, 100]):
+        day = (base + dt.timedelta(days=i)).isoformat()
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, f"{day}T09:00:00", 1, "view", 1.0))
+    sf = _write_events_r11(tmp_path, rows, "sfts11")
+    spdf = _cross_engine(spark, q, osql, "q_ts_theil_sen", sf, "events")
+    r = spdf.iloc[0]
+    assert (r["n_days"], r["n_pairs"]) == (5, 10)
+    assert r["ts_slope"] == 1.0
+
+
+def test_trimmed_mean_drops_and_winsorized_clips_hand_computed(
+    spark, tmp_path, q, osql
+):
+    """Group A: one 1, eighteen 10s, one 100 (n=20, k=1): the trimmed
+    mean drops both extremes (exactly 10.0) and the winsorized mean
+    clips them to the surviving boundaries (also 10.0, lo=hi=10).
+    Group B (n=4, k=0): trimming is a no-op — both means equal the
+    plain mean, clips are the true min/max."""
+    rows = (
+        [("A", 1, 1, 0.0, 0.0)]
+        + [("A", 10, 1, 0.0, 0.0)] * 18
+        + [("A", 100, 1, 0.0, 0.0)]
+        + [("B", v, 1, 0.0, 0.0) for v in (2, 10, 10, 18)]
+    )
+    sf = _write_lineitem(tmp_path, rows, "sftm11")
+    spdf = _cross_engine(
+        spark, q, osql, "q_agg_trimmed_mean", sf, "lineitem"
+    )
+    a = spdf[spdf.l_returnflag == "A"].iloc[0]
+    assert (a["n_rows"], a["trim_k"]) == (20, 1)
+    assert (a["trimmed_mean"], a["winsorized_mean"]) == (10.0, 10.0)
+    assert (a["lo_clip"], a["hi_clip"]) == (10, 10)
+    b = spdf[spdf.l_returnflag == "B"].iloc[0]
+    assert (b["n_rows"], b["trim_k"]) == (4, 0)
+    assert (b["trimmed_mean"], b["winsorized_mean"]) == (10.0, 10.0)
+    assert (b["lo_clip"], b["hi_clip"]) == (2, 18)
