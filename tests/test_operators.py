@@ -84,79 +84,79 @@ def test_salting_helpers_round_trip(spark):
     assert joined.count() == plain.count()
 
 
-def test_round10_driver_window_composition(qs):
+def test_round11_driver_window_composition(qs):
     """The driver checks the FIRST 50 registry entries.  Pin the
-    round-10 rotation window: (a) the 12 new ops, (b) the 6 ops whose
-    code or oracle changed this round (the four ADVICE r9 fixes,
-    q_agg_mad's docstring contract, and x_decontaminate's post-gate
-    gram-build rewrite), (c) the FULL 26-op r4-era cohort VERDICT r9
-    item 1 names — after this round no operator's newest driver record
-    predates round 5 — and (d) 6 of the oldest r5 rows, alphabetical
-    from that cohort.  A silent reordering here would
-    burn the round's freshness evidence.  Every deferred op is
-    code-UNMODIFIED this round (its r8/r9 driver record attests the
+    round-11 rotation window: (a) the 3 new ops, (b) the 5 ops whose
+    code or oracle changed this round (the three ADVICE r10
+    degenerate-division guards, x_containment_dedup's auto-knee cap,
+    x_decontaminate's docstring contract), (c) the FULL 38-op r5-era
+    cohort VERDICT r10 item 1 names — after this round no operator's
+    newest driver record predates round 6 — and (d) 4 of the oldest
+    r6-era rows, alphabetical from that cohort.  A silent reordering
+    here would burn the round's freshness evidence.  Every deferred op
+    is code-UNMODIFIED this round (its newest driver record attests the
     running code) and the full-registry sf0.01 + sf1 sweeps re-cover
     the whole surface each round."""
     from kafka_connect_sse_spark.registry import _PRIORITY
 
     window = list(qs)[: len(_PRIORITY)]
     assert window == list(_PRIORITY)
-    assert len(_PRIORITY) == 50, "round-10 window must fill all 50 slots"
+    assert len(_PRIORITY) == 50, "round-11 window must fill all 50 slots"
     assert window == [
         # (a) new this round
-        "q_agg_mad_approx",
-        "q_ts_holt",
-        "q_ts_cusum",
-        "q_ts_seasonal_dow",
+        "x_importance_resample_sampled",
+        "q_ts_theil_sen",
+        "q_agg_trimmed_mean",
+        # (b) code/oracle changed this round
         "q_agg_skew_kurt",
         "q_agg_corr_matrix",
-        "q_markov_transitions",
-        "q_funnel_ttc",
-        "x_tok_len_hist",
-        "x_doc_len_gini",
-        "x_char_ngram_entropy",
         "x_embed_dim_stats",
-        # (b) code/oracle changed this round
-        "x_token_budget",
-        "x_heaps_law",
-        "q_pagerank_iter",
-        "q_fn_editdist",
-        "q_agg_mad",
+        "x_containment_dedup",
         "x_decontaminate",
-        # (c) the full 26-op r4-era cohort (VERDICT r9 item 1)
-        "q_agg_bitmap_distinct",
-        "q_agg_filtered",
-        "q_agg_global",
-        "q_agg_groupby",
-        "q_agg_hll_mergeable",
-        "q_agg_kll_mergeable",
-        "q_agg_listagg",
-        "q_agg_theta_overlap",
-        "q_cdc_scd2",
-        "q_fn_datetime2",
-        "q_fn_string3",
-        "q_fn_try_arithmetic",
-        "q_fn_url",
-        "q_fn_variant",
-        "q_fn_xml",
-        "q_join_asof_nearest",
-        "q_join_bloom_prune",
-        "q_join_dpp",
-        "q_project_rename",
-        "q_set_intersect_all",
-        "q_win_count_distinct",
-        "snk_jsonl",
-        "snk_parquet_sorted",
-        "src_parquet_scan",
-        "x_dedup_prefix",
-        "x_hard_negatives",
-        # (d) oldest r5-era rows, alphabetical from that cohort
-        "q_agg_count_distinct",
-        "q_agg_cube",
-        "q_agg_grouping_sets",
-        "q_agg_min_max_by",
-        "q_agg_percentile",
-        "q_agg_pivot",
+        # (c) the full 38-op r5-era cohort (VERDICT r10 item 1)
+        "q_agg_rollup",
+        "q_agg_stats",
+        "q_agg_unpivot",
+        "q_coalesce_defaults",
+        "q_distinct",
+        "q_filter_basic",
+        "q_filter_in_between",
+        "q_filter_like_regex",
+        "q_filter_null",
+        "q_in_subquery",
+        "q_join_asof",
+        "q_join_cross",
+        "q_join_full_outer",
+        "q_join_inner_broadcast",
+        "q_join_inner_shuffle",
+        "q_join_left_anti",
+        "q_join_left_outer",
+        "q_join_left_semi",
+        "q_join_multiway",
+        "q_join_range_banded",
+        "q_join_salted_skew",
+        "q_join_self",
+        "q_join_theta_range",
+        "q_project_computed",
+        "q_scalar_subquery",
+        "q_sort_multikey",
+        "q_topk_per_group",
+        "q_win_first_last",
+        "q_win_lag_lead",
+        "q_win_moving_avg",
+        "q_win_nth_value",
+        "q_win_pct",
+        "q_win_range_frame",
+        "q_win_ranking",
+        "src_sse_stream",
+        "x_bpe_pair_counts",
+        "x_fingerprint",
+        "x_sim_topk_cosine",
+        # (d) oldest r6-era rows, alphabetical from that cohort
+        "q_agg_approx_distinct",
+        "q_agg_bytes_by_type",
+        "q_agg_collect_sorted",
+        "q_agg_having",
     ]
     # every window op must carry an oracle (EXACT gate, not rows-only)
     from kafka_connect_sse_spark.registry import oracle_sql

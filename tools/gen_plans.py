@@ -109,6 +109,9 @@ COMMENTARY = {
     "x_doc_len_gini": "the ranking window partitions BY SOURCE (per-source sort spills cleanly — the q_agg_topn_share shape); the rank-formula sums partial-aggregate onto |sources| rows; all arithmetic integer until one final division.",
     "x_char_ngram_entropy": "the trigram explode shuffles (lang, gram) with map-side combine — wide state is the charset³-bounded count relation, never text; the entropy reduction is a second partial agg onto |langs| rows with DECIMAL-carried terms.",
     "x_embed_dim_stats": "posexplode into ONE (dim)-keyed partial agg carrying two DECIMAL accumulators — map-side combine absorbs the dim× row expansion; output is |dims| rows.",
+    "x_importance_resample_sampled": "profile pass explodes only the 1/16 doc sample (pushed filter) onto a 256-key partial agg; the weight pass is MAP-ONLY — each doc folds its token array against one broadcast 256-long micro-unit array; the sole exchange is the top-100 TakeOrderedAndProject merge; no persist, no InMemoryTableScan (plan-pinned).",
+    "q_ts_theil_sen": "the (type, day) partial-agg relation is localCheckpointed (three consumers — bounded-relation arm of the AQE reuse rule), so the final plan shows ZERO events scans; the |days|² pair self-join and the per-type sorted slope list ride the bounded relation only.",
+    "q_agg_trimmed_mean": "one corpus scan into the (group, value) partial-agg histogram; cumulative + total windows run over the 50-row-per-group histogram; everything integer until the two final divisions.",
 }
 
 
