@@ -840,7 +840,9 @@ def containment_dedup(
                 * F.coalesce(F.col("p99_df"), F.lit(0)),
             ).alias("cap_df")
         )
-        postings = postings.crossJoin(F.broadcast(cap)).filter(
+        # unhinted: cap is ONE row — AQE broadcasts it from its own size
+        # estimate, and this op's plan pin requires zero forced hints
+        postings = postings.crossJoin(cap).filter(
             F.size("ds") <= F.col("cap_df")
         )
     elif max_df is not None:
