@@ -98,18 +98,24 @@ def register(name: str, oracle: str | None = None):
 #   (a) the 3 new ops — x_importance_resample_sampled (the DSIR scale
 #       twin, VERDICT r10 item 4), q_ts_theil_sen (robust trend),
 #       q_agg_trimmed_mean (exact trimmed/winsorized means);
-#   (b) the 5 ops whose CODE or ORACLE changed this round and must
+#   (b) the 6 ops whose CODE or ORACLE changed this round and must
 #       re-attest: the three ADVICE r10 degenerate-division guards
 #       (q_agg_skew_kurt, q_agg_corr_matrix, x_embed_dim_stats),
 #       x_containment_dedup (auto-knee hot-postings cap, VERDICT r10
 #       item 2 — oracle rewritten to mirror the cap rule), and
 #       x_decontaminate (docstring-contract fix only — included
-#       conservatively, the round-9/10 precedent);
+#       conservatively, the round-9/10 precedent), and
+#       x_contam_estimate (error contract restated union-relative +
+#       lgNomEntries=16 after the Zipf fixture exposed the old
+#       within-5%-of-intersection claim — caught by THIS round's sf1
+#       gate, fixed, re-attested at sf0.001/sf0.01/sf1);
 #   (c) the FULL 38-op r5-era cohort VERDICT r10 item 1 names — after
 #       this round no operator's newest driver record predates round 6;
-#   (d) 4 of the oldest r6-era rows, alphabetical from that cohort
-#       (q_agg_approx_distinct .. q_agg_having), starting the r6
-#       rotation the same way the r4/r5 cohorts rotated.
+#   (d) 3 of the oldest r6-era rows, alphabetical from that cohort
+#       (q_agg_approx_distinct .. q_agg_collect_sorted), starting the
+#       r6 rotation the same way the r4/r5 cohorts rotated
+#       (q_agg_having yielded its seat to the x_contam_estimate
+#       re-attest; its r6 record still satisfies the invariant).
 # Deferral evidence: every op leaving the window is code-UNMODIFIED
 # this round, so its newest driver record attests exactly the running
 # code, plus the builder-side full sf0.01 + sf1 sweeps each round.
@@ -269,6 +275,7 @@ _PRIORITY = (
     "x_embed_dim_stats",
     "x_containment_dedup",
     "x_decontaminate",
+    "x_contam_estimate",
     # (c) the full 38-op r5-era cohort (VERDICT r10 item 1)
     "q_agg_rollup",
     "q_agg_stats",
@@ -312,7 +319,6 @@ _PRIORITY = (
     "q_agg_approx_distinct",
     "q_agg_bytes_by_type",
     "q_agg_collect_sorted",
-    "q_agg_having",
 )
 
 

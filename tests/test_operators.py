@@ -86,13 +86,15 @@ def test_salting_helpers_round_trip(spark):
 
 def test_round11_driver_window_composition(qs):
     """The driver checks the FIRST 50 registry entries.  Pin the
-    round-11 rotation window: (a) the 3 new ops, (b) the 5 ops whose
+    round-11 rotation window: (a) the 3 new ops, (b) the 6 ops whose
     code or oracle changed this round (the three ADVICE r10
     degenerate-division guards, x_containment_dedup's auto-knee cap,
-    x_decontaminate's docstring contract), (c) the FULL 38-op r5-era
+    x_decontaminate's docstring contract, x_contam_estimate's
+    union-relative error contract), (c) the FULL 38-op r5-era
     cohort VERDICT r10 item 1 names — after this round no operator's
-    newest driver record predates round 6 — and (d) 4 of the oldest
-    r6-era rows, alphabetical from that cohort.  A silent reordering
+    newest driver record predates round 6 — and (d) 3 of the oldest
+    r6-era rows, alphabetical from that cohort (q_agg_having yielded
+    its seat to the x_contam_estimate re-attest the sf1 gate forced).  A silent reordering
     here would burn the round's freshness evidence.  Every deferred op
     is code-UNMODIFIED this round (its newest driver record attests the
     running code) and the full-registry sf0.01 + sf1 sweeps re-cover
@@ -113,6 +115,7 @@ def test_round11_driver_window_composition(qs):
         "x_embed_dim_stats",
         "x_containment_dedup",
         "x_decontaminate",
+        "x_contam_estimate",
         # (c) the full 38-op r5-era cohort (VERDICT r10 item 1)
         "q_agg_rollup",
         "q_agg_stats",
@@ -156,7 +159,6 @@ def test_round11_driver_window_composition(qs):
         "q_agg_approx_distinct",
         "q_agg_bytes_by_type",
         "q_agg_collect_sorted",
-        "q_agg_having",
     ]
     # every window op must carry an oracle (EXACT gate, not rows-only)
     from kafka_connect_sse_spark.registry import oracle_sql

@@ -95,6 +95,10 @@ ALLOWLIST = {
     "x_embed_pca_power": 4,
     "x_embed_whiten": 4,
     "x_hard_negatives": 2,
+    # 2 = the 1/16-sampled profile pass + the map-only weight pass —
+    # deliberately two scans instead of persisting a corpus-sized
+    # (doc, bucket) relation (see the op docstring; plan-pinned)
+    "x_importance_resample_sampled": 2,
     "x_label_separation": 2,
     "x_length_outliers": 3,
     "x_ngram_jaccard": 3,
