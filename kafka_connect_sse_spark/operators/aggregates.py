@@ -2948,3 +2948,390 @@ def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_rows")
         ).alias("winsorized_mean"),
     )
+
+
+@register(
+    "q_ts_mann_kendall",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    di AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', day) AS x,
+             CAST(n AS BIGINT) AS y
+      FROM d),
+    s AS (
+      SELECT a.event_type,
+             CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s_stat,
+             COUNT(*) AS n_pairs
+      FROM di a JOIN di b
+        ON a.event_type = b.event_type AND a.x < b.x
+      GROUP BY a.event_type),
+    nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+           FROM di GROUP BY 1),
+    ties AS (
+      SELECT event_type,
+             CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      FROM (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t
+            FROM di GROUP BY event_type, y)
+      GROUP BY event_type)
+    SELECT s.event_type, nd.n_days, s.s_stat,
+           nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+             - ties.tie_term AS var18,
+           CASE
+             WHEN nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+                  - ties.tie_term = 0 THEN NULL
+             WHEN s.s_stat > 0 THEN
+               (CAST(s.s_stat AS DOUBLE) - 1)
+                 / sqrt((nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+                         - ties.tie_term) / 18.0)
+             WHEN s.s_stat < 0 THEN
+               (CAST(s.s_stat AS DOUBLE) + 1)
+                 / sqrt((nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+                         - ties.tie_term) / 18.0)
+             ELSE 0.0
+           END AS mk_z
+    FROM s JOIN nd ON nd.event_type = s.event_type
+           JOIN ties ON ties.event_type = s.event_type
+    """,
+)
+def q_ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per event type: S = Σ_{i<j}
+    sign(y_j − y_i) over the time-ordered daily counts, with the
+    tie-corrected normal approximation z — the nonparametric
+    significance companion to q_ts_theil_sen's slope (the two are the
+    standard pairing: Theil-Sen says HOW STEEP, Mann-Kendall says HOW
+    SURE).
+
+    Cross-engine exactness: S, n_days, and the tie term are exact
+    BIGINTs; var18 = n(n−1)(2n+5) − Σ t(t−1)(2t+5) stays an exact
+    integer (the classical /18 is deferred so no engine ever rounds
+    it); z is (S∓1)/sqrt(var18/18.0) — one IEEE division of exact
+    integers, one correctly-rounded IEEE sqrt, one final division,
+    each bit-identical across engines.  Degenerate groups (all-tied
+    days, var18 = 0) yield NULL on BOTH sides, per the ADVICE r10
+    degenerate-division rule.
+
+    100 TB posture (the q_ts_theil_sen twin): the only corpus-sized
+    stage is the (type, day) partial-agg count; the sign-pair
+    expansion runs on the BOUNDED daily relation (|days|² per type —
+    calendar-bounded, constant in corpus size), and the tie histogram
+    is |distinct y| ≤ |days| rows.  The daily relation feeds three
+    consumers (both join sides + the tie rollup), so it is
+    localCheckpointed — the bounded-relation arm of the AQE
+    no-cross-stage-reuse rule, same as the theil_sen plan pin."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count("*").alias("n"))
+    di = d.select(
+        "event_type",
+        F.datediff(F.col("day"), F.lit("1970-01-01")).alias("x"),
+        F.col("n").cast("long").alias("y"),
+    ).localCheckpoint(eager=True)
+    a, b = di.alias("a"), di.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.x") < F.col("b.x")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.y") > F.col("a.y"), 1)
+                .when(F.col("b.y") < F.col("a.y"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat"),
+            F.count("*").alias("n_pairs"),
+        )
+        .drop("n_pairs")
+    )
+    nd = di.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days")
+    )
+    ties = (
+        di.groupBy("event_type", "y")
+        .agg(F.count("*").cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    var18 = (
+        F.col("n_days")
+        * (F.col("n_days") - 1)
+        * (2 * F.col("n_days") + 5)
+        - F.col("tie_term")
+    )
+    return (
+        s.join(nd, "event_type")
+        .join(ties, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            var18.alias("var18"),
+            F.when(var18 == 0, F.lit(None).cast("double"))
+            .when(
+                F.col("s_stat") > 0,
+                (F.col("s_stat").cast("double") - 1)
+                / F.sqrt(var18 / F.lit(18.0)),
+            )
+            .when(
+                F.col("s_stat") < 0,
+                (F.col("s_stat").cast("double") + 1)
+                / F.sqrt(var18 / F.lit(18.0)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mk_z"),
+        )
+    )
+
+
+@register(
+    "q_agg_mann_whitney",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c2
+      FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1),
+    w AS (
+      SELECT q, c1, c2, c1 + c2 AS c,
+             SUM(c1 + c2) OVER (ORDER BY q) AS cum
+      FROM h),
+    agg AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c2) AS BIGINT) AS n2,
+             CAST(SUM((2 * cum - c + 1) * c1) AS BIGINT) AS twice_r1,
+             CAST(SUM(c * c * c - c) AS BIGINT) AS tie_cubes
+      FROM w)
+    SELECT n1, n2,
+           twice_r1 - n1 * (n1 + 1) AS twice_u1,
+           (CAST(twice_r1 - n1 * (n1 + 1) AS DOUBLE)) / 2 AS u1,
+           CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 2 THEN NULL
+                WHEN (CAST(n1 * n2 AS DOUBLE) / 12)
+                     * ((n1 + n2 + 1)
+                        - CAST(tie_cubes AS DOUBLE)
+                          / ((n1 + n2) * (n1 + n2 - 1))) = 0 THEN NULL
+                ELSE (CAST(twice_r1 - n1 * (n1 + 1) AS DOUBLE) / 2
+                      - CAST(n1 * n2 AS DOUBLE) / 2)
+                     / sqrt((CAST(n1 * n2 AS DOUBLE) / 12)
+                            * ((n1 + n2 + 1)
+                               - CAST(tie_cubes AS DOUBLE)
+                                 / ((n1 + n2) * (n1 + n2 - 1))))
+           END AS mw_z
+    FROM agg
+    """,
+)
+def q_agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test: does l_quantity for
+    returned-flag 'A' stochastically dominate flag 'R'?  The
+    nonparametric two-sample location test one robustness tier above
+    q_agg_welch_t — rank-based, so a single corrupt extreme value
+    moves U by at most one rank, where Welch's t moves unboundedly.
+
+    Cross-engine exactness, the q_agg_trimmed_mean discipline: ranks
+    are never materialized per row — the (quantity, count) HISTOGRAM
+    carries them.  For a distinct value with combined count c ending
+    at cumulative cum, every one of its rows takes the average rank
+    (2·cum − c + 1)/2, so 2·R1 = Σ (2cum − c + 1)·c1 is an exact
+    BIGINT, 2·U1 = 2R1 − n1(n1+1) likewise; u1 halves it in one IEEE
+    division.  The tie-corrected variance n1n2/12·[(n+1) −
+    Σ(c³−c)/(n(n−1))] is evaluated with the IDENTICAL cast-and-divide
+    sequence in both engines (each factor an exact-integer-derived
+    double; IEEE ×,/ and the final correctly-rounded sqrt are
+    deterministic), so z is bit-identical with no rounding grain.
+    Degenerate inputs (an empty side, all values tied) yield NULL on
+    both sides, per the ADVICE r10 degenerate-division rule.
+
+    100 TB posture: the corpus-sized stage is the 50-row quantity
+    histogram (partial-agg'd conditional counts, map-side combine);
+    the rank window runs ON the histogram, never on rows — the same
+    shape that makes q_agg_trimmed_mean's windows free.  No
+    bounded-cardinality caveat: quantity's value domain, not the row
+    count, sizes every post-histogram stage."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    h = li.groupBy(F.col("l_quantity").cast("long").alias("q")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    w = h.select(
+        "q",
+        "c1",
+        "c2",
+        (F.col("c1") + F.col("c2")).alias("c"),
+    ).select(
+        "*",
+        F.sum("c")
+        .over(
+            Window.orderBy("q").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+    )
+    agg = w.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum((2 * F.col("cum") - F.col("c") + 1) * F.col("c1"))
+        .cast("long")
+        .alias("twice_r1"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("tie_cubes"),
+    )
+    n, n1, n2 = (
+        F.col("n1") + F.col("n2"),
+        F.col("n1"),
+        F.col("n2"),
+    )
+    twice_u1 = F.col("twice_r1") - n1 * (n1 + 1)
+    sigma2 = ((n1 * n2).cast("double") / 12) * (
+        (n + 1)
+        - F.col("tie_cubes").cast("double") / (n * (n - 1))
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        twice_u1.alias("twice_u1"),
+        (twice_u1.cast("double") / 2).alias("u1"),
+        F.when(
+            (n1 == 0) | (n2 == 0) | (n < 2),
+            F.lit(None).cast("double"),
+        )
+        .when(sigma2 == 0, F.lit(None).cast("double"))
+        .otherwise(
+            (
+                twice_u1.cast("double") / 2
+                - (n1 * n2).cast("double") / 2
+            )
+            / F.sqrt(sigma2)
+        )
+        .alias("mw_z"),
+    )
+
+
+@register(
+    "q_agg_cramers_v",
+    oracle="""
+    WITH cell AS (
+      SELECT event_type, isodow(ts) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n_ij
+      FROM events GROUP BY 1, 2),
+    r AS (SELECT event_type, CAST(SUM(n_ij) AS BIGINT) AS r_i
+          FROM cell GROUP BY 1),
+    c AS (SELECT dow, CAST(SUM(n_ij) AS BIGINT) AS c_j
+          FROM cell GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_ij) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_r,
+                   CAST(COUNT(DISTINCT dow) AS BIGINT) AS n_c
+            FROM cell),
+    chi AS (
+      SELECT CAST(SUM(CAST(ROUND(
+               POWER(CAST(cell.n_ij AS DOUBLE)
+                     - CAST(r.r_i * c.c_j AS DOUBLE) / tot.n, 2)
+                 / (CAST(r.r_i * c.c_j AS DOUBLE) / tot.n), 9)
+             AS DECIMAL(28,9))) AS DOUBLE) AS chi2
+      FROM cell
+      JOIN r ON r.event_type = cell.event_type
+      JOIN c ON c.dow = cell.dow
+      CROSS JOIN tot)
+    SELECT tot.n AS n_events, tot.n_r AS n_rows_dim,
+           tot.n_c AS n_cols_dim, ROUND(chi.chi2, 6) AS chi2,
+           CASE WHEN LEAST(tot.n_r, tot.n_c) <= 1 THEN NULL
+                ELSE ROUND(sqrt(chi.chi2
+                         / (tot.n * (LEAST(tot.n_r, tot.n_c) - 1))), 6)
+           END AS cramers_v
+    FROM chi CROSS JOIN tot
+    """,
+)
+def q_agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between event_type and ISO day-of-week:
+    the χ²-derived [0,1] effect size for two categoricals — "is event
+    mix a function of weekday?" — complementing x_chi2_keyness (which
+    ranks TERMS by keyness) with the single-number association
+    strength between two bounded dimensions.
+
+    Cross-engine exactness: cell counts, row/column marginals, and n
+    are exact BIGINTs; each cell's (n_ij − e_ij)²/e_ij term is an
+    IEEE-deterministic double (e_ij = r_i·c_j/n — integer product,
+    one division) ROUNDed to the 9-dp grid and summed as
+    DECIMAL(28,9) so partial-sum ORDER cannot perturb χ² (the
+    x_char_ngram_entropy discipline); V = sqrt(χ²/(n·(min(r,c)−1)))
+    re-rounds at 6 dp.  A degenerate 1×k table yields NULL, not a
+    division by zero (ADVICE r10 rule).
+
+    100 TB posture: one corpus-sized partial-agg to the (type, dow)
+    cell table — at most |types|·7 cells; marginals and χ² run on
+    CELLS.  The dow extraction is map-side (isodow == Spark's
+    dayofweek reindexed; both engines agree on ISO numbering via
+    (dayofweek+5)%7+1).  The cell table feeds four consumers, so it
+    is localCheckpointed (the theil_sen bounded-relation rule) and
+    nothing after the first groupBy scales with data volume."""
+    e = load_table(spark, sf_dir, "events")
+    cell = (
+        e.groupBy(
+            "event_type",
+            ((F.dayofweek(F.col("ts")) + 5) % 7 + 1).alias("dow"),
+        )
+        .agg(F.count("*").cast("long").alias("n_ij"))
+        # |types|·7 cells feed FOUR consumers (marginals, totals, the
+        # χ² join) — localCheckpoint so the corpus scan runs ONCE
+        # (the q_ts_theil_sen bounded-relation arm of the AQE
+        # no-cross-stage-reuse rule).
+        .localCheckpoint(eager=True)
+    )
+    r = cell.groupBy("event_type").agg(
+        F.sum("n_ij").cast("long").alias("r_i")
+    )
+    c = cell.groupBy("dow").agg(F.sum("n_ij").cast("long").alias("c_j"))
+    tot = cell.agg(
+        F.sum("n_ij").cast("long").alias("n"),
+        F.countDistinct("event_type").cast("long").alias("n_r"),
+        F.countDistinct("dow").cast("long").alias("n_c"),
+    )
+    e_ij = (F.col("r_i") * F.col("c_j")).cast("double") / F.col("n")
+    term = F.round(
+        F.pow(F.col("n_ij").cast("double") - e_ij, 2) / e_ij, 9
+    ).cast("decimal(28,9)")
+    chi = (
+        cell.join(r, "event_type")
+        .join(c, "dow")
+        .crossJoin(tot)
+        .agg(F.sum(term).cast("double").alias("chi2"))
+    )
+    k = F.least(F.col("n_r"), F.col("n_c"))
+    return chi.crossJoin(tot).select(
+        F.col("n").alias("n_events"),
+        F.col("n_r").alias("n_rows_dim"),
+        F.col("n_c").alias("n_cols_dim"),
+        F.round(F.col("chi2"), 6).alias("chi2"),
+        F.when(k <= 1, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.sqrt(F.col("chi2") / (F.col("n") * (k - 1))), 6
+            )
+        )
+        .alias("cramers_v"),
+    )

@@ -1713,3 +1713,98 @@ def x_dup_cross_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang_a") != F.col("lang_b")).alias("cross_lang"),
         "n_pairs",
     )
+
+
+FUZZY_MAX_EDIT = 3  # x_dedup_fuzzy_edit pair threshold (see docstring)
+
+
+@register(
+    "x_dedup_fuzzy_edit",
+    oracle=f"""
+    WITH names AS (
+      SELECT p_name AS name,
+             CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(MIN(p_partkey) AS BIGINT) AS keep_key,
+             str_split(p_name, ' ')[1] AS blk
+      FROM part GROUP BY p_name),
+    pairs AS (
+      SELECT a.name AS name_a, b.name AS name_b,
+             CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+             a.n_parts AS n_a, b.n_parts AS n_b,
+             a.keep_key AS keep_key
+      FROM names a JOIN names b
+        ON a.blk = b.blk AND a.name < b.name)
+    SELECT name_a, name_b, dist, n_a, n_b, keep_key
+    FROM pairs WHERE dist <= {FUZZY_MAX_EDIT}
+    """,
+)
+def x_dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate pairs over part names with
+    first-token BLOCKING: distinct names sharing a leading token are
+    candidate pairs; a pair survives iff levenshtein ≤ FUZZY_MAX_EDIT (= 3: the fixture name domain is two short words, where the closest distinct variants — 'blue bolt' / 'blue rod' — sit at 3; on real catalog/URL data 1-2 is the usual knee).  The
+    typo/variant rung of the dedup ladder — catches 'small ring' vs
+    'small rings' where exact dedup sees two keys and
+    shingle/minhash methods have nothing to band on (short strings
+    carry one or two shingles).  Emits the pair, its distance, both
+    duplicate-group sizes, and the canonical keeper (min key of the
+    lexicographically smaller side).
+
+    Cross-engine exactness: Spark's levenshtein() and DuckDB's are
+    the same classic Wagner-Fischer distance (verified: both give
+    ('small ring','small rings')→1), counts and keys are exact
+    BIGINTs — no floats anywhere.  The oracle replays the IDENTICAL
+    blocking, so the gate pins the op's full contract including its
+    recall boundary: a pair whose FIRST token is edited lands in
+    different blocks and is not emitted (the documented LSH-style
+    recall trade — symmetric-deletion blocking would close it at 3×
+    key fanout).
+
+    100 TB posture: pair work is Σ_blocks |block|², bounded by the
+    name-vocabulary's leading-token distribution, never the row
+    count — the corpus-sized stage is the exact-name groupBy whose
+    shuffle carries (name, count, min-key), and blocks of DISTINCT
+    names are vocabulary-sized.  A Zipf-hot leading token is the
+    x_containment_dedup lesson: cap or sub-band hot blocks (the
+    auto-knee helper applies unchanged if the name domain were
+    unbounded)."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy(F.col("p_name").alias("name"))
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.min("p_partkey").cast("long").alias("keep_key"),
+        )
+        .withColumn(
+            "blk", F.split(F.col("name"), " ").getItem(0)
+        )
+    )
+    a = names.select(
+        F.col("name").alias("name_a"),
+        F.col("n_parts").alias("n_a"),
+        F.col("keep_key").alias("keep_key"),
+        F.col("blk").alias("blk_a"),
+    )
+    b = names.select(
+        F.col("name").alias("name_b"),
+        F.col("n_parts").alias("n_b"),
+        F.col("blk").alias("blk_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("name_a") < F.col("name_b"))
+            & (F.col("blk_a") == F.col("blk_b")),
+        )
+        .drop("blk_a", "blk_b")
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b")
+            .cast("long")
+            .alias("dist"),
+            "n_a",
+            "n_b",
+            "keep_key",
+        )
+        .filter(F.col("dist") <= FUZZY_MAX_EDIT)
+    )

@@ -1516,3 +1516,97 @@ def x_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("quota"),
         (F.col("rk") <= F.col("extra")).alias("got_remainder"),
     )
+
+
+TEMP_EPOCH_TOKENS = 100_000  # x_sample_temperature per-epoch budget
+
+
+@register(
+    "x_sample_temperature",
+    oracle=f"""
+    WITH s AS (
+      SELECT lang,
+             CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS t
+      FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(SUM(t) AS BIGINT) AS total FROM s),
+    w AS (
+      SELECT lang, t,
+             CAST(ROUND(sqrt(CAST(t AS DOUBLE) / tot.total), 12)
+                  AS DECIMAL(20,12)) AS sw
+      FROM s, tot),
+    z AS (SELECT CAST(SUM(sw) AS DECIMAL(24,12)) AS zsum FROM w)
+    SELECT w.lang, w.t AS n_tokens,
+           ROUND(CAST(w.t AS DOUBLE) / tot.total, 6) AS p_raw,
+           ROUND(CAST(w.sw AS DOUBLE) / CAST(z.zsum AS DOUBLE), 6)
+             AS p_sampled,
+           CAST(FLOOR({TEMP_EPOCH_TOKENS}
+                      * (CAST(w.sw AS DOUBLE)
+                         / CAST(z.zsum AS DOUBLE))) AS BIGINT)
+             AS epoch_tokens,
+           ROUND((CAST(w.sw AS DOUBLE) / CAST(z.zsum AS DOUBLE))
+                 / (CAST(w.t AS DOUBLE) / tot.total), 6) AS upsample_x
+    FROM w, tot, z
+    """,
+)
+def x_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling (the mT5/XLM-R mixture
+    rule): sampling weight ∝ p_l^(1/τ) with τ=2, i.e. sqrt(p_l)
+    renormalized — boosting tail languages relative to their raw
+    token share without flattening the mixture entirely.  Emits the
+    raw share, the temperature-scaled share, the per-epoch token
+    allocation under a fixed budget, and the up/down-sampling factor
+    each language experiences.  Complements x_token_budget (exact
+    proportional apportionment) and x_lang_balance (hard quotas) as
+    the third — and in practice most used — mixture policy.
+
+    Cross-engine exactness: per-language token counts and the total
+    are exact BIGINTs; p_l = t/total is one IEEE division, sqrt is
+    correctly rounded, and the per-language weight is then ROUNDed to
+    the 12-dp grid and summed as DECIMAL so the normalizer is
+    ORDER-FREE (the x_char_ngram_entropy discipline — a 5-row sum of
+    raw doubles would already be partition-order-sensitive in Spark).
+    τ=2 is chosen deliberately: p^(1/τ) becomes IEEE sqrt, which is
+    bit-identical across engines, where a general pow(p, 0.3) is
+    merely faithfully rounded and could split an ulp (the q_ts_holt
+    binary-exact-coefficient lesson applied to exponents).
+
+    100 TB posture: one corpus-sized map-side token count partial-agg
+    to a |langs|-row relation; everything after is constant-size.
+    The weight table is what a 1000-executor training-data sampler
+    broadcasts; the epoch_tokens column is floor'd (never rounds up)
+    so the summed allocation never exceeds the budget."""
+    d = load_table(spark, sf_dir, "documents")
+    s = (
+        d.groupBy("lang")
+        .agg(
+            F.sum(F.size(F.split(F.col("text"), " ")))
+            .cast("long")
+            .alias("t")
+        )
+        # |langs| rows feed both the normalizer aggs and the weight
+        # projection — localCheckpoint so the corpus token count runs
+        # ONCE (the theil_sen bounded-relation rule).
+        .localCheckpoint(eager=True)
+    )
+    tot = s.agg(F.sum("t").cast("long").alias("total"))
+    w = s.crossJoin(tot).select(
+        "lang",
+        "t",
+        "total",
+        F.round(F.sqrt(F.col("t").cast("double") / F.col("total")), 12)
+        .cast("decimal(20,12)")
+        .alias("sw"),
+    )
+    z = w.agg(F.sum("sw").cast("decimal(24,12)").alias("zsum"))
+    p_sampled = F.col("sw").cast("double") / F.col("zsum").cast("double")
+    p_raw = F.col("t").cast("double") / F.col("total")
+    return w.crossJoin(z).select(
+        "lang",
+        F.col("t").alias("n_tokens"),
+        F.round(p_raw, 6).alias("p_raw"),
+        F.round(p_sampled, 6).alias("p_sampled"),
+        F.floor(TEMP_EPOCH_TOKENS * p_sampled)
+        .cast("long")
+        .alias("epoch_tokens"),
+        F.round(p_sampled / p_raw, 6).alias("upsample_x"),
+    )

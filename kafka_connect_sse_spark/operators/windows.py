@@ -1028,3 +1028,66 @@ def q_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("ttc_sec", 0.9), 6).alias("p90_sec"),
         F.max("ttc_sec").alias("max_sec"),
     )
+
+
+@register(
+    "q_win_median",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, day, n,
+           CAST(median(n) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS med7
+    FROM d
+    """,
+)
+def q_win_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median of the trailing-7-day daily event count per
+    type — the robust twin of q_win_moving_avg (a single spike day
+    moves the trailing mean by spike/7; it moves this median by at
+    most one order statistic).  Spark has no median window function,
+    so the frame is materialized per row (collect_list over ROWS
+    BETWEEN 6 PRECEDING AND CURRENT ROW — at most 7 elements),
+    array_sorted, and the median picked positionally: odd frames take
+    element (s+1)/2, even frames (the first six rows of each
+    partition) average the two central elements — exactly DuckDB's
+    windowed median interpolation.
+
+    Cross-engine exactness: daily counts are exact BIGINTs; an odd
+    frame's median is an integer cast to double, an even frame's is
+    (a+b)/2.0 — one IEEE addition and halving of exact integers, bit
+    identical.  No rounding grain anywhere.
+
+    100 TB posture: the corpus-sized stage is the (type, day)
+    partial-agg count; the window runs on the CALENDAR-BOUNDED daily
+    relation (|days| rows per type), and its state is the 7-element
+    frame, constant per row.  The collect_list-then-sort trick is
+    safe exactly BECAUSE the frame is O(1) — on an unbounded frame
+    it would be the q_agg_mad bounded-cardinality caveat instead."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("n").over(w))
+    s = F.size(arr)
+    med = F.when(
+        s % 2 == 1,
+        F.element_at(arr, ((s + 1) / 2).cast("int")).cast("double"),
+    ).otherwise(
+        (
+            F.element_at(arr, (s / 2).cast("int"))
+            + F.element_at(arr, (s / 2).cast("int") + 1)
+        ).cast("double")
+        / 2
+    )
+    return d.select("event_type", "day", "n", med.alias("med7"))
