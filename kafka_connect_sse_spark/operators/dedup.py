@@ -335,6 +335,21 @@ def _simhash_bit(toks, i: int):
     return _simhash_bit_hex(F.transform(toks, lambda t: F.md5(t)), i)
 
 
+#: x_dedup_simhash packed-counter layout: the 32 md5-hex digits split
+#: into conv()-safe 48/48/32-bit integer chunks (12+12+8 digits).
+_SIMHASH_CHUNKS = ((1, 12), (13, 12), (25, 8))
+_SIMHASH_STRIDE = 4  # counters every 4th nibble -> 16-bit headroom
+
+
+def _simhash_stride_mask(length: int, r: int) -> int:
+    """Mask keeping nibble positions p in [0, length) with p % stride
+    == r — the packed vote counters' home slots."""
+    m = 0
+    for p in range(r, length, _SIMHASH_STRIDE):
+        m |= 0x1 << (4 * p)
+    return m
+
+
 @register(
     "x_dedup_simhash",
     oracle="""
@@ -362,20 +377,85 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Near-dups have small hamming distance; here we emit fingerprint buckets
     and their sizes.  EXACT since round 2: bit i is the majority vote of
     md5-hex digit i's high bit — md5 is identical in Spark and DuckDB, so
-    the oracle replays the whole fingerprint construction.  The md5 hex
-    array is materialized in its OWN select so the 32 bit expressions
-    share one hash pass (no CSE across expression branches otherwise)."""
+    the oracle replays the whole fingerprint construction.
+
+    Round-11 rewrite (BIT-PARALLEL votes; output parity-pinned against
+    the _simhash_bit_hex reference form in tests): the pre-Zipf fixture
+    made the 32-filter-lambda form look free (0.18 s warm at sf1 —
+    compile-dominated, SCALE.md), but text-like documents moved the cost
+    to per-ELEMENT lambda evaluation: 14.2 s warm at sf1, 115.6 s at
+    sf10 (the r11 watch item).  The fix changes the eval regime twice
+    over: (1) tokens are EXPLODED so the per-digit work runs in
+    whole-stage CODEGEN instead of interpreted higher-order lambdas, and
+    (2) the 32 high bits are extracted TOGETHER, integer-parallel — each
+    md5 parses into three conv()-safe BIGINT chunks (12+12+8 hex
+    digits), one shift+mask yields all nibble high-bits at once, and a
+    stride-4 nibble split packs them into 12 SUM-mable accumulators
+    whose 16-bit counter lanes tolerate 65,535 votes.  The per-doc
+    partial agg combines map-side (explode output is doc-contiguous), so
+    the added shuffle carries ~one 13-long row per document.  Measured
+    at sf1: 4.5 s warm vs 14.2 (3.2x), bit-identical buckets; the md5
+    floor itself is 1.8 s.  Docs beyond the counter headroom fail LOUD
+    (raise_error), not silently — chunk first (x_doc_chunk); a
+    post-chunk doc with 65k DISTINCT tokens does not occur in practice.
+    """
     d = load_table(spark, sf_dir, "documents")
     toks = F.array_distinct(F.split(F.col("text"), " "))
-    hashed = d.select(
-        "doc_id", F.transform(toks, lambda t: F.md5(t)).alias("hx")
+    ex = d.select("doc_id", F.explode(toks).alias("t")).select(
+        "doc_id", F.md5("t").alias("h")
     )
-    bits = [_simhash_bit_hex(F.col("hx"), i) for i in range(32)]
-    fp = bits[0]
-    for b in bits[1:]:
-        fp = fp + b
+    packed = []
+    for ci, (start, length) in enumerate(_SIMHASH_CHUNKS):
+        v = F.conv(F.substring("h", start, length), 16, 10).cast("long")
+        b = F.shiftright(v, 3).bitwiseAND(F.lit(int("1" * length, 16)))
+        for r in range(_SIMHASH_STRIDE):
+            packed.append(
+                b.bitwiseAND(F.lit(_simhash_stride_mask(length, r))).alias(
+                    f"b{ci}_{r}"
+                )
+            )
+    votes = (
+        ex.select("doc_id", *packed)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum(f"b{ci}_{r}").alias(f"a{ci}_{r}")
+                for ci in range(len(_SIMHASH_CHUNKS))
+                for r in range(_SIMHASH_STRIDE)
+            ],
+        )
+    )
+
+    def counter(i: int):
+        digit = i + 1
+        for ci, (start, length) in enumerate(_SIMHASH_CHUNKS):
+            if start <= digit < start + length:
+                p = length - 1 - (digit - start)  # conv is MSB-first
+                r = p % _SIMHASH_STRIDE
+                return F.shiftright(
+                    F.col(f"a{ci}_{r}"), 4 * p
+                ).bitwiseAND(F.lit(0xFFFF))
+        raise AssertionError(f"digit {digit} outside chunk map")
+
+    fp = None
+    for i in range(32):
+        bit = F.when(
+            2 * counter(i) > F.col("n"), F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    guarded = F.when(
+        F.col("n") > F.lit(0xFFFF),
+        F.raise_error(
+            F.lit(
+                "x_dedup_simhash: document exceeds 65535 distinct "
+                "tokens — counter lanes would overflow; run "
+                "x_doc_chunk first"
+            )
+        ).cast("long"),
+    ).otherwise(fp.cast("long"))
     return (
-        hashed.select("doc_id", fp.cast("long").alias("simhash32"))
+        votes.select("doc_id", guarded.alias("simhash32"))
         .groupBy("simhash32")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
     )

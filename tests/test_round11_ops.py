@@ -273,3 +273,70 @@ def test_trimmed_mean_drops_and_winsorized_clips_hand_computed(
     assert (b["n_rows"], b["trim_k"]) == (4, 0)
     assert (b["trimmed_mean"], b["winsorized_mean"]) == (10.0, 10.0)
     assert (b["lo_clip"], b["hi_clip"]) == (2, 18)
+
+
+def _write_documents(tmp_path, rows, name):
+    """rows: (doc_id, text, lang, source)."""
+    sf_dir = str(tmp_path / name)
+    os.makedirs(sf_dir, exist_ok=True)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array(
+                [len(r[1]) for r in rows], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, os.path.join(sf_dir, "documents.parquet"))
+    return sf_dir
+
+
+def test_simhash_bitparallel_matches_filter_reference(spark, q):
+    """The round-11 bit-parallel rewrite must be BIT-IDENTICAL to the
+    32-filter-lambda reference form (_simhash_bit) that the oracle
+    replays — same buckets, same counts, same keepers."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_sse_spark.operators.dedup import _simhash_bit
+
+    sf = "/root/testdata/sf0.001"
+    new = {
+        (r.simhash32, r.n_docs, r.keep_id)
+        for r in q["x_dedup_simhash"](spark, sf).collect()
+    }
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    bits = [_simhash_bit(toks, i) for i in range(32)]
+    fp = bits[0]
+    for b in bits[1:]:
+        fp = fp + b
+    ref = {
+        (r.simhash32, r.n_docs, r.keep_id)
+        for r in d.select(
+            "doc_id", fp.cast("long").alias("simhash32")
+        )
+        .groupBy("simhash32")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .collect()
+    }
+    assert new == ref and len(new) > 10
+
+
+def test_simhash_counter_overflow_fails_loud(spark, tmp_path, q):
+    """A document with more distinct tokens than the 16-bit counter
+    lanes hold (65,535) must raise, never silently corrupt votes."""
+    import pytest as _pytest
+
+    big = " ".join(f"tok{i}" for i in range(70_000))
+    sf = _write_documents(
+        tmp_path, [(0, big, "en", "src0"), (1, "tiny doc", "en", "src0")],
+        "sfsimov",
+    )
+    with _pytest.raises(Exception, match="65535 distinct tokens"):
+        q["x_dedup_simhash"](spark, sf).collect()
