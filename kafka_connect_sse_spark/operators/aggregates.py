@@ -3247,16 +3247,20 @@ def q_agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_r,
                    CAST(COUNT(DISTINCT dow) AS BIGINT) AS n_c
             FROM cell),
+    -- the FULL r x c grid: unobserved cells contribute e_ij to chi2
+    grid AS (
+      SELECT r.event_type, c.dow, r.r_i, c.c_j,
+             COALESCE(cell.n_ij, 0) AS n_ij
+      FROM r CROSS JOIN c
+      LEFT JOIN cell ON cell.event_type = r.event_type
+                    AND cell.dow = c.dow),
     chi AS (
       SELECT CAST(SUM(CAST(ROUND(
-               POWER(CAST(cell.n_ij AS DOUBLE)
-                     - CAST(r.r_i * c.c_j AS DOUBLE) / tot.n, 2)
-                 / (CAST(r.r_i * c.c_j AS DOUBLE) / tot.n), 9)
+               POWER(CAST(grid.n_ij AS DOUBLE)
+                     - CAST(grid.r_i * grid.c_j AS DOUBLE) / tot.n, 2)
+                 / (CAST(grid.r_i * grid.c_j AS DOUBLE) / tot.n), 9)
              AS DECIMAL(28,9))) AS DOUBLE) AS chi2
-      FROM cell
-      JOIN r ON r.event_type = cell.event_type
-      JOIN c ON c.dow = cell.dow
-      CROSS JOIN tot)
+      FROM grid CROSS JOIN tot)
     SELECT tot.n AS n_events, tot.n_r AS n_rows_dim,
            tot.n_c AS n_cols_dim, ROUND(chi.chi2, 6) AS chi2,
            CASE WHEN LEAST(tot.n_r, tot.n_c) <= 1 THEN NULL
@@ -3279,8 +3283,11 @@ def q_agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     one division) ROUNDed to the 9-dp grid and summed as
     DECIMAL(28,9) so partial-sum ORDER cannot perturb χ² (the
     x_char_ngram_entropy discipline); V = sqrt(χ²/(n·(min(r,c)−1)))
-    re-rounds at 6 dp.  A degenerate 1×k table yields NULL, not a
-    division by zero (ADVICE r10 rule).
+    re-rounds at 6 dp.  The χ² runs over the FULL r×c grid — an
+    unobserved cell contributes its whole expectation (a planted
+    perfect-diagonal table scores V = 1; summing only observed cells
+    would understate it as 1/sqrt(2)).  A degenerate 1×k table yields
+    NULL, not a division by zero (ADVICE r10 rule).
 
     100 TB posture: one corpus-sized partial-agg to the (type, dow)
     cell table — at most |types|·7 cells; marginals and χ² run on
@@ -3315,11 +3322,17 @@ def q_agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     term = F.round(
         F.pow(F.col("n_ij").cast("double") - e_ij, 2) / e_ij, 9
     ).cast("decimal(28,9)")
-    chi = (
-        cell.join(r, "event_type")
-        .join(c, "dow")
-        .crossJoin(tot)
-        .agg(F.sum(term).cast("double").alias("chi2"))
+    # the FULL r x c grid: an unobserved (type, dow) cell contributes
+    # its whole expectation e_ij to chi-squared — summing only observed
+    # cells understates association (a perfect diagonal would score
+    # V = 0.707, not 1)
+    grid = (
+        r.crossJoin(c)
+        .join(cell, ["event_type", "dow"], "left")
+        .withColumn("n_ij", F.coalesce(F.col("n_ij"), F.lit(0)))
+    )
+    chi = grid.crossJoin(tot).agg(
+        F.sum(term).cast("double").alias("chi2")
     )
     k = F.least(F.col("n_r"), F.col("n_c"))
     return chi.crossJoin(tot).select(

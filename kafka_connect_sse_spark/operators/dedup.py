@@ -1857,6 +1857,10 @@ def x_dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "blk", F.split(F.col("name"), " ").getItem(0)
         )
+        # the vocabulary-sized name relation feeds BOTH self-join
+        # sides — localCheckpoint so the corpus-sized exact-name
+        # groupBy runs once (the theil_sen bounded-relation rule).
+        .localCheckpoint(eager=True)
     )
     a = names.select(
         F.col("name").alias("name_a"),

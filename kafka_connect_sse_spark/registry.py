@@ -94,28 +94,41 @@ def register(name: str, oracle: str | None = None):
 # topped up from the next-oldest cohort — so no record ages past ~3
 # rounds.
 #
-# Round-11 window composition (50 entries):
-#   (a) the 3 new ops — x_importance_resample_sampled (the DSIR scale
-#       twin, VERDICT r10 item 4), q_ts_theil_sen (robust trend),
-#       q_agg_trimmed_mean (exact trimmed/winsorized means);
+# Round-11 window composition (50 entries, final — the session-2
+# continuation added 6 more new ops and the simhash rewrite, so the
+# conservative seats yielded):
+#   (a) 6 of the 9 new ops — x_importance_resample_sampled (the DSIR
+#       scale twin, VERDICT r10 item 4), q_ts_theil_sen (robust
+#       trend), q_agg_trimmed_mean (exact trimmed/winsorized means),
+#       q_ts_mann_kendall (trend significance, the theil_sen pair),
+#       q_agg_mann_whitney (rank-sum test from the value histogram),
+#       x_sample_temperature (tau=2 mixture weights).  The other 3
+#       new ops (q_agg_cramers_v, q_win_median, x_dedup_fuzzy_edit)
+#       carry the in-suite DRIVER-STYLE oracle gate this round
+#       (tests/test_operators.py::
+#       test_round11_unseated_new_ops_pass_driver_style_oracle_gate —
+#       the established r8/r9 deferral mechanism) and LEAD the r12
+#       window;
 #   (b) the 6 ops whose CODE or ORACLE changed this round and must
 #       re-attest: the three ADVICE r10 degenerate-division guards
 #       (q_agg_skew_kurt, q_agg_corr_matrix, x_embed_dim_stats),
 #       x_containment_dedup (auto-knee hot-postings cap, VERDICT r10
-#       item 2 — oracle rewritten to mirror the cap rule), and
-#       x_decontaminate (docstring-contract fix only — included
-#       conservatively, the round-9/10 precedent), and
+#       item 2 — oracle rewritten to mirror the cap rule),
 #       x_contam_estimate (error contract restated union-relative +
 #       lgNomEntries=16 after the Zipf fixture exposed the old
 #       within-5%-of-intersection claim — caught by THIS round's sf1
-#       gate, fixed, re-attested at sf0.001/sf0.01/sf1);
+#       gate, fixed, re-attested at sf0.001/sf0.01/sf1), and
+#       x_dedup_simhash (bit-parallel vote rewrite, 3.2x at sf1 —
+#       output parity-pinned against the filter-form spec in tests,
+#       re-attested at sf0.001/sf0.01/sf1).  x_decontaminate
+#       (docstring-contract fix only) yielded its conservative seat:
+#       its r10 driver record attests the running code;
 #   (c) the FULL 38-op r5-era cohort VERDICT r10 item 1 names — after
-#       this round no operator's newest driver record predates round 6;
-#   (d) 3 of the oldest r6-era rows, alphabetical from that cohort
-#       (q_agg_approx_distinct .. q_agg_collect_sorted), starting the
-#       r6 rotation the same way the r4/r5 cohorts rotated
-#       (q_agg_having yielded its seat to the x_contam_estimate
-#       re-attest; its r6 record still satisfies the invariant).
+#       this round no operator's newest driver record predates round 6.
+#       The 3 oldest r6-era rows (q_agg_approx_distinct ..
+#       q_agg_collect_sorted) seated early in the round yielded to the
+#       new ops; their r6 records still satisfy the invariant and the
+#       r6 cohort rotation starts in r12.
 # Deferral evidence: every op leaving the window is code-UNMODIFIED
 # this round, so its newest driver record attests exactly the running
 # code, plus the builder-side full sf0.01 + sf1 sweeps each round.
@@ -269,13 +282,16 @@ _PRIORITY = (
     "x_importance_resample_sampled",
     "q_ts_theil_sen",
     "q_agg_trimmed_mean",
+    "q_ts_mann_kendall",
+    "q_agg_mann_whitney",
+    "x_sample_temperature",
     # (b) code/oracle changed this round — re-attest current code
     "q_agg_skew_kurt",
     "q_agg_corr_matrix",
     "x_embed_dim_stats",
     "x_containment_dedup",
-    "x_decontaminate",
     "x_contam_estimate",
+    "x_dedup_simhash",
     # (c) the full 38-op r5-era cohort (VERDICT r10 item 1)
     "q_agg_rollup",
     "q_agg_stats",
@@ -315,10 +331,6 @@ _PRIORITY = (
     "x_bpe_pair_counts",
     "x_fingerprint",
     "x_sim_topk_cosine",
-    # (d) oldest r6-era rows, alphabetical from that cohort
-    "q_agg_approx_distinct",
-    "q_agg_bytes_by_type",
-    "q_agg_collect_sorted",
 )
 
 

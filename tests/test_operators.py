@@ -86,19 +86,23 @@ def test_salting_helpers_round_trip(spark):
 
 def test_round11_driver_window_composition(qs):
     """The driver checks the FIRST 50 registry entries.  Pin the
-    round-11 rotation window: (a) the 3 new ops, (b) the 6 ops whose
+    round-11 rotation window (final — the session-2 continuation added
+    6 new ops + the simhash rewrite, so the conservative seats
+    yielded): (a) 6 of the 9 new ops (the other 3 carry the in-suite
+    driver-style oracle gate below and lead r12), (b) the 6 ops whose
     code or oracle changed this round (the three ADVICE r10
     degenerate-division guards, x_containment_dedup's auto-knee cap,
-    x_decontaminate's docstring contract, x_contam_estimate's
-    union-relative error contract), (c) the FULL 38-op r5-era
+    x_contam_estimate's union-relative error contract, and the
+    x_dedup_simhash bit-parallel rewrite; x_decontaminate's
+    docstring-only change yielded its conservative seat — its r10
+    record attests the running code), and (c) the FULL 38-op r5-era
     cohort VERDICT r10 item 1 names — after this round no operator's
-    newest driver record predates round 6 — and (d) 3 of the oldest
-    r6-era rows, alphabetical from that cohort (q_agg_having yielded
-    its seat to the x_contam_estimate re-attest the sf1 gate forced).  A silent reordering
-    here would burn the round's freshness evidence.  Every deferred op
-    is code-UNMODIFIED this round (its newest driver record attests the
-    running code) and the full-registry sf0.01 + sf1 sweeps re-cover
-    the whole surface each round."""
+    newest driver record predates round 6 (the 3 r6-era rows seated
+    early in the round yielded; their r6 records hold).  A silent
+    reordering here would burn the round's freshness evidence.  Every
+    deferred op is code-UNMODIFIED this round (its newest driver
+    record attests the running code) and the full-registry sf0.01 +
+    sf1 sweeps re-cover the whole surface each round."""
     from kafka_connect_sse_spark.registry import _PRIORITY
 
     window = list(qs)[: len(_PRIORITY)]
@@ -109,13 +113,16 @@ def test_round11_driver_window_composition(qs):
         "x_importance_resample_sampled",
         "q_ts_theil_sen",
         "q_agg_trimmed_mean",
+        "q_ts_mann_kendall",
+        "q_agg_mann_whitney",
+        "x_sample_temperature",
         # (b) code/oracle changed this round
         "q_agg_skew_kurt",
         "q_agg_corr_matrix",
         "x_embed_dim_stats",
         "x_containment_dedup",
-        "x_decontaminate",
         "x_contam_estimate",
+        "x_dedup_simhash",
         # (c) the full 38-op r5-era cohort (VERDICT r10 item 1)
         "q_agg_rollup",
         "q_agg_stats",
@@ -155,10 +162,6 @@ def test_round11_driver_window_composition(qs):
         "x_bpe_pair_counts",
         "x_fingerprint",
         "x_sim_topk_cosine",
-        # (d) oldest r6-era rows, alphabetical from that cohort
-        "q_agg_approx_distinct",
-        "q_agg_bytes_by_type",
-        "q_agg_collect_sorted",
     ]
     # every window op must carry an oracle (EXACT gate, not rows-only)
     from kafka_connect_sse_spark.registry import oracle_sql
@@ -508,6 +511,37 @@ def test_newly_deferred_r4_rows_pass_driver_style_oracle_gate(spark, qs):
         "q_project_rename",
         "q_set_intersect_all",
     ):
+        scols, srows, shash = canon(qs[name](spark, SF).toPandas())
+        ocols, orows, ohash = canon(con.execute(osql[name]).df())
+        assert scols == ocols, (name, scols, ocols)
+        assert shash == ohash, (name, srows[:3], orows[:3])
+
+
+def test_round11_unseated_new_ops_pass_driver_style_oracle_gate(spark, qs):
+    """The round-11 continuation added 9 new ops but the 50-slot driver
+    window only had 6 free seats behind the must-re-attest rows and the
+    full r5-era cohort rotation (VERDICT r10 item 1).  The 3 unseated
+    new ops — q_agg_cramers_v, q_win_median, x_dedup_fuzzy_edit — carry
+    THIS gate as their round-11 correctness evidence (the established
+    r8/r9 deferral mechanism: the driver's exact canonicalization and
+    hash compare, executed in-suite) and lead the r12 window for their
+    first driver attestation."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import duckdb
+
+    from tools.check_correctness import canon
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    from kafka_connect_sse_spark.io import TABLES
+
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    osql = oracle_sql()
+    for name in ("q_agg_cramers_v", "q_win_median", "x_dedup_fuzzy_edit"):
         scols, srows, shash = canon(qs[name](spark, SF).toPandas())
         ocols, orows, ohash = canon(con.execute(osql[name]).df())
         assert scols == ocols, (name, scols, ocols)

@@ -340,3 +340,193 @@ def test_simhash_counter_overflow_fails_loud(spark, tmp_path, q):
     )
     with _pytest.raises(Exception, match="65535 distinct tokens"):
         q["x_dedup_simhash"](spark, sf).collect()
+
+
+import datetime as dt
+
+
+def _write_events_v(tmp_path, rows, name="sfev11"):
+    """rows: (event_id, ts_iso, user_id, event_type, value)."""
+    sf_dir = str(tmp_path / name)
+    os.makedirs(sf_dir, exist_ok=True)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [dt.datetime.fromisoformat(r[1]) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(sf_dir, "events.parquet"))
+    return sf_dir
+
+
+def _daily_counts(tmp_path, counts, name="sfdc11"):
+    """One 'view' series: counts[i] events on day 2024-01-01 + i."""
+    rows, eid = [], 0
+    base = dt.date(2024, 1, 1)
+    for i, c in enumerate(counts):
+        day = (base + dt.timedelta(days=i)).isoformat()
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, f"{day}T12:00:00", 1, "view", 1.0))
+    return _write_events_v(tmp_path, rows, name)
+
+
+def _write_part(tmp_path, rows, name="sfpart11"):
+    """rows: (p_partkey, p_name)."""
+    sf_dir = str(tmp_path / name)
+    os.makedirs(sf_dir, exist_ok=True)
+    tbl = pa.table(
+        {
+            "p_partkey": pa.array([r[0] for r in rows], pa.int64()),
+            "p_name": pa.array([r[1] for r in rows], pa.string()),
+            "p_brand": pa.array(["b"] * len(rows), pa.string()),
+            "p_type": pa.array(["t"] * len(rows), pa.string()),
+            "p_size": pa.array([1] * len(rows), pa.int32()),
+            "p_retailprice": pa.array([1.0] * len(rows), pa.float64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(sf_dir, "part.parquet"))
+    return sf_dir
+
+
+def test_mann_kendall_monotone_series_max_s_all_tied_nulls(
+    spark, tmp_path, q, osql
+):
+    """A strictly rising 7-day series gives S = n(n-1)/2 = 21 with
+    z > 0; an all-tied series makes var18 = 0 and z NULL on BOTH
+    engines (degenerate-division rule)."""
+    sf = _daily_counts(tmp_path, [1, 2, 3, 4, 5, 6, 7], "sfmk_up")
+    spdf = _cross_engine(
+        spark, q, osql, "q_ts_mann_kendall", sf, "events"
+    )
+    r = spdf.iloc[0]
+    assert (r["n_days"], r["s_stat"]) == (7, 21)
+    assert r["mk_z"] > 0
+    sf2 = _daily_counts(tmp_path, [3] * 7, "sfmk_tied")
+    spdf2 = _cross_engine(
+        spark, q, osql, "q_ts_mann_kendall", sf2, "events"
+    )
+    r2 = spdf2.iloc[0]
+    assert r2["var18"] == 0
+    assert r2["mk_z"] is None or r2["mk_z"] != r2["mk_z"]
+
+
+def test_mann_whitney_hand_computed_separated_groups(
+    spark, tmp_path, q, osql
+):
+    """A = {1,2,3}, R = {4,5,6}: R1 = 6 (ranks 1+2+3), U1 = 0,
+    z = -4.5/sqrt(5.25) — fully hand-checkable."""
+    sf = _write_lineitem(
+        tmp_path,
+        [("A", v, 1, 0.0, 0.0) for v in (1, 2, 3)]
+        + [("R", v, 1, 0.0, 0.0) for v in (4, 5, 6)],
+        "sfmw11",
+    )
+    spdf = _cross_engine(
+        spark, q, osql, "q_agg_mann_whitney", sf, "lineitem"
+    )
+    r = spdf.iloc[0]
+    assert (r["n1"], r["n2"], r["twice_u1"], r["u1"]) == (3, 3, 0, 0.0)
+    assert r["mw_z"] == pytest.approx(-4.5 / (5.25 ** 0.5))
+
+
+def test_cramers_v_perfect_association_and_independence(
+    spark, tmp_path, q, osql
+):
+    """Type X only on Mondays, type Y only on Tuesdays → V = 1;
+    a balanced 2×2 table → χ² = 0, V = 0."""
+    # 2024-01-01 is a Monday, 2024-01-02 a Tuesday
+    rows = [(i, "2024-01-01T10:00:00", 1, "X", 1.0) for i in range(5)]
+    rows += [
+        (10 + i, "2024-01-02T10:00:00", 1, "Y", 1.0) for i in range(5)
+    ]
+    sf = _write_events_v(tmp_path, rows, "sfcv_assoc")
+    r = _cross_engine(
+        spark, q, osql, "q_agg_cramers_v", sf, "events"
+    ).iloc[0]
+    assert r["cramers_v"] == pytest.approx(1.0)
+    rows2 = [
+        (i, f"2024-01-0{1 + (i % 2)}T10:00:00", 1, "XY"[i // 2 % 2], 1.0)
+        for i in range(8)
+    ]
+    sf2 = _write_events_v(tmp_path, rows2, "sfcv_indep")
+    r2 = _cross_engine(
+        spark, q, osql, "q_agg_cramers_v", sf2, "events"
+    ).iloc[0]
+    assert r2["chi2"] == pytest.approx(0.0)
+    assert r2["cramers_v"] == pytest.approx(0.0)
+
+
+def test_win_median_spike_robust_and_even_frame_interpolates(
+    spark, tmp_path, q, osql
+):
+    """A 100x spike day leaves the trailing-7 median at the baseline
+    (the moving AVG would jump ~15x); the two-row frame on day 2
+    averages the two central elements."""
+    sf = _daily_counts(
+        tmp_path, [1, 3, 1, 100, 1, 1, 1, 1, 1, 1], "sfwm11"
+    )
+    spdf = _cross_engine(spark, q, osql, "q_win_median", sf, "events")
+    spdf = spdf.sort_values("day").reset_index(drop=True)
+    assert spdf.iloc[1]["med7"] == pytest.approx(2.0)  # (1+3)/2
+    # spike day's own frame: sorted [1,1,3,100] -> (1+3)/2
+    assert spdf.iloc[3]["med7"] == pytest.approx(2.0)
+    # once 7 full days surround it, the median sits at baseline 1
+    assert spdf.iloc[9]["med7"] == pytest.approx(1.0)
+
+
+def test_sample_temperature_boosts_tail_language(
+    spark, tmp_path, q, osql
+):
+    """90/10 token split at tau=2: the tail language is upsampled
+    (w_fr = sqrt(.1)/(sqrt(.9)+sqrt(.1)) = .25), the head language
+    downsampled, and the floor'd allocation never exceeds budget."""
+    rows = [
+        (0, " ".join(["en"] * 90), "en", "s0"),
+        (1, " ".join(["fr"] * 10), "fr", "s0"),
+    ]
+    sf = _write_documents(tmp_path, rows, "sftemp11")
+    spdf = _cross_engine(
+        spark, q, osql, "x_sample_temperature", sf, "documents"
+    )
+    by = {r["lang"]: r for _, r in spdf.iterrows()}
+    assert by["fr"]["upsample_x"] > 1.0 > by["en"]["upsample_x"]
+    assert by["fr"]["p_sampled"] == pytest.approx(0.25, abs=1e-6)
+    from kafka_connect_sse_spark.operators.pipeline import (
+        TEMP_EPOCH_TOKENS,
+    )
+
+    assert spdf["epoch_tokens"].sum() <= TEMP_EPOCH_TOKENS
+
+
+def test_fuzzy_edit_finds_typo_pair_and_pins_blocking_boundary(
+    spark, tmp_path, q, osql
+):
+    """'blue bolt'/'blue boot' (dist 2, same block) is emitted;
+    'hot gear'/'rot gear' (dist 1, DIFFERENT first token) is not —
+    the documented blocking recall boundary, pinned on both engines."""
+    sf = _write_part(
+        tmp_path,
+        [
+            (1, "blue bolt"),
+            (2, "blue boot"),
+            (3, "hot gear"),
+            (4, "rot gear"),
+            (5, "green anvil"),
+        ],
+        "sffe11",
+    )
+    spdf = _cross_engine(
+        spark, q, osql, "x_dedup_fuzzy_edit", sf, "part"
+    )
+    pairs = {(r["name_a"], r["name_b"]) for _, r in spdf.iterrows()}
+    assert ("blue bolt", "blue boot") in pairs
+    assert ("hot gear", "rot gear") not in pairs
+    assert ("rot gear", "hot gear") not in pairs
