@@ -3348,3 +3348,538 @@ def q_agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("cramers_v"),
     )
+
+
+@register(
+    "q_agg_spearman",
+    oracle="""
+    WITH j AS (
+      SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS x,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS y,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2, 3),
+    mx AS (
+      SELECT flag, x, CAST(SUM(c) AS BIGINT) AS cx,
+             2 * SUM(SUM(c)) OVER (PARTITION BY flag ORDER BY x)
+               - CAST(SUM(c) AS BIGINT) + 1 AS tworx
+      FROM j GROUP BY flag, x),
+    my AS (
+      SELECT flag, y, CAST(SUM(c) AS BIGINT) AS cy,
+             2 * SUM(SUM(c)) OVER (PARTITION BY flag ORDER BY y)
+               - CAST(SUM(c) AS BIGINT) + 1 AS twory
+      FROM j GROUP BY flag, y),
+    nn AS (SELECT flag, CAST(SUM(c) AS BIGINT) AS n FROM j GROUP BY 1),
+    cent AS (
+      SELECT j.flag, j.c,
+             CAST(mx.tworx - (nn.n + 1) AS HUGEINT) AS dx,
+             CAST(my.twory - (nn.n + 1) AS HUGEINT) AS dy
+      FROM j JOIN mx ON mx.flag = j.flag AND mx.x = j.x
+             JOIN my ON my.flag = j.flag AND my.y = j.y
+             JOIN nn ON nn.flag = j.flag),
+    s AS (
+      SELECT flag,
+             SUM(CAST(c AS HUGEINT) * dx * dy) AS sxy,
+             SUM(CAST(c AS HUGEINT) * dx * dx) AS sxx,
+             SUM(CAST(c AS HUGEINT) * dy * dy) AS syy
+      FROM cent GROUP BY flag)
+    SELECT s.flag AS l_returnflag, nn.n,
+           CASE WHEN s.sxx = 0 OR s.syy = 0 THEN NULL
+                ELSE CAST(s.sxy AS DOUBLE)
+                     / (sqrt(CAST(s.sxx AS DOUBLE))
+                        * sqrt(CAST(s.syy AS DOUBLE)))
+           END AS rho_spearman
+    FROM s JOIN nn ON nn.flag = s.flag
+    """,
+)
+def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and discount per
+    return flag — Pearson on tie-averaged ranks, the monotone-robust
+    twin of q_agg_corr_matrix's Pearson (a single extreme pair moves
+    Pearson unboundedly; it moves a rank by at most one position).
+
+    Cross-engine exactness: ranks never touch rows — the JOINT
+    (quantity, discount-cents) histogram carries them.  The doubled
+    average rank 2r = 2·cum − c + 1 is an exact BIGINT per distinct
+    marginal value (the q_agg_mann_whitney identity); terms are
+    CENTERED (2r − (n+1), whose weighted mean is zero) so the three
+    sums Σc·dx·dy need no n·Σ − Σ·Σ cancellation of astronomically
+    large terms.  Per-cell products reach n³ ≈ 2e23 at sf10 — past
+    BIGINT — so Spark carries them as DECIMAL(38,0) and DuckDB as
+    HUGEINT: both exact integers, so the engines agree exactly; the
+    only floating point is the final sqrt-sqrt-divide, one
+    deterministic IEEE sequence.  Degenerate marginals (all values
+    tied) yield NULL on both sides.
+
+    100 TB posture: one corpus-sized partial-agg to the ≤ 550-cell
+    joint histogram per flag; marginal rank windows and the moment
+    sums run on CELLS.  The joint histogram feeds four consumers
+    (both marginals, n, the moment join) — localCheckpointed, the
+    theil_sen bounded-relation rule."""
+    li = load_table(spark, sf_dir, "lineitem")
+    j = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_quantity").cast("long").alias("x"),
+            F.round(F.col("l_discount") * 100)
+            .cast("long")
+            .alias("y"),
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    wx = Window.partitionBy("flag").orderBy("x")
+    mx = (
+        j.groupBy("flag", "x")
+        .agg(F.sum("c").cast("long").alias("cx"))
+        .select(
+            "flag",
+            "x",
+            (
+                2
+                * F.sum("cx").over(
+                    wx.rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                )
+                - F.col("cx")
+                + 1
+            ).alias("tworx"),
+        )
+    )
+    wy = Window.partitionBy("flag").orderBy("y")
+    my = (
+        j.groupBy("flag", "y")
+        .agg(F.sum("c").cast("long").alias("cy"))
+        .select(
+            "flag",
+            "y",
+            (
+                2
+                * F.sum("cy").over(
+                    wy.rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                )
+                - F.col("cy")
+                + 1
+            ).alias("twory"),
+        )
+    )
+    nn = j.groupBy("flag").agg(F.sum("c").cast("long").alias("n"))
+    dec = "decimal(38,0)"
+    cent = (
+        j.join(mx, ["flag", "x"])
+        .join(my, ["flag", "y"])
+        .join(nn, "flag")
+        .select(
+            "flag",
+            F.col("c").cast(dec).alias("c_d"),
+            (F.col("tworx") - (F.col("n") + 1)).cast(dec).alias("dx"),
+            (F.col("twory") - (F.col("n") + 1)).cast(dec).alias("dy"),
+        )
+    )
+    s = cent.groupBy("flag").agg(
+        F.sum(F.col("c_d") * F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("c_d") * F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("c_d") * F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    return s.join(nn, "flag").select(
+        F.col("flag").alias("l_returnflag"),
+        "n",
+        F.when(
+            (F.col("sxx") == 0) | (F.col("syy") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.col("sxy").cast("double")
+            / (
+                F.sqrt(F.col("sxx").cast("double"))
+                * F.sqrt(F.col("syy").cast("double"))
+            )
+        )
+        .alias("rho_spearman"),
+    )
+
+
+@register(
+    "q_agg_kendall_tau",
+    oracle="""
+    WITH j AS (
+      SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS x,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS y,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2, 3),
+    cd AS (
+      SELECT a.flag,
+             CAST(SUM(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END)
+                  AS BIGINT) AS conc,
+             CAST(SUM(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END)
+                  AS BIGINT) AS disc
+      FROM j a JOIN j b ON a.flag = b.flag AND a.x < b.x
+      GROUP BY a.flag),
+    nn AS (SELECT flag, CAST(SUM(c) AS BIGINT) AS n FROM j GROUP BY 1),
+    tx AS (
+      SELECT flag, CAST(SUM(cx * (cx - 1) // 2) AS BIGINT) AS n1
+      FROM (SELECT flag, CAST(SUM(c) AS BIGINT) AS cx
+            FROM j GROUP BY flag, x)
+      GROUP BY flag),
+    ty AS (
+      SELECT flag, CAST(SUM(cy * (cy - 1) // 2) AS BIGINT) AS n2
+      FROM (SELECT flag, CAST(SUM(c) AS BIGINT) AS cy
+            FROM j GROUP BY flag, y)
+      GROUP BY flag)
+    SELECT cd.flag AS l_returnflag, nn.n, cd.conc, cd.disc,
+           CASE WHEN nn.n * (nn.n - 1) // 2 - tx.n1 = 0
+                  OR nn.n * (nn.n - 1) // 2 - ty.n2 = 0 THEN NULL
+                ELSE CAST(cd.conc - cd.disc AS DOUBLE)
+                     / sqrt(CAST(nn.n * (nn.n - 1) // 2 - tx.n1
+                                 AS DOUBLE)
+                            * CAST(nn.n * (nn.n - 1) // 2 - ty.n2
+                                   AS DOUBLE))
+           END AS tau_b
+    FROM cd JOIN nn ON nn.flag = cd.flag
+            JOIN tx ON tx.flag = cd.flag
+            JOIN ty ON ty.flag = cd.flag
+    """,
+)
+def q_agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b between quantity and discount per return flag —
+    the concordant-minus-discordant pair statistic with tie
+    correction, completing the rank-association pair with
+    q_agg_spearman (τ weights each exchanged pair once; ρ weights by
+    rank distance).
+
+    Cross-engine exactness: concordant/discordant counts come from a
+    CELL-PAIR join of the joint histogram (a.x < b.x, compare y) —
+    Σ cᵢ·cⱼ products of exact BIGINTs, ≤ n²/2 ≈ 2e15 at sf10, inside
+    BIGINT; tie terms n1/n2 from the marginals likewise.  τ-b's
+    denominator multiplies two ~n²/2 integers — past BIGINT — so both
+    engines cast each factor to DOUBLE first and multiply under the
+    identical IEEE sequence.  All-tied marginals yield NULL.
+
+    100 TB posture: corpus → ≤ 550-cell joint histogram (one
+    partial-agg); the pair join is cells² ≈ 3e5 rows per flag,
+    CONSTANT in data volume.  The joint histogram feeds four
+    consumers — localCheckpointed (theil_sen rule)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    j = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_quantity").cast("long").alias("x"),
+            F.round(F.col("l_discount") * 100)
+            .cast("long")
+            .alias("y"),
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    a = j.select(
+        F.col("flag"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.col("c").alias("ca"),
+    )
+    b = j.select(
+        F.col("flag").alias("flag_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("c").alias("cb"),
+    )
+    cd = (
+        a.join(
+            b,
+            (F.col("flag") == F.col("flag_b"))
+            & (F.col("xa") < F.col("xb")),
+        )
+        .groupBy("flag")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ya") < F.col("yb"),
+                    F.col("ca") * F.col("cb"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("conc"),
+            F.sum(
+                F.when(
+                    F.col("ya") > F.col("yb"),
+                    F.col("ca") * F.col("cb"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("disc"),
+        )
+    )
+    nn = j.groupBy("flag").agg(F.sum("c").cast("long").alias("n"))
+    tx = (
+        j.groupBy("flag", "x")
+        .agg(F.sum("c").cast("long").alias("cx"))
+        .groupBy("flag")
+        .agg(
+            F.sum(F.expr("cx * (cx - 1) div 2"))
+            .cast("long")
+            .alias("n1")
+        )
+    )
+    ty = (
+        j.groupBy("flag", "y")
+        .agg(F.sum("c").cast("long").alias("cy"))
+        .groupBy("flag")
+        .agg(
+            F.sum(F.expr("cy * (cy - 1) div 2"))
+            .cast("long")
+            .alias("n2")
+        )
+    )
+    n0 = F.expr("n * (n - 1) div 2")
+    return (
+        cd.join(nn, "flag")
+        .join(tx, "flag")
+        .join(ty, "flag")
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            "n",
+            "conc",
+            "disc",
+            F.when(
+                (n0 - F.col("n1") == 0) | (n0 - F.col("n2") == 0),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
+                (F.col("conc") - F.col("disc")).cast("double")
+                / F.sqrt(
+                    (n0 - F.col("n1")).cast("double")
+                    * (n0 - F.col("n2")).cast("double")
+                )
+            )
+            .alias("tau_b"),
+        )
+    )
+
+
+@register(
+    "q_agg_hodges_lehmann",
+    oracle="""
+    WITH h AS (
+      SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.flag, a.v + b.v AS twice_w,
+             CASE WHEN a.v = b.v THEN a.c * (a.c + 1) // 2
+                  ELSE a.c * b.c END AS wt
+      FROM h a JOIN h b ON a.flag = b.flag AND a.v <= b.v),
+    grp AS (
+      SELECT flag, twice_w, CAST(SUM(wt) AS BIGINT) AS wt
+      FROM pairs GROUP BY flag, twice_w),
+    cum AS (
+      SELECT flag, twice_w, wt,
+             SUM(wt) OVER (PARTITION BY flag ORDER BY twice_w)
+               AS cumwt,
+             SUM(wt) OVER (PARTITION BY flag) AS nw
+      FROM grp)
+    SELECT flag AS l_returnflag, CAST(MAX(nw) AS BIGINT) AS n_walsh,
+           CAST(MIN(CASE WHEN cumwt >= (nw + 1) // 2 THEN twice_w END)
+                AS BIGINT) AS twice_hl,
+           CAST(MIN(CASE WHEN cumwt >= (nw + 1) // 2 THEN twice_w END)
+                AS DOUBLE) / 2 AS hl_estimate
+    FROM cum GROUP BY flag
+    """,
+)
+def q_agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann location estimator per return flag: the lower
+    median of all n(n+1)/2 Walsh averages (xᵢ+xⱼ)/2, i ≤ j — the
+    location companion to q_agg_mann_whitney (it is the rank-sum
+    test's point estimate) with 29% breakdown, between the mean's 0%
+    and the median's 50%.
+
+    Cross-engine exactness: Walsh averages are never enumerated — the
+    VALUE HISTOGRAM carries them with multiplicities: a pair of
+    distinct values contributes weight cᵢ·cⱼ, a same-value pair
+    cᵢ(cᵢ+1)/2 (integral-divided), and the average is carried DOUBLED
+    (vᵢ+vⱼ — an exact BIGINT, the theil_sen lower-median discipline)
+    so the rank scan never touches a float; hl = twice_hl/2.0 is the
+    only division.  All weights and the (N+1)//2 target rank are exact
+    BIGINTs (N ≤ n²/2 ≈ 2e15 at sf10, inside BIGINT).
+
+    100 TB posture: corpus → 50-row value histogram (one partial-agg);
+    the Walsh-pair expansion is |values|²/2 ≈ 1,275 rows per flag,
+    CONSTANT in data volume, and the median scan is a window over the
+    ≤ 99 distinct doubled sums.  The histogram self-join is the
+    bounded arm — localCheckpointed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_quantity").cast("long").alias("v"),
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    a = h.select(
+        "flag", F.col("v").alias("va"), F.col("c").alias("ca")
+    )
+    b = h.select(
+        F.col("flag").alias("flag_b"),
+        F.col("v").alias("vb"),
+        F.col("c").alias("cb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("flag") == F.col("flag_b"))
+        & (F.col("va") <= F.col("vb")),
+    ).select(
+        "flag",
+        (F.col("va") + F.col("vb")).alias("twice_w"),
+        F.when(
+            F.col("va") == F.col("vb"),
+            F.expr("ca * (ca + 1) div 2"),
+        )
+        .otherwise(F.col("ca") * F.col("cb"))
+        .alias("wt"),
+    )
+    grp = pairs.groupBy("flag", "twice_w").agg(
+        F.sum("wt").cast("long").alias("wt")
+    )
+    w = Window.partitionBy("flag").orderBy("twice_w")
+    cum = grp.select(
+        "flag",
+        "twice_w",
+        "wt",
+        F.sum("wt")
+        .over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cumwt"),
+        F.sum("wt")
+        .over(
+            Window.partitionBy("flag").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("nw"),
+    )
+    hit = F.min(
+        F.when(
+            F.col("cumwt") >= F.expr("(nw + 1) div 2"),
+            F.col("twice_w"),
+        )
+    )
+    return cum.groupBy(F.col("flag").alias("l_returnflag")).agg(
+        F.max("nw").cast("long").alias("n_walsh"),
+        hit.cast("long").alias("twice_hl"),
+        (hit.cast("double") / 2).alias("hl_estimate"),
+    )
+
+
+@register(
+    "q_ts_changepoint",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    pre AS (
+      SELECT event_type, day, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY day)
+               AS s1,
+             SUM(n) OVER (PARTITION BY event_type) AS s,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+               AS k1,
+             COUNT(*) OVER (PARTITION BY event_type) AS k
+      FROM d),
+    m AS (
+      SELECT event_type, day, k1, k - k1 AS k2, s1, s - s1 AS s2,
+             CAST((s1 * (k - k1) - (s - s1) * k1) AS DOUBLE)
+               * CAST((s1 * (k - k1) - (s - s1) * k1) AS DOUBLE)
+               / (k1 * (k - k1)) AS gap_stat
+      FROM pre WHERE k1 < k),
+    best AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY gap_stat DESC, day) AS rk
+      FROM m)
+    SELECT event_type, day AS cp_day, k1 AS days_before,
+           k2 AS days_after,
+           CAST(s1 AS DOUBLE) / k1 AS mean_before,
+           CAST(s2 AS DOUBLE) / k2 AS mean_after,
+           CAST(s2 AS DOUBLE) / k2 - CAST(s1 AS DOUBLE) / k1
+             AS mean_shift
+    FROM best WHERE rk = 1
+    """,
+)
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point locator per event type: the split day
+    maximizing the between-segment statistic (S₁k₂ − S₂k₁)²/(k₁k₂) —
+    the day where the daily-count mean shifts most, in the CUSUM
+    family (q_ts_cusum DETECTS sustained drift; this LOCATES the
+    break; amplitude-normalized binary-segmentation step).
+
+    Cross-engine exactness: prefix sums, total, and the split
+    numerator S₁k₂ − S₂k₁ are exact BIGINTs (≤ ~2e10 at sf10 — and
+    exactly representable as doubles, < 2^53); the statistic squares
+    it under one identical IEEE multiply-divide sequence, so every
+    candidate's score is bit-identical across engines and the argmax
+    (ROW_NUMBER ordered score DESC, day ASC for the deterministic
+    tiebreak) picks the same day.  Means and shift are single IEEE
+    divisions of exact integers.
+
+    100 TB posture: the only corpus-sized stage is the (type, day)
+    partial-agg; every window runs on the CALENDAR-BOUNDED daily
+    relation.  One lineage, single pass — no checkpoint needed."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    wp = Window.partitionBy("event_type").orderBy("day")
+    wall = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pre = d.select(
+        "event_type",
+        "day",
+        F.sum("n")
+        .over(
+            wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("s1"),
+        F.sum("n").over(wall).alias("s"),
+        F.row_number().over(wp).alias("k1"),
+        F.count("*").over(wall).alias("k"),
+    ).filter(F.col("k1") < F.col("k"))
+    num = F.col("s1") * (F.col("k") - F.col("k1")) - (
+        F.col("s") - F.col("s1")
+    ) * F.col("k1")
+    m = pre.select(
+        "event_type",
+        "day",
+        "k1",
+        (F.col("k") - F.col("k1")).alias("k2"),
+        "s1",
+        (F.col("s") - F.col("s1")).alias("s2"),
+        (
+            num.cast("double")
+            * num.cast("double")
+            / (F.col("k1") * (F.col("k") - F.col("k1")))
+        ).alias("gap_stat"),
+    )
+    best = m.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("gap_stat").desc(), F.col("day")
+            )
+        ),
+    ).filter(F.col("rk") == 1)
+    mb = F.col("s1").cast("double") / F.col("k1")
+    ma = F.col("s2").cast("double") / F.col("k2")
+    return best.select(
+        "event_type",
+        F.col("day").alias("cp_day"),
+        F.col("k1").alias("days_before"),
+        F.col("k2").alias("days_after"),
+        mb.alias("mean_before"),
+        ma.alias("mean_after"),
+        (ma - mb).alias("mean_shift"),
+    )

@@ -530,3 +530,105 @@ def test_fuzzy_edit_finds_typo_pair_and_pins_blocking_boundary(
     assert ("blue bolt", "blue boot") in pairs
     assert ("hot gear", "rot gear") not in pairs
     assert ("rot gear", "hot gear") not in pairs
+
+
+def _write_lineitem_qd(tmp_path, rows, name):
+    """rows: (l_returnflag, l_quantity, l_discount)."""
+    sf_dir = str(tmp_path / name)
+    os.makedirs(sf_dir, exist_ok=True)
+    tbl = pa.table(
+        {
+            "l_returnflag": pa.array([r[0] for r in rows], pa.string()),
+            "l_quantity": pa.array(
+                [float(r[1]) for r in rows], pa.float64()
+            ),
+            "l_discount": pa.array(
+                [float(r[2]) for r in rows], pa.float64()
+            ),
+            "l_extendedprice": pa.array(
+                [1.0] * len(rows), pa.float64()
+            ),
+            "l_tax": pa.array([0.0] * len(rows), pa.float64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(sf_dir, "lineitem.parquet"))
+    return sf_dir
+
+
+def test_spearman_and_kendall_perfect_monotone(spark, tmp_path, q, osql):
+    """A strictly increasing (quantity, discount) relation scores
+    rho = tau = 1 exactly; reversing the discounts scores -1; a
+    constant marginal yields NULL on both engines."""
+    up = [("A", i, i / 100.0) for i in range(1, 6)]
+    down = [("A", i, (6 - i) / 100.0) for i in range(1, 6)]
+    flat = [("A", i, 0.05) for i in range(1, 6)]
+    sf = _write_lineitem_qd(tmp_path, up, "sfsp_up")
+    r = _cross_engine(
+        spark, q, osql, "q_agg_spearman", sf, "lineitem"
+    ).iloc[0]
+    assert r["rho_spearman"] == pytest.approx(1.0)
+    rt = _cross_engine(
+        spark, q, osql, "q_agg_kendall_tau", sf, "lineitem"
+    ).iloc[0]
+    assert (rt["conc"], rt["disc"]) == (10, 0)
+    assert rt["tau_b"] == pytest.approx(1.0)
+    sf2 = _write_lineitem_qd(tmp_path, down, "sfsp_down")
+    r2 = _cross_engine(
+        spark, q, osql, "q_agg_spearman", sf2, "lineitem"
+    ).iloc[0]
+    assert r2["rho_spearman"] == pytest.approx(-1.0)
+    rt2 = _cross_engine(
+        spark, q, osql, "q_agg_kendall_tau", sf2, "lineitem"
+    ).iloc[0]
+    assert rt2["tau_b"] == pytest.approx(-1.0)
+    sf3 = _write_lineitem_qd(tmp_path, flat, "sfsp_flat")
+    r3 = _cross_engine(
+        spark, q, osql, "q_agg_spearman", sf3, "lineitem"
+    ).iloc[0]
+    assert r3["rho_spearman"] is None or r3["rho_spearman"] != r3[
+        "rho_spearman"
+    ]
+
+
+def test_hodges_lehmann_hand_computed_and_outlier_robust(
+    spark, tmp_path, q, osql
+):
+    """{1,2,3}: six Walsh averages [1, 1.5, 2, 2, 2.5, 3], lower
+    median = 2.  Adding a 1000x outlier moves HL to 2.5 where the
+    MEAN jumps to ~251."""
+    sf = _write_lineitem(
+        tmp_path,
+        [("A", v, 1, 0.0, 0.0) for v in (1, 2, 3)],
+        "sfhl_base",
+    )
+    r = _cross_engine(
+        spark, q, osql, "q_agg_hodges_lehmann", sf, "lineitem"
+    ).iloc[0]
+    assert (r["n_walsh"], r["twice_hl"]) == (6, 4)
+    assert r["hl_estimate"] == pytest.approx(2.0)
+    sf2 = _write_lineitem(
+        tmp_path,
+        [("A", v, 1, 0.0, 0.0) for v in (1, 2, 3, 1000)],
+        "sfhl_out",
+    )
+    r2 = _cross_engine(
+        spark, q, osql, "q_agg_hodges_lehmann", sf2, "lineitem"
+    ).iloc[0]
+    assert r2["n_walsh"] == 10
+    assert r2["hl_estimate"] == pytest.approx(2.5)
+
+
+def test_changepoint_locates_planted_level_shift(
+    spark, tmp_path, q, osql
+):
+    """[1,1,1,5,5,5]: the best split is after day 3 — means 1 vs 5,
+    shift +4, located deterministically on both engines."""
+    sf = _daily_counts(tmp_path, [1, 1, 1, 5, 5, 5], "sfcp11")
+    r = _cross_engine(
+        spark, q, osql, "q_ts_changepoint", sf, "events"
+    ).iloc[0]
+    assert (r["days_before"], r["days_after"]) == (3, 3)
+    assert r["mean_before"] == pytest.approx(1.0)
+    assert r["mean_after"] == pytest.approx(5.0)
+    assert r["mean_shift"] == pytest.approx(4.0)
+    assert str(r["cp_day"]) == "2024-01-03"
