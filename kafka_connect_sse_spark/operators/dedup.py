@@ -875,7 +875,13 @@ def containment_dedup(
     sh = d.select(
         "doc_id", "lang", F.explode(shingle_array(F.col("text"))).alias("shingle")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # per-doc shingle counts MAP-SIDE from the (already-distinct) array
+    # — the former explode + doc_id groupBy re-shuffled the whole 45M-row
+    # shingle relation just to count it (r11 continuation; output
+    # identical, sizes is |distinct shingles| either way)
+    sizes = d.select(
+        "doc_id", F.size(shingle_array(F.col("text"))).alias("n")
+    ).filter(F.col("n") > 0)
     # NULL-lang docs never pair (the oracle's a.lang = b.lang join drops
     # NULLs; groupBy would silently group them together)
     postings = (

@@ -749,3 +749,50 @@ def s_ohlc_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, mode="complete")
+
+
+@register(
+    "s_window_distinct_users",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                    '{_TS_FMT_DUCK}') AS win_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+)
+def s_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per tumbling hour — the streaming DISTINCT
+    pattern: countDistinct is not a streaming aggregate, so the query
+    CHAINS two stateful operators (Spark 4 multi-stateful support):
+    watermarked dropDuplicates on (hour-bucket, user) emits each user's
+    first event per hour, then the windowed count over the deduped
+    stream counts exactly the distinct users.  The dedup key includes
+    the hour bucket so a user active across hours counts in each —
+    identical semantics to batch COUNT(DISTINCT) per window, which is
+    the oracle.
+
+    Scale posture: dedup state is one row per (hour, user) inside the
+    watermark (bounded by the 1-day horizon, not corpus history); the
+    downstream window state is |windows| counters.  At 100 TB the same
+    shape holds — this is the standard exact-distinct streaming recipe;
+    the sketch tier (approx_count_distinct per window) is the documented
+    swap when per-user exactness can yield (q_agg_approx_distinct's
+    trade, streamed)."""
+    sdf = events_stream(spark, sf_dir)
+    dd = (
+        sdf.withColumn("hour_b", F.date_trunc("hour", F.col("ts")))
+        .withWatermark("ts", "1 day")
+        .dropDuplicates(["hour_b", "user_id"])
+    )
+    agg = (
+        dd.groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .select(
+            F.date_format(F.col("window.start"), _TS_FMT).alias(
+                "win_start"
+            ),
+            "n_users",
+        )
+    )
+    return run_to_memory(agg, mode="complete")

@@ -632,3 +632,22 @@ def test_changepoint_locates_planted_level_shift(
     assert r["mean_after"] == pytest.approx(5.0)
     assert r["mean_shift"] == pytest.approx(4.0)
     assert str(r["cp_day"]) == "2024-01-03"
+
+
+def test_window_distinct_users_dedups_within_hour_counts_across(
+    spark, tmp_path, q, osql
+):
+    """User 1 fires 3 events in hour H (counts once) and once in hour
+    H+1 (counts again); user 2 appears only in hour H."""
+    rows = [
+        (1, "2024-01-01T10:05:00", 1, "view", 1.0),
+        (2, "2024-01-01T10:15:00", 1, "view", 1.0),
+        (3, "2024-01-01T10:55:00", 1, "click", 1.0),
+        (4, "2024-01-01T10:30:00", 2, "view", 1.0),
+        (5, "2024-01-01T11:10:00", 1, "view", 1.0),
+    ]
+    sf = _write_events_v(tmp_path, rows, "sfwdu11")
+    spdf = _cross_engine(
+        spark, q, osql, "s_window_distinct_users", sf, "events"
+    ).sort_values("win_start")
+    assert list(spdf["n_users"]) == [2, 1]
