@@ -1070,3 +1070,83 @@ def test_trimmed_mean_windows_run_on_histogram_not_rows(spark):
     plan = _final_plan(queries()["q_agg_trimmed_mean"](spark, SF))
     assert plan.count("FileScan parquet") == 1, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_mann_kendall_runs_on_checkpointed_daily_relation(spark):
+    """q_ts_mann_kendall: the (type, day) relation feeds three
+    consumers (sign-pair join sides + tie rollup) — localCheckpointed,
+    zero events FileScans in the final plan (the theil_sen pin's
+    twin)."""
+    plan = _final_plan(queries()["q_ts_mann_kendall"](spark, SF))
+    assert plan.count("FileScan parquet") == 0, plan
+    assert "ExistingRDD" in plan, plan
+
+
+def test_cramers_v_grid_runs_on_checkpointed_cells(spark):
+    """q_agg_cramers_v: the (type, dow) cell table feeds four
+    consumers — localCheckpointed, zero events FileScans; the
+    zero-filled grid join and chi-square run on cells."""
+    plan = _final_plan(queries()["q_agg_cramers_v"](spark, SF))
+    assert plan.count("FileScan parquet") == 0, plan
+    assert "ExistingRDD" in plan, plan
+
+
+def test_rank_stats_pair_work_runs_on_checkpointed_histograms(spark):
+    """q_agg_spearman / q_agg_kendall_tau / q_agg_hodges_lehmann: the
+    joint (or value) histogram is the checkpoint boundary — zero
+    lineitem FileScans in any final plan; Walsh/cell-pair expansion
+    and rank windows run on the bounded relation."""
+    for name in (
+        "q_agg_spearman",
+        "q_agg_kendall_tau",
+        "q_agg_hodges_lehmann",
+    ):
+        plan = _final_plan(queries()[name](spark, SF))
+        assert plan.count("FileScan parquet") == 0, (name, plan)
+        assert "ExistingRDD" in plan, (name, plan)
+
+
+def test_sample_temperature_token_count_runs_once(spark):
+    """x_sample_temperature: the per-lang token count is the
+    checkpoint boundary (feeds normalizer + weights) — zero documents
+    FileScans in the final plan."""
+    plan = _final_plan(queries()["x_sample_temperature"](spark, SF))
+    assert plan.count("FileScan parquet") == 0, plan
+    assert "ExistingRDD" in plan, plan
+
+
+def test_fuzzy_edit_blocks_join_the_checkpointed_name_relation(spark):
+    """x_dedup_fuzzy_edit: the vocabulary-sized name relation feeds
+    both self-join sides — localCheckpointed, zero part FileScans;
+    levenshtein evaluates only on in-block candidate pairs."""
+    plan = _final_plan(queries()["x_dedup_fuzzy_edit"](spark, SF))
+    assert plan.count("FileScan parquet") == 0, plan
+    assert "ExistingRDD" in plan, plan
+
+
+def test_win_median_frame_is_constant_and_single_scan(spark):
+    """q_win_median: one events scan into the daily partial agg; the
+    median window runs on the calendar-bounded relation with an O(1)
+    collect frame (no unbounded collect_list)."""
+    plan = _final_plan(queries()["q_win_median"](spark, SF))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Window" in plan, plan
+
+
+def test_changepoint_single_scan_windows_on_daily(spark):
+    """q_ts_changepoint: single events scan; prefix sums, totals, and
+    the argmax all run as windows over the daily relation."""
+    plan = _final_plan(queries()["q_ts_changepoint"](spark, SF))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Window" in plan, plan
+
+
+def test_simhash_bitparallel_plan_shape(spark):
+    """x_dedup_simhash (r11 rewrite): one documents scan, ONE Generate
+    (the token explode feeding codegen), no higher-order filter chain,
+    and a partial-aggregated exchange (map-side combine on doc_id) —
+    the eval-regime fix SCALE.md documents."""
+    plan = _final_plan(queries()["x_dedup_simhash"](spark, SF))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("Generate") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
