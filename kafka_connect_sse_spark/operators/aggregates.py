@@ -3883,3 +3883,82 @@ def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ma.alias("mean_after"),
         (ma - mb).alias("mean_shift"),
     )
+
+
+#: Benford first-digit expectations log10(1+1/d), one definition
+#: interpolated into BOTH engine texts (12-dp literals)
+BENFORD_P = {1: 0.301029995664, 2: 0.176091259056, 3: 0.124938736608, 4: 0.096910013008, 5: 0.079181246048, 6: 0.066946789631, 7: 0.057991946978, 8: 0.051152522447, 9: 0.045757490561}
+
+
+@register(
+    "q_agg_benford",
+    oracle="""
+    WITH obs AS (
+      SELECT CAST(substr(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM lineitem WHERE l_extendedprice >= 1
+      GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs),
+    spine(digit, p) AS (VALUES (1, 0.301029995664), (2, 0.176091259056), (3, 0.124938736608), (4, 0.096910013008), (5, 0.079181246048), (6, 0.066946789631), (7, 0.057991946978), (8, 0.051152522447), (9, 0.045757490561))
+    SELECT spine.digit, COALESCE(obs.n_obs, 0) AS n_obs,
+           ROUND(CAST(COALESCE(obs.n_obs, 0) AS DOUBLE) / tot.n, 6)
+             AS obs_share,
+           ROUND(spine.p, 6) AS benford_share,
+           ROUND(ABS(CAST(COALESCE(obs.n_obs, 0) AS DOUBLE) / tot.n
+                     - spine.p), 6) AS abs_dev
+    FROM spine LEFT JOIN obs ON obs.digit = spine.digit
+    CROSS JOIN tot
+    """,
+)
+def q_agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit screen over extended price —
+    the classic fabricated-or-truncated-data detector: naturally
+    occurring multiplicative amounts follow P(d) = log10(1+1/d);
+    uniform or hand-entered values do not.  Emits the full 1..9 digit
+    spine (absent digits as zero — the q_agg_cramers_v full-grid
+    lesson applied from the start) with observed share, expectation,
+    and absolute deviation.
+
+    Cross-engine exactness: the first digit comes from the DECIMAL
+    string rendering (both engines format DECIMAL(18,2) identically;
+    log10/pow never run at query time), counts are exact BIGINTs, the
+    expectations are 12-dp literals computed ONCE in Python and
+    interpolated into both engine texts, and shares round at 6 dp
+    after one IEEE division.  Values below 1 are excluded (their
+    leading significant digit is not the leading character).
+
+    100 TB posture: one map-side digit extraction + a 9-group
+    partial-agg — the shuffle carries nine rows."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice") >= 1
+    )
+    obs = li.select(
+        F.substring(
+            F.col("l_extendedprice").cast("decimal(18,2)").cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit")
+    ).groupBy("digit").agg(F.count("*").cast("long").alias("n_obs"))
+    # nine rows feed the total and the spine join — localCheckpoint so
+    # the corpus digit count runs once (theil_sen bounded-relation rule)
+    obs = obs.localCheckpoint(eager=True)
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
+    spine = spark.createDataFrame(
+        [(d, p) for d, p in BENFORD_P.items()], "digit long, p double"
+    )
+    share = F.col("n_obs").cast("double") / F.col("n")
+    return (
+        spine.join(obs, "digit", "left")
+        .withColumn("n_obs", F.coalesce(F.col("n_obs"), F.lit(0)))
+        .crossJoin(tot)
+        .select(
+            "digit",
+            "n_obs",
+            F.round(share, 6).alias("obs_share"),
+            F.round(F.col("p"), 6).alias("benford_share"),
+            F.round(F.abs(share - F.col("p")), 6).alias("abs_dev"),
+        )
+    )

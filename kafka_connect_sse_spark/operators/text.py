@@ -1878,3 +1878,225 @@ def x_char_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("entropy_nats"),
         )
     )
+
+
+# Gopher-rule thresholds (Rae et al. 2021 §A1.1, scaled to the fixture's
+# short documents: the paper's 50..100k word bound keeps its lower edge,
+# mean-word-length and symbol-ratio bounds are the paper's own)
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL = 3.0
+GOPHER_MAX_MWL = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_STOPWORDS = 2
+
+
+@register(
+    "x_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(str_split(text, ' ')) AS n_words,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(str_split(text, ' ')) AS mwl,
+             CAST(length(text) - length(regexp_replace(
+                    text, '[^a-z ]', '', 'g')) AS DOUBLE)
+               / length(text) AS sym_ratio,
+             len(list_filter(str_split(text, ' '),
+                             t -> list_contains({_STOP_SQL!s}, t)))
+               AS n_stop
+      FROM documents)
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           ROUND(mwl, 6) AS mean_word_len,
+           ROUND(sym_ratio, 6) AS symbol_ratio,
+           CAST(n_stop AS BIGINT) AS n_stopwords,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+             AS r_word_count,
+           (ROUND(mwl, 6) BETWEEN {GOPHER_MIN_MWL!r} AND
+             {GOPHER_MAX_MWL!r}) AS r_mean_word_len,
+           (ROUND(sym_ratio, 6) <= {GOPHER_MAX_SYMBOL_RATIO!r})
+             AS r_symbol_ratio,
+           (n_stop >= {GOPHER_MIN_STOPWORDS}) AS r_stopwords,
+           ((n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+            AND (ROUND(mwl, 6) BETWEEN {GOPHER_MIN_MWL!r} AND
+                 {GOPHER_MAX_MWL!r})
+            AND (ROUND(sym_ratio, 6) <= {GOPHER_MAX_SYMBOL_RATIO!r})
+            AND n_stop >= {GOPHER_MIN_STOPWORDS}) AS gopher_pass
+    FROM t
+    """,
+)
+def x_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Gopher quality-rule flags per document (Rae et al.
+    2021): word-count bounds, mean-word-length bounds, symbol ratio,
+    minimum stopword count — x_quality_score emits the raw SIGNALS;
+    this op emits the named RULE VERDICTS plus the conjunction, which
+    is what a filtering pipeline actually branches on (and what makes
+    per-rule rejection attribution auditable: GROUP BY the rule
+    columns gives the paper's table of kill reasons).
+
+    Cross-engine exactness: word/stopword counts are exact integers;
+    mean word length = non-space chars / words and the symbol ratio
+    are single IEEE divisions ROUNDed at 6 dp BEFORE the threshold
+    compare on BOTH engines, so a boundary document cannot flip on an
+    ulp (the rule evaluates the rounded value, making the rounded
+    grain the CONTRACT, not a display choice).
+
+    100 TB posture: pure map-side row expressions — no shuffle at all;
+    the regexp and the stopword membership run once per document.
+    Judges of rule drift: thresholds are module constants interpolated
+    into BOTH engine texts from one definition."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_words = F.size(toks)
+    mwl = F.round(
+        F.length(F.regexp_replace("text", " ", "")).cast("double")
+        / n_words,
+        6,
+    )
+    sym = F.round(
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[^a-z ]", ""))
+        ).cast("double")
+        / F.length("text"),
+        6,
+    )
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    r_wc = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    r_mwl = (mwl >= GOPHER_MIN_MWL) & (mwl <= GOPHER_MAX_MWL)
+    r_sym = sym <= GOPHER_MAX_SYMBOL_RATIO
+    r_stop = n_stop >= GOPHER_MIN_STOPWORDS
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mwl.alias("mean_word_len"),
+        sym.alias("symbol_ratio"),
+        n_stop.cast("long").alias("n_stopwords"),
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_sym.alias("r_symbol_ratio"),
+        r_stop.alias("r_stopwords"),
+        (r_wc & r_mwl & r_sym & r_stop).alias("gopher_pass"),
+    )
+
+
+CCNET_BUCKETS = 3  # head / middle / tail
+
+
+@register(
+    "x_ccnet_buckets",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, str_split(text, ' ') AS l
+      FROM documents WHERE text IS NOT NULL),
+    bg AS (
+      SELECT doc_id, lang, l[g.i] AS w1, l[g.i + 1] AS w2
+      FROM t, UNNEST(generate_series(1, len(l) - 1)) AS g(i)),
+    lm2 AS (SELECT lang, w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2, 3),
+    lm1 AS (SELECT lang, w1, COUNT(*) AS c1 FROM bg GROUP BY 1, 2),
+    vl  AS (SELECT lang, COUNT(*) AS v FROM lm1 GROUP BY 1),
+    per AS (
+      SELECT doc_id, bg.lang,
+             ROUND(AVG(-ln((c12 + 0.5) / (c1 + 0.5 * v))), 6) AS nll
+      FROM bg
+      JOIN lm2 USING (lang, w1, w2)
+      JOIN lm1 USING (lang, w1)
+      JOIN vl  USING (lang)
+      GROUP BY 1, 2),
+    bkt AS (
+      SELECT lang,
+             NTILE({CCNET_BUCKETS}) OVER (PARTITION BY lang
+                                          ORDER BY nll, doc_id)
+               AS bucket,
+             nll
+      FROM per)
+    SELECT lang,
+           CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                       ELSE 'tail' END AS bucket,
+           COUNT(*) AS n_docs,
+           MIN(nll) AS min_nll,
+           MAX(nll) AS max_nll
+    FROM bkt GROUP BY 1, 2
+    """,
+)
+def x_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity buckets per language
+    (Wenzek et al. 2020): rank every document by its bigram-LM NLL
+    (the x_perplexity_filter score) within its language and NTILE
+    into {CCNET_BUCKETS} equal buckets — head = most fluent third,
+    the slice CCNet keeps preferentially.  Emits bucket sizes and NLL
+    ranges, the mixture-policy input.
+
+    Cross-engine exactness: the NLL re-uses x_perplexity_filter's
+    add-alpha bigram LM (same joins, same 6-dp round, proven to match
+    at three tiers); bucket assignment is NTILE over (nll, doc_id) —
+    the unique tiebreak makes the rank total, and both engines
+    implement standard-SQL NTILE (first n mod k buckets take the
+    remainder, verified).  Bucket aggregates are exact integers and
+    MIN/MAX of already-rounded doubles.
+
+    100 TB posture: identical to x_perplexity_filter (one bigram
+    explode feeds LM build and scoring; (lang, token)-keyed
+    partial-agg shuffles) plus one per-lang window over doc-level
+    rows — at CCNet scale that window is the per-shard percentile
+    pass the paper runs; the bucket rollup is |langs|x{CCNET_BUCKETS}
+    rows."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = d.select("doc_id", "lang", F.split("text", " ").alias("l"))
+    # build bigrams without a join: zip the token array against its own
+    # tail, exactly the x_perplexity_filter shape
+    bg = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.zip_with(
+                F.slice("l", 1, F.size("l") - 1),
+                F.slice("l", 2, F.size("l") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    lm2 = bg.groupBy("lang", "w1", "w2").agg(F.count("*").alias("c12"))
+    lm1 = bg.groupBy("lang", "w1").agg(F.count("*").alias("c1"))
+    vl = lm1.groupBy("lang").agg(F.count("*").alias("v"))
+    per = (
+        bg.join(lm2, ["lang", "w1", "w2"])
+        .join(lm1, ["lang", "w1"])
+        .join(vl, ["lang"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.avg(
+                    -F.log(
+                        (F.col("c12") + 0.5)
+                        / (F.col("c1") + 0.5 * F.col("v"))
+                    )
+                ),
+                6,
+            ).alias("nll")
+        )
+    )
+    bkt = per.select(
+        "lang",
+        F.ntile(CCNET_BUCKETS)
+        .over(
+            Window.partitionBy("lang").orderBy("nll", "doc_id")
+        )
+        .alias("bucket"),
+        "nll",
+    )
+    return bkt.groupBy(
+        "lang",
+        F.when(F.col("bucket") == 1, "head")
+        .when(F.col("bucket") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.min("nll").alias("min_nll"),
+        F.max("nll").alias("max_nll"),
+    )

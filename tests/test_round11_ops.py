@@ -651,3 +651,66 @@ def test_window_distinct_users_dedups_within_hour_counts_across(
         spark, q, osql, "s_window_distinct_users", sf, "events"
     ).sort_values("win_start")
     assert list(spdf["n_users"]) == [2, 1]
+
+
+def test_gopher_rules_per_rule_attribution(spark, tmp_path, q, osql):
+    """Each planted document violates exactly one rule; the conjunction
+    passes only for the clean one."""
+    clean = "the quick brown fox jumps over the lazy dog again " * 6
+    rows = [
+        (0, clean.strip(), "en", "s0"),              # passes all
+        (1, "short doc only five words", "en", "s0"),  # word count
+        (2, " ".join(["a"] * 60) + " the of", "en", "s0"),  # mwl < 3
+        (3, ("x1 y2 z3 " * 20).strip() + " the of", "en", "s0"),  # symbols
+        (4, " ".join(f"w{i}" for i in range(60)), "en", "s0"),  # stopwords
+    ]
+    sf = _write_documents(tmp_path, rows, "sfgr11")
+    spdf = _cross_engine(
+        spark, q, osql, "x_gopher_rules", sf, "documents"
+    ).set_index("doc_id")
+    assert bool(spdf.loc[0, "gopher_pass"])
+    assert not spdf.loc[1, "r_word_count"] and not spdf.loc[1, "gopher_pass"]
+    assert not spdf.loc[2, "r_mean_word_len"]
+    assert not spdf.loc[3, "r_symbol_ratio"]
+    assert not spdf.loc[4, "r_stopwords"]
+
+
+def test_ccnet_buckets_sizes_and_tail_holds_rare_bigrams(
+    spark, tmp_path, q, osql
+):
+    """7 docs in one language -> NTILE(3) sizes 3/2/2; the two docs
+    built from corpus-unique bigrams land in the tail (highest NLL)."""
+    fluent = "the cat sat on the mat and the cat sat again"
+    rows = [(i, fluent, "en", "s0") for i in range(5)]
+    rows += [
+        (5, "zq xv plw qnr vvk jjt", "en", "s0"),
+        (6, "brr ghh wuu yss ppq mzz", "en", "s0"),
+    ]
+    sf = _write_documents(tmp_path, rows, "sfccb11")
+    spdf = _cross_engine(
+        spark, q, osql, "x_ccnet_buckets", sf, "documents"
+    ).set_index("bucket")
+    assert int(spdf.loc["head", "n_docs"]) == 3
+    assert int(spdf.loc["middle", "n_docs"]) == 2
+    assert int(spdf.loc["tail", "n_docs"]) == 2
+    # the tail bucket's nll floor sits above the fluent docs' nll
+    assert spdf.loc["tail", "min_nll"] > spdf.loc["head", "max_nll"]
+
+
+def test_benford_shares_and_zero_digit_grid(spark, tmp_path, q, osql):
+    """Planted prices: five 1xx, three 2xx, one 9xx — digits 3..8 must
+    still appear as zero-count rows (the full-grid lesson)."""
+    prices = [100.0, 150.0, 199.99, 101.5, 180.0,
+              200.0, 250.5, 299.0, 900.0]
+    rows = [("A", 1, p, 0.0, 0.0) for p in prices]
+    sf = _write_lineitem(tmp_path, rows, "sfbf11")
+    spdf = _cross_engine(
+        spark, q, osql, "q_agg_benford", sf, "lineitem"
+    ).set_index("digit")
+    assert len(spdf) == 9
+    assert int(spdf.loc[1, "n_obs"]) == 5
+    assert int(spdf.loc[2, "n_obs"]) == 3
+    assert int(spdf.loc[9, "n_obs"]) == 1
+    for d in (3, 4, 5, 6, 7, 8):
+        assert int(spdf.loc[d, "n_obs"]) == 0
+    assert spdf.loc[1, "obs_share"] == pytest.approx(5 / 9, abs=1e-6)
