@@ -102,6 +102,12 @@ ALLOWLIST = {
     "x_label_separation": 2,
     "x_length_outliers": 3,
     "x_ngram_jaccard": 3,
+    # x_ccnet_buckets reuses x_perplexity_filter's LM-build shape (the
+    # bigram relation feeds lm2/lm1/vocab AND the scoring join; a
+    # localCheckpoint would materialize the 45M-row-at-sf10 bigram
+    # relation, so the documented multi-pass stands — same triage
+    # class as x_perplexity_filter)
+    "x_ccnet_buckets": 4,
     "x_perplexity_filter": 5,
     "x_seq_pack": 2,
     "x_seq_tensorize": 2,
