@@ -3962,3 +3962,226 @@ def q_agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(share - F.col("p")), 6).alias("abs_dev"),
         )
     )
+
+
+@register(
+    "q_ts_sma_crossover",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, day, n,
+             CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS s7,
+             CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS s28,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+               AS rk
+      FROM d),
+    sgn AS (
+      SELECT event_type, day, s7, s28,
+             CASE WHEN 4 * s7 >= s28 THEN 1 ELSE 0 END AS side,
+             LAG(CASE WHEN 4 * s7 >= s28 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY event_type ORDER BY day) AS prev_side
+      FROM w WHERE rk >= 28)
+    SELECT event_type, day AS cross_day,
+           CASE WHEN side > prev_side THEN 'golden' ELSE 'death' END
+             AS cross_kind,
+           CAST(s7 AS DOUBLE) / 7 AS sma7,
+           CAST(s28 AS DOUBLE) / 28 AS sma28
+    FROM sgn
+    WHERE prev_side IS NOT NULL AND side <> prev_side
+    """,
+)
+def q_ts_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average crossover detector per event type: days where
+    the 7-day SMA crosses the 28-day SMA ('golden' up-cross / 'death'
+    down-cross) — the momentum-regime change marker, complementing
+    q_ts_changepoint (one global break) with EVERY regime flip.
+
+    Cross-engine exactness: the compare never divides — sma7 > sma28
+    ⇔ 4·s7 > s28 because the frame lengths are 7 and 28 = 4×7
+    (evaluated only once both frames are FULL, rk ≥ 28), so the side
+    signal is a pure BIGINT comparison and the crossing set is exact;
+    the reported sma values are single IEEE divisions for display.
+    The side is TWO-state (ties count as above — integer daily counts
+    make exact ties the resting state of any flat stretch, and a
+    three-state side would suppress the first cross out of flatness),
+    so every flip is either golden or death.
+
+    100 TB posture: one corpus-sized partial-agg to the daily
+    relation; both SMA frames are O(1) windows over it.  Single
+    lineage — no checkpoint."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    wp = Window.partitionBy("event_type").orderBy("day")
+    w = d.select(
+        "event_type",
+        "day",
+        F.sum("n").over(wp.rowsBetween(-6, 0)).cast("long").alias("s7"),
+        F.sum("n")
+        .over(wp.rowsBetween(-27, 0))
+        .cast("long")
+        .alias("s28"),
+        F.row_number().over(wp).alias("rk"),
+    ).filter(F.col("rk") >= 28)
+    side = F.when(4 * F.col("s7") >= F.col("s28"), 1).otherwise(0)
+    sgn = w.select(
+        "event_type",
+        "day",
+        "s7",
+        "s28",
+        side.alias("side"),
+        F.lag(side).over(wp).alias("prev_side"),
+    )
+    return sgn.filter(
+        F.col("prev_side").isNotNull()
+        & (F.col("side") != F.col("prev_side"))
+    ).select(
+        "event_type",
+        F.col("day").alias("cross_day"),
+        F.when(F.col("side") > F.col("prev_side"), "golden")
+        .otherwise("death")
+        .alias("cross_kind"),
+        (F.col("s7").cast("double") / 7).alias("sma7"),
+        (F.col("s28").cast("double") / 28).alias("sma28"),
+    )
+
+
+@register(
+    "q_agg_iqr_outliers",
+    oracle="""
+    WITH h AS (
+      SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2),
+    w AS (
+      SELECT flag, v, c,
+             SUM(c) OVER (PARTITION BY flag ORDER BY v) AS cum,
+             SUM(c) OVER (PARTITION BY flag) AS n
+      FROM h),
+    q AS (
+      SELECT flag, CAST(MAX(n) AS BIGINT) AS n,
+             CAST(MIN(CASE WHEN cum >= (n + 3) // 4 THEN v END)
+                  AS BIGINT) AS q1,
+             CAST(MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END)
+                  AS BIGINT) AS q3
+      FROM w GROUP BY flag),
+    f AS (
+      SELECT flag, n, q1, q3, q3 - q1 AS iqr,
+             2 * q1 - 3 * (q3 - q1) AS two_lo,
+             2 * q3 + 3 * (q3 - q1) AS two_hi
+      FROM q)
+    SELECT f.flag AS l_returnflag, f.n, f.q1, f.q3, f.iqr,
+           CAST(f.two_lo AS DOUBLE) / 2 AS lo_fence,
+           CAST(f.two_hi AS DOUBLE) / 2 AS hi_fence,
+           CAST(COALESCE(SUM(CASE WHEN 2 * h.v < f.two_lo
+                                    OR 2 * h.v > f.two_hi
+                                  THEN h.c ELSE 0 END), 0) AS BIGINT)
+             AS n_outliers
+    FROM f JOIN h ON h.flag = f.flag
+    GROUP BY 1, 2, 3, 4, 5, 6, 7
+    """,
+)
+def q_agg_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier census per return flag: Q1/Q3 as LOWER-rank
+    statistics off the value-histogram cumulative (the q_agg_mad
+    order-statistic discipline — no interpolation), fences at
+    Q1 − 1.5·IQR / Q3 + 1.5·IQR, and the count of rows outside them —
+    the box-plot screen that q_anomaly_zscore_daily's parametric
+    z-score can't replicate on skewed data (the fences never move
+    with the outliers they're hunting).
+
+    Cross-engine exactness: everything is carried DOUBLED — 2·fence =
+    2Q1 − 3·IQR is an exact BIGINT (1.5·IQR never exists as a float),
+    and the outlier predicate compares 2·v against the doubled fence —
+    pure BIGINT comparisons, zero floats until the display columns
+    (fence halves land exactly on the .5 grid there).
+
+    100 TB posture: corpus → 50-row histogram partial-agg; quantile
+    scan and outlier census run ON the histogram (the census re-joins
+    the tiny h relation, not raw rows).  h feeds the rank window and
+    the census join — localCheckpointed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_quantity").cast("long").alias("v"),
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    wq = Window.partitionBy("flag").orderBy("v")
+    w = h.select(
+        "flag",
+        "v",
+        "c",
+        F.sum("c")
+        .over(wq.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("c")
+        .over(
+            Window.partitionBy("flag").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    q = w.groupBy("flag").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 3) div 4"), F.col("v"))
+        )
+        .cast("long")
+        .alias("q1"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(3 * n + 3) div 4"), F.col("v")
+            )
+        )
+        .cast("long")
+        .alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    f = q.select(
+        "flag",
+        "n",
+        "q1",
+        "q3",
+        iqr.alias("iqr"),
+        (2 * F.col("q1") - 3 * iqr).alias("two_lo"),
+        (2 * F.col("q3") + 3 * iqr).alias("two_hi"),
+    )
+    return (
+        f.join(h, "flag")
+        .groupBy(
+            F.col("flag").alias("l_returnflag"),
+            "n",
+            "q1",
+            "q3",
+            "iqr",
+            (F.col("two_lo").cast("double") / 2).alias("lo_fence"),
+            (F.col("two_hi").cast("double") / 2).alias("hi_fence"),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (2 * F.col("v") < F.col("two_lo"))
+                        | (2 * F.col("v") > F.col("two_hi")),
+                        F.col("c"),
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )

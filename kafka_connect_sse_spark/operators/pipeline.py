@@ -1610,3 +1610,108 @@ def x_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("epoch_tokens"),
         F.round(p_sampled / p_raw, 6).alias("upsample_x"),
     )
+
+
+SPAN_CORRUPT_RATE = 15  # percent of tokens budgeted for corruption
+SPAN_LEN = 3            # fixed span length (T5 mean span length)
+SPAN_MIN_TOKENS = 10    # docs shorter than this get no plan
+
+
+@register(
+    "x_span_corruption_plan",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len(str_split(text, ' ')) AS n
+      FROM documents),
+    plan AS (
+      SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+             GREATEST(1, ({SPAN_CORRUPT_RATE} * n) // 100
+                         // {SPAN_LEN}) AS n_spans
+      FROM t WHERE n >= {SPAN_MIN_TOKENS}),
+    spans AS (
+      SELECT doc_id, n_tokens, n_spans, g.i AS span_idx,
+             CAST(CAST('0x' || substr(md5(doc_id || '-' || g.i), 1, 8)
+                       AS BIGINT)
+                  % (n_tokens - {SPAN_LEN} + 1) + 1 AS BIGINT)
+               AS span_start
+      FROM plan, UNNEST(generate_series(1, n_spans)) AS g(i))
+    SELECT doc_id, n_tokens, CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(span_idx AS BIGINT) AS span_idx, span_start,
+           span_start + {SPAN_LEN} - 1 AS span_end
+    FROM spans
+    """,
+)
+def x_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption PLAN: per document, budget
+    {SPAN_CORRUPT_RATE}% of tokens for corruption in fixed
+    {SPAN_LEN}-token spans and emit each span's deterministic
+    position — the denoising-objective preprocessing step (Raffel et
+    al. 2020) run as a relational plan so the masking pass downstream
+    is a pure map over (doc, span) rows.  Spans are RAW candidates
+    (overlaps legal — merging is the applier's job, exactly as T5's
+    noise-mask generator draws before merging).
+
+    Cross-engine exactness: token counts and the span budget are
+    exact integers (integral div, never a float rate); the span start
+    is md5-derived — CONV(substr(md5(doc_id || '-' || i), 1, 8)) both
+    engines, modulo the valid start range — so the "random" placement
+    is deterministic, reproducible across engines, retries, and
+    cluster sizes (the x_sample_stratified hash-sampling discipline
+    applied to position sampling).  Short docs (< {SPAN_MIN_TOKENS}
+    tokens) are excluded.
+
+    100 TB posture: map-side arithmetic + one bounded explode of
+    n_spans rows per doc (≤ 5% of token volume); no shuffle at all —
+    the plan inherits the scan's partitioning for the downstream
+    zip-with-mask application."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.col("text"), " "))
+    plan = d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= SPAN_MIN_TOKENS).select(
+        "doc_id",
+        "n_tokens",
+        F.greatest(
+            F.lit(1),
+            F.expr(
+                f"(({SPAN_CORRUPT_RATE} * n_tokens) div 100)"
+                f" div {SPAN_LEN}"
+            ),
+        ).alias("n_spans"),
+    )
+    spans = plan.select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        F.explode(F.sequence(F.lit(1), F.col("n_spans"))).alias(
+            "span_idx"
+        ),
+    )
+    start = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("-"),
+                        F.col("span_idx").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % (F.col("n_tokens") - SPAN_LEN + 1)
+        + 1
+    )
+    return spans.select(
+        "doc_id",
+        "n_tokens",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("span_idx").cast("long").alias("span_idx"),
+        start.cast("long").alias("span_start"),
+        (start + SPAN_LEN - 1).cast("long").alias("span_end"),
+    )

@@ -95,20 +95,22 @@ def register(name: str, oracle: str | None = None):
 # rounds.
 #
 # Round-11 window composition (50 entries, final — the session-2
-# continuation added 14 more new ops and the simhash rewrite, so the
+# continuation added 17 more new ops and the simhash rewrite, so the
 # conservative seats yielded):
-#   (a) 6 of the 17 new ops — x_importance_resample_sampled (the DSIR
+#   (a) 6 of the 20 new ops — x_importance_resample_sampled (the DSIR
 #       scale twin, VERDICT r10 item 4), q_ts_theil_sen (robust
 #       trend), q_agg_trimmed_mean (exact trimmed/winsorized means),
 #       q_ts_mann_kendall (trend significance, the theil_sen pair),
 #       q_agg_mann_whitney (rank-sum test from the value histogram),
-#       x_sample_temperature (tau=2 mixture weights).  The other 11
+#       x_sample_temperature (tau=2 mixture weights).  The other 14
 #       new ops (q_agg_cramers_v, q_win_median, x_dedup_fuzzy_edit,
 #       the rank-statistics batch q_agg_spearman / q_agg_kendall_tau /
 #       q_agg_hodges_lehmann / q_ts_changepoint, the chained-stateful
-#       streaming op s_window_distinct_users, and the corpus-quality
-#       batch x_gopher_rules / x_ccnet_buckets / q_agg_benford)
-#       carry the in-suite DRIVER-STYLE oracle gate this round
+#       streaming op s_window_distinct_users, the corpus-quality
+#       batch x_gopher_rules / x_ccnet_buckets / q_agg_benford, and
+#       the final trio q_ts_sma_crossover / q_agg_iqr_outliers /
+#       x_span_corruption_plan) carry the in-suite DRIVER-STYLE
+#       oracle gate this round
 #       (tests/test_operators.py::
 #       test_round11_unseated_new_ops_pass_driver_style_oracle_gate —
 #       the established r8/r9 deferral mechanism) and LEAD the r12

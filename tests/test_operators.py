@@ -87,8 +87,8 @@ def test_salting_helpers_round_trip(spark):
 def test_round11_driver_window_composition(qs):
     """The driver checks the FIRST 50 registry entries.  Pin the
     round-11 rotation window (final — the session-2 continuation added
-    14 new ops + the simhash rewrite, so the conservative seats
-    yielded): (a) 6 of the 17 new ops (the other 11 carry the in-suite
+    17 new ops + the simhash rewrite, so the conservative seats
+    yielded): (a) 6 of the 20 new ops (the other 14 carry the in-suite
     driver-style oracle gate below and lead r12), (b) the 6 ops whose
     code or oracle changed this round (the three ADVICE r10
     degenerate-division guards, x_containment_dedup's auto-knee cap,
@@ -524,8 +524,10 @@ def test_round11_unseated_new_ops_pass_driver_style_oracle_gate(spark, qs):
     new ops — q_agg_cramers_v, q_win_median, x_dedup_fuzzy_edit, and
     the rank-statistics batch (q_agg_spearman, q_agg_kendall_tau,
     q_agg_hodges_lehmann, q_ts_changepoint, the chained-stateful
-    streaming op s_window_distinct_users, and the corpus-quality batch
-    x_gopher_rules / x_ccnet_buckets / q_agg_benford) — carry
+    streaming op s_window_distinct_users, the corpus-quality batch
+    x_gopher_rules / x_ccnet_buckets / q_agg_benford, and the final
+    trio q_ts_sma_crossover / q_agg_iqr_outliers /
+    x_span_corruption_plan) — carry
     THIS gate as their round-11 correctness evidence (the established
     r8/r9 deferral mechanism: the driver's exact canonicalization and
     hash compare, executed in-suite) and lead the r12 window for their
@@ -557,6 +559,9 @@ def test_round11_unseated_new_ops_pass_driver_style_oracle_gate(spark, qs):
         "x_gopher_rules",
         "x_ccnet_buckets",
         "q_agg_benford",
+        "q_ts_sma_crossover",
+        "q_agg_iqr_outliers",
+        "x_span_corruption_plan",
     ):
         scols, srows, shash = canon(qs[name](spark, SF).toPandas())
         ocols, orows, ohash = canon(con.execute(osql[name]).df())

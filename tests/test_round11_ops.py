@@ -714,3 +714,56 @@ def test_benford_shares_and_zero_digit_grid(spark, tmp_path, q, osql):
     for d in (3, 4, 5, 6, 7, 8):
         assert int(spdf.loc[d, "n_obs"]) == 0
     assert spdf.loc[1, "obs_share"] == pytest.approx(5 / 9, abs=1e-6)
+
+
+def test_sma_crossover_golden_after_planted_regime_jump(
+    spark, tmp_path, q, osql
+):
+    """28 high days, a week-long collapse, then a strong recovery:
+    the 7-day SMA first crosses BELOW the 28-day (death), then back
+    above (golden), in that order."""
+    sf = _daily_counts(
+        tmp_path, [10] * 28 + [1] * 7 + [30] * 10, "sfsmax11"
+    )
+    spdf = _cross_engine(
+        spark, q, osql, "q_ts_sma_crossover", sf, "events"
+    ).sort_values("cross_day")
+    kinds = list(spdf["cross_kind"])
+    assert kinds == ["death", "golden"], kinds
+    d, g = spdf.iloc[0], spdf.iloc[1]
+    assert d["sma7"] < d["sma28"] and g["sma7"] >= g["sma28"]
+
+
+def test_iqr_outliers_hand_computed_fences(spark, tmp_path, q, osql):
+    """Values 1..8 x4 plus one 1000: Q1=3, Q3=7, IQR=4, fences
+    [-3, 13], exactly the 1000 falls outside."""
+    rows = [("A", v, 1, 0.0, 0.0) for v in range(1, 9) for _ in range(4)]
+    rows.append(("A", 1000, 1, 0.0, 0.0))
+    sf = _write_lineitem(tmp_path, rows, "sfiqr11")
+    r = _cross_engine(
+        spark, q, osql, "q_agg_iqr_outliers", sf, "lineitem"
+    ).iloc[0]
+    assert (r["q1"], r["q3"], r["iqr"]) == (3, 7, 4)
+    assert (r["lo_fence"], r["hi_fence"]) == (-3.0, 13.0)
+    assert r["n_outliers"] == 1
+
+
+def test_span_corruption_plan_budget_and_bounds(spark, tmp_path, q, osql):
+    """30 tokens -> 1 span; 100 tokens -> 5 spans; 5 tokens -> no
+    plan; every span sits inside [1, n-2]."""
+    rows = [
+        (0, " ".join(f"t{i}" for i in range(30)), "en", "s0"),
+        (1, " ".join(f"t{i}" for i in range(100)), "en", "s0"),
+        (2, "too short to corrupt here", "en", "s0"),
+    ]
+    sf = _write_documents(tmp_path, rows, "sfspan11")
+    spdf = _cross_engine(
+        spark, q, osql, "x_span_corruption_plan", sf, "documents"
+    )
+    by_doc = spdf.groupby("doc_id")
+    assert len(by_doc.get_group(0)) == 1
+    assert len(by_doc.get_group(1)) == 5
+    assert 2 not in spdf["doc_id"].values
+    for _, r in spdf.iterrows():
+        assert 1 <= r["span_start"] <= r["n_tokens"] - 2
+        assert r["span_end"] == r["span_start"] + 2
