@@ -4185,3 +4185,484 @@ def q_agg_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers")
         )
     )
+
+
+COHEN_A = "purchase"
+COHEN_B = "view"
+
+
+@register(
+    "q_agg_cohens_d",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type AS grp,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events WHERE event_type IN ('{COHEN_A}', '{COHEN_B}')),
+    s AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS HUGEINT) AS sv,
+             SUM(CAST(v AS HUGEINT) * v) AS svv
+      FROM c GROUP BY grp),
+    ab AS (SELECT
+             MAX(CASE WHEN grp = '{COHEN_A}' THEN n END) AS na,
+             MAX(CASE WHEN grp = '{COHEN_A}' THEN sv END) AS sva,
+             MAX(CASE WHEN grp = '{COHEN_A}' THEN svv END) AS svva,
+             MAX(CASE WHEN grp = '{COHEN_B}' THEN n END) AS nb,
+             MAX(CASE WHEN grp = '{COHEN_B}' THEN sv END) AS svb,
+             MAX(CASE WHEN grp = '{COHEN_B}' THEN svv END) AS svvb
+           FROM s),
+    f AS (
+      SELECT na, nb,
+             CAST(sva AS DOUBLE) AS dsa, CAST(svva AS DOUBLE) AS dssa,
+             CAST(svb AS DOUBLE) AS dsb, CAST(svvb AS DOUBLE) AS dssb
+      FROM ab)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(dsa / na / 100, 6) AS mean_a,
+           ROUND(dsb / nb / 100, 6) AS mean_b,
+           CASE WHEN na < 2 OR nb < 2
+                  OR ((dssa - dsa * dsa / na) + (dssb - dsb * dsb / nb))
+                     / (na + nb - 2.0) <= 0 THEN NULL
+                ELSE ROUND((dsa / na - dsb / nb)
+                           / SQRT(((dssa - dsa * dsa / na)
+                                   + (dssb - dsb * dsb / nb))
+                                  / (na + nb - 2.0)), 6)
+           END AS cohens_d,
+           CASE WHEN na < 2 OR nb < 2
+                  OR ((dssa - dsa * dsa / na) + (dssb - dsb * dsb / nb))
+                     / (na + nb - 2.0) <= 0 THEN NULL
+                ELSE ROUND(((dsa / na - dsb / nb)
+                            / SQRT(((dssa - dsa * dsa / na)
+                                    + (dssb - dsb * dsb / nb))
+                                   / (na + nb - 2.0)))
+                           * (1 - 3.0 / (4 * (na + nb) - 9)), 6)
+           END AS hedges_g
+    FROM f
+    """,
+)
+def q_agg_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d / Hedges' g effect size between the '{COHEN_A}' and
+    '{COHEN_B}' event cohorts' values — the practical-significance
+    companion to q_agg_welch_t's p-value machinery (a 100 TB A/B read
+    needs BOTH: at that n everything is "significant", only effect
+    size says whether it matters).  Pooled-SD convention; Hedges' J =
+    1 − 3/(4n − 9) small-sample correction.
+
+    Cross-engine exactness: values land on the cent grid
+    (DECIMAL(18,2) × 100 → BIGINT), per-cohort moments are EXACT
+    integer sums (Spark DECIMAL(38,0) ≡ DuckDB HUGEINT), and d/g are
+    ONE fixed-order double expression over the six exact moments,
+    rounded to 6 — the q_agg_welch_t discipline with the float sums
+    upgraded to integers.  Effect size is scale-invariant, so d is
+    computed in cents (the /100 cancels); only the display means
+    divide by 100.
+
+    100 TB posture: one filtered partial-agg shuffle onto TWO groups
+    (three integer accumulators each), then a 2-row pivot and a 1-row
+    projection — entirely mergeable map-side state."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(COHEN_A, COHEN_B)
+    )
+    v = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    c = e.select(F.col("event_type").alias("grp"), v.alias("v"))
+    s = c.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+        F.sum(
+            F.col("v").cast("decimal(18,0)")
+            * F.col("v").cast("decimal(18,0)")
+        ).alias("svv"),
+    )
+    ab = s.agg(
+        F.max(F.when(F.col("grp") == COHEN_A, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("grp") == COHEN_A, F.col("sv"))).alias("sva"),
+        F.max(F.when(F.col("grp") == COHEN_A, F.col("svv"))).alias("svva"),
+        F.max(F.when(F.col("grp") == COHEN_B, F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("grp") == COHEN_B, F.col("sv"))).alias("svb"),
+        F.max(F.when(F.col("grp") == COHEN_B, F.col("svv"))).alias("svvb"),
+    )
+    f = ab.select(
+        "na",
+        "nb",
+        F.col("sva").cast("double").alias("dsa"),
+        F.col("svva").cast("double").alias("dssa"),
+        F.col("svb").cast("double").alias("dsb"),
+        F.col("svvb").cast("double").alias("dssb"),
+    )
+    sp2 = (
+        (F.col("dssa") - F.col("dsa") * F.col("dsa") / F.col("na"))
+        + (F.col("dssb") - F.col("dsb") * F.col("dsb") / F.col("nb"))
+    ) / (F.col("na") + F.col("nb") - 2.0)
+    d = (
+        F.col("dsa") / F.col("na") - F.col("dsb") / F.col("nb")
+    ) / F.sqrt(sp2)
+    degenerate = (
+        (F.col("na") < 2) | (F.col("nb") < 2) | (sp2 <= 0)
+    )
+    jcorr = 1 - 3.0 / (4 * (F.col("na") + F.col("nb")) - 9)
+    return f.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(F.col("dsa") / F.col("na") / 100, 6).alias("mean_a"),
+        F.round(F.col("dsb") / F.col("nb") / 100, 6).alias("mean_b"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(F.round(d, 6))
+        .alias("cohens_d"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(F.round(d * jcorr, 6))
+        .alias("hedges_g"),
+    )
+
+
+@register(
+    "q_agg_gini",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority AS prio, o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS v
+      FROM orders),
+    r AS (
+      SELECT prio, v,
+             ROW_NUMBER() OVER (PARTITION BY prio
+                                ORDER BY v, o_orderkey) AS rk
+      FROM c)
+    SELECT prio AS o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(v) AS DOUBLE) / 100 AS DOUBLE) AS total_value,
+           ROUND(CAST(2 * SUM(CAST(rk AS HUGEINT) * v)
+                      - (COUNT(*) + 1) * CAST(SUM(v) AS HUGEINT)
+                      AS DOUBLE)
+                 / CAST(COUNT(*) * CAST(SUM(v) AS HUGEINT) AS DOUBLE),
+                 6) AS gini
+    FROM r GROUP BY prio
+    """,
+)
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order-value concentration per priority
+    class — the inequality measure behind "does 1% of orders carry
+    50% of revenue", complementing q_pareto_abc's fixed 80/20 bands
+    and q_agg_hhi's share-of-squares with the full Lorenz-curve
+    statistic.
+
+    Cross-engine exactness: the x_doc_len_gini exact-integer rank
+    formula — values on the cent grid (DECIMAL(18,2) × 100 → BIGINT),
+    G = (2·Σ rk·v − (n+1)·Σv) / (n·Σv) with every term an EXACT
+    integer (Spark DECIMAL(38,0) ≡ DuckDB HUGEINT — rk·v alone can
+    pass 2^63 at 100 TB order counts), ONE double division, rounded
+    to 6.  Ties on v permute only equal values across ranks, so
+    Σ rk·v is tie-order-free; the o_orderkey tiebreak makes the rank
+    assignment itself deterministic anyway.
+
+    100 TB posture: the rank window is a per-priority sorted scan —
+    the exact-tier cost, same class as q_agg_percentile (5 priority
+    groups ≈ balanced ranges; Spark range-partitions within the
+    window sort).  The final aggregate is three integer accumulators
+    per group.  For a sketch-tier Gini at extreme scale, bucket the
+    cent values through q_agg_kll_mergeable's quantile sketch and
+    integrate the discrete Lorenz curve — the established twin
+    pattern (q_agg_mad → q_agg_mad_approx) if this op's exact window
+    ever shows up in a bench."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("v"),
+    )
+    r = c.select(
+        "prio",
+        "v",
+        F.row_number()
+        .over(Window.partitionBy("prio").orderBy("v", "o_orderkey"))
+        .alias("rk"),
+    )
+    dv = F.col("v").cast("decimal(38,0)")
+    drk = F.col("rk").cast("decimal(18,0)")
+    agg = r.groupBy("prio").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(dv).alias("sv"),
+        F.sum(drk * F.col("v").cast("decimal(18,0)")).alias("srv"),
+    )
+    return agg.select(
+        F.col("prio").alias("o_orderpriority"),
+        "n_orders",
+        (F.col("sv").cast("double") / 100)
+        .cast("double")
+        .alias("total_value"),
+        F.round(
+            (
+                2 * F.col("srv") - (F.col("n_orders") + 1) * F.col("sv")
+            ).cast("double")
+            / (F.col("n_orders") * F.col("sv")).cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "q_agg_wilcoxon_signed",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                AS BIGINT) END) AS sp,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS np,
+             SUM(CASE WHEN event_type = 'click'
+                      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                AS BIGINT) END) AS sc,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS nc
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY user_id),
+    d AS (
+      SELECT CAST(sp - sc AS BIGINT) AS diff
+      FROM e WHERE np > 0 AND nc > 0 AND sp - sc <> 0),
+    h AS (
+      SELECT ABS(diff) AS ad, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cpos
+      FROM d GROUP BY 1),
+    w AS (
+      SELECT ad, c, cpos, SUM(c) OVER (ORDER BY ad) AS cum
+      FROM h),
+    agg AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM((2 * cum - c + 1) * cpos) AS BIGINT) AS tw,
+             SUM(CAST(c AS HUGEINT) * c * c - c) AS ties
+      FROM w)
+    SELECT n,
+           CAST(tw AS DOUBLE) / 2 AS w_plus,
+           CASE WHEN n = 0
+                  OR 2 * CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1)
+                     - ties <= 0 THEN NULL
+                ELSE ROUND(
+                  CAST(2 * CAST(tw AS HUGEINT) - CAST(n AS HUGEINT)
+                       * (n + 1) AS DOUBLE)
+                  / (4 * SQRT(
+                      CAST(2 * CAST(n AS HUGEINT) * (n + 1)
+                           * (2 * n + 1) - ties AS DOUBLE) / 48)), 6)
+           END AS wilcoxon_z
+    FROM agg
+    """,
+)
+def q_agg_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED per-user spend — purchase
+    total vs click total for every user observed in both cohorts —
+    the within-subject counterpart to q_agg_mann_whitney's unpaired
+    rank-sum (paired designs kill between-user variance; at 100 TB of
+    event data, user-paired reads are the standard experiment shape).
+    Zero diffs drop (standard Wilcoxon convention); ranks of |diff|
+    are tie-averaged.
+
+    Cross-engine exactness — the q_agg_mann_whitney histogram
+    discipline, one level up: diffs land on the cent grid, the rank
+    scan runs over the |diff|-HISTOGRAM cumulative (never raw rows),
+    the doubled tie-averaged rank of a tied block is the exact
+    integer 2·cum − c + 1, so doubled W⁺ (tw) is an EXACT BIGINT and
+    48·Var = 2n(n+1)(2n+1) − Σ(t³−t) an EXACT HUGEINT/DECIMAL(38,0);
+    z is ONE fixed-order double expression over the exact integers,
+    rounded to 6.
+
+    100 TB posture: one filtered partial-agg shuffle onto user_id
+    (four integer accumulators), a histogram partial-agg bounded by
+    distinct |diff| values, and a rank window ON the histogram.  No
+    raw row is ever ranked."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents)
+        ).alias("sp"),
+        F.count(
+            F.when(F.col("event_type") == "purchase", F.lit(1))
+        ).alias("np"),
+        F.sum(F.when(F.col("event_type") == "click", cents)).alias("sc"),
+        F.count(
+            F.when(F.col("event_type") == "click", F.lit(1))
+        ).alias("nc"),
+    )
+    d = per_user.filter(
+        (F.col("np") > 0)
+        & (F.col("nc") > 0)
+        & (F.col("sp") - F.col("sc") != 0)
+    ).select((F.col("sp") - F.col("sc")).cast("long").alias("diff"))
+    h = d.groupBy(F.abs(F.col("diff")).alias("ad")).agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum(F.when(F.col("diff") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("cpos"),
+    )
+    w = h.select(
+        "ad",
+        "c",
+        "cpos",
+        F.sum("c")
+        .over(
+            Window.orderBy("ad").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+    )
+    dc = F.col("c").cast("decimal(12,0)")
+    agg = w.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum((2 * F.col("cum") - F.col("c") + 1) * F.col("cpos"))
+        .cast("long")
+        .alias("tw"),
+        F.sum(dc * dc * dc - F.col("c")).alias("ties"),
+    )
+    dn = F.col("n").cast("decimal(38,0)")
+    v48 = 2 * dn * (F.col("n") + 1) * (2 * F.col("n") + 1) - F.col(
+        "ties"
+    )
+    z = (
+        2 * F.col("tw").cast("decimal(38,0)")
+        - dn * (F.col("n") + 1)
+    ).cast("double") / (4 * F.sqrt(v48.cast("double") / 48))
+    return agg.select(
+        "n",
+        (F.col("tw").cast("double") / 2).alias("w_plus"),
+        F.when(
+            (F.col("n") == 0) | (v48 <= 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round(z, 6))
+        .alias("wilcoxon_z"),
+    )
+
+
+ACF_MAX_LAG = 7
+
+
+@register(
+    "q_ts_acf_multi",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    stats AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS HUGEINT) AS s,
+             SUM(CAST(c AS HUGEINT) * c) AS s2
+      FROM daily GROUP BY event_type),
+    lags AS (SELECT UNNEST(range(1, {ACF_MAX_LAG} + 1)) AS lag),
+    pairs AS (
+      SELECT a.event_type, l.lag,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             SUM(CAST(a.c AS HUGEINT) * b.c) AS sp,
+             CAST(SUM(a.c) AS HUGEINT) AS sh,
+             CAST(SUM(b.c) AS HUGEINT) AS st
+      FROM daily a CROSS JOIN lags l
+      JOIN daily b ON b.event_type = a.event_type
+                  AND b.d = a.d - CAST(l.lag AS INTEGER)
+      GROUP BY a.event_type, l.lag)
+    SELECT p.event_type, CAST(p.lag AS INTEGER) AS lag,
+           t.n AS n_days, p.n_pairs,
+           CASE WHEN t.n * t.s2 - t.s * t.s <= 0 THEN NULL
+                ELSE ROUND(
+                  CAST(t.n * t.n * p.sp - t.n * t.s * (p.sh + p.st)
+                       + p.n_pairs * t.s * t.s AS DOUBLE)
+                  / CAST(t.n * (t.n * t.s2 - t.s * t.s) AS DOUBLE), 6)
+           END AS acf
+    FROM pairs p JOIN stats t ON t.event_type = p.event_type
+    """,
+)
+def q_ts_acf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of each event type's daily volume at
+    lags 1..{ACF_MAX_LAG} in ONE pass — the full correlogram (weekly
+    seasonality shows as a lag-7 spike) that generalizes
+    q_ts_autocorr's single lag-1 point.  Convention: r_k is computed
+    over the calendar-aligned pairs that exist (gap days pair with
+    nothing), centered on the GLOBAL series mean — stated in the
+    output as n_pairs next to n_days.
+
+    Cross-engine exactness: every moment is an EXACT integer (Spark
+    DECIMAL(38,0) ≡ DuckDB HUGEINT — n²·Σxy and n·S·(Σh+Σt) pass
+    2^63 at 100 TB daily volumes); multiplying the centered-moment
+    ratio through by n² keeps the whole numerator and denominator
+    integral, so acf is ONE double division of two exact integers,
+    rounded to 6.  Constant series (zero variance) → NULL on both
+    engines.
+
+    100 TB posture: the corpus-sized stage is the (type, day)
+    partial-agg count; the lag fan-out (×{ACF_MAX_LAG}) and self-join
+    run over that |types|·|days|-bounded relation, localCheckpointed
+    once for its two consumers (stats + pairs) — AQE broadcasts it.
+    The correlogram never touches raw events again."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.to_date("ts").alias("d")
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    dc = F.col("c").cast("decimal(18,0)")
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dc).cast("decimal(38,0)").alias("s"),
+        F.sum(dc * dc).cast("decimal(38,0)").alias("s2"),
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = daily.alias("a").crossJoin(broadcast(lags))
+    b = daily.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (
+                F.col("b.d")
+                == F.date_sub(F.col("a.d"), F.col("lag"))
+            ),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"), "lag")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(
+                F.col("a.c").cast("decimal(18,0)")
+                * F.col("b.c").cast("decimal(18,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("sp"),
+            F.sum(F.col("a.c").cast("decimal(18,0)"))
+            .cast("decimal(38,0)")
+            .alias("sh"),
+            F.sum(F.col("b.c").cast("decimal(18,0)"))
+            .cast("decimal(38,0)")
+            .alias("st"),
+        )
+    )
+    j = pairs.alias("p").join(
+        broadcast(stats.alias("t")), "event_type"
+    )
+    dn = F.col("t.n").cast("decimal(38,0)")
+    denom = dn * F.col("t.s2") - F.col("t.s") * F.col("t.s")
+    num = (
+        dn * dn * F.col("p.sp")
+        - dn * F.col("t.s") * (F.col("p.sh") + F.col("p.st"))
+        + F.col("p.n_pairs").cast("decimal(38,0)")
+        * F.col("t.s")
+        * F.col("t.s")
+    )
+    return j.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("t.n").alias("n_days"),
+        F.col("p.n_pairs").alias("n_pairs"),
+        F.when(denom <= 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                num.cast("double") / (dn * denom).cast("double"), 6
+            )
+        )
+        .alias("acf"),
+    )

@@ -1293,3 +1293,106 @@ def q_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pagerank").desc(), "node")
         .limit(PR_TOPK)
     )
+
+
+JACCARD_TOPK = 20
+
+
+@register(
+    "q_jaccard_neighbors",
+    oracle=f"""
+    WITH edges AS (
+      SELECT DISTINCT l_partkey AS part, l_suppkey AS supp
+      FROM lineitem),
+    deg AS (
+      SELECT supp, CAST(COUNT(*) AS BIGINT) AS d
+      FROM edges GROUP BY supp),
+    inter AS (
+      SELECT a.supp AS s1, b.supp AS s2,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM edges a JOIN edges b
+        ON b.part = a.part AND a.supp < b.supp
+      GROUP BY a.supp, b.supp),
+    jac AS (
+      SELECT i.s1, i.s2, i.n_common,
+             d1.d AS deg1, d2.d AS deg2,
+             ROUND(CAST(i.n_common AS DOUBLE)
+                   / (d1.d + d2.d - i.n_common), 6) AS jaccard
+      FROM inter i
+      JOIN deg d1 ON d1.supp = i.s1
+      JOIN deg d2 ON d2.supp = i.s2)
+    SELECT s1, s2, n_common, deg1, deg2, jaccard
+    FROM jac
+    ORDER BY jaccard DESC, s1, s2
+    LIMIT {JACCARD_TOPK}
+    """,
+)
+def q_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard similarity between suppliers on the
+    part–supplier bipartite graph (who stocks the same catalog) — the
+    link-prediction / entity-resolution primitive that completes the
+    graph tier next to q_triangle_count (closed triads),
+    q_pagerank_iter (centrality) and q_transitive_closure
+    (reachability).  |A∩B| comes from co-occurrence on shared parts;
+    |A∪B| = d1 + d2 − |A∩B| from the degree relation — no set is
+    ever materialized.
+
+    Cross-engine exactness: counts are exact BIGINTs; jaccard is ONE
+    double division of two exact integers, rounded to 6; the top-k
+    ordering carries the (s1, s2) tiebreak so equal scores rank
+    deterministically.
+
+    100 TB posture: the co-occurrence self-join is keyed on part —
+    work is Σ_part deg(part)², the classic bounded fan-out (a part
+    has few suppliers; a skewed "hot part" would salt the same way
+    x_containment_dedup caps hot postings — the df-cap pattern
+    applies verbatim if catalog skew ever materializes).  The degree
+    relation is |suppliers|-bounded and broadcast; the final top-k is
+    TakeOrderedAndProject, never a global sort."""
+    edges = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("part"),
+            F.col("l_suppkey").alias("supp"),
+        )
+        .distinct()
+        # three consumers (deg + both self-join sides): checkpoint so
+        # the corpus is scanned and distinct-shuffled ONCE (the
+        # q_triangle_count edge-relation discipline)
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("supp").agg(F.count("*").cast("long").alias("d"))
+    a = edges.alias("a")
+    b = edges.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("b.part") == F.col("a.part"))
+            & (F.col("a.supp") < F.col("b.supp")),
+        )
+        .groupBy(
+            F.col("a.supp").alias("s1"), F.col("b.supp").alias("s2")
+        )
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    d1 = deg.alias("d1")
+    d2 = deg.alias("d2")
+    jac = (
+        inter.join(broadcast(d1), F.col("d1.supp") == F.col("s1"))
+        .join(broadcast(d2), F.col("d2.supp") == F.col("s2"))
+        .select(
+            "s1",
+            "s2",
+            "n_common",
+            F.col("d1.d").alias("deg1"),
+            F.col("d2.d").alias("deg2"),
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("d1.d") + F.col("d2.d") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.orderBy(
+        F.col("jaccard").desc(), "s1", "s2"
+    ).limit(JACCARD_TOPK)

@@ -1340,3 +1340,202 @@ def x_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(False))
         .alias("is_dead"),
     )
+
+
+KM_K = 4  # clusters
+KM_SCALE = 1_000_000  # micro-unit grid for components and centroids
+
+
+def _km_oracle() -> str:
+    """Unrolled 2-iteration quantized-Lloyd oracle.  Each iteration's
+    centroid is ROUND-half-away-from-zero of the member mean back onto
+    the micro grid, so state stays integral (the q_ts_holt fold
+    discipline applied to a 2-D iteration)."""
+    assign = """
+    {out} AS (
+      SELECT vec_id, j FROM (
+        SELECT c.vec_id, c.j,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id ORDER BY c.dist, c.j) AS rn
+        FROM (
+          SELECT comp.vec_id, cent.j,
+                 SUM((comp.m - cent.c) * (comp.m - cent.c)) AS dist
+          FROM comp JOIN {cent} cent ON cent.dim = comp.dim
+          GROUP BY comp.vec_id, cent.j) c)
+      WHERE rn = 1),
+    {newcent} AS (
+      SELECT a.j, comp.dim,
+             CASE WHEN SUM(comp.m) >= 0
+                  THEN (2 * SUM(comp.m) + COUNT(*)) // (2 * COUNT(*))
+                  ELSE -((2 * (-SUM(comp.m)) + COUNT(*))
+                         // (2 * COUNT(*)))
+             END AS c
+      FROM comp JOIN {out} a ON a.vec_id = comp.vec_id
+      GROUP BY a.j, comp.dim)"""
+    body = f"""
+    WITH comp AS (
+      SELECT vec_id, g.i - 1 AS dim,
+             CAST(ROUND(CAST(embedding[g.i] AS DOUBLE) * {KM_SCALE})
+                  AS BIGINT) AS m
+      FROM embeddings,
+           UNNEST(generate_series(1, len(embedding))) AS g(i)),
+    seeds AS (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+      FROM embeddings QUALIFY j < {KM_K}),
+    cent0 AS (
+      SELECT s.j, comp.dim, comp.m AS c
+      FROM comp JOIN seeds s ON s.vec_id = comp.vec_id),
+    {assign.format(out="a1", cent="cent0", newcent="cent1")},
+    {assign.format(out="a2", cent="cent1", newcent="cent2")},
+    inert AS (
+      SELECT a2.j,
+             CAST(COUNT(DISTINCT comp.vec_id) AS BIGINT) AS n_members,
+             SUM((comp.m - cent2.c) * (comp.m - cent2.c)) AS ss
+      FROM comp
+      JOIN a2 ON a2.vec_id = comp.vec_id
+      JOIN cent2 ON cent2.j = a2.j AND cent2.dim = comp.dim
+      GROUP BY a2.j),
+    norm AS (
+      SELECT j, SUM(CAST(c AS HUGEINT) * c) AS cc
+      FROM cent2 GROUP BY j)
+    SELECT i.j AS cluster, i.n_members,
+           ROUND(CAST(i.ss AS DOUBLE) / {KM_SCALE} / {KM_SCALE}, 6)
+             AS inertia,
+           ROUND(SQRT(CAST(n.cc AS DOUBLE)) / {KM_SCALE}, 6)
+             AS centroid_norm
+    FROM inert i JOIN norm n ON n.j = i.j
+    """
+    return body
+
+
+@register("x_kmeans_lloyd", oracle=_km_oracle())
+def x_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized Lloyd k-means (k={KM_K}, 2 iterations) over the
+    embedding table — the clustering tier the similarity family
+    composes with (x_dedup_semantic consumes exactly this shape of
+    cell assignment; x_sim_topk_ivf's cells are one Lloyd pass):
+    deterministic md5-ranked seeds, assignment by exact integer
+    squared distance, centroid update ROUNDED half-away-from-zero
+    back onto the {KM_SCALE} micro grid.
+
+    Cross-engine exactness — quantized-Lloyd IS the contract: float
+    components land on the micro grid once (same double round both
+    engines), every distance is an exact BIGINT Σ(m−c)², every
+    centroid update is integer arithmetic ((2|S|+n) div 2n, signed),
+    so the iteration CANNOT diverge between engines — the q_ts_holt
+    exact-integer fold discipline lifted to a vector iteration.
+    Ties in assignment break on cluster id (ORDER BY dist, j).
+
+    100 TB posture: components explode map-side; each assignment pass
+    is one shuffle of (vec, cluster) partial distance sums against a
+    BROADCAST k×dims centroid relation (k·dims = {KM_K}·64 rows —
+    always broadcastable); centroid update is a (cluster, dim)
+    partial agg.  Iterations extend linearly; the comp relation is
+    localCheckpointed once and reused by all passes (lineage
+    truncation — the q_transitive_closure lesson).  No vector ever
+    rides a shuffle as an array."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = (
+        emb.select(
+            "vec_id",
+            F.posexplode(F.col("embedding")).alias("dim", "x"),
+        )
+        .select(
+            "vec_id",
+            "dim",
+            F.round(F.col("x").cast("double") * KM_SCALE)
+            .cast("long")
+            .alias("m"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # distributed top-k on the md5 rank (TakeOrderedAndProject), THEN
+    # the row_number runs on the k-row result — never a global-sort
+    # window over all vec ids
+    picked = (
+        emb.select(
+            "vec_id", F.md5(F.col("vec_id").cast("string")).alias("h")
+        )
+        .orderBy("h", "vec_id")
+        .limit(KM_K)
+    )
+    seeds = picked.select(
+        "vec_id",
+        (
+            F.row_number().over(Window.orderBy("h", "vec_id")) - 1
+        ).alias("j"),
+    )
+    cent = (
+        comp.join(broadcast(seeds), "vec_id")
+        .select("j", "dim", F.col("m").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        d = (
+            comp.join(broadcast(cent_df), "dim")
+            .groupBy("vec_id", "j")
+            .agg(
+                F.sum(
+                    (F.col("m") - F.col("c"))
+                    * (F.col("m") - F.col("c"))
+                ).alias("dist")
+            )
+        )
+        return (
+            d.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy("dist", "j")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "j")
+        )
+
+    def update(a_df: DataFrame) -> DataFrame:
+        s = comp.join(a_df, "vec_id").groupBy("j", "dim").agg(
+            F.sum("m").alias("s"), F.count("*").alias("n")
+        )
+        # half-away-from-zero integer rounding of s/n onto the micro
+        # grid: (2|s|+n) div (2n), re-signed — pure BIGINT, floor ==
+        # truncation on the non-negative operands
+        c = F.when(
+            F.col("s") >= 0,
+            F.expr("(2 * s + n) div (2 * n)"),
+        ).otherwise(-F.expr("(2 * (-s) + n) div (2 * n)"))
+        return s.select("j", "dim", c.cast("long").alias("c"))
+
+    a1 = assign(cent)
+    cent1 = update(a1).localCheckpoint(eager=True)
+    a2 = assign(cent1).localCheckpoint(eager=True)
+    cent2 = update(a2).localCheckpoint(eager=True)
+    inert = (
+        comp.join(a2, "vec_id")
+        .join(broadcast(cent2), ["j", "dim"])
+        .groupBy("j")
+        .agg(
+            F.count_distinct("vec_id").cast("long").alias("n_members"),
+            F.sum(
+                (F.col("m") - F.col("c")) * (F.col("m") - F.col("c"))
+            ).alias("ss"),
+        )
+    )
+    norm = cent2.groupBy("j").agg(
+        F.sum(
+            F.col("c").cast("decimal(18,0)")
+            * F.col("c").cast("decimal(18,0)")
+        ).alias("cc")
+    )
+    return inert.join(broadcast(norm), "j").select(
+        F.col("j").alias("cluster"),
+        "n_members",
+        F.round(
+            F.col("ss").cast("double") / KM_SCALE / KM_SCALE, 6
+        ).alias("inertia"),
+        F.round(
+            F.sqrt(F.col("cc").cast("double")) / KM_SCALE, 6
+        ).alias("centroid_norm"),
+    )

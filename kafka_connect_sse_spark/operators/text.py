@@ -2100,3 +2100,82 @@ def x_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("nll").alias("min_nll"),
         F.max("nll").alias("max_nll"),
     )
+
+
+TTR_SEG = 10  # tokens per MSTTR segment
+
+
+@register(
+    "x_ttr_segments",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, str_split(text, ' ') AS l
+      FROM documents),
+    tok AS (
+      SELECT doc_id, source, (g.i - 1) // {TTR_SEG} AS seg,
+             md5(l[g.i]) AS h
+      FROM t, UNNEST(generate_series(1, len(l))) AS g(i)),
+    segs AS (
+      SELECT doc_id, source, seg,
+             CAST(COUNT(*) AS BIGINT) AS n_tok,
+             CAST(COUNT(DISTINCT h) AS BIGINT) AS n_types
+      FROM tok GROUP BY doc_id, source, seg
+      HAVING COUNT(*) = {TTR_SEG})
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(n_types) AS BIGINT) AS sum_types,
+           ROUND(CAST(SUM(n_types) AS DOUBLE)
+                 / (COUNT(*) * {TTR_SEG}), 6) AS msttr
+    FROM segs GROUP BY source
+    """,
+)
+def x_ttr_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean Segmental Type-Token Ratio (MSTTR-{TTR_SEG}) per source:
+    documents are cut into consecutive {TTR_SEG}-token segments,
+    type/token ratio is computed per FULL segment, and segments
+    average per source — the length-robust lexical-diversity measure
+    (raw TTR collapses as documents grow; x_heaps_law models that
+    decay, MSTTR removes it), standard in corpus-quality screens
+    next to x_word_entropy and x_repetition_score.
+
+    Cross-engine exactness: the per-segment type count is an exact
+    integer (distinct over md5 digests — both engines hash the same
+    bytes, so the distinct-set is identical), and msttr is ONE double
+    division Σ types / ({TTR_SEG}·n_segments) of exact integers,
+    rounded to 6.  Partial trailing segments drop on both sides
+    (HAVING n_tok = {TTR_SEG}).
+
+    100 TB posture: tokens become 16-byte digests MAP-SIDE before the
+    (doc, seg, h) distinct — the dedup-family rule (shuffle carries
+    digests, never text); the per-segment distinct partial-aggregates
+    on a key whose group is ≤{TTR_SEG} rows, and the per-source
+    rollup is two integer accumulators.  No corpus-sized sort, no
+    window."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tk"),
+    ).select(
+        "doc_id",
+        "source",
+        (F.col("pos") / TTR_SEG).cast("long").alias("seg"),
+        F.md5(F.col("tk")).alias("h"),
+    )
+    segs = (
+        tok.groupBy("doc_id", "source", "seg")
+        .agg(
+            F.count("*").cast("long").alias("n_tok"),
+            F.count_distinct(F.col("h")).cast("long").alias("n_types"),
+        )
+        .filter(F.col("n_tok") == TTR_SEG)
+    )
+    return segs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_segments"),
+        F.sum("n_types").cast("long").alias("sum_types"),
+        F.round(
+            F.sum("n_types").cast("double")
+            / (F.count("*") * TTR_SEG),
+            6,
+        ).alias("msttr"),
+    )

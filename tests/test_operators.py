@@ -562,6 +562,14 @@ def test_round11_unseated_new_ops_pass_driver_style_oracle_gate(spark, qs):
         "q_ts_sma_crossover",
         "q_agg_iqr_outliers",
         "x_span_corruption_plan",
+        # session-3 batch — same deferral mechanism
+        "q_agg_cohens_d",
+        "q_agg_gini",
+        "q_agg_wilcoxon_signed",
+        "q_ts_acf_multi",
+        "q_jaccard_neighbors",
+        "x_ttr_segments",
+        "x_kmeans_lloyd",
     ):
         scols, srows, shash = canon(qs[name](spark, SF).toPandas())
         ocols, orows, ohash = canon(con.execute(osql[name]).df())

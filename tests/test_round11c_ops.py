@@ -1,0 +1,399 @@
+"""Round-11 session-3 continuation: planted behavioral tests for the
+statistics batch (q_agg_cohens_d, q_agg_gini, q_agg_wilcoxon_signed,
+q_ts_acf_multi).  Each test runs the Spark op AND its DuckDB oracle on
+the same planted parquet under the driver's canonicalization — the
+hand-computed expectations catch mirrored-on-both-engines semantic
+bugs the EXACT gate cannot see (the Cramér's V / Tukey-fence lesson
+from earlier in the round)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from kafka_connect_sse_spark.registry import oracle_sql, queries
+
+
+@pytest.fixture(scope="module")
+def q():
+    return queries()
+
+
+@pytest.fixture(scope="module")
+def osql():
+    return oracle_sql()
+
+
+def _duck_view(sf_dir: str, table: str):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        f"CREATE VIEW {table} AS SELECT * FROM '{sf_dir}/{table}.parquet'"
+    )
+    return con
+
+
+def _cross_engine(spark, q, osql, name, sf_dir, table):
+    from tools.check_correctness import canon
+
+    spdf = q[name](spark, sf_dir).toPandas()
+    con = _duck_view(sf_dir, table)
+    opdf = con.execute(osql[name]).df()
+    scols, srows, shash = canon(spdf)
+    ocols, orows, ohash = canon(opdf)
+    assert scols == ocols, (name, scols, ocols)
+    assert shash == ohash, (name, srows[:4], orows[:4])
+    return spdf
+
+
+def _write_events(tmp_path, rows, name):
+    """rows: (event_id, ts_iso, user_id, event_type, value)."""
+    sf_dir = str(tmp_path / name)
+    os.makedirs(sf_dir, exist_ok=True)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [dt.datetime.fromisoformat(r[1]) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(sf_dir, "events.parquet"))
+    return sf_dir
+
+
+def _write_orders(tmp_path, rows, name):
+    """rows: (o_orderkey, o_orderpriority, o_totalprice)."""
+    sf_dir = str(tmp_path / name)
+    os.makedirs(sf_dir, exist_ok=True)
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([1] * len(rows), pa.int64()),
+            "o_orderstatus": pa.array(["O"] * len(rows), pa.string()),
+            "o_totalprice": pa.array(
+                [r[2] for r in rows], pa.float64()
+            ),
+            "o_orderdate": pa.array(
+                [dt.datetime(2024, 1, 1)] * len(rows),
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(
+                [r[1] for r in rows], pa.string()
+            ),
+        }
+    )
+    pq.write_table(tbl, os.path.join(sf_dir, "orders.parquet"))
+    return sf_dir
+
+
+def test_cohens_d_hand_computed_pooled_sd(spark, tmp_path, q, osql):
+    """purchase [10, 14] vs view [4, 8]: both sample variances are 8,
+    pooled SD sqrt(8), d = 6/sqrt(8); Hedges J = 1 - 3/7."""
+    rows = [
+        (1, "2024-01-01T10:00:00", 1, "purchase", 10.0),
+        (2, "2024-01-01T11:00:00", 2, "purchase", 14.0),
+        (3, "2024-01-01T12:00:00", 3, "view", 4.0),
+        (4, "2024-01-01T13:00:00", 4, "view", 8.0),
+    ]
+    sf = _write_events(tmp_path, rows, "sfcd11")
+    r = _cross_engine(
+        spark, q, osql, "q_agg_cohens_d", sf, "events"
+    ).iloc[0]
+    d = 6 / math.sqrt(8)
+    assert r["n_a"] == 2 and r["n_b"] == 2
+    assert r["mean_a"] == pytest.approx(12.0)
+    assert r["mean_b"] == pytest.approx(6.0)
+    assert r["cohens_d"] == pytest.approx(d, abs=1e-6)
+    assert r["hedges_g"] == pytest.approx(d * (1 - 3 / 7), abs=1e-6)
+
+
+def test_cohens_d_constant_cohorts_yield_null(spark, tmp_path, q, osql):
+    """Zero pooled variance (all values identical) must be NULL on
+    both engines — the degenerate-division guard class."""
+    rows = [
+        (1, "2024-01-01T10:00:00", 1, "purchase", 5.0),
+        (2, "2024-01-01T11:00:00", 2, "purchase", 5.0),
+        (3, "2024-01-01T12:00:00", 3, "view", 5.0),
+        (4, "2024-01-01T13:00:00", 4, "view", 5.0),
+    ]
+    sf = _write_events(tmp_path, rows, "sfcd11n")
+    r = _cross_engine(
+        spark, q, osql, "q_agg_cohens_d", sf, "events"
+    ).iloc[0]
+    assert r["cohens_d"] is None or (
+        isinstance(r["cohens_d"], float) and math.isnan(r["cohens_d"])
+    )
+
+
+def test_gini_equal_values_zero_single_holder_three_quarters(
+    spark, tmp_path, q, osql
+):
+    """[5,5,5,5] -> G=0; [0,0,0,10] -> G=(2*40-5*10)/(4*10)=0.75."""
+    rows = [(k, "EQ", 5.0) for k in range(1, 5)]
+    rows += [(k, "ONE", 0.0) for k in range(5, 8)]
+    rows.append((8, "ONE", 10.0))
+    sf = _write_orders(tmp_path, rows, "sfgini11")
+    spdf = _cross_engine(
+        spark, q, osql, "q_agg_gini", sf, "orders"
+    ).set_index("o_orderpriority")
+    assert spdf.loc["EQ", "gini"] == pytest.approx(0.0, abs=1e-9)
+    assert spdf.loc["ONE", "gini"] == pytest.approx(0.75, abs=1e-9)
+    assert spdf.loc["EQ", "total_value"] == pytest.approx(20.0)
+
+
+def test_wilcoxon_hand_computed_with_and_without_ties(
+    spark, tmp_path, q, osql
+):
+    """Diffs +1,+2,+3,-4 cents: ranks 1..4, W+=6, n=4,
+    z=(6-5)/sqrt(7.5)."""
+    rows, eid = [], 0
+    for u, (p, c) in enumerate(
+        [(1.01, 1.00), (1.02, 1.00), (1.03, 1.00), (0.96, 1.00)], 1
+    ):
+        eid += 1
+        rows.append((eid, "2024-01-01T10:00:00", u, "purchase", p))
+        eid += 1
+        rows.append((eid, "2024-01-01T11:00:00", u, "click", c))
+    sf = _write_events(tmp_path, rows, "sfwx11")
+    r = _cross_engine(
+        spark, q, osql, "q_agg_wilcoxon_signed", sf, "events"
+    ).iloc[0]
+    assert r["n"] == 4
+    assert r["w_plus"] == pytest.approx(6.0)
+    assert r["wilcoxon_z"] == pytest.approx(
+        1 / math.sqrt(7.5), abs=1e-6
+    )
+
+
+def test_wilcoxon_tie_correction_exact(spark, tmp_path, q, osql):
+    """Diffs +1,+1,-1: tie-averaged rank 2 each, W+=4, n=3,
+    Var = 3*4*7/24 - (3^3-3)/48 = 3.0, z = 1/sqrt(3)."""
+    rows, eid = [], 0
+    for u, (p, c) in enumerate(
+        [(1.01, 1.00), (2.01, 2.00), (0.99, 1.00)], 1
+    ):
+        eid += 1
+        rows.append((eid, "2024-01-01T10:00:00", u, "purchase", p))
+        eid += 1
+        rows.append((eid, "2024-01-01T11:00:00", u, "click", c))
+    sf = _write_events(tmp_path, rows, "sfwxt11")
+    r = _cross_engine(
+        spark, q, osql, "q_agg_wilcoxon_signed", sf, "events"
+    ).iloc[0]
+    assert r["n"] == 3
+    assert r["w_plus"] == pytest.approx(4.0)
+    assert r["wilcoxon_z"] == pytest.approx(
+        1 / math.sqrt(3.0), abs=1e-6
+    )
+
+
+def test_wilcoxon_users_missing_a_side_and_zero_diffs_drop(
+    spark, tmp_path, q, osql
+):
+    """A purchase-only user and an exactly-tied user contribute no
+    pair; only the one real diff remains (z is NULL at n=1? no —
+    Var>0 at n=1, z = (W+-0.5)/sqrt(...) well-defined)."""
+    rows = [
+        (1, "2024-01-01T10:00:00", 1, "purchase", 9.99),
+        (2, "2024-01-01T10:00:00", 2, "purchase", 2.00),
+        (3, "2024-01-01T11:00:00", 2, "click", 2.00),
+        (4, "2024-01-01T10:00:00", 3, "purchase", 3.50),
+        (5, "2024-01-01T11:00:00", 3, "click", 3.00),
+    ]
+    sf = _write_events(tmp_path, rows, "sfwxd11")
+    r = _cross_engine(
+        spark, q, osql, "q_agg_wilcoxon_signed", sf, "events"
+    ).iloc[0]
+    assert r["n"] == 1
+    assert r["w_plus"] == pytest.approx(1.0)
+
+
+def test_acf_alternating_series_lag_signs(spark, tmp_path, q, osql):
+    """Daily counts 1,2,1,2,... over 8 days: hand-computed
+    r1 = -0.875, r2 = 0.75 (global-mean, observed-pairs convention)."""
+    rows, eid = [], 0
+    base = dt.date(2024, 1, 1)
+    for i, c in enumerate([1, 2, 1, 2, 1, 2, 1, 2]):
+        day = (base + dt.timedelta(days=i)).isoformat()
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, f"{day}T12:00:00", 1, "view", 1.0))
+    sf = _write_events(tmp_path, rows, "sfacf11")
+    spdf = _cross_engine(
+        spark, q, osql, "q_ts_acf_multi", sf, "events"
+    ).set_index("lag")
+    assert spdf.loc[1, "acf"] == pytest.approx(-0.875, abs=1e-9)
+    assert spdf.loc[2, "acf"] == pytest.approx(0.75, abs=1e-9)
+    assert int(spdf.loc[1, "n_pairs"]) == 7
+    assert int(spdf.loc[7, "n_pairs"]) == 1
+    assert int(spdf.loc[1, "n_days"]) == 8
+
+
+def test_acf_constant_series_yields_null(spark, tmp_path, q, osql):
+    """Zero variance -> NULL acf at every lag, on both engines."""
+    rows, eid = [], 0
+    base = dt.date(2024, 1, 1)
+    for i in range(6):
+        day = (base + dt.timedelta(days=i)).isoformat()
+        for _ in range(3):
+            eid += 1
+            rows.append((eid, f"{day}T12:00:00", 1, "view", 1.0))
+    sf = _write_events(tmp_path, rows, "sfacfc11")
+    spdf = _cross_engine(
+        spark, q, osql, "q_ts_acf_multi", sf, "events"
+    )
+    assert spdf["acf"].isna().all()
+
+
+def _write_lineitem_ps(tmp_path, rows, name):
+    """rows: (l_orderkey, l_partkey, l_suppkey)."""
+    sf_dir = str(tmp_path / name)
+    os.makedirs(sf_dir, exist_ok=True)
+    n = len(rows)
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+            "l_suppkey": pa.array([r[2] for r in rows], pa.int64()),
+            "l_linenumber": pa.array([1] * n, pa.int32()),
+            "l_quantity": pa.array([1.0] * n, pa.float64()),
+            "l_extendedprice": pa.array([1.0] * n, pa.float64()),
+            "l_discount": pa.array([0.0] * n, pa.float64()),
+            "l_tax": pa.array([0.0] * n, pa.float64()),
+            "l_returnflag": pa.array(["N"] * n, pa.string()),
+            "l_linestatus": pa.array(["O"] * n, pa.string()),
+            "l_shipdate": pa.array(
+                [dt.datetime(2024, 1, 1)] * n, pa.timestamp("us")
+            ),
+        }
+    )
+    pq.write_table(tbl, os.path.join(sf_dir, "lineitem.parquet"))
+    return sf_dir
+
+
+def test_jaccard_neighbors_hand_computed_overlap(
+    spark, tmp_path, q, osql
+):
+    """s1={1,2,3}, s2={2,3,4} (duplicated rows must collapse),
+    s3={9}: one pair (s1,s2) with jaccard 2/4; s3 pairs with no one."""
+    rows = [
+        (1, 1, 1), (2, 2, 1), (3, 3, 1),
+        (4, 2, 2), (5, 3, 2), (6, 4, 2), (7, 2, 2),
+        (8, 9, 3),
+    ]
+    sf = _write_lineitem_ps(tmp_path, rows, "sfjac11")
+    spdf = _cross_engine(
+        spark, q, osql, "q_jaccard_neighbors", sf, "lineitem"
+    )
+    assert len(spdf) == 1
+    r = spdf.iloc[0]
+    assert (r["s1"], r["s2"]) == (1, 2)
+    assert (r["n_common"], r["deg1"], r["deg2"]) == (2, 3, 3)
+    assert r["jaccard"] == pytest.approx(0.5)
+
+
+def _write_documents(tmp_path, rows, name):
+    """rows: (doc_id, text, lang, source)."""
+    sf_dir = str(tmp_path / name)
+    os.makedirs(sf_dir, exist_ok=True)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array(
+                [len(r[1]) for r in rows], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, os.path.join(sf_dir, "documents.parquet"))
+    return sf_dir
+
+
+def test_ttr_segments_hand_computed_msttr(spark, tmp_path, q, osql):
+    """20-token doc: segment 1 has 10 distinct types, segment 2 is
+    one word repeated -> msttr = (10+1)/20 = 0.55; a 15-token doc
+    drops its 5-token tail; a 9-token doc contributes nothing."""
+    d0 = " ".join([f"w{i}" for i in range(10)] + ["rep"] * 10)
+    d1 = " ".join(["a", "b"] * 5 + ["x", "y", "z", "x", "y"])
+    d2 = "short doc with under ten tokens only here now"
+    rows = [
+        (0, d0, "en", "s0"),
+        (1, d1, "en", "s1"),
+        (2, d2, "en", "s2"),
+    ]
+    sf = _write_documents(tmp_path, rows, "sfttr11")
+    spdf = _cross_engine(
+        spark, q, osql, "x_ttr_segments", sf, "documents"
+    ).set_index("source")
+    assert int(spdf.loc["s0", "n_segments"]) == 2
+    assert spdf.loc["s0", "msttr"] == pytest.approx(0.55)
+    assert int(spdf.loc["s1", "n_segments"]) == 1
+    assert int(spdf.loc["s1", "sum_types"]) == 2
+    assert "s2" not in spdf.index
+
+
+def _write_embeddings(tmp_path, rows, name):
+    """rows: (vec_id, list[float], label)."""
+    sf_dir = str(tmp_path / name)
+    os.makedirs(sf_dir, exist_ok=True)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(sf_dir, "embeddings.parquet"))
+    return sf_dir
+
+
+def test_kmeans_lloyd_separates_planted_blobs(spark, tmp_path, q, osql):
+    """Four tight blobs, each built AROUND one of the four md5-ranked
+    seed ids (computed the same way the op picks them), so 2 Lloyd
+    iterations must land 3 members per cluster with near-zero
+    inertia and centroid_norm ~ 0.4."""
+    import hashlib
+
+    ids = list(range(100, 112))
+    seeds = sorted(
+        ids, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+    )[:4]
+    others = [v for v in ids if v not in seeds]
+    rows = []
+    for corner, s in enumerate(seeds):
+        base = [0.0, 0.0, 0.0, 0.0]
+        base[corner] = 0.4
+        rows.append((s, list(base), corner))
+        for k in range(2):
+            m = list(base)
+            m[(corner + 1) % 4] += 0.01 * (k + 1)
+            rows.append((others.pop(), m, corner))
+    sf = _write_embeddings(tmp_path, rows, "sfkm11")
+    spdf = _cross_engine(
+        spark, q, osql, "x_kmeans_lloyd", sf, "embeddings"
+    )
+    assert len(spdf) == 4
+    assert sorted(spdf["n_members"]) == [3, 3, 3, 3]
+    assert (spdf["inertia"] < 0.01).all()
+    for v in spdf["centroid_norm"]:
+        assert v == pytest.approx(0.4, abs=0.05)
