@@ -4666,3 +4666,483 @@ def q_ts_acf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("acf"),
     )
+
+
+HW_ALPHA = 0.5  # binary-exact smoothing coefficients (the holt rule)
+HW_BETA = 0.25
+HW_GAMMA = 0.25
+HW_PERIOD = 7
+
+
+@register(
+    "q_ts_holt_winters",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    series AS (
+      SELECT event_type, COUNT(*) AS n_days,
+             list(CAST(n AS DOUBLE) * {HOLT_SCALE} ORDER BY d) AS l
+      FROM daily GROUP BY event_type
+      HAVING COUNT(*) >= 2 * {HW_PERIOD} + 1),
+    init AS (
+      SELECT event_type, n_days, l,
+             ROUND(list_sum(l[1:{HW_PERIOD}]) / {HW_PERIOD}, 0) AS lv0,
+             ROUND((list_sum(l[{HW_PERIOD} + 1:2 * {HW_PERIOD}])
+                    - list_sum(l[1:{HW_PERIOD}]))
+                   / ({HW_PERIOD} * {HW_PERIOD}), 0) AS tr0
+      FROM series),
+    st AS (
+      -- list_reduce has no init argument: the init state rides as the
+      -- FIRST element of a list-of-lists (the q_ts_holt mechanism);
+      -- each observation is wrapped [e] and read back as e[1]
+      SELECT event_type, n_days,
+             list_reduce(
+               list_concat(
+                 [list_concat(
+                    [i.lv0, i.tr0, CAST({HW_PERIOD} AS DOUBLE)],
+                    list_transform(l[1:{HW_PERIOD}],
+                                   x -> ROUND(x - i.lv0, 0)))],
+                 list_transform(l[2 * {HW_PERIOD} + 1:len(l)],
+                                x -> [x])),
+               (acc, e) -> list_concat(
+                 [ROUND({HW_ALPHA} * (e[1] - acc[4 + CAST(acc[3] AS INTEGER) % {HW_PERIOD}])
+                        + {1 - HW_ALPHA} * (acc[1] + acc[2]), 0),
+                  ROUND({HW_BETA}
+                          * (ROUND({HW_ALPHA} * (e[1] - acc[4 + CAST(acc[3] AS INTEGER) % {HW_PERIOD}])
+                                   + {1 - HW_ALPHA} * (acc[1] + acc[2]), 0)
+                             - acc[1])
+                        + {1 - HW_BETA} * acc[2], 0),
+                  acc[3] + 1],
+                 list_concat(
+                   acc[4:3 + CAST(acc[3] AS INTEGER) % {HW_PERIOD}],
+                   list_concat(
+                     [ROUND({HW_GAMMA}
+                              * (e[1] - ROUND({HW_ALPHA} * (e[1] - acc[4 + CAST(acc[3] AS INTEGER) % {HW_PERIOD}])
+                                           + {1 - HW_ALPHA} * (acc[1] + acc[2]), 0))
+                            + {1 - HW_GAMMA}
+                              * acc[4 + CAST(acc[3] AS INTEGER) % {HW_PERIOD}], 0)],
+                   acc[5 + CAST(acc[3] AS INTEGER) % {HW_PERIOD}:3 + {HW_PERIOD}])))) AS s
+      FROM init i)
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           s[1] / {HOLT_SCALE} AS level,
+           s[2] / {HOLT_SCALE} AS trend,
+           s[4 + CAST(s[3] AS INTEGER) % {HW_PERIOD}] / {HOLT_SCALE}
+             AS seasonal_next,
+           (s[1] + s[2]
+            + s[4 + CAST(s[3] AS INTEGER) % {HW_PERIOD}]) / {HOLT_SCALE}
+             AS forecast_1
+    FROM st
+    """,
+)
+def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters triple exponential smoothing (additive weekly
+    seasonality, α={HW_ALPHA} β={HW_BETA} γ={HW_GAMMA}, period
+    {HW_PERIOD}) of each type's daily volume — the seasonal upgrade
+    of q_ts_holt: level + trend + a {HW_PERIOD}-slot seasonal state
+    threaded through ONE ordered F.aggregate fold per group, never a
+    sequential pass.  Init: level = mean of week 1, trend =
+    (mean week 2 − mean week 1)/{HW_PERIOD}, seasonal_i = x_i −
+    level; the fold consumes day 2·{HW_PERIOD}+1 onward.  Forecast =
+    level + trend + seasonal at the next day's slot.
+
+    Cross-engine exactness — the q_ts_holt EXACT-INTEGER micro-unit
+    discipline extended to a 3+{HW_PERIOD}-component state: with
+    binary-exact ½/¼ coefficients every product of integer state is
+    an exact multiple of 0.25, the only rounding is ROUND(·, 0)
+    (half-away-from-zero ties on both engines), and the init means
+    divide exact integer sums in the same fixed order — the state
+    vector stays ON the integer grid at every step, so a
+    {HW_PERIOD}-slot recurrence over hundreds of days cannot drift
+    one ulp apart between engines.  The seasonal slot for fold step
+    t is cnt % {HW_PERIOD} with cnt seeded at {HW_PERIOD} (2·period
+    consumed by init ≡ 0 mod period — slot arithmetic stays aligned).
+
+    100 TB posture: one corpus-sized (type, day) partial-agg count;
+    the collect_list is |days|-bounded per type (the q_ts_holt
+    contract); the fold is a serial scan of that bounded array inside
+    one task per group."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count("*").alias("n"))
+    series = (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "d",
+                        (F.col("n").cast("double") * HOLT_SCALE).alias(
+                            "n"
+                        ),
+                    )
+                )
+            ).alias("sl"),
+        )
+        .filter(F.col("n_days") >= 2 * HW_PERIOD + 1)
+        .select("event_type", "n_days", F.col("sl.n").alias("l"))
+    )
+    week1_sum = F.aggregate(
+        F.slice(F.col("l"), 1, HW_PERIOD),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    week2_sum = F.aggregate(
+        F.slice(F.col("l"), HW_PERIOD + 1, HW_PERIOD),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    init = series.select(
+        "event_type",
+        "n_days",
+        "l",
+        F.round(week1_sum / HW_PERIOD, 0).alias("lv0"),
+        F.round(
+            (week2_sum - week1_sum) / (HW_PERIOD * HW_PERIOD), 0
+        ).alias("tr0"),
+    )
+
+    def step(acc, x):
+        slot = (acc["cnt"].cast("int") % HW_PERIOD).cast("int")
+        s_cur = F.element_at(acc["s"], slot + 1)
+        new_lv = F.round(
+            F.lit(HW_ALPHA) * (x - s_cur)
+            + F.lit(1 - HW_ALPHA) * (acc["lv"] + acc["tr"]),
+            0,
+        )
+        new_tr = F.round(
+            F.lit(HW_BETA) * (new_lv - acc["lv"])
+            + F.lit(1 - HW_BETA) * acc["tr"],
+            0,
+        )
+        new_s = F.round(
+            F.lit(HW_GAMMA) * (x - new_lv)
+            + F.lit(1 - HW_GAMMA) * s_cur,
+            0,
+        )
+        return F.struct(
+            new_lv.alias("lv"),
+            new_tr.alias("tr"),
+            (acc["cnt"] + 1).alias("cnt"),
+            F.transform(
+                acc["s"],
+                lambda v, i: F.when(i == slot, new_s).otherwise(v),
+            ).alias("s"),
+        )
+
+    st = F.aggregate(
+        F.slice(
+            F.col("l"),
+            2 * HW_PERIOD + 1,
+            F.greatest(F.size("l") - 2 * HW_PERIOD, F.lit(0)),
+        ),
+        F.struct(
+            F.col("lv0").alias("lv"),
+            F.col("tr0").alias("tr"),
+            F.lit(float(HW_PERIOD)).alias("cnt"),
+            F.transform(
+                F.slice(F.col("l"), 1, HW_PERIOD),
+                lambda x: F.round(x - F.col("lv0"), 0),
+            ).alias("s"),
+        ),
+        step,
+    )
+    slot_next = (st["cnt"].cast("int") % HW_PERIOD).cast("int")
+    s_next = F.element_at(st["s"], slot_next + 1)
+    return init.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        (st["lv"] / HOLT_SCALE).alias("level"),
+        (st["tr"] / HOLT_SCALE).alias("trend"),
+        (s_next / HOLT_SCALE).alias("seasonal_next"),
+        ((st["lv"] + st["tr"] + s_next) / HOLT_SCALE).alias(
+            "forecast_1"
+        ),
+    )
+
+
+BOOT_R = 32  # bootstrap replicates (r = BOOT_R is the identity pass)
+# Poisson(1) CDF thresholds as exact double literals — both engines
+# parse the same decimal strings, so the inverse-CDF draw from the
+# md5-uniform is bit-identical
+BOOT_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+)
+BOOT_LO_RANK = 2
+BOOT_HI_RANK = 31
+
+
+def _boot_w_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(BOOT_CDF)
+    )
+    return f"CASE {cases} ELSE 6 END"
+
+
+@register(
+    "q_agg_bootstrap_ci",
+    oracle=f"""
+    WITH rep AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS v,
+             g.r AS r
+      FROM orders, UNNEST(generate_series(0, {BOOT_R})) AS g(r)),
+    w AS (
+      SELECT r, v,
+             CASE WHEN r = {BOOT_R} THEN 1
+                  ELSE {_boot_w_sql(
+                    "CAST(CAST('0x' || substr(md5(o_orderkey || '_' || r), 1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0"
+                  )}
+             END AS wt
+      FROM rep),
+    means AS (
+      SELECT r, CAST(SUM(wt) AS BIGINT) AS n,
+             ROUND(CAST(SUM(wt * CAST(v AS HUGEINT)) AS DOUBLE)
+                   / SUM(wt) / 100, 6) AS m
+      FROM w GROUP BY r HAVING SUM(wt) > 0),
+    ranked AS (
+      SELECT r, n, m,
+             ROW_NUMBER() OVER (ORDER BY m, r) AS rk
+      FROM means WHERE r < {BOOT_R}),
+    sd AS (
+      SELECT COUNT(*) AS nrep,
+             SUM(CAST(m AS DECIMAL(18,6))) AS sm,
+             SUM(CAST(m AS DECIMAL(19,6)) * CAST(m AS DECIMAL(19,6)))
+               AS smm
+      FROM ranked)
+    SELECT (SELECT n FROM means WHERE r = {BOOT_R}) AS n_orders,
+           (SELECT m FROM means WHERE r = {BOOT_R}) AS est_mean,
+           (SELECT m FROM ranked WHERE rk = {BOOT_LO_RANK}) AS boot_lo,
+           (SELECT m FROM ranked WHERE rk = {BOOT_HI_RANK}) AS boot_hi,
+           (SELECT CASE WHEN nrep > 1 THEN
+                     ROUND(SQRT((CAST(smm AS DOUBLE)
+                                 - CAST(sm AS DOUBLE)
+                                   * CAST(sm AS DOUBLE) / nrep)
+                                / (nrep - 1)), 6) END
+            FROM sd) AS boot_se
+    """,
+)
+def q_agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap CI for the mean order value —
+    {BOOT_R} resampled replicates computed in ONE scan: every
+    (row, replicate) pair draws its multiplicity from the Poisson(1)
+    inverse-CDF at an md5-derived uniform, the standard
+    single-pass distributed bootstrap (per-replicate partial sums,
+    no resampled dataset ever materializes).  Replicate r={BOOT_R}
+    carries weight 1 everywhere — the identity pass that yields the
+    point estimate in the same scan.  CI bounds are the rank-
+    {BOOT_LO_RANK} / rank-{BOOT_HI_RANK} order statistics of the
+    {BOOT_R} replicate means (a ~94% percentile interval); boot_se
+    is the replicate-mean standard deviation.
+
+    Cross-engine exactness: the uniform is the SAME md5 prefix cast
+    through '0x' on both engines (the x_span_corruption_plan
+    mechanism) divided by 2^32; the CDF thresholds are shared decimal
+    literals, so every weight is an identical exact integer; replicate
+    sums are exact (HUGEINT/DECIMAL); each mean is rounded to 6 before
+    the rank scan and the sd accumulates the ROUNDED means in
+    DECIMAL(18,6) — no float ever accumulates in engine-dependent
+    order.
+
+    100 TB posture: the replicate fan-out is map-side ({BOOT_R}+1
+    weighted copies of each row's CENTS, not the row); the shuffle
+    carries {BOOT_R}+1 groups × two integer accumulators.  Rank scan
+    and sd run on the {BOOT_R}-row means relation."""
+    o = load_table(spark, sf_dir, "orders")
+    reps = o.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("v"),
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_R))).alias("r"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("_", F.col("o_orderkey"), F.col("r"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    wt = F.lit(6)
+    for k in range(len(BOOT_CDF) - 1, -1, -1):
+        wt = F.when(u < float(BOOT_CDF[k]), F.lit(k)).otherwise(wt)
+    wt = F.when(F.col("r") == BOOT_R, F.lit(1)).otherwise(wt)
+    w = reps.select("r", "v", wt.alias("wt"))
+    means = (
+        w.groupBy("r")
+        .agg(
+            F.sum("wt").cast("long").alias("n"),
+            F.round(
+                F.sum(
+                    F.col("wt").cast("decimal(18,0)")
+                    * F.col("v").cast("decimal(18,0)")
+                ).cast("double")
+                / F.sum("wt")
+                / 100,
+                6,
+            ).alias("m"),
+        )
+        .filter(F.col("n") > 0)
+        .localCheckpoint(eager=True)
+    )
+    ranked = (
+        means.filter(F.col("r") < BOOT_R)
+        .withColumn(
+            "rk", F.row_number().over(Window.orderBy("m", "r"))
+        )
+    )
+    ident = means.filter(F.col("r") == BOOT_R).select(
+        F.col("n").alias("n_orders"), F.col("m").alias("est_mean")
+    )
+    lo = ranked.filter(F.col("rk") == BOOT_LO_RANK).select(
+        F.col("m").alias("boot_lo")
+    )
+    hi = ranked.filter(F.col("rk") == BOOT_HI_RANK).select(
+        F.col("m").alias("boot_hi")
+    )
+    dm = F.col("m").cast("decimal(18,6)")
+    sd = ranked.agg(
+        F.count("*").alias("nrep"),
+        F.sum(dm).alias("sm"),
+        F.sum(dm * dm).alias("smm"),
+    ).select(
+        F.when(
+            F.col("nrep") > 1,
+            F.round(
+                F.sqrt(
+                    (
+                        F.col("smm").cast("double")
+                        - F.col("sm").cast("double")
+                        * F.col("sm").cast("double")
+                        / F.col("nrep")
+                    )
+                    / (F.col("nrep") - 1)
+                ),
+                6,
+            ),
+        ).alias("boot_se")
+    )
+    return ident.crossJoin(lo).crossJoin(hi).crossJoin(sd)
+
+
+DECOMP_W = 7  # centered moving-average window (full weeks only)
+
+
+@register(
+    "q_ts_decompose_ma",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    tr AS (
+      SELECT event_type, d, c,
+             CAST(isodow(d) AS INTEGER) AS dow,
+             CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY d
+                               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                  AS BIGINT) AS s7,
+             COUNT(*) OVER (PARTITION BY event_type ORDER BY d
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS w
+      FROM daily),
+    det AS (
+      SELECT event_type, dow,
+             {DECOMP_W} * c - s7 AS det7
+      FROM tr WHERE w = {DECOMP_W})
+    SELECT event_type, dow,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(CAST(SUM(det7) AS DOUBLE)
+                 / ({DECOMP_W} * COUNT(*)), 6) AS seasonal,
+           CASE WHEN COUNT(*) > 1 THEN
+             ROUND(CAST(COUNT(*) * SUM(CAST(det7 AS HUGEINT) * det7)
+                        - CAST(SUM(det7) AS HUGEINT) * SUM(det7)
+                        AS DOUBLE)
+                   / ({DECOMP_W} * {DECOMP_W})
+                   / COUNT(*) / (COUNT(*) - 1), 6)
+           END AS resid_var
+    FROM det GROUP BY event_type, dow
+    """,
+)
+def q_ts_decompose_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of daily volume (STL-lite):
+    trend = centered {DECOMP_W}-day moving average (full windows
+    only), seasonal index per ISO weekday = mean of the detrended
+    series, residual variance after removing both — the decomposition
+    view that q_ts_seasonal_dow (raw dow means) and q_ts_holt_winters
+    (recursive smoothing) bracket.
+
+    Cross-engine exactness: the detrended value is carried MULTIPLIED
+    BY {DECOMP_W} ({DECOMP_W}·x − Σ₇) so it is an EXACT BIGINT — the
+    moving average itself never exists as a float; seasonal divides
+    exact integers once; the residual variance multiplies through by
+    {DECOMP_W}² so its numerator is exact, then divides by
+    {DECOMP_W}⁴ and n−1 in one fixed-order double expression, rounded
+    to 6.  isodow ≡ Spark dayofweek rebased (the q_ts_seasonal_dow
+    identity).
+
+    100 TB posture: one corpus-sized (type, day) partial-agg count;
+    the centered window and the dow rollup run over the
+    |types|·|days|-bounded daily relation."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").cast("long").alias("c"))
+    wspec = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type",
+        "d",
+        "c",
+        # ISO weekday: Spark dayofweek is 1=Sunday..7=Saturday;
+        # isodow is 1=Monday..7=Sunday (the q_ts_seasonal_dow rebase)
+        ((F.dayofweek("d") + 5) % 7 + 1).cast("int").alias("dow"),
+        F.sum("c").over(wspec).cast("long").alias("s7"),
+        F.count("*").over(wspec).alias("w"),
+    )
+    det = tr.filter(F.col("w") == DECOMP_W).select(
+        "event_type",
+        "dow",
+        (DECOMP_W * F.col("c") - F.col("s7")).alias("det7"),
+    )
+    dd = F.col("det7").cast("decimal(18,0)")
+    return det.groupBy("event_type", "dow").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.round(
+            F.sum("det7").cast("double") / (DECOMP_W * F.count("*")),
+            6,
+        ).alias("seasonal"),
+        # n·Σd² − (Σd)² is an exact integer (DECIMAL(38,0) ≡ HUGEINT);
+        # one fixed-order double division chain closes it out
+        F.when(
+            F.count("*") > 1,
+            F.round(
+                (
+                    F.count("*").cast("decimal(38,0)") * F.sum(dd * dd)
+                    - F.sum(dd).cast("decimal(38,0)") * F.sum(dd)
+                ).cast("double")
+                / (DECOMP_W * DECOMP_W)
+                / F.count("*")
+                / (F.count("*") - 1),
+                6,
+            ),
+        ).alias("resid_var"),
+    )

@@ -1715,3 +1715,75 @@ def x_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         start.cast("long").alias("span_start"),
         (start + SPAN_LEN - 1).cast("long").alias("span_end"),
     )
+
+
+SHARD_N = 8  # manifest shards
+
+
+@register(
+    "x_shard_manifest",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, n_chars,
+             CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS h
+      FROM documents),
+    s AS (SELECT *, h % {SHARD_N} AS shard FROM d)
+    SELECT CAST(shard AS INTEGER) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_bytes,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(h) AS BIGINT) AS content_checksum
+    FROM s GROUP BY shard
+    """,
+)
+def x_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest: assign every document to one of
+    {SHARD_N} shards by content-independent md5(doc_id) hash and emit
+    the per-shard manifest row — doc/token/byte counts, id range,
+    source spread, and an ORDER-FREE integer checksum (sum of the
+    per-doc hash ints) — the writer-side bookkeeping a 100 TB corpus
+    prep emits next to every shard file so a reader can verify
+    completeness without rescanning text (x_data_card's corpus-level
+    counterpart at shard granularity).
+
+    Cross-engine exactness: the shard id and checksum derive from the
+    same md5-prefix-through-'0x' integer on both engines (the
+    x_span_corruption_plan mechanism); every manifest column is an
+    exact integer; the checksum is addition-commutative so partial
+    aggregation order cannot perturb it.
+
+    100 TB posture: everything is computed MAP-SIDE from the row
+    itself (hash, token count, byte count); the shuffle carries
+    {SHARD_N} groups x seven integer accumulators.  The even md5
+    split is also the skew argument: shard sizes concentrate at
+    n/{SHARD_N} regardless of source or length skew."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(F.split(F.col("text"), " "))
+        .cast("long")
+        .alias("n_tokens"),
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    s = d.withColumn("shard", (F.col("h") % SHARD_N).cast("int"))
+    return s.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_bytes"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+        F.count_distinct("source").cast("long").alias("n_sources"),
+        F.sum("h").cast("long").alias("content_checksum"),
+    )

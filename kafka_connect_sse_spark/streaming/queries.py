@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -796,3 +796,72 @@ def s_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, mode="complete")
+
+
+STREAM_TOPK = 2
+
+
+@register(
+    "s_topk_per_window",
+    oracle=f"""
+    WITH c AS (
+      SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                      '{_TS_FMT_DUCK}') AS win_start,
+             event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT win_start, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY win_start
+                                ORDER BY n DESC, event_type) AS rank
+      FROM c)
+    SELECT win_start, event_type, n, CAST(rank AS INTEGER) AS rank
+    FROM r WHERE rank <= {STREAM_TOPK}
+    """,
+)
+def s_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k: the {STREAM_TOPK} busiest event types per
+    tumbling hour.  Rank-over-stream is not expressible as a single
+    streaming operator (no windowed row_number in Structured
+    Streaming), so this is the production decomposition: the STREAM
+    maintains the (window, type) counts — mergeable partial-agg state,
+    the only part that must see every event — and the RANK runs as a
+    batch step over the materialized sink, exactly what a foreachBatch
+    sink or downstream reader does with the compacted counts.
+
+    Cross-engine exactness: epoch-aligned 1h windows (the
+    s_window_tumbling time_bucket parity), exact integer counts, and
+    a (n DESC, event_type) tiebreak so equal counts rank identically.
+
+    100 TB posture: streaming state is |windows|·|types| rows — the
+    stream never holds raw events; the rank step's window runs on the
+    compacted relation, partitioned by win_start."""
+    sdf = events_stream(spark, sf_dir)
+    agg = (
+        sdf.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("window.start"), _TS_FMT).alias(
+                "win_start"
+            ),
+            "event_type",
+            "n",
+        )
+    )
+    counts = run_to_memory(agg, mode="complete")
+    return (
+        counts.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("win_start").orderBy(
+                    F.col("n").desc(), "event_type"
+                )
+            ),
+        )
+        .filter(F.col("rank") <= STREAM_TOPK)
+        .select(
+            "win_start",
+            "event_type",
+            "n",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -570,6 +570,11 @@ def test_round11_unseated_new_ops_pass_driver_style_oracle_gate(spark, qs):
         "q_jaccard_neighbors",
         "x_ttr_segments",
         "x_kmeans_lloyd",
+        "s_topk_per_window",
+        "q_ts_holt_winters",
+        "q_agg_bootstrap_ci",
+        "x_shard_manifest",
+        "q_ts_decompose_ma",
     ):
         scols, srows, shash = canon(qs[name](spark, SF).toPandas())
         ocols, orows, ohash = canon(con.execute(osql[name]).df())

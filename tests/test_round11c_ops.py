@@ -397,3 +397,190 @@ def test_kmeans_lloyd_separates_planted_blobs(spark, tmp_path, q, osql):
     assert (spdf["inertia"] < 0.01).all()
     for v in spdf["centroid_norm"]:
         assert v == pytest.approx(0.4, abs=0.05)
+
+
+def test_stream_topk_per_window_ranks(spark, tmp_path, q, osql):
+    """Hour 1: A x3, B x2, C x1 -> top2 A,B; hour 2: C x5, A x1 ->
+    top2 C,A."""
+    rows, eid = [], 0
+    for t, n in (("view", 3), ("click", 2), ("error", 1)):
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, "2024-01-01T10:15:00", 1, t, 1.0))
+    for t, n in (("error", 5), ("view", 1)):
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, "2024-01-01T11:45:00", 1, t, 1.0))
+    sf = _write_events(tmp_path, rows, "sftk11")
+    spdf = _cross_engine(
+        spark, q, osql, "s_topk_per_window", sf, "events"
+    ).sort_values(["win_start", "rank"])
+    assert list(spdf["event_type"]) == ["view", "click", "error", "view"]
+    assert list(spdf["rank"]) == [1, 2, 1, 2]
+    assert list(spdf["n"]) == [3, 2, 5, 1]
+
+
+def _hw_replica(xs):
+    """Independent replica of the quantized Holt-Winters fold (micro
+    units, half-away-from-zero integer rounding)."""
+
+    def r0(v):
+        return math.floor(v + 0.5) if v >= 0 else -math.floor(-v + 0.5)
+
+    S = 1_000_000
+    l = [x * S for x in xs]
+    lv = r0(sum(l[0:7]) / 7)
+    tr = r0((sum(l[7:14]) - sum(l[0:7])) / 49)
+    s = [r0(x - lv) for x in l[0:7]]
+    cnt = 7
+    for x in l[14:]:
+        slot = cnt % 7
+        new_lv = r0(0.5 * (x - s[slot]) + 0.5 * (lv + tr))
+        new_tr = r0(0.25 * (new_lv - lv) + 0.75 * tr)
+        s[slot] = r0(0.25 * (x - new_lv) + 0.75 * s[slot])
+        lv, tr, cnt = new_lv, new_tr, cnt + 1
+    slot = cnt % 7
+    return lv / S, tr / S, s[slot] / S
+
+
+def test_holt_winters_flat_series_is_fixed_point(
+    spark, tmp_path, q, osql
+):
+    """A constant series: level = the constant, trend = 0, every
+    seasonal index 0, forecast = the constant — exactly."""
+    rows, eid = [], 0
+    base = dt.date(2024, 1, 1)
+    for i in range(21):
+        day = (base + dt.timedelta(days=i)).isoformat()
+        for _ in range(10):
+            eid += 1
+            rows.append((eid, f"{day}T12:00:00", 1, "view", 1.0))
+    sf = _write_events(tmp_path, rows, "sfhwf11")
+    r = _cross_engine(
+        spark, q, osql, "q_ts_holt_winters", sf, "events"
+    ).iloc[0]
+    assert r["level"] == pytest.approx(10.0, abs=1e-9)
+    assert r["trend"] == pytest.approx(0.0, abs=1e-9)
+    assert r["seasonal_next"] == pytest.approx(0.0, abs=1e-9)
+    assert r["forecast_1"] == pytest.approx(10.0, abs=1e-9)
+
+
+def test_holt_winters_matches_independent_replica(
+    spark, tmp_path, q, osql
+):
+    """Weekly spike pattern over 4 weeks: the engine fold must equal
+    a from-scratch python replica of the quantized recurrence — a
+    THIRD implementation, so a mirrored Spark/DuckDB bug still
+    fails."""
+    counts = [(17 if i % 7 == 2 else 10) + i // 7 for i in range(28)]
+    rows, eid = [], 0
+    base = dt.date(2024, 1, 1)
+    for i, c in enumerate(counts):
+        day = (base + dt.timedelta(days=i)).isoformat()
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, f"{day}T12:00:00", 1, "view", 1.0))
+    sf = _write_events(tmp_path, rows, "sfhwr11")
+    r = _cross_engine(
+        spark, q, osql, "q_ts_holt_winters", sf, "events"
+    ).iloc[0]
+    lv, tr, s_next = _hw_replica([float(c) for c in counts])
+    assert r["level"] == pytest.approx(lv, abs=1e-9)
+    assert r["trend"] == pytest.approx(tr, abs=1e-9)
+    assert r["seasonal_next"] == pytest.approx(s_next, abs=1e-9)
+
+
+def test_bootstrap_ci_constant_sample_degenerates(
+    spark, tmp_path, q, osql
+):
+    """All orders the same price: every replicate mean equals it, so
+    est = lo = hi and se = 0."""
+    rows = [(k, "1-URGENT", 42.5) for k in range(1, 31)]
+    sf = _write_orders(tmp_path, rows, "sfbc11")
+    r = _cross_engine(
+        spark, q, osql, "q_agg_bootstrap_ci", sf, "orders"
+    ).iloc[0]
+    assert r["n_orders"] == 30
+    assert r["est_mean"] == pytest.approx(42.5)
+    assert r["boot_lo"] == pytest.approx(42.5)
+    assert r["boot_hi"] == pytest.approx(42.5)
+    assert r["boot_se"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_bootstrap_ci_brackets_point_estimate(spark, tmp_path, q, osql):
+    """Mixed prices: identity replicate reproduces the exact mean and
+    the rank CI brackets it."""
+    prices = [10.0, 20.0, 30.0, 40.0, 100.0, 15.0, 25.0, 35.0]
+    rows = [(k, "1-URGENT", p) for k, p in enumerate(prices, 1)]
+    sf = _write_orders(tmp_path, rows, "sfbc11b")
+    r = _cross_engine(
+        spark, q, osql, "q_agg_bootstrap_ci", sf, "orders"
+    ).iloc[0]
+    assert r["est_mean"] == pytest.approx(sum(prices) / len(prices))
+    assert r["boot_lo"] <= r["est_mean"] <= r["boot_hi"]
+    assert r["boot_se"] > 0
+
+
+def test_shard_manifest_replicates_hash_assignment(
+    spark, tmp_path, q, osql
+):
+    """Shard ids and the order-free checksum must equal a hashlib
+    replica."""
+    import hashlib
+
+    rows = [
+        (i, f"tok{i} tok{i + 1} tok{i + 2}", "en", f"s{i % 2}")
+        for i in range(20)
+    ]
+    sf = _write_documents(tmp_path, rows, "sfsm11")
+    spdf = _cross_engine(
+        spark, q, osql, "x_shard_manifest", sf, "documents"
+    ).set_index("shard")
+    exp = {}
+    for i, text, _, _ in rows:
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        e = exp.setdefault(h % 8, [0, 0, 0])
+        e[0] += 1
+        e[1] += len(text.split())
+        e[2] += h
+    assert set(spdf.index) == set(exp)
+    for shard, (n, toks, chk) in exp.items():
+        assert int(spdf.loc[shard, "n_docs"]) == n
+        assert int(spdf.loc[shard, "n_tokens"]) == toks
+        assert int(spdf.loc[shard, "content_checksum"]) == chk
+    assert int(spdf["n_docs"].sum()) == 20
+
+
+def test_decompose_ma_flat_with_monday_spike(spark, tmp_path, q, osql):
+    """Constant 10 with +7 every Monday over 3 weeks: the Monday
+    seasonal index is positive, flat days negative, and a replica of
+    the 7x-detrended arithmetic agrees exactly."""
+    base = dt.date(2024, 1, 1)  # a Monday
+    counts = [
+        10 + (7 if (base + dt.timedelta(days=i)).isoweekday() == 1
+              else 0)
+        for i in range(21)
+    ]
+    rows, eid = [], 0
+    for i, c in enumerate(counts):
+        day = (base + dt.timedelta(days=i)).isoformat()
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, f"{day}T12:00:00", 1, "view", 1.0))
+    sf = _write_events(tmp_path, rows, "sfdm11")
+    spdf = _cross_engine(
+        spark, q, osql, "q_ts_decompose_ma", sf, "events"
+    ).set_index("dow")
+    # replica: full centered windows exist for days 4..18 (1-based)
+    exp = {}
+    for t in range(3, 18):
+        s7 = sum(counts[t - 3:t + 4])
+        det7 = 7 * counts[t] - s7
+        dow = (base + dt.timedelta(days=t)).isoweekday()
+        exp.setdefault(dow, []).append(det7)
+    for dow, dets in exp.items():
+        assert spdf.loc[dow, "seasonal"] == pytest.approx(
+            sum(dets) / (7 * len(dets)), abs=1e-6
+        )
+    assert spdf.loc[1, "seasonal"] > 5  # Monday spike
+    assert (spdf.drop(index=1)["seasonal"] < 0).all()
