@@ -5146,3 +5146,105 @@ def q_ts_decompose_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("resid_var"),
     )
+
+
+@register(
+    "q_agg_mutual_info",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS x, CAST(isodow(CAST(ts AS DATE)) AS INTEGER)
+               AS y, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    terms AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             SUM(CAST(ROUND(c * LN(c), 6) AS DECIMAL(28,6))) AS sxy
+      FROM cells),
+    mx AS (
+      SELECT SUM(CAST(ROUND(c * LN(c), 6) AS DECIMAL(28,6))) AS sx
+      FROM (SELECT x, CAST(SUM(c) AS BIGINT) AS c
+            FROM cells GROUP BY x)),
+    my AS (
+      SELECT SUM(CAST(ROUND(c * LN(c), 6) AS DECIMAL(28,6))) AS sy
+      FROM (SELECT y, CAST(SUM(c) AS BIGINT) AS c
+            FROM cells GROUP BY y))
+    SELECT t.n,
+           ROUND(LN(t.n) - CAST(mx.sx AS DOUBLE) / t.n, 6) AS h_type,
+           ROUND(LN(t.n) - CAST(my.sy AS DOUBLE) / t.n, 6) AS h_dow,
+           ROUND(LN(t.n)
+                 + (CAST(t.sxy AS DOUBLE) - CAST(mx.sx AS DOUBLE)
+                    - CAST(my.sy AS DOUBLE)) / t.n, 6) + 0.0 AS mi,
+           CASE WHEN LN(t.n) - CAST(mx.sx AS DOUBLE) / t.n > 0 THEN
+             ROUND((LN(t.n)
+                    + (CAST(t.sxy AS DOUBLE) - CAST(mx.sx AS DOUBLE)
+                       - CAST(my.sy AS DOUBLE)) / t.n)
+                   / (LN(t.n) - CAST(mx.sx AS DOUBLE) / t.n), 6) + 0.0
+           END AS uncertainty_coef
+    FROM terms t, mx, my
+    """,
+)
+def q_agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and ISO weekday — "how
+    much does the day of week tell you about the traffic mix" — with
+    both marginal entropies and Theil's uncertainty coefficient
+    U = MI/H(type): the information-theoretic association measure
+    next to q_agg_cramers_v's χ²-based one (MI sees nonlinear
+    association χ² underweights; U normalizes it to [0,1]).
+
+    Cross-engine exactness — the q_agg_entropy discipline, three
+    sums wide: MI = ln N + (Σc·ln c|cells − Σ|x − Σ|y)/N, where every
+    c·ln c term is rounded to 6 and accumulated in DECIMAL(28,6)
+    (order-free exact); the closing expression is fixed-order double,
+    rounded to 6.  H(type) ≤ 0 guard → NULL uncertainty coefficient.
+
+    100 TB posture: ONE corpus-sized partial-agg shuffle onto the
+    |types|·7 cell grid; margins and totals derive from the
+    localCheckpointed cell relation, never from raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.groupBy(
+            F.col("event_type").alias("x"),
+            ((F.dayofweek(F.to_date("ts")) + 5) % 7 + 1)
+            .cast("int")
+            .alias("y"),
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+
+    def clogc(col):
+        return F.round(col * F.log(col), 6).cast("decimal(28,6)")
+
+    terms = cells.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(clogc(F.col("c"))).alias("sxy"),
+    )
+    mx = (
+        cells.groupBy("x")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .agg(F.sum(clogc(F.col("c"))).alias("sx"))
+    )
+    my = (
+        cells.groupBy("y")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .agg(F.sum(clogc(F.col("c"))).alias("sy"))
+    )
+    j = terms.crossJoin(mx).crossJoin(my)
+    dn = F.col("n")
+    hx = F.log(dn) - F.col("sx").cast("double") / dn
+    hy = F.log(dn) - F.col("sy").cast("double") / dn
+    mi = F.log(dn) + (
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double")
+        - F.col("sy").cast("double")
+    ) / dn
+    return j.select(
+        "n",
+        F.round(hx, 6).alias("h_type"),
+        F.round(hy, 6).alias("h_dow"),
+        # + 0.0 collapses IEEE negative zero (ROUND of a tiny negative
+        # residual yields -0.0 on DuckDB, 0.0 on Spark — canon splits)
+        (F.round(mi, 6) + 0.0).alias("mi"),
+        F.when(hx > 0, F.round(mi / hx, 6) + 0.0).alias(
+            "uncertainty_coef"
+        ),
+    )

@@ -1396,3 +1396,128 @@ def q_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.orderBy(
         F.col("jaccard").desc(), "s1", "s2"
     ).limit(JACCARD_TOPK)
+
+
+@register(
+    "q_join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT l_suppkey AS supp,
+             CAST(MIN(l_shipdate) AS DATE) AS s,
+             CAST(MAX(l_shipdate) AS DATE) AS e
+      FROM lineitem GROUP BY l_suppkey),
+    sn AS (
+      SELECT i.supp, i.s, i.e, sup.s_nationkey AS nation
+      FROM iv i JOIN supplier sup ON sup.s_suppkey = i.supp),
+    mon AS (
+      SELECT supp, s, e, nation,
+             UNNEST(generate_series(
+               CAST(date_trunc('month', s) AS DATE),
+               CAST(date_trunc('month', e) AS DATE),
+               INTERVAL 1 MONTH)) AS m
+      FROM sn),
+    cand AS (
+      SELECT DISTINCT a.nation, a.supp AS s1, b.supp AS s2,
+             a.s AS a_s, a.e AS a_e, b.s AS b_s, b.e AS b_e
+      FROM mon a JOIN mon b
+        ON b.nation = a.nation AND b.m = a.m AND a.supp < b.supp),
+    ok AS (
+      SELECT nation, s1, s2,
+             CAST(date_diff('day',
+                            GREATEST(a_s, b_s),
+                            LEAST(a_e, b_e)) + 1 AS BIGINT)
+               AS overlap_days
+      FROM cand WHERE a_s <= b_e AND b_s <= a_e)
+    SELECT CAST(nation AS BIGINT) AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_overlapping_pairs,
+           CAST(SUM(overlap_days) AS BIGINT) AS total_overlap_days,
+           CAST(MAX(overlap_days) AS BIGINT) AS max_overlap_days
+    FROM ok GROUP BY nation
+    """,
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join — the temporal/genomic classic Spark has
+    no operator for: each supplier's activity interval
+    [min shipdate, max shipdate] against every same-nation supplier,
+    keeping pairs whose intervals overlap, rolled up per nation.  The
+    naive form is an O(n²) theta join; this is the GRID-BANDING
+    rewrite: explode each interval onto its covered month buckets,
+    equi-join on (nation, month) — candidate work ∝ Σ overlap per
+    bucket, not n² — dedup the multi-bucket pairs, then verify the
+    EXACT overlap predicate (s_a ≤ e_b AND s_b ≤ e_a) on the
+    candidates.  Same trick family as q_join_range_banded's value
+    bands and x_containment_dedup's posting buckets.
+
+    Cross-engine exactness: overlap_days = LEAST(e)−GREATEST(s)+1 on
+    DATE arithmetic — exact integers; month truncation aligns on both
+    engines (calendar months, UTC-pinned).
+
+    100 TB posture: the interval relation is |suppliers|-bounded (one
+    partial-agg scan of lineitem); the month explode bounds fan-out
+    at months-spanned; the equi-join shuffles (nation, month) keys.
+    A pathological all-year-every-supplier bucket degenerates toward
+    n² within a nation-month — the df-cap rule applies if interval
+    skew materializes (cap bucket width, split hot months)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = li.groupBy(F.col("l_suppkey").alias("supp")).agg(
+        F.min(F.to_date("l_shipdate")).alias("s"),
+        F.max(F.to_date("l_shipdate")).alias("e"),
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("supp"),
+        F.col("s_nationkey").alias("nation"),
+    )
+    sn = iv.join(broadcast(sup), "supp").localCheckpoint(eager=True)
+    mon = sn.select(
+        "supp",
+        "s",
+        "e",
+        "nation",
+        F.explode(
+            F.sequence(
+                F.trunc("s", "month"),
+                F.trunc("e", "month"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("m"),
+    )
+    a = mon.alias("a")
+    b = mon.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("b.nation") == F.col("a.nation"))
+            & (F.col("b.m") == F.col("a.m"))
+            & (F.col("a.supp") < F.col("b.supp")),
+        )
+        .select(
+            F.col("a.nation").alias("nation"),
+            F.col("a.supp").alias("s1"),
+            F.col("b.supp").alias("s2"),
+            F.col("a.s").alias("a_s"),
+            F.col("a.e").alias("a_e"),
+            F.col("b.s").alias("b_s"),
+            F.col("b.e").alias("b_e"),
+        )
+        .distinct()
+    )
+    ok = cand.filter(
+        (F.col("a_s") <= F.col("b_e")) & (F.col("b_s") <= F.col("a_e"))
+    ).select(
+        "nation",
+        "s1",
+        "s2",
+        (
+            F.datediff(
+                F.least("a_e", "b_e"), F.greatest("a_s", "b_s")
+            )
+            + 1
+        )
+        .cast("long")
+        .alias("overlap_days"),
+    )
+    return ok.groupBy(F.col("nation").cast("long").alias("nation")).agg(
+        F.count("*").cast("long").alias("n_overlapping_pairs"),
+        F.sum("overlap_days").cast("long").alias("total_overlap_days"),
+        F.max("overlap_days").cast("long").alias("max_overlap_days"),
+    )

@@ -560,3 +560,100 @@ def x_multimodal_video_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sample_y4m_batches,
         "doc_id long, frame_idx long, luma_sum long, frame_bytes long",
     )
+
+
+def phash_ppm(payload: bytes) -> int:
+    """4x4 average-hash over the decoded grayscale raster: sample a
+    nearest-neighbor 4x4 grid, sum RGB per cell (integer gray x3),
+    set bit k when 16*cell_k > sum(cells) — the strict compare keeps
+    every bit an exact integer decision."""
+    import numpy as np
+
+    magic, dims, maxval, raster = payload.split(b"\n", 3)
+    if magic != b"P6":
+        raise NotImplementedError(f"no decoder for magic={magic!r}")
+    w, h = map(int, dims.split())
+    arr = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+    cells = (
+        arr[(np.arange(4) * h) // 4][:, (np.arange(4) * w) // 4]
+        .sum(axis=2, dtype=np.int64)
+    )
+    total = int(cells.sum())
+    bits = (16 * cells > total).flatten()
+    return int(sum(1 << k for k, b in enumerate(bits) if b))
+
+
+def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "phash": [phash_ppm(p) for p in pdf["payload"]],
+            }
+        )
+
+
+@register(
+    "x_multimodal_phash",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      FROM documents WHERE doc_id % 4 = 1),
+    cells AS (
+      SELECT d.doc_id, y.y * 4 + x.x AS k,
+             SUM((d.doc_id * 7
+                  + 13 * (3 * (((y.y * d.h) // 4) * d.w
+                               + (x.x * d.w) // 4) + c.c)) % 256) AS g
+      FROM dims d,
+           UNNEST(generate_series(0, 3)) AS y(y),
+           UNNEST(generate_series(0, 3)) AS x(x),
+           UNNEST(generate_series(0, 2)) AS c(c)
+      GROUP BY d.doc_id, k),
+    tot AS (SELECT doc_id, SUM(g) AS t FROM cells GROUP BY doc_id),
+    hsh AS (
+      SELECT c.doc_id,
+             CAST(SUM(CASE WHEN 16 * c.g > t.t
+                           THEN CAST(1 AS BIGINT) << c.k
+                           ELSE 0 END) AS BIGINT) AS phash
+      FROM cells c JOIN tot t ON t.doc_id = c.doc_id
+      GROUP BY c.doc_id)
+    SELECT phash,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM hsh GROUP BY phash
+    """,
+)
+def x_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash dedup over the image tier: mint the real P6
+    payloads (ingest simulation, x_multimodal_decode's generator),
+    decode and average-hash each raster in numpy (4x4 nearest grid,
+    bit = cell brighter than the image mean), then bucket by the
+    16-bit hash — equal hashes are perceptual duplicate candidates,
+    the image-side analog of x_dedup_simhash's text buckets.  The
+    strict integer compare (16·cell > Σcells) makes every bit an
+    exact decision the SQL oracle replays arithmetically.
+
+    100 TB posture: mint + decode + hash are map-only mapInPandas
+    stages over binary columns (Arrow-batched numpy, never per-row
+    Python); the shuffle carries (doc_id, 16-bit hash) — two
+    integers per image — onto a hash-bucket census.  Near-dup
+    (hamming ≤ d) extends by banding the 16 bits exactly like
+    simhash's nibble buckets; the equal-hash form here is the
+    exact-bucket tier."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 1)
+        .select("doc_id")
+    )
+    payloads = d.mapInPandas(
+        _ppm_payloads, "doc_id long, payload binary"
+    )
+    hashes = payloads.mapInPandas(
+        _phash_batches, "doc_id long, phash long"
+    )
+    return hashes.groupBy("phash").agg(
+        F.count("*").cast("long").alias("n_images"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+    )

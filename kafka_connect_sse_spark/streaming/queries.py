@@ -865,3 +865,82 @@ def s_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+ALERT_FACTOR = 2  # alert when an hour exceeds FACTOR x the type's mean
+
+
+@register(
+    "s_threshold_alert",
+    oracle=f"""
+    WITH c AS (
+      SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                      '{_TS_FMT_DUCK}') AS win_start,
+             event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    t AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(n) AS BIGINT) AS total
+      FROM c GROUP BY event_type)
+    SELECT c.win_start, c.event_type, c.n,
+           ROUND(CAST(c.n * t.n_hours AS DOUBLE) / t.total, 6)
+             AS times_mean
+    FROM c JOIN t ON t.event_type = c.event_type
+    WHERE c.n * t.n_hours > {ALERT_FACTOR} * t.total
+    """,
+)
+def s_threshold_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming spike alerting: emit a row whenever an event type's
+    tumbling-hour volume exceeds {ALERT_FACTOR}x that type's own mean
+    hourly volume — the self-calibrating monitoring shape
+    (error-spike pager, rate tripwire) the reference's SSE feed
+    exists to drive.  The stream maintains the windowed counts — the
+    only stateful part; the baseline compare runs over the
+    materialized counts exactly as a foreachBatch alert sink would,
+    so the alert fires on completed windows, never raw events.
+
+    Cross-engine exactness: the spike predicate is the integer
+    cross-multiplication n·n_hours > {ALERT_FACTOR}·total — the mean
+    never exists as a float; times_mean is one double division of
+    exact integers, rounded to 6.
+
+    100 TB posture: streaming state is |windows|·|types| counters;
+    the baseline relation is |types|-bounded and broadcast; the sink
+    sees alert rows only."""
+    sdf = events_stream(spark, sf_dir)
+    agg = (
+        sdf.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("window.start"), _TS_FMT).alias(
+                "win_start"
+            ),
+            "event_type",
+            "n",
+        )
+    )
+    # the memory-sink table self-joins (counts vs its own baseline):
+    # checkpoint the tiny batch result so the two sides are distinct
+    # plan nodes (conflicting-references otherwise)
+    counts = run_to_memory(agg, mode="complete").localCheckpoint(
+        eager=True
+    )
+    t = counts.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.sum("n").cast("long").alias("total"),
+    )
+    from pyspark.sql.functions import broadcast as _bc
+
+    j = counts.join(_bc(t), "event_type")
+    return j.filter(
+        F.col("n") * F.col("n_hours") > ALERT_FACTOR * F.col("total")
+    ).select(
+        "win_start",
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            (F.col("n") * F.col("n_hours")).cast("double")
+            / F.col("total"),
+            6,
+        ).alias("times_mean"),
+    )

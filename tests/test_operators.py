@@ -575,6 +575,10 @@ def test_round11_unseated_new_ops_pass_driver_style_oracle_gate(spark, qs):
         "q_agg_bootstrap_ci",
         "x_shard_manifest",
         "q_ts_decompose_ma",
+        "q_agg_mutual_info",
+        "x_multimodal_phash",
+        "q_join_interval_overlap",
+        "s_threshold_alert",
     ):
         scols, srows, shash = canon(qs[name](spark, SF).toPandas())
         ocols, orows, ohash = canon(con.execute(osql[name]).df())

@@ -584,3 +584,172 @@ def test_decompose_ma_flat_with_monday_spike(spark, tmp_path, q, osql):
         )
     assert spdf.loc[1, "seasonal"] > 5  # Monday spike
     assert (spdf.drop(index=1)["seasonal"] < 0).all()
+
+
+def test_mutual_info_dependent_and_entropy_equalities(
+    spark, tmp_path, q, osql
+):
+    """Each type occurs on exactly one distinct weekday with equal
+    mass: MI = H(type) = H(dow) = ln 3 and U = 1."""
+    rows, eid = [], 0
+    # 2024-01-01 Mon, 01-02 Tue, 01-03 Wed
+    for day, t in (
+        ("2024-01-01", "view"),
+        ("2024-01-02", "click"),
+        ("2024-01-03", "purchase"),
+    ):
+        for _ in range(4):
+            eid += 1
+            rows.append((eid, f"{day}T10:00:00", 1, t, 1.0))
+    sf = _write_events(tmp_path, rows, "sfmi11")
+    r = _cross_engine(
+        spark, q, osql, "q_agg_mutual_info", sf, "events"
+    ).iloc[0]
+    assert r["h_type"] == pytest.approx(math.log(3), abs=1e-6)
+    assert r["h_dow"] == pytest.approx(math.log(3), abs=1e-6)
+    assert r["mi"] == pytest.approx(math.log(3), abs=1e-6)
+    assert r["uncertainty_coef"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_mutual_info_independent_is_zero(spark, tmp_path, q, osql):
+    """Two types uniformly spread over the same two weekdays: MI = 0."""
+    rows, eid = [], 0
+    for day in ("2024-01-01", "2024-01-02"):
+        for t in ("view", "click"):
+            for _ in range(3):
+                eid += 1
+                rows.append((eid, f"{day}T10:00:00", 1, t, 1.0))
+    sf = _write_events(tmp_path, rows, "sfmi11i")
+    r = _cross_engine(
+        spark, q, osql, "q_agg_mutual_info", sf, "events"
+    ).iloc[0]
+    assert r["mi"] == pytest.approx(0.0, abs=1e-6)
+    assert r["uncertainty_coef"] == pytest.approx(0.0, abs=1e-6)
+
+
+def _phash_replica(doc_id):
+    w, h = 4 + doc_id % 5, 3 + doc_id % 4
+    cells = {}
+    for y in range(4):
+        for x in range(4):
+            gy, gx = (y * h) // 4, (x * w) // 4
+            g = sum(
+                (doc_id * 7 + 13 * (3 * (gy * w + gx) + c)) % 256
+                for c in range(3)
+            )
+            cells[y * 4 + x] = g
+    tot = sum(cells.values())
+    return sum(1 << k for k, g in cells.items() if 16 * g > tot)
+
+
+def test_multimodal_phash_matches_replica_and_buckets(
+    spark, tmp_path, q, osql
+):
+    """Hashes must equal a from-scratch python replica; doc ids with
+    the same (dims, pixel pattern) collide into one bucket."""
+    rows = [(i, "irrelevant text", "en", "s0") for i in range(60)]
+    sf = _write_documents(tmp_path, rows, "sfph11")
+    spdf = _cross_engine(
+        spark, q, osql, "x_multimodal_phash", sf, "documents"
+    )
+    img_ids = [i for i in range(60) if i % 4 == 1]
+    exp = {}
+    for i in img_ids:
+        exp.setdefault(_phash_replica(i), []).append(i)
+    assert int(spdf["n_images"].sum()) == len(img_ids)
+    got = {int(r["phash"]): int(r["n_images"]) for _, r in spdf.iterrows()}
+    assert got == {h: len(ids) for h, ids in exp.items()}
+
+
+def _write_supplier(tmp_path, sf_dir, rows):
+    """rows: (s_suppkey, s_nationkey); writes into an existing dir."""
+    tbl = pa.table(
+        {
+            "s_suppkey": pa.array([r[0] for r in rows], pa.int64()),
+            "s_name": pa.array(
+                [f"sup{r[0]}" for r in rows], pa.string()
+            ),
+            "s_nationkey": pa.array([r[1] for r in rows], pa.int64()),
+            "s_acctbal": pa.array([0.0] * len(rows), pa.float64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(sf_dir, "supplier.parquet"))
+    return sf_dir
+
+
+def test_interval_overlap_hand_computed(spark, tmp_path, q, osql):
+    """s1 [Jan1,Jan10] and s2 [Jan5,Feb1] overlap 6 days; s3 [Mar1,
+    Mar2] overlaps nobody; s4 overlaps s1 but sits in another
+    nation."""
+    li = []
+
+    def ship(orderkey, supp, day):
+        li.append((orderkey, 1, supp, day))
+
+    ship(1, 1, "2024-01-01"); ship(2, 1, "2024-01-10")
+    ship(3, 2, "2024-01-05"); ship(4, 2, "2024-02-01")
+    ship(5, 3, "2024-03-01"); ship(6, 3, "2024-03-02")
+    ship(7, 4, "2024-01-02"); ship(8, 4, "2024-01-09")
+    sf_dir = str(tmp_path / "sfio11")
+    os.makedirs(sf_dir, exist_ok=True)
+    n = len(li)
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in li], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in li], pa.int64()),
+            "l_suppkey": pa.array([r[2] for r in li], pa.int64()),
+            "l_linenumber": pa.array([1] * n, pa.int32()),
+            "l_quantity": pa.array([1.0] * n, pa.float64()),
+            "l_extendedprice": pa.array([1.0] * n, pa.float64()),
+            "l_discount": pa.array([0.0] * n, pa.float64()),
+            "l_tax": pa.array([0.0] * n, pa.float64()),
+            "l_returnflag": pa.array(["N"] * n, pa.string()),
+            "l_linestatus": pa.array(["O"] * n, pa.string()),
+            "l_shipdate": pa.array(
+                [dt.datetime.fromisoformat(r[3] + "T00:00:00")
+                 for r in li],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(tbl, os.path.join(sf_dir, "lineitem.parquet"))
+    _write_supplier(tmp_path, sf_dir, [(1, 7), (2, 7), (3, 7), (4, 8)])
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in ("lineitem", "supplier"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    from tools.check_correctness import canon
+
+    spdf = q["q_join_interval_overlap"](spark, sf_dir).toPandas()
+    opdf = con.execute(osql["q_join_interval_overlap"]).df()
+    assert canon(spdf)[2] == canon(opdf)[2]
+    assert len(spdf) == 1
+    r = spdf.iloc[0]
+    assert r["nation"] == 7
+    assert r["n_overlapping_pairs"] == 1
+    assert r["total_overlap_days"] == 6
+
+
+def test_threshold_alert_fires_on_planted_spike(spark, tmp_path, q, osql):
+    """10 quiet hours (1 event) plus one 10-event spike: mean = 20/11,
+    only the spike exceeds 2x mean; times_mean = 110/20."""
+    rows, eid = [], 0
+    for hr in range(10):
+        eid += 1
+        rows.append((eid, f"2024-01-01T{hr:02d}:05:00", 1, "view", 1.0))
+    for _ in range(10):
+        eid += 1
+        rows.append((eid, "2024-01-01T12:30:00", 1, "view", 1.0))
+    sf = _write_events(tmp_path, rows, "sfta11")
+    spdf = _cross_engine(
+        spark, q, osql, "s_threshold_alert", sf, "events"
+    )
+    assert len(spdf) == 1
+    r = spdf.iloc[0]
+    assert r["n"] == 10
+    assert r["times_mean"] == pytest.approx(5.5)
+    assert r["win_start"].startswith("2024-01-01 12:")
