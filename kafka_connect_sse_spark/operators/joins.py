@@ -1521,3 +1521,272 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("overlap_days").cast("long").alias("total_overlap_days"),
         F.max("overlap_days").cast("long").alias("max_overlap_days"),
     )
+
+
+@register(
+    "q_snapshot_diff",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS v
+      FROM orders WHERE o_orderkey % 4 <> 1),
+    b AS (
+      SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             + CASE WHEN o_orderkey % 3 = 0 THEN 1000 ELSE 0 END AS v
+      FROM orders WHERE o_orderkey % 4 <> 2),
+    d AS (
+      SELECT COALESCE(a.k, b.k) AS k, a.v AS va, b.v AS vb,
+             CASE WHEN a.k IS NULL THEN 'insert'
+                  WHEN b.k IS NULL THEN 'delete'
+                  WHEN a.v <> b.v THEN 'update'
+                  ELSE 'unchanged' END AS op
+      FROM a FULL OUTER JOIN b ON b.k = a.k)
+    SELECT op, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(COALESCE(vb, 0) - COALESCE(va, 0)) AS BIGINT)
+             AS net_cents_delta,
+           CAST(MIN(k) AS BIGINT) AS min_key,
+           CAST(MAX(k) AS BIGINT) AS max_key
+    FROM d GROUP BY op
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot differencing — classify every key across two table
+    snapshots as insert / delete / update / unchanged with the net
+    value delta per class: the CDC-extraction primitive when no
+    change log exists (the reverse of q_merge_upsert, which APPLIES
+    changes; q_cdc_scd2 then versions them).  Snapshots are carved
+    deterministically from the fixture (A drops keys ≡1 mod 4; B
+    drops ≡2 mod 4 and bumps every third price) so both engines see
+    identical inputs.
+
+    Cross-engine exactness: values on the cent grid, the class
+    predicate is integer equality, deltas are exact BIGINT sums.
+
+    100 TB posture: ONE full-outer join co-partitioned on the key —
+    both snapshots shuffle once on k and every classification happens
+    in the join's own partition; the rollup is a 4-group partial
+    agg.  On bucketed snapshot tables the shuffle disappears
+    entirely (q_join_bucketed's layout)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "long"
+    )
+    a = o.filter(F.col("o_orderkey") % 4 != 1).select(
+        F.col("o_orderkey").alias("k"), cents.alias("va")
+    )
+    b = o.filter(F.col("o_orderkey") % 4 != 2).select(
+        F.col("o_orderkey").alias("k"),
+        (
+            cents
+            + F.when(F.col("o_orderkey") % 3 == 0, 1000).otherwise(0)
+        ).alias("vb"),
+    )
+    d = a.join(b, "k", "full_outer").select(
+        "k",
+        "va",
+        "vb",
+        F.when(F.col("va").isNull(), "insert")
+        .when(F.col("vb").isNull(), "delete")
+        .when(F.col("va") != F.col("vb"), "update")
+        .otherwise("unchanged")
+        .alias("op"),
+    )
+    return d.groupBy("op").agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum(
+            F.coalesce(F.col("vb"), F.lit(0))
+            - F.coalesce(F.col("va"), F.lit(0))
+        )
+        .cast("long")
+        .alias("net_cents_delta"),
+        F.min("k").cast("long").alias("min_key"),
+        F.max("k").cast("long").alias("max_key"),
+    )
+
+
+@register(
+    "q_graph_assortativity",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT l_partkey AS part, l_suppkey AS supp
+      FROM lineitem),
+    deg AS (
+      SELECT supp, CAST(COUNT(*) AS BIGINT) AS d
+      FROM edges GROUP BY supp),
+    pairs AS (
+      SELECT DISTINCT a.supp AS s1, b.supp AS s2
+      FROM edges a JOIN edges b
+        ON b.part = a.part AND a.supp < b.supp),
+    dd AS (
+      SELECT d1.d AS x, d2.d AS y
+      FROM pairs p
+      JOIN deg d1 ON d1.supp = p.s1
+      JOIN deg d2 ON d2.supp = p.s2),
+    sym AS (
+      SELECT x, y FROM dd UNION ALL SELECT y AS x, x AS y FROM dd),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM sym)
+    SELECT n AS n_directed_pairs,
+           CASE WHEN n * sxx - sx * sx <= 0 THEN NULL
+                ELSE ROUND(CAST(n * sxy - sx * sx AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+           END AS assortativity
+    FROM m
+    """,
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the supplier co-catalog graph (the
+    q_jaccard_neighbors edge set): Pearson correlation of endpoint
+    degrees over the symmetrized edge list — do high-degree suppliers
+    link to other hubs (r>0) or to the periphery (r<0)?  The network-
+    topology statistic that rounds out the graph tier (triangles =
+    local closure, pagerank = centrality, assortativity = mixing).
+
+    Cross-engine exactness: symmetrizing makes Σx = Σy and Σx² = Σy²
+    EXACTLY, so r = (nΣxy − (Σx)²)/(nΣx² − (Σx)²) — every moment an
+    exact integer (HUGEINT/DECIMAL(38,0)), ONE double division,
+    rounded to 6; constant-degree graphs → NULL on both engines.
+
+    100 TB posture: same bounded part-keyed co-occurrence as
+    q_jaccard_neighbors (Σ deg² work, df-cap rule on catalog skew);
+    degrees broadcast; moments are four integer accumulators."""
+    edges = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("part"),
+            F.col("l_suppkey").alias("supp"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("supp").agg(F.count("*").cast("long").alias("d"))
+    a = edges.alias("a")
+    b = edges.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.part") == F.col("a.part"))
+            & (F.col("a.supp") < F.col("b.supp")),
+        )
+        .select(
+            F.col("a.supp").alias("s1"), F.col("b.supp").alias("s2")
+        )
+        .distinct()
+    )
+    d1 = deg.alias("d1")
+    d2 = deg.alias("d2")
+    dd = (
+        pairs.join(broadcast(d1), F.col("d1.supp") == F.col("s1"))
+        .join(broadcast(d2), F.col("d2.supp") == F.col("s2"))
+        .select(F.col("d1.d").alias("x"), F.col("d2.d").alias("y"))
+        # two consumers (both union arms): checkpoint so the
+        # co-occurrence join runs ONCE
+        .localCheckpoint(eager=True)
+    )
+    sym = dd.union(
+        dd.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    )
+    dx = F.col("x").cast("decimal(18,0)")
+    dy = F.col("y").cast("decimal(18,0)")
+    m = sym.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dx).cast("decimal(38,0)").alias("sx"),
+        F.sum(dx * dx).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dx * dy).cast("decimal(38,0)").alias("sxy"),
+    )
+    dn = F.col("n").cast("decimal(38,0)")
+    num = dn * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = dn * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.select(
+        F.col("n").alias("n_directed_pairs"),
+        F.when(den <= 0, F.lit(None).cast("double"))
+        .otherwise(F.round(num.cast("double") / den.cast("double"), 6))
+        .alias("assortativity"),
+    )
+
+
+ASOF_TOL_H = 24  # tolerance window, hours
+
+
+@register(
+    "q_join_asof_tolerance",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_id, user_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             MAX(CASE WHEN event_type = 'signup' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS asof_ts,
+             ts AS raw_ts
+      FROM events)
+    SELECT event_id, user_id, ts_s,
+           CASE WHEN asof_ts IS NOT NULL
+                 AND epoch_us(raw_ts) - epoch_us(asof_ts)
+                     <= CAST({ASOF_TOL_H} AS BIGINT) * 3600 * 1000000
+                THEN strftime(asof_ts, '%Y-%m-%d %H:%M:%S') END
+             AS asof_signup_ts,
+           CASE WHEN asof_ts IS NOT NULL
+                 AND epoch_us(raw_ts) - epoch_us(asof_ts)
+                     <= CAST({ASOF_TOL_H} AS BIGINT) * 3600 * 1000000
+                THEN (epoch_us(raw_ts) - epoch_us(asof_ts))
+                     // 1000000 END AS asof_lag_s
+    FROM m
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness TOLERANCE (pandas merge_asof
+    `tolerance=` / kdb wj semantics): the nearest past signup counts
+    only when it is at most {ASOF_TOL_H}h old — a match staler than
+    the tolerance is NO match, the semantic q_join_asof (unbounded)
+    and q_join_asof_nearest (either direction) both lack.  Reports
+    the matched timestamp and the exact lag in seconds.
+
+    Cross-engine exactness: the staleness predicate compares exact
+    MICROSECOND integers (unix_micros ≡ epoch_us — the q_funnel_ttc
+    lesson: never truncate to seconds before subtracting); the lag
+    divides microseconds integrally on both engines.
+
+    100 TB posture: identical to q_join_asof — one hash partition by
+    user_id, a running conditional MAX, zero join blowup; the
+    tolerance test is a map-side projection on the window output."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    asof = F.max(
+        F.when(F.col("event_type") == "signup", F.col("ts"))
+    ).over(w)
+    m = e.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        asof.alias("asof_ts"),
+        F.col("ts").alias("raw_ts"),
+    )
+    lag_us = F.unix_micros(F.col("raw_ts")) - F.unix_micros(
+        F.col("asof_ts")
+    )
+    fresh = F.col("asof_ts").isNotNull() & (
+        lag_us <= ASOF_TOL_H * 3600 * 1000000
+    )
+    return m.select(
+        "event_id",
+        "user_id",
+        "ts_s",
+        F.when(
+            fresh,
+            F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss"),
+        ).alias("asof_signup_ts"),
+        F.when(fresh, (lag_us / 1000000).cast("long")).alias(
+            "asof_lag_s"
+        ),
+    )

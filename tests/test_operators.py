@@ -579,6 +579,9 @@ def test_round11_unseated_new_ops_pass_driver_style_oracle_gate(spark, qs):
         "x_multimodal_phash",
         "q_join_interval_overlap",
         "s_threshold_alert",
+        "q_snapshot_diff",
+        "q_graph_assortativity",
+        "q_join_asof_tolerance",
     ):
         scols, srows, shash = canon(qs[name](spark, SF).toPandas())
         ocols, orows, ohash = canon(con.execute(osql[name]).df())

@@ -753,3 +753,59 @@ def test_threshold_alert_fires_on_planted_spike(spark, tmp_path, q, osql):
     assert r["n"] == 10
     assert r["times_mean"] == pytest.approx(5.5)
     assert r["win_start"].startswith("2024-01-01 12:")
+
+
+def test_snapshot_diff_hand_computed_classes(spark, tmp_path, q, osql):
+    """Keys 1..12 at 1.00: A drops k%4==1, B drops k%4==2 and bumps
+    +10.00 where k%3==0 -> 3 inserts {1,5,9}, 3 deletes {2,6,10},
+    2 updates {3,12}, 4 unchanged."""
+    rows = [(k, "1-URGENT", 1.0) for k in range(1, 13)]
+    sf = _write_orders(tmp_path, rows, "sfsd11")
+    spdf = _cross_engine(
+        spark, q, osql, "q_snapshot_diff", sf, "orders"
+    ).set_index("op")
+    assert int(spdf.loc["insert", "n_keys"]) == 3
+    assert int(spdf.loc["delete", "n_keys"]) == 3
+    assert int(spdf.loc["update", "n_keys"]) == 2
+    assert int(spdf.loc["unchanged", "n_keys"]) == 4
+    assert int(spdf.loc["insert", "net_cents_delta"]) == 300 + 1000
+    assert int(spdf.loc["delete", "net_cents_delta"]) == -300
+    assert int(spdf.loc["update", "net_cents_delta"]) == 2000
+    assert int(spdf.loc["unchanged", "net_cents_delta"]) == 0
+
+
+def test_assortativity_star_graph_is_minus_one(spark, tmp_path, q, osql):
+    """Hub supplier s0 shares each of 4 parts with a distinct leaf:
+    every edge joins degree 4 to degree 1 -> r = -1 exactly."""
+    rows, ok = [], 0
+    for p in range(1, 5):
+        ok += 1
+        rows.append((ok, p, 100))
+        ok += 1
+        rows.append((ok, p, 100 + p))
+    sf = _write_lineitem_ps(tmp_path, rows, "sfas11")
+    r = _cross_engine(
+        spark, q, osql, "q_graph_assortativity", sf, "lineitem"
+    ).iloc[0]
+    assert int(r["n_directed_pairs"]) == 8
+    assert r["assortativity"] == pytest.approx(-1.0, abs=1e-9)
+
+
+def test_asof_tolerance_staleness_boundary(spark, tmp_path, q, osql):
+    """Signup at 00:00; event at +1h matches (lag 3600); event at
+    +30h is STALE (24h tolerance) -> no match despite a past signup."""
+    rows = [
+        (1, "2024-01-01T00:00:00", 7, "signup", 0.0),
+        (2, "2024-01-01T01:00:00", 7, "view", 1.0),
+        (3, "2024-01-02T06:00:00", 7, "view", 1.0),
+    ]
+    sf = _write_events(tmp_path, rows, "sfat11")
+    spdf = _cross_engine(
+        spark, q, osql, "q_join_asof_tolerance", sf, "events"
+    ).set_index("event_id")
+    assert spdf.loc[2, "asof_lag_s"] == 3600
+    assert spdf.loc[2, "asof_signup_ts"] == "2024-01-01 00:00:00"
+    assert spdf.loc[3, "asof_signup_ts"] is None or (
+        isinstance(spdf.loc[3, "asof_signup_ts"], float)
+    )
+    assert spdf.loc[1, "asof_lag_s"] == 0

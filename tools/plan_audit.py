@@ -63,6 +63,11 @@ ALLOWLIST = {
     "q_merge_upsert": 2,
     "q_retention_cohort": 2,
     "q_scalar_subquery": 2,
+    # q_snapshot_diff: the two scans ARE the semantics — snapshot A and
+    # snapshot B are distinct tables in production; the fixture carves
+    # both from orders, so the full-outer diff join necessarily reads
+    # the file twice (disjoint filters, no shared relation to reuse)
+    "q_snapshot_diff": 2,
     "q_set_except": 2,
     "q_set_except_all": 2,
     "q_set_intersect": 2,
