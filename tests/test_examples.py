@@ -34,6 +34,16 @@ SF = "/root/testdata/sf0.001"
             ["--sf-dir", SF],
             "event analytics complete",
         ),
+        (
+            "examples/robust_stats_pipeline.py",
+            ["--sf-dir", SF],
+            "event-type x weekday association",
+        ),
+        (
+            "examples/experiment_analysis_pipeline.py",
+            ["--sf-dir", SF],
+            "experiment readout complete",
+        ),
     ],
 )
 def test_offline_example_runs(script, args, expect, tmp_path):
