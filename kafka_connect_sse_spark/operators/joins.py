@@ -1296,6 +1296,7 @@ def q_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 JACCARD_TOPK = 20
+JACCARD_AGG_PARTITIONS = 256  # pair-agg shuffle width (near-unique keys)
 
 
 @register(
@@ -1370,9 +1371,18 @@ def q_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("b.part") == F.col("a.part"))
             & (F.col("a.supp") < F.col("b.supp")),
         )
-        .groupBy(
+        .select(
             F.col("a.supp").alias("s1"), F.col("b.supp").alias("s2")
         )
+        # the co-occurrence pairs are NEARLY UNIQUE (two suppliers
+        # rarely share >1 part), so this aggregation gets no map-side
+        # reduction and its per-task hash state is |pairs|/partitions
+        # — at sf10 that is 900M pairs, which thrashes 32 partitions
+        # into allocation death.  Widen the shuffle explicitly; AQE
+        # coalesces the read side back down at small SF, so the only
+        # cost at sf0.01 is an empty-partition round-off.
+        .repartition(JACCARD_AGG_PARTITIONS, "s1", "s2")
+        .groupBy("s1", "s2")
         .agg(F.count("*").cast("long").alias("n_common"))
     )
     d1 = deg.alias("d1")
@@ -1677,6 +1687,9 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.supp").alias("s1"), F.col("b.supp").alias("s2")
         )
+        # near-unique pair keys: widen the dedup shuffle (see
+        # q_jaccard_neighbors) — AQE coalesces it at small SF
+        .repartition(JACCARD_AGG_PARTITIONS, "s1", "s2")
         .distinct()
     )
     d1 = deg.alias("d1")
