@@ -5248,3 +5248,269 @@ def q_agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             "uncertainty_coef"
         ),
     )
+
+
+@register(
+    "q_agg_anova_oneway",
+    oracle="""
+    WITH c AS (
+      SELECT event_type AS grp,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events),
+    s AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS HUGEINT) AS sv,
+             SUM(CAST(v AS HUGEINT) * v) AS svv
+      FROM c GROUP BY grp),
+    arr AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(sv) AS DOUBLE) AS st,
+             -- ORDERED fold: per-group ratios accumulate in grp order
+             -- on BOTH engines, so float summation order is fixed;
+             -- list_reduce seeds from the FIRST element, so a zero
+             -- state is prepended (the q_ts_holt_winters mechanism)
+             list_reduce(
+               list_concat(
+                 [[0.0, 0.0, 0.0]],
+                 list([CAST(sv AS DOUBLE), CAST(n AS DOUBLE),
+                       CAST(svv AS DOUBLE)] ORDER BY grp)),
+               (acc, e) -> [acc[1] + e[1] * e[1] / e[2],
+                            acc[2] + e[3],
+                            0.0]) AS f0
+      FROM s)
+    SELECT k AS n_groups, nn AS n_obs,
+           CASE WHEN k < 2 OR nn <= k
+                  OR (f0[2] - f0[1]) <= 0 THEN NULL
+                ELSE ROUND(((f0[1] - st * st / nn) / (k - 1))
+                           / ((f0[2] - f0[1]) / (nn - k)), 6)
+           END AS anova_f
+    FROM arr
+    """,
+)
+def q_agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic across ALL event-type cohorts — the
+    k-group generalization of q_agg_welch_t's two-group test (the
+    first question of any multi-variant experiment: does ANY cohort
+    differ?).  SSB = Σ S_j²/n_j − S²/N, SSW = ΣSS_j − Σ S_j²/n_j,
+    F = (SSB/(k−1))/(SSW/(N−k)).
+
+    Cross-engine exactness: per-group moments are EXACT integers on
+    the cent grid; the only float accumulation — Σ_j S_j²/n_j and
+    Σ_j SS_j — runs as an ORDERED fold over the group list sorted by
+    group key (Spark array_sort + F.aggregate ≡ DuckDB list(... ORDER
+    BY) + list_reduce), so the summation ORDER is identical on both
+    engines and the final fixed-order expression is bit-identical
+    before the 6-dp round.  The q_ts_holt fold mechanism, applied to
+    make a 5-term float sum deterministic.
+
+    100 TB posture: one partial-agg shuffle onto |types| groups
+    (three integer accumulators); the fold runs on a k-row array in
+    one task."""
+    e = load_table(spark, sf_dir, "events")
+    v = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    s = (
+        e.select(F.col("event_type").alias("grp"), v.alias("v"))
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+            F.sum(
+                F.col("v").cast("decimal(18,0)")
+                * F.col("v").cast("decimal(18,0)")
+            ).alias("svv"),
+        )
+    )
+    arr = s.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("sv").cast("double").alias("st"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "grp",
+                    F.col("sv").cast("double").alias("sv"),
+                    F.col("n").cast("double").alias("n"),
+                    F.col("svv").cast("double").alias("svv"),
+                )
+            )
+        ).alias("gs"),
+    )
+    folded = F.aggregate(
+        F.col("gs"),
+        F.struct(
+            F.lit(0.0).alias("sb"), F.lit(0.0).alias("ss")
+        ),
+        lambda acc, g: F.struct(
+            (acc["sb"] + g["sv"] * g["sv"] / g["n"]).alias("sb"),
+            (acc["ss"] + g["svv"]).alias("ss"),
+        ),
+    )
+    withf = arr.select("k", "nn", "st", folded.alias("f"))
+    ssb = F.col("f.sb") - F.col("st") * F.col("st") / F.col("nn")
+    ssw = F.col("f.ss") - F.col("f.sb")
+    return withf.select(
+        F.col("k").alias("n_groups"),
+        F.col("nn").alias("n_obs"),
+        F.when(
+            (F.col("k") < 2) | (F.col("nn") <= F.col("k")) | (ssw <= 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                (ssb / (F.col("k") - 1))
+                / (ssw / (F.col("nn") - F.col("k"))),
+                6,
+            )
+        )
+        .alias("anova_f"),
+    )
+
+
+@register(
+    "q_agg_levene",
+    oracle="""
+    WITH h AS (
+      SELECT event_type AS grp,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT grp, v, c,
+             SUM(c) OVER (PARTITION BY grp ORDER BY v) AS cum,
+             SUM(c) OVER (PARTITION BY grp) AS n
+      FROM h),
+    med AS (
+      SELECT grp,
+             CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END)
+                  AS BIGINT) AS m
+      FROM w GROUP BY grp),
+    z AS (
+      SELECT h.grp, ABS(h.v - med.m) AS z, h.c
+      FROM h JOIN med ON med.grp = h.grp),
+    s AS (
+      SELECT grp, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(z * c) AS HUGEINT) AS sv,
+             SUM(CAST(z AS HUGEINT) * z * c) AS svv
+      FROM z GROUP BY grp),
+    arr AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(sv) AS DOUBLE) AS st,
+             list_reduce(
+               list_concat(
+                 [[0.0, 0.0, 0.0]],
+                 list([CAST(sv AS DOUBLE), CAST(n AS DOUBLE),
+                       CAST(svv AS DOUBLE)] ORDER BY grp)),
+               (acc, e) -> [acc[1] + e[1] * e[1] / e[2],
+                            acc[2] + e[3],
+                            0.0]) AS f0
+      FROM s)
+    SELECT k AS n_groups, nn AS n_obs,
+           CASE WHEN k < 2 OR nn <= k
+                  OR (f0[2] - f0[1]) <= 0 THEN NULL
+                ELSE ROUND(((f0[1] - st * st / nn) / (k - 1))
+                           / ((f0[2] - f0[1]) / (nn - k)), 6)
+           END AS levene_w
+    FROM arr
+    """,
+)
+def q_agg_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test across the event-type
+    cohorts — one-way ANOVA on |x − group MEDIAN| — the
+    assumption-check that decides between q_agg_anova_oneway (equal
+    variances) and q_agg_welch_t's unequal-variance form, median-
+    centered so heavy tails don't inflate the statistic.
+
+    Cross-engine exactness: group medians are LOWER-rank statistics
+    off the value-HISTOGRAM cumulative (the q_agg_mad discipline), so
+    every deviation z = |v − med| is an exact BIGINT; moments of z
+    are exact HUGEINT/DECIMAL, and the k-term float combination runs
+    as the same ORDERED group-key fold as q_agg_anova_oneway —
+    summation order is engine-fixed.
+
+    100 TB posture: ONE corpus scan builds the (grp, value) histogram;
+    medians, deviations, and moments all derive from that bounded
+    relation (localCheckpointed for its two consumers)."""
+    e = load_table(spark, sf_dir, "events")
+    v = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    h = (
+        e.select(F.col("event_type").alias("grp"), v.alias("v"))
+        .groupBy("grp", "v")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    wq = Window.partitionBy("grp").orderBy("v")
+    w = h.select(
+        "grp",
+        "v",
+        "c",
+        F.sum("c")
+        .over(wq.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("c")
+        .over(
+            Window.partitionBy("grp").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    med = w.groupBy("grp").agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("v"))
+        )
+        .cast("long")
+        .alias("m")
+    )
+    z = h.join(broadcast(med), "grp").select(
+        "grp", F.abs(F.col("v") - F.col("m")).alias("z"), "c"
+    )
+    dz = F.col("z").cast("decimal(18,0)")
+    s = z.groupBy("grp").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(dz * F.col("c")).cast("decimal(38,0)").alias("sv"),
+        F.sum(dz * dz * F.col("c")).cast("decimal(38,0)").alias("svv"),
+    )
+    arr = s.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("sv").cast("double").alias("st"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "grp",
+                    F.col("sv").cast("double").alias("sv"),
+                    F.col("n").cast("double").alias("n"),
+                    F.col("svv").cast("double").alias("svv"),
+                )
+            )
+        ).alias("gs"),
+    )
+    folded = F.aggregate(
+        F.col("gs"),
+        F.struct(F.lit(0.0).alias("sb"), F.lit(0.0).alias("ss")),
+        lambda acc, g: F.struct(
+            (acc["sb"] + g["sv"] * g["sv"] / g["n"]).alias("sb"),
+            (acc["ss"] + g["svv"]).alias("ss"),
+        ),
+    )
+    withf = arr.select("k", "nn", "st", folded.alias("f"))
+    ssb = F.col("f.sb") - F.col("st") * F.col("st") / F.col("nn")
+    ssw = F.col("f.ss") - F.col("f.sb")
+    return withf.select(
+        F.col("k").alias("n_groups"),
+        F.col("nn").alias("n_obs"),
+        F.when(
+            (F.col("k") < 2) | (F.col("nn") <= F.col("k")) | (ssw <= 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                (ssb / (F.col("k") - 1))
+                / (ssw / (F.col("nn") - F.col("k"))),
+                6,
+            )
+        )
+        .alias("levene_w"),
+    )

@@ -809,3 +809,56 @@ def test_asof_tolerance_staleness_boundary(spark, tmp_path, q, osql):
         isinstance(spdf.loc[3, "asof_signup_ts"], float)
     )
     assert spdf.loc[1, "asof_lag_s"] == 0
+
+
+def test_anova_hand_computed_f(spark, tmp_path, q, osql):
+    """Groups [1,2,3], [4,5,6], [7,8,9]: SSB=54, SSW=6, F=27."""
+    rows, eid = [], 0
+    for t, vals in (
+        ("view", [1, 2, 3]),
+        ("click", [4, 5, 6]),
+        ("purchase", [7, 8, 9]),
+    ):
+        for x in vals:
+            eid += 1
+            rows.append(
+                (eid, "2024-01-01T10:00:00", eid, t, float(x))
+            )
+    sf = _write_events(tmp_path, rows, "sfan11")
+    r = _cross_engine(
+        spark, q, osql, "q_agg_anova_oneway", sf, "events"
+    ).iloc[0]
+    assert r["n_groups"] == 3 and r["n_obs"] == 9
+    assert r["anova_f"] == pytest.approx(27.0, abs=1e-6)
+
+
+def test_anova_identical_groups_f_zero(spark, tmp_path, q, osql):
+    """Same values in every group -> SSB = 0 -> F = 0."""
+    rows, eid = [], 0
+    for t in ("view", "click"):
+        for x in (1.0, 2.0):
+            eid += 1
+            rows.append((eid, "2024-01-01T10:00:00", eid, t, x))
+    sf = _write_events(tmp_path, rows, "sfan11z")
+    r = _cross_engine(
+        spark, q, osql, "q_agg_anova_oneway", sf, "events"
+    ).iloc[0]
+    assert r["anova_f"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_levene_hand_computed_w(spark, tmp_path, q, osql):
+    """A=[1,1,3,3] (lower median 1, |z|=0,0,2,2) vs B=[2,2,2,2]
+    (z=0): W = (2/1)/(4/6) = 3."""
+    rows, eid = [], 0
+    for x in (1.0, 1.0, 3.0, 3.0):
+        eid += 1
+        rows.append((eid, "2024-01-01T10:00:00", eid, "view", x))
+    for x in (2.0, 2.0, 2.0, 2.0):
+        eid += 1
+        rows.append((eid, "2024-01-01T10:00:00", eid, "click", x))
+    sf = _write_events(tmp_path, rows, "sflv11")
+    r = _cross_engine(
+        spark, q, osql, "q_agg_levene", sf, "events"
+    ).iloc[0]
+    assert r["n_groups"] == 2 and r["n_obs"] == 8
+    assert r["levene_w"] == pytest.approx(3.0, abs=1e-6)
