@@ -5514,3 +5514,199 @@ def q_agg_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("levene_w"),
     )
+
+
+@register(
+    "q_agg_psi",
+    oracle="""
+    WITH h AS (
+      SELECT CASE WHEN weekofyear(CAST(ts AS DATE)) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS per,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    wa AS (
+      SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum,
+             SUM(c) OVER () AS n
+      FROM h WHERE per = 'A'),
+    e AS (
+      SELECT CAST(MIN(CASE WHEN 5 * cum >= n THEN v END) AS BIGINT)
+               AS e1,
+             CAST(MIN(CASE WHEN 5 * cum >= 2 * n THEN v END)
+                  AS BIGINT) AS e2,
+             CAST(MIN(CASE WHEN 5 * cum >= 3 * n THEN v END)
+                  AS BIGINT) AS e3,
+             CAST(MIN(CASE WHEN 5 * cum >= 4 * n THEN v END)
+                  AS BIGINT) AS e4
+      FROM wa),
+    binned AS (
+      SELECT h.per,
+             CASE WHEN h.v <= e.e1 THEN 1
+                  WHEN h.v <= e.e2 THEN 2
+                  WHEN h.v <= e.e3 THEN 3
+                  WHEN h.v <= e.e4 THEN 4
+                  ELSE 5 END AS bin,
+             h.c
+      FROM h CROSS JOIN e),
+    spine AS (
+      SELECT p.per, b.bin,
+             COALESCE((SELECT SUM(c) FROM binned x
+                       WHERE x.per = p.per AND x.bin = b.bin), 0)
+               AS c
+      FROM (VALUES ('A'), ('B')) AS p(per),
+           (SELECT UNNEST(generate_series(1, 5)) AS bin) AS b),
+    tot AS (
+      SELECT CAST(SUM(CASE WHEN per = 'A' THEN c END) AS BIGINT)
+               AS na,
+             CAST(SUM(CASE WHEN per = 'B' THEN c END) AS BIGINT)
+               AS nb
+      FROM spine),
+    terms AS (
+      SELECT s.bin,
+             CAST(SUM(CASE WHEN s.per = 'A' THEN s.c END) + 1
+                  AS DOUBLE) AS ca,
+             CAST(SUM(CASE WHEN s.per = 'B' THEN s.c END) + 1
+                  AS DOUBLE) AS cb
+      FROM spine s GROUP BY s.bin),
+    psi AS (
+      SELECT t.na, t.nb,
+             -- ordered fold over the 5 bins (zero seed prepended):
+             -- float summation order fixed on both engines
+             list_reduce(
+               list_concat(
+                 [[0.0, 0.0, 0.0]],
+                 (SELECT list([ca, cb, 0.0] ORDER BY bin)
+                  FROM terms)),
+               (acc, x) -> [acc[1]
+                            + (x[1] / (t.na + 5) - x[2] / (t.nb + 5))
+                              * LN((x[1] * (t.nb + 5))
+                                   / (x[2] * (t.na + 5))),
+                            0.0, 0.0]) AS f
+      FROM tot t)
+    SELECT na AS n_a, nb AS n_b,
+           ROUND(f[1], 6) + 0.0 AS psi
+    FROM psi
+    """,
+)
+def q_agg_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event-value distribution
+    between EVEN and ODD ISO weeks — the ML-monitoring drift metric
+    (PSI < 0.1 stable / > 0.25 shifted) run as an A/A-style
+    week-parity self-check: quintile bins are taken from period A's
+    own histogram (lower-rank statistics, the q_agg_percentile
+    discipline), both periods' masses land in those bins, and
+    PSI = Σ (p−q)·ln(p/q) with Laplace +1 smoothing so empty bins
+    stay finite.  Complements x_ks_drift (sup-norm) with the
+    binned-likelihood view that localizes WHERE mass moved.
+
+    Cross-engine exactness: bin edges are exact integer rank
+    statistics; bin masses exact integers; each term's p/q ratio is
+    computed as one division of exact integer products,
+    (cA+1)(nB+5) / ((cB+1)(nA+5)), and the 5-term sum runs as the
+    ORDERED bin fold (zero seed prepended on the DuckDB side — the
+    q_agg_anova_oneway mechanism); +0.0 collapses the −0.0 a
+    zero-drift round can yield (the q_agg_mutual_info lesson).
+
+    100 TB posture: ONE corpus scan builds the (period, value)
+    histogram; edges, spine, and fold all run on that bounded
+    relation (localCheckpointed for its two consumers)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    h = (
+        ev.select(
+            F.when(F.weekofyear(F.to_date("ts")) % 2 == 0, "A")
+            .otherwise("B")
+            .alias("per"),
+            v.alias("v"),
+        )
+        .groupBy("per", "v")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    wa = h.filter(F.col("per") == "A").select(
+        "v",
+        "c",
+        F.sum("c")
+        .over(
+            Window.orderBy("v").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+        F.sum("c")
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    e = wa.agg(
+        *[
+            F.min(
+                F.when(
+                    5 * F.col("cum") >= k * F.col("n"), F.col("v")
+                )
+            )
+            .cast("long")
+            .alias(f"e{k}")
+            for k in (1, 2, 3, 4)
+        ]
+    )
+    binned = h.crossJoin(broadcast(e)).select(
+        "per",
+        F.when(F.col("v") <= F.col("e1"), 1)
+        .when(F.col("v") <= F.col("e2"), 2)
+        .when(F.col("v") <= F.col("e3"), 3)
+        .when(F.col("v") <= F.col("e4"), 4)
+        .otherwise(5)
+        .alias("bin"),
+        "c",
+    )
+    counts = binned.groupBy("bin").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("per") == "A", F.col("c"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("ca0"),
+        F.coalesce(
+            F.sum(F.when(F.col("per") == "B", F.col("c"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("cb0"),
+    )
+    spine = (
+        counts.sparkSession.range(1, 6)
+        .select(F.col("id").cast("int").alias("bin"))
+        .join(broadcast(counts), "bin", "left")
+        .select(
+            "bin",
+            (F.coalesce(F.col("ca0"), F.lit(0)) + 1)
+            .cast("double")
+            .alias("ca"),
+            (F.coalesce(F.col("cb0"), F.lit(0)) + 1)
+            .cast("double")
+            .alias("cb"),
+        )
+    )
+    agg = spine.agg(
+        (F.sum("ca") - 5).cast("long").alias("n_a"),
+        (F.sum("cb") - 5).cast("long").alias("n_b"),
+        F.array_sort(
+            F.collect_list(F.struct("bin", "ca", "cb"))
+        ).alias("bins"),
+    )
+    na5 = F.col("n_a") + 5
+    nb5 = F.col("n_b") + 5
+    folded = F.aggregate(
+        F.col("bins"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + (x["ca"] / na5 - x["cb"] / nb5)
+        * F.log((x["ca"] * nb5) / (x["cb"] * na5)),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        (F.round(folded, 6) + 0.0).alias("psi"),
+    )

@@ -1787,3 +1787,144 @@ def x_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("source").cast("long").alias("n_sources"),
         F.sum("h").cast("long").alias("content_checksum"),
     )
+
+
+CONTRACT_PRIORITIES = (
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+)
+
+
+@register(
+    "x_data_contract",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+             o_orderpriority
+      FROM orders),
+    checks AS (
+      SELECT 'orderkey_unique' AS check_name,
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+               AS n_violations
+      FROM base
+      UNION ALL
+      SELECT 'totalprice_nonnegative',
+             CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM base
+      UNION ALL
+      SELECT 'priority_not_null',
+             CAST(SUM(CASE WHEN o_orderpriority IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM base
+      UNION ALL
+      SELECT 'priority_in_domain',
+             CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                            AND o_orderpriority NOT IN
+                                {CONTRACT_PRIORITIES!r}
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM base
+      UNION ALL
+      SELECT 'orderdate_in_range',
+             CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                             OR o_orderdate >= TIMESTAMP '2035-01-01'
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM base
+      UNION ALL
+      SELECT 'custkey_positive',
+             CAST(SUM(CASE WHEN o_custkey IS NULL OR o_custkey <= 0
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM base)
+    SELECT check_name, n_violations, n_violations = 0 AS passed
+    FROM checks
+    """,
+)
+def x_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation (the Deequ/Great-Expectations shape):
+    six declarative constraints over the orders feed — key
+    uniqueness, non-negativity, null-ness, domain membership, range,
+    referential positivity — each reported as a (check, violations,
+    passed) row, the landing-zone gate a pipeline runs BEFORE
+    publishing a snapshot downstream (q_snapshot_diff then diffs
+    published snapshots; x_shard_manifest seals them).
+
+    Cross-engine exactness: every check is an exact integer count of
+    an exact predicate.
+
+    100 TB posture: ONE scan; every check is a map-side predicate
+    feeding a global partial agg — six integer accumulators traverse
+    the shuffle (the uniqueness check adds one distinct expansion on
+    the key).  The UNION ALL report is six 1-row aggregates over the
+    same cached base — Spark compiles each arm's predicate into the
+    shared scan."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ).localCheckpoint(eager=True)
+
+    def check(name, col):
+        return o.agg(
+            F.lit(name).alias("check_name"),
+            col.cast("long").alias("n_violations"),
+        )
+
+    dup = o.agg(
+        F.lit("orderkey_unique").alias("check_name"),
+        (F.count("*") - F.count_distinct("o_orderkey"))
+        .cast("long")
+        .alias("n_violations"),
+    )
+    neg = check(
+        "totalprice_nonnegative",
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)),
+    )
+    pnull = check(
+        "priority_not_null",
+        F.sum(
+            F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0)
+        ),
+    )
+    pdom = check(
+        "priority_in_domain",
+        F.sum(
+            F.when(
+                F.col("o_orderpriority").isNotNull()
+                & ~F.col("o_orderpriority").isin(
+                    *CONTRACT_PRIORITIES
+                ),
+                1,
+            ).otherwise(0)
+        ),
+    )
+    drange = check(
+        "orderdate_in_range",
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (
+                    F.col("o_orderdate")
+                    >= F.lit("2035-01-01").cast("timestamp")
+                ),
+                1,
+            ).otherwise(0)
+        ),
+    )
+    ckey = check(
+        "custkey_positive",
+        F.sum(
+            F.when(
+                F.col("o_custkey").isNull() | (F.col("o_custkey") <= 0),
+                1,
+            ).otherwise(0)
+        ),
+    )
+    rep = dup.union(neg).union(pnull).union(pdom).union(drange).union(
+        ckey
+    )
+    return rep.select(
+        "check_name",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )

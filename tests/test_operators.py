@@ -584,6 +584,8 @@ def test_round11_unseated_new_ops_pass_driver_style_oracle_gate(spark, qs):
         "q_join_asof_tolerance",
         "q_agg_anova_oneway",
         "q_agg_levene",
+        "x_data_contract",
+        "q_agg_psi",
     ):
         scols, srows, shash = canon(qs[name](spark, SF).toPandas())
         ocols, orows, ohash = canon(con.execute(osql[name]).df())

@@ -862,3 +862,92 @@ def test_levene_hand_computed_w(spark, tmp_path, q, osql):
     ).iloc[0]
     assert r["n_groups"] == 2 and r["n_obs"] == 8
     assert r["levene_w"] == pytest.approx(3.0, abs=1e-6)
+
+
+def _write_orders_full(tmp_path, rows, name):
+    """rows: (o_orderkey, o_custkey, o_orderpriority, o_totalprice,
+    o_orderdate_iso)."""
+    sf_dir = str(tmp_path / name)
+    os.makedirs(sf_dir, exist_ok=True)
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+            "o_orderstatus": pa.array(["O"] * len(rows), pa.string()),
+            "o_totalprice": pa.array(
+                [r[3] for r in rows], pa.float64()
+            ),
+            "o_orderdate": pa.array(
+                [dt.datetime.fromisoformat(r[4]) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(
+                [r[2] for r in rows], pa.string()
+            ),
+        }
+    )
+    pq.write_table(tbl, os.path.join(sf_dir, "orders.parquet"))
+    return sf_dir
+
+
+def test_data_contract_counts_planted_violations(
+    spark, tmp_path, q, osql
+):
+    """One duplicate key, one negative price, one out-of-domain
+    priority, one out-of-range date, one non-positive custkey —
+    each check counts exactly its own violation."""
+    good = "2024-01-01T00:00:00"
+    rows = [
+        (1, 1, "1-URGENT", 10.0, good),
+        (1, 2, "2-HIGH", 10.0, good),          # dup key
+        (2, 3, "3-MEDIUM", -5.0, good),        # negative price
+        (3, 4, "9-BOGUS", 10.0, good),         # bad domain
+        (4, 5, "5-LOW", 10.0, "1980-01-01T00:00:00"),  # bad date
+        (5, 0, "4-NOT SPECIFIED", 10.0, good),  # custkey <= 0
+        (6, 6, "1-URGENT", 10.0, good),
+    ]
+    sf = _write_orders_full(tmp_path, rows, "sfdc11c")
+    spdf = _cross_engine(
+        spark, q, osql, "x_data_contract", sf, "orders"
+    ).set_index("check_name")
+    assert int(spdf.loc["orderkey_unique", "n_violations"]) == 1
+    assert int(spdf.loc["totalprice_nonnegative", "n_violations"]) == 1
+    assert int(spdf.loc["priority_in_domain", "n_violations"]) == 1
+    assert int(spdf.loc["orderdate_in_range", "n_violations"]) == 1
+    assert int(spdf.loc["custkey_positive", "n_violations"]) == 1
+    assert int(spdf.loc["priority_not_null", "n_violations"]) == 0
+    assert not spdf.loc["orderkey_unique", "passed"]
+    assert spdf.loc["priority_not_null", "passed"]
+
+
+def test_psi_identical_periods_zero_shifted_large(
+    spark, tmp_path, q, osql
+):
+    """Same value multiset in an even and an odd ISO week -> PSI = 0
+    exactly (equal smoothed masses); B shifted wholly into the top
+    bin -> PSI > 0.25 (the 'shifted' alarm band)."""
+    vals = [float(x) for x in range(1, 21)]
+    rows, eid = [], 0
+    for x in vals:  # week 1 (odd) = period B
+        eid += 1
+        rows.append((eid, "2024-01-01T10:00:00", eid, "view", x))
+    for x in vals:  # week 2 (even) = period A
+        eid += 1
+        rows.append((eid, "2024-01-08T10:00:00", eid, "view", x))
+    sf = _write_events(tmp_path, rows, "sfpsi11")
+    r = _cross_engine(spark, q, osql, "q_agg_psi", sf, "events").iloc[0]
+    assert r["n_a"] == 20 and r["n_b"] == 20
+    assert r["psi"] == pytest.approx(0.0, abs=1e-9)
+
+    rows2, eid = [], 0
+    for x in vals:
+        eid += 1
+        rows2.append((eid, "2024-01-08T10:00:00", eid, "view", x))
+    for _ in vals:  # B mass all at the top value
+        eid += 1
+        rows2.append((eid, "2024-01-01T10:00:00", eid, "view", 20.0))
+    sf2 = _write_events(tmp_path, rows2, "sfpsi11s")
+    r2 = _cross_engine(
+        spark, q, osql, "q_agg_psi", sf2, "events"
+    ).iloc[0]
+    assert r2["psi"] > 0.25
