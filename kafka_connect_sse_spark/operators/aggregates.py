@@ -5710,3 +5710,124 @@ def q_agg_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         (F.round(folded, 6) + 0.0).alias("psi"),
     )
+
+
+@register(
+    "q_agg_pairwise_diffs",
+    oracle="""
+    WITH c AS (
+      SELECT event_type AS grp,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events),
+    s AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS HUGEINT) AS sv,
+             SUM(CAST(v AS HUGEINT) * v) AS svv
+      FROM c GROUP BY grp),
+    p AS (
+      SELECT a.grp AS grp_a, b.grp AS grp_b,
+             a.n AS na, CAST(a.sv AS DOUBLE) AS sa,
+             CAST(a.svv AS DOUBLE) AS ssa,
+             b.n AS nb, CAST(b.sv AS DOUBLE) AS sb,
+             CAST(b.svv AS DOUBLE) AS ssb
+      FROM s a JOIN s b ON a.grp < b.grp)
+    SELECT grp_a, grp_b, na AS n_a, nb AS n_b,
+           ROUND(sa / na / 100 - sb / nb / 100, 6) AS mean_diff,
+           CASE WHEN na < 2 OR nb < 2 THEN NULL
+                ELSE ROUND((sa / na - sb / nb)
+                           / SQRT(((ssa - sa * sa / na) / (na - 1.0))
+                                    / na
+                                  + ((ssb - sb * sb / nb)
+                                     / (nb - 1.0)) / nb), 6)
+           END AS welch_t,
+           CASE WHEN na < 2 OR nb < 2
+                  OR ((ssa - sa * sa / na) + (ssb - sb * sb / nb))
+                     / (na + nb - 2.0) <= 0 THEN NULL
+                ELSE ROUND((sa / na - sb / nb)
+                           / SQRT(((ssa - sa * sa / na)
+                                   + (ssb - sb * sb / nb))
+                                  / (na + nb - 2.0)), 6)
+           END AS cohens_d
+    FROM p
+    """,
+)
+def q_agg_pairwise_diffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-hoc pairwise comparison table — every event-type cohort
+    pair's mean difference, Welch t, and Cohen's d — the table an
+    analyst reads AFTER q_agg_anova_oneway rejects "all equal" (which
+    pair differs, by how much, and does it matter).  k(k−1)/2 rows
+    from ONE scan: the k-row exact-moment relation self-joins on
+    grp < grp.
+
+    Cross-engine exactness: per-group moments exact integers; every
+    pair statistic is ONE fixed-order double expression over the six
+    exact moments of that pair (no multi-term float accumulation, so
+    no fold is needed — the q_agg_welch_t/q_agg_cohens_d expressions
+    verbatim, per pair), rounded to 6.
+
+    100 TB posture: one partial-agg shuffle onto |types| groups; the
+    pair expansion is a k-row broadcast self-join."""
+    e = load_table(spark, sf_dir, "events")
+    v = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    s = (
+        e.select(F.col("event_type").alias("grp"), v.alias("v"))
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+            F.sum(
+                F.col("v").cast("decimal(18,0)")
+                * F.col("v").cast("decimal(18,0)")
+            ).alias("svv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = s.alias("a")
+    b = s.alias("b")
+    p = a.join(
+        broadcast(b), F.col("a.grp") < F.col("b.grp")
+    ).select(
+        F.col("a.grp").alias("grp_a"),
+        F.col("b.grp").alias("grp_b"),
+        F.col("a.n").alias("na"),
+        F.col("a.sv").cast("double").alias("sa"),
+        F.col("a.svv").cast("double").alias("ssa"),
+        F.col("b.n").alias("nb"),
+        F.col("b.sv").cast("double").alias("sb"),
+        F.col("b.svv").cast("double").alias("ssb"),
+    )
+    var_a = (
+        F.col("ssa") - F.col("sa") * F.col("sa") / F.col("na")
+    ) / (F.col("na") - 1.0)
+    var_b = (
+        F.col("ssb") - F.col("sb") * F.col("sb") / F.col("nb")
+    ) / (F.col("nb") - 1.0)
+    mdiff = F.col("sa") / F.col("na") - F.col("sb") / F.col("nb")
+    sp2 = (
+        (F.col("ssa") - F.col("sa") * F.col("sa") / F.col("na"))
+        + (F.col("ssb") - F.col("sb") * F.col("sb") / F.col("nb"))
+    ) / (F.col("na") + F.col("nb") - 2.0)
+    small = (F.col("na") < 2) | (F.col("nb") < 2)
+    return p.select(
+        "grp_a",
+        "grp_b",
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(
+            F.col("sa") / F.col("na") / 100
+            - F.col("sb") / F.col("nb") / 100,
+            6,
+        ).alias("mean_diff"),
+        F.when(small, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                mdiff
+                / F.sqrt(var_a / F.col("na") + var_b / F.col("nb")),
+                6,
+            )
+        )
+        .alias("welch_t"),
+        F.when(small | (sp2 <= 0), F.lit(None).cast("double"))
+        .otherwise(F.round(mdiff / F.sqrt(sp2), 6))
+        .alias("cohens_d"),
+    )

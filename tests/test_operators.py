@@ -586,6 +586,7 @@ def test_round11_unseated_new_ops_pass_driver_style_oracle_gate(spark, qs):
         "q_agg_levene",
         "x_data_contract",
         "q_agg_psi",
+        "q_agg_pairwise_diffs",
     ):
         scols, srows, shash = canon(qs[name](spark, SF).toPandas())
         ocols, orows, ohash = canon(con.execute(osql[name]).df())

@@ -951,3 +951,30 @@ def test_psi_identical_periods_zero_shifted_large(
         spark, q, osql, "q_agg_psi", sf2, "events"
     ).iloc[0]
     assert r2["psi"] > 0.25
+
+
+def test_pairwise_diffs_consistent_with_single_pair_ops(
+    spark, tmp_path, q, osql
+):
+    """Three cohorts, the (purchase, view) row must reproduce the
+    standalone q_agg_cohens_d values; signs flip with pair order."""
+    rows = [
+        (1, "2024-01-01T10:00:00", 1, "purchase", 10.0),
+        (2, "2024-01-01T11:00:00", 2, "purchase", 14.0),
+        (3, "2024-01-01T12:00:00", 3, "view", 4.0),
+        (4, "2024-01-01T13:00:00", 4, "view", 8.0),
+        (5, "2024-01-01T14:00:00", 5, "click", 6.0),
+        (6, "2024-01-01T15:00:00", 6, "click", 6.0),
+    ]
+    sf = _write_events(tmp_path, rows, "sfpd11")
+    spdf = _cross_engine(
+        spark, q, osql, "q_agg_pairwise_diffs", sf, "events"
+    ).set_index(["grp_a", "grp_b"])
+    assert len(spdf) == 3
+    r = spdf.loc[("purchase", "view")]
+    d = 6 / math.sqrt(8)
+    assert r["mean_diff"] == pytest.approx(6.0)
+    assert r["cohens_d"] == pytest.approx(d, abs=1e-6)
+    # zero-variance click cohort pairs get NULL t (var=0 both sides)
+    rc = spdf.loc[("click", "purchase")]
+    assert rc["mean_diff"] == pytest.approx(-6.0)
