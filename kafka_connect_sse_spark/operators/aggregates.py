@@ -5007,14 +5007,29 @@ def q_agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk", F.row_number().over(Window.orderBy("m", "r"))
         )
     )
-    ident = means.filter(F.col("r") == BOOT_R).select(
-        F.col("n").alias("n_orders"), F.col("m").alias("est_mean")
+    # Scalar assembly via single-row aggregates (not filter→crossJoin):
+    # every leg is an agg over a possibly-empty frame, so degenerate
+    # input yields ONE row of NULLs — exactly what the oracle's
+    # FROM-less scalar-subquery SELECT produces (ADVICE r11).  On
+    # non-empty input exactly one row matches each predicate, so the
+    # max-of-guarded-value IS that row's value.
+    ident = means.agg(
+        F.max(F.when(F.col("r") == BOOT_R, F.col("n"))).alias(
+            "n_orders"
+        ),
+        F.max(F.when(F.col("r") == BOOT_R, F.col("m"))).alias(
+            "est_mean"
+        ),
     )
-    lo = ranked.filter(F.col("rk") == BOOT_LO_RANK).select(
-        F.col("m").alias("boot_lo")
+    lo = ranked.agg(
+        F.max(F.when(F.col("rk") == BOOT_LO_RANK, F.col("m"))).alias(
+            "boot_lo"
+        )
     )
-    hi = ranked.filter(F.col("rk") == BOOT_HI_RANK).select(
-        F.col("m").alias("boot_hi")
+    hi = ranked.agg(
+        F.max(F.when(F.col("rk") == BOOT_HI_RANK, F.col("m"))).alias(
+            "boot_hi"
+        )
     )
     dm = F.col("m").cast("decimal(18,6)")
     sd = ranked.agg(
@@ -5091,8 +5106,9 @@ def q_ts_decompose_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     BY {DECOMP_W} ({DECOMP_W}·x − Σ₇) so it is an EXACT BIGINT — the
     moving average itself never exists as a float; seasonal divides
     exact integers once; the residual variance multiplies through by
-    {DECOMP_W}² so its numerator is exact, then divides by
-    {DECOMP_W}⁴ and n−1 in one fixed-order double expression, rounded
+    {DECOMP_W} (det7 = {DECOMP_W}·d, so the n·Σd²−(Σd)² numerator
+    carries a {DECOMP_W}² factor and is exact), then divides by
+    {DECOMP_W}² and n−1 in one fixed-order double expression, rounded
     to 6.  isodow ≡ Spark dayofweek rebased (the q_ts_seasonal_dow
     identity).
 
@@ -5168,8 +5184,8 @@ def q_ts_decompose_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT y, CAST(SUM(c) AS BIGINT) AS c
             FROM cells GROUP BY y))
     SELECT t.n,
-           ROUND(LN(t.n) - CAST(mx.sx AS DOUBLE) / t.n, 6) AS h_type,
-           ROUND(LN(t.n) - CAST(my.sy AS DOUBLE) / t.n, 6) AS h_dow,
+           ROUND(LN(t.n) - CAST(mx.sx AS DOUBLE) / t.n, 6) + 0.0 AS h_type,
+           ROUND(LN(t.n) - CAST(my.sy AS DOUBLE) / t.n, 6) + 0.0 AS h_dow,
            ROUND(LN(t.n)
                  + (CAST(t.sxy AS DOUBLE) - CAST(mx.sx AS DOUBLE)
                     - CAST(my.sy AS DOUBLE)) / t.n, 6) + 0.0 AS mi,
@@ -5239,10 +5255,12 @@ def q_agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / dn
     return j.select(
         "n",
-        F.round(hx, 6).alias("h_type"),
-        F.round(hy, 6).alias("h_dow"),
         # + 0.0 collapses IEEE negative zero (ROUND of a tiny negative
-        # residual yields -0.0 on DuckDB, 0.0 on Spark — canon splits)
+        # residual yields -0.0 on DuckDB, 0.0 on Spark — canon splits);
+        # h_type/h_dow carry the same ln(n) - roundedsum/n residual
+        # shape as mi, so all four get the guard (ADVICE r11)
+        (F.round(hx, 6) + 0.0).alias("h_type"),
+        (F.round(hy, 6) + 0.0).alias("h_dow"),
         (F.round(mi, 6) + 0.0).alias("mi"),
         F.when(hx > 0, F.round(mi / hx, 6) + 0.0).alias(
             "uncertainty_coef"

