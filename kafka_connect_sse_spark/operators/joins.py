@@ -1296,22 +1296,157 @@ def q_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 JACCARD_TOPK = 20
-JACCARD_AGG_PARTITIONS = 256  # pair-agg shuffle width (near-unique keys)
+JACCARD_AGG_PARTITIONS = 512  # pair-agg shuffle width (near-unique keys):
+# per-task hash-agg state is |pairs|/partitions and ~32 tasks run
+# concurrently, so width must keep 32 x state under the heap — at sf10
+# (900M pairs) 256 put ~220 MB x 32 on an 8g heap and the assortativity
+# probe OOM'd; 512 halves it and both graph ops complete at default 8g
+# Auto-knee hot-part cap for the co-catalog graph (VERDICT r11 item 2:
+# "docstring ≠ cap").  Same deterministic rule as x_containment_dedup's
+# hot-postings cap so the DuckDB oracle applies the identical cap and
+# the gate stays EXACT: p99 of the per-part supplier count over the
+# 1/16 md5-prefix part sample, cap = max(FLOOR, HEADROOM x p99).  A
+# part whose supplier list exceeds the cap contributes deg² pairs and
+# no discriminative signal (every supplier "co-stocks" with everyone
+# through it) — the graph-analytics analogue of a stop word.  On the
+# uniform TPC-H-ish catalog (sf0.1 p99 = 43, max = 52) the cap never
+# binds, so results are unchanged; it exists for real catalog skew.
+GRAPH_PD_FLOOR = 64
+GRAPH_PD_HEADROOM = 8
+GRAPH_PROFILE_PREFIX = "0"  # md5(part) LIKE '0%' = 1/16 sample
+
+# Shared WITH-clause fragment for both co-catalog oracles: capped edge
+# set + supplier degrees, mirroring co_catalog_postings() verbatim.
+_CO_CATALOG_SQL = f"""
+    edges AS (
+      SELECT DISTINCT l_partkey AS part, l_suppkey AS supp
+      FROM lineitem),
+    pdeg AS (
+      SELECT part, CAST(COUNT(*) AS BIGINT) AS pd
+      FROM edges GROUP BY part),
+    prof AS (
+      SELECT pd FROM pdeg
+      WHERE md5(CAST(part AS VARCHAR)) LIKE '{GRAPH_PROFILE_PREFIX}%'
+        AND pd >= 2),
+    hist AS (SELECT pd, COUNT(*) AS cnt FROM prof GROUP BY pd),
+    tot AS (SELECT SUM(cnt) AS n FROM hist),
+    cum AS (
+      SELECT h.pd, SUM(h2.cnt) AS cum
+      FROM hist h JOIN hist h2 ON h2.pd <= h.pd GROUP BY h.pd),
+    p99 AS (
+      SELECT MIN(pd) AS p99_pd FROM cum, tot
+      WHERE cum >= (99 * n + 99) // 100),
+    cap AS (
+      SELECT GREATEST({GRAPH_PD_FLOOR},
+                      {GRAPH_PD_HEADROOM} * COALESCE(p99_pd, 0))
+             AS cap_d FROM p99),
+    kept AS (
+      SELECT e.part, e.supp
+      FROM edges e JOIN pdeg p ON p.part = e.part, cap
+      WHERE p.pd <= cap.cap_d),
+    deg AS (
+      SELECT supp, CAST(COUNT(*) AS BIGINT) AS d
+      FROM kept GROUP BY supp)
+"""
+
+
+def widen_pair_shuffle(df: DataFrame, *cols: str) -> DataFrame:
+    """Widen the shuffle under a NEAR-UNIQUE-key aggregation/distinct.
+
+    Pair-expansion relations (co-occurrence, similarity candidates)
+    aggregate on keys that are mostly unique — two suppliers rarely
+    share more than one part — so the aggregation gets no map-side
+    reduction and its per-task hash state is |pairs|/partitions.  At
+    sf10 that is ~900M pairs, which thrashes 32 partitions into
+    allocation death (the r11 finding, now a shared rule per VERDICT
+    r11 item 2).  Widening to JACCARD_AGG_PARTITIONS bounds per-task
+    state; AQE coalesces the read side back down at small SF, so the
+    only small-SF cost is empty-partition round-off."""
+    return df.repartition(JACCARD_AGG_PARTITIONS, *cols)
+
+
+def co_catalog_postings(spark: SparkSession, sf_dir: str) -> tuple[
+    DataFrame, DataFrame, DataFrame
+]:
+    """The capped supplier co-catalog graph both graph ops share:
+    returns (pairs, deg, postings) where `pairs` has one (s1 < s2) row
+    per shared KEPT part (pre-aggregation), `deg` is the per-supplier
+    degree over kept parts, and `postings` is the kept per-part
+    supplier-set relation.
+
+    Shape (round 12, VERDICT r11 item 2): ONE corpus-sized shuffle —
+    `collect_set(supp)` grouped by part folds the old
+    distinct-then-self-join (two corpus shuffles + a 2x-read
+    checkpoint) into a single groupBy with map-side partial sets;
+    pair expansion is a map-side double explode of each posting list,
+    exactly x_containment_dedup's inverted-index shape.  The auto-knee
+    cap (GRAPH_PD_*) drops hyper-connected parts BEFORE expansion, so
+    pair work is bounded at Σ min(pd, cap)² even under catalog skew;
+    the df profile is read off the already-materialized postings
+    relation (|parts| rows, localCheckpointed), so the cap costs no
+    extra corpus pass at all — cheaper than containment's sampled
+    pre-pass, because here the posting aggregation is |parts|-bounded
+    and needed anyway.  Degrees count ALL kept parts (including
+    single-supplier parts — they are real neighbor-set members), while
+    only pd >= 2 lists expand into pairs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    postings = (
+        li.groupBy(F.col("l_partkey").alias("part"))
+        .agg(F.collect_set("l_suppkey").alias("ss"))
+        .select("part", "ss", F.size("ss").alias("pd"))
+        # three consumers (profile, deg, pair expansion): |parts| rows
+        .localCheckpoint(eager=True)
+    )
+    prof = postings.filter(
+        F.md5(F.col("part").cast("string")).startswith(
+            GRAPH_PROFILE_PREFIX
+        )
+        & (F.col("pd") >= 2)
+    ).select("pd")
+    hist = prof.groupBy("pd").agg(F.count("*").alias("cnt"))
+    h2 = hist.select(F.col("pd").alias("pd2"), F.col("cnt").alias("cnt2"))
+    cum = (
+        hist.join(h2, F.col("pd2") <= F.col("pd"))
+        .groupBy("pd")
+        .agg(F.sum("cnt2").alias("cum"))
+    )
+    tot = hist.agg(F.sum("cnt").alias("n_lists"))
+    p99 = (
+        cum.crossJoin(tot)
+        .filter(F.col("cum") >= F.expr("(99 * n_lists + 99) div 100"))
+        .agg(F.min("pd").alias("p99_pd"))
+    )
+    cap = p99.select(
+        F.greatest(
+            F.lit(GRAPH_PD_FLOOR),
+            F.lit(GRAPH_PD_HEADROOM)
+            * F.coalesce(F.col("p99_pd"), F.lit(0)),
+        ).alias("cap_d")
+    )
+    # unhinted single-row cap: AQE broadcasts it from its own estimate
+    kept = postings.crossJoin(cap).filter(F.col("pd") <= F.col("cap_d"))
+    deg = (
+        kept.select(F.explode("ss").alias("supp"))
+        .groupBy("supp")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    pairs = (
+        kept.filter(F.col("pd") >= 2)
+        .select(F.explode("ss").alias("s1"), "ss")
+        .select("s1", F.explode("ss").alias("s2"))
+        .filter(F.col("s1") < F.col("s2"))
+    )
+    return pairs, deg, kept
 
 
 @register(
     "q_jaccard_neighbors",
     oracle=f"""
-    WITH edges AS (
-      SELECT DISTINCT l_partkey AS part, l_suppkey AS supp
-      FROM lineitem),
-    deg AS (
-      SELECT supp, CAST(COUNT(*) AS BIGINT) AS d
-      FROM edges GROUP BY supp),
+    WITH {_CO_CATALOG_SQL},
     inter AS (
       SELECT a.supp AS s1, b.supp AS s2,
              CAST(COUNT(*) AS BIGINT) AS n_common
-      FROM edges a JOIN edges b
+      FROM kept a JOIN kept b
         ON b.part = a.part AND a.supp < b.supp
       GROUP BY a.supp, b.supp),
     jac AS (
@@ -1343,45 +1478,20 @@ def q_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering carries the (s1, s2) tiebreak so equal scores rank
     deterministically.
 
-    100 TB posture: the co-occurrence self-join is keyed on part —
-    work is Σ_part deg(part)², the classic bounded fan-out (a part
-    has few suppliers; a skewed "hot part" would salt the same way
-    x_containment_dedup caps hot postings — the df-cap pattern
-    applies verbatim if catalog skew ever materializes).  The degree
-    relation is |suppliers|-bounded and broadcast; the final top-k is
-    TakeOrderedAndProject, never a global sort."""
-    edges = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(
-            F.col("l_partkey").alias("part"),
-            F.col("l_suppkey").alias("supp"),
-        )
-        .distinct()
-        # three consumers (deg + both self-join sides): checkpoint so
-        # the corpus is scanned and distinct-shuffled ONCE (the
-        # q_triangle_count edge-relation discipline)
-        .localCheckpoint(eager=True)
-    )
-    deg = edges.groupBy("supp").agg(F.count("*").cast("long").alias("d"))
-    a = edges.alias("a")
-    b = edges.alias("b")
+    100 TB posture (round 12, VERDICT r11 item 2): the co-occurrence
+    is the inverted-index posting-list shape shared through
+    co_catalog_postings() — ONE corpus-sized collect_set shuffle,
+    map-side pair expansion, auto-knee hot-part cap bounding the work
+    at Σ min(pd, cap)² even under catalog skew (the cap rule is
+    mirrored in the oracle, so the gate stays EXACT; it never binds
+    on the uniform fixture).  The pair aggregation's shuffle is
+    widened via widen_pair_shuffle (near-unique keys get no map-side
+    reduction).  The degree relation is |suppliers|-bounded and
+    broadcast; the final top-k is TakeOrderedAndProject, never a
+    global sort."""
+    raw_pairs, deg, _ = co_catalog_postings(spark, sf_dir)
     inter = (
-        a.join(
-            b,
-            (F.col("b.part") == F.col("a.part"))
-            & (F.col("a.supp") < F.col("b.supp")),
-        )
-        .select(
-            F.col("a.supp").alias("s1"), F.col("b.supp").alias("s2")
-        )
-        # the co-occurrence pairs are NEARLY UNIQUE (two suppliers
-        # rarely share >1 part), so this aggregation gets no map-side
-        # reduction and its per-task hash state is |pairs|/partitions
-        # — at sf10 that is 900M pairs, which thrashes 32 partitions
-        # into allocation death.  Widen the shuffle explicitly; AQE
-        # coalesces the read side back down at small SF, so the only
-        # cost at sf0.01 is an empty-partition round-off.
-        .repartition(JACCARD_AGG_PARTITIONS, "s1", "s2")
+        widen_pair_shuffle(raw_pairs, "s1", "s2")
         .groupBy("s1", "s2")
         .agg(F.count("*").cast("long").alias("n_common"))
     )
@@ -1618,16 +1728,11 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_graph_assortativity",
-    oracle="""
-    WITH edges AS (
-      SELECT DISTINCT l_partkey AS part, l_suppkey AS supp
-      FROM lineitem),
-    deg AS (
-      SELECT supp, CAST(COUNT(*) AS BIGINT) AS d
-      FROM edges GROUP BY supp),
+    oracle=f"""
+    WITH {_CO_CATALOG_SQL},
     pairs AS (
       SELECT DISTINCT a.supp AS s1, b.supp AS s2
-      FROM edges a JOIN edges b
+      FROM kept a JOIN kept b
         ON b.part = a.part AND a.supp < b.supp),
     dd AS (
       SELECT d1.d AS x, d2.d AS y
@@ -1663,55 +1768,34 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer (HUGEINT/DECIMAL(38,0)), ONE double division,
     rounded to 6; constant-degree graphs → NULL on both engines.
 
-    100 TB posture: same bounded part-keyed co-occurrence as
-    q_jaccard_neighbors (Σ deg² work, df-cap rule on catalog skew);
-    degrees broadcast; moments are four integer accumulators."""
-    edges = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(
-            F.col("l_partkey").alias("part"),
-            F.col("l_suppkey").alias("supp"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    deg = edges.groupBy("supp").agg(F.count("*").cast("long").alias("d"))
-    a = edges.alias("a")
-    b = edges.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("b.part") == F.col("a.part"))
-            & (F.col("a.supp") < F.col("b.supp")),
-        )
-        .select(
-            F.col("a.supp").alias("s1"), F.col("b.supp").alias("s2")
-        )
-        # near-unique pair keys: widen the dedup shuffle (see
-        # q_jaccard_neighbors) — AQE coalesces it at small SF
-        .repartition(JACCARD_AGG_PARTITIONS, "s1", "s2")
-        .distinct()
-    )
+    100 TB posture (round 12): the same capped posting-list
+    co-occurrence as q_jaccard_neighbors, shared through
+    co_catalog_postings() — one corpus-sized collect_set shuffle,
+    map-side pair expansion, auto-knee hot-part cap mirrored in the
+    oracle (Σ min(pd, cap)² bounded work); degrees broadcast; moments
+    are four integer accumulators."""
+    raw_pairs, deg, _ = co_catalog_postings(spark, sf_dir)
+    pairs = widen_pair_shuffle(raw_pairs, "s1", "s2").distinct()
+    # symmetrized moments computed ALGEBRAICALLY over the directed
+    # pairs — n_sym = 2n, Σx_sym = Σ(x+y), Σx²_sym = Σ(x²+y²),
+    # Σxy_sym = 2Σxy — one aggregation pass, no union, and no
+    # localCheckpoint of the |pairs|-sized dd relation (the r11 form
+    # union-consumed dd twice through a checkpoint that alone is
+    # ~7 GB at sf10 — the probe OOM this rewrite removes)
     d1 = deg.alias("d1")
     d2 = deg.alias("d2")
     dd = (
         pairs.join(broadcast(d1), F.col("d1.supp") == F.col("s1"))
         .join(broadcast(d2), F.col("d2.supp") == F.col("s2"))
         .select(F.col("d1.d").alias("x"), F.col("d2.d").alias("y"))
-        # two consumers (both union arms): checkpoint so the
-        # co-occurrence join runs ONCE
-        .localCheckpoint(eager=True)
-    )
-    sym = dd.union(
-        dd.select(F.col("y").alias("x"), F.col("x").alias("y"))
     )
     dx = F.col("x").cast("decimal(18,0)")
     dy = F.col("y").cast("decimal(18,0)")
-    m = sym.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum(dx).cast("decimal(38,0)").alias("sx"),
-        F.sum(dx * dx).cast("decimal(38,0)").alias("sxx"),
-        F.sum(dx * dy).cast("decimal(38,0)").alias("sxy"),
+    m = dd.agg(
+        (F.count("*") * 2).cast("long").alias("n"),
+        F.sum(dx + dy).cast("decimal(38,0)").alias("sx"),
+        F.sum(dx * dx + dy * dy).cast("decimal(38,0)").alias("sxx"),
+        (F.sum(dx * dy) * 2).cast("decimal(38,0)").alias("sxy"),
     )
     dn = F.col("n").cast("decimal(38,0)")
     num = dn * F.col("sxy") - F.col("sx") * F.col("sx")

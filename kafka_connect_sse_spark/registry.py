@@ -351,7 +351,8 @@ _PRIORITY = (
     "x_ttr_segments",
     # (b) new this round — first driver attestation (each displaces
     # the deepest (d) row as it lands)
-    # (d) top-up to 50: the 12 alphabetically-first r6-era rows — the
+    "q_agg_gini_approx",
+    # (d) top-up to 50: the alphabetically-first r6-era rows — the
     # r6 cohort rotation starts here
     "q_agg_approx_distinct",
     "q_agg_bytes_by_type",
@@ -364,7 +365,6 @@ _PRIORITY = (
     "s_join_stream_static",
     "s_join_stream_stream",
     "s_join_stream_stream_outer",
-    "s_observe_metrics",
 )
 
 

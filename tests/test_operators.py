@@ -145,6 +145,7 @@ def test_round12_driver_window_composition(qs):
         "x_span_corruption_plan",
         "x_ttr_segments",
         # (b) new this round
+        "q_agg_gini_approx",
         # (d) r6-era cohort rotation, alphabetical top-up to 50
         "q_agg_approx_distinct",
         "q_agg_bytes_by_type",
@@ -157,7 +158,6 @@ def test_round12_driver_window_composition(qs):
         "s_join_stream_static",
         "s_join_stream_stream",
         "s_join_stream_stream_outer",
-        "s_observe_metrics",
     ]
     # every window op must carry an oracle (EXACT gate, not rows-only)
     from kafka_connect_sse_spark.registry import oracle_sql

@@ -52,6 +52,9 @@ ALLOWLIST = {
     "q_agg_kll_mergeable": 2,
     "q_agg_mad": 3,
     "q_agg_mad_approx": 3,
+    # sketch-boundary pass + exact Lorenz counting pass (documented
+    # two-scan design, r12)
+    "q_agg_gini_approx": 2,
     "q_agg_median_mode": 2,
     "q_agg_theta_overlap": 2,
     "q_exists_correlated": 2,
