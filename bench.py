@@ -341,6 +341,21 @@ def streaming_latency_bench(spark, sf_dir: str, n_files: int = 8) -> dict:
             .select("user_id", "n_events")
         )
 
+    def chained_distinct(sdf):
+        # the Spark-4 multi-stateful chain (s_window_distinct_users):
+        # watermarked dropDuplicates feeds a windowed count — TWO state
+        # stores in one query, the exact-distinct streaming recipe
+        dd = (
+            sdf.withColumn("hour_b", _F.date_trunc("hour", _F.col("ts")))
+            .withWatermark("ts", "1 day")
+            .dropDuplicates(["hour_b", "user_id"])
+        )
+        return (
+            dd.groupBy(_F.window("ts", "1 hour"))
+            .agg(_F.count("*").alias("n_users"))
+            .select(_F.col("window.start").alias("win_start"), "n_users")
+        )
+
     def outer_join(sdf):
         purchases = (
             sdf.filter(_F.col("event_type") == "purchase")
@@ -377,15 +392,27 @@ def streaming_latency_bench(spark, sf_dir: str, n_files: int = 8) -> dict:
     parts_key = "spark.sql.shuffle.partitions"
     prev_parts = spark.conf.get(parts_key)
     spark.conf.set(parts_key, "8")  # pace state partitions to volume
+    changelog_key = (
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled"
+    )
     try:
         sess_p50, sess_state = batches(session_agg)
         join_p50, join_state = batches(outer_join)
+        chain_p50, chain_state = batches(chained_distinct)
         prev = spark.conf.get(provider_key, None)
         spark.conf.set(provider_key, rocksdb)  # read at query start
+        # RocksDB runs with changelog checkpointing (VERDICT r11
+        # item 8): per-batch commits upload the delta instead of a
+        # full snapshot — the only O(batch) checkpoint at the sf10
+        # state tier (SCALE.md streaming state-size attribution)
+        spark.conf.set(changelog_key, "true")
         try:
             r_sess_p50, r_sess_state = batches(session_agg)
             r_join_p50, r_join_state = batches(outer_join)
+            r_chain_p50, r_chain_state = batches(chained_distinct)
         finally:
+            spark.conf.unset(changelog_key)
             if prev is None:
                 spark.conf.unset(provider_key)
             else:
@@ -393,12 +420,21 @@ def streaming_latency_bench(spark, sf_dir: str, n_files: int = 8) -> dict:
         out = {
             "s_window_session_p50_batch_sec": sess_p50,
             "s_join_stream_outer_p50_batch_sec": join_p50,
+            "s_chained_distinct_p50_batch_sec": chain_p50,
             "s_window_session_state_rows": sess_state,
             "s_join_stream_outer_state_rows": join_state,
+            "s_chained_distinct_state_rows": chain_state,
             "s_window_session_p50_batch_sec_rocksdb": r_sess_p50,
             "s_join_stream_outer_p50_batch_sec_rocksdb": r_join_p50,
+            "s_chained_distinct_p50_batch_sec_rocksdb_changelog": (
+                r_chain_p50
+            ),
             "s_window_session_state_rows_rocksdb": r_sess_state,
             "s_join_stream_outer_state_rows_rocksdb": r_join_state,
+            "s_chained_distinct_state_rows_rocksdb_changelog": (
+                r_chain_state
+            ),
+            "rocksdb_changelog_checkpointing": True,
             "state_partitions": 8,
         }
     finally:

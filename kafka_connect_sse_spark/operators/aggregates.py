@@ -3101,6 +3101,154 @@ def q_ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_kruskal_wallis",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c2,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c3
+      FROM lineitem GROUP BY 1),
+    w AS (
+      SELECT q, c1, c2, c3, c1 + c2 + c3 AS c,
+             SUM(c1 + c2 + c3) OVER (ORDER BY q) AS cum
+      FROM h),
+    agg AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c2) AS BIGINT) AS n2,
+             CAST(SUM(c3) AS BIGINT) AS n3,
+             SUM(CAST((2 * cum - c + 1) * c1 AS HUGEINT)) AS tr1,
+             SUM(CAST((2 * cum - c + 1) * c2 AS HUGEINT)) AS tr2,
+             SUM(CAST((2 * cum - c + 1) * c3 AS HUGEINT)) AS tr3,
+             CAST(SUM(c * c * c - c) AS HUGEINT) AS tie_cubes
+      FROM w)
+    SELECT n1, n2, n3,
+           CASE WHEN n1 = 0 OR n2 = 0 OR n3 = 0
+                     OR n1 + n2 + n3 < 2
+                     OR CAST(n1 + n2 + n3 AS HUGEINT)
+                        * (n1 + n2 + n3) * (n1 + n2 + n3)
+                        - (n1 + n2 + n3)
+                        = tie_cubes THEN NULL
+                ELSE (3.0 * (CAST(tr1 * tr1 AS DOUBLE) / n1
+                             + CAST(tr2 * tr2 AS DOUBLE) / n2
+                             + CAST(tr3 * tr3 AS DOUBLE) / n3)
+                      / (CAST(n1 + n2 + n3 AS DOUBLE)
+                         * (n1 + n2 + n3 + 1))
+                      - 3.0 * (n1 + n2 + n3 + 1))
+                     / (1.0 - CAST(tie_cubes AS DOUBLE)
+                              / (CAST(n1 + n2 + n3 AS DOUBLE)
+                                 * (n1 + n2 + n3)
+                                 * (n1 + n2 + n3)
+                                 - (n1 + n2 + n3)))
+           END AS kw_h
+    FROM agg
+    """,
+)
+def q_agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the three return-flag cohorts on
+    l_quantity — the k-sample extension of q_agg_mann_whitney (rank
+    analogue of q_agg_anova_oneway: one-way location test with no
+    normality assumption), completing the rank-statistics family
+    (Spearman/Kendall/Mann-Whitney/Wilcoxon/Hodges-Lehmann).
+
+    Cross-engine exactness, the q_agg_mann_whitney discipline: ranks
+    live on the (quantity, count) HISTOGRAM — a value with combined
+    count c ending at cumulative cum gives each member the average
+    rank (2cum−c+1)/2, so the doubled rank sums 2R_g = Σ(2cum−c+1)c_g
+    are exact HUGEINT/DECIMAL(38,0) (their squares pass 2^63 at sf10
+    row counts, hence the wide carry).  H = [3·Σ(2R_g)²/n_g] /
+    [N(N+1)] − 3(N+1), tie-corrected by 1 − Σ(c³−c)/(N³−N), evaluated
+    with the IDENTICAL cast-and-divide sequence in both engines —
+    fixed-order IEEE arithmetic on exact-integer-derived doubles, no
+    rounding grain.  Degenerate inputs (an empty cohort, all values
+    tied) yield NULL on both sides.
+
+    100 TB posture: the corpus-sized stage is the ~50-row quantity
+    histogram with three conditional counts (map-side combine); every
+    later stage — rank window, moment sums — runs on the histogram.
+    The value domain, not the row count, sizes the reduce side (flat
+    sf1→sf10 like the rest of the tier, SCALE.md)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.groupBy(F.col("l_quantity").cast("long").alias("q")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("c3"),
+    )
+    w = h.select(
+        "q",
+        "c1",
+        "c2",
+        "c3",
+        (F.col("c1") + F.col("c2") + F.col("c3")).alias("c"),
+    ).select(
+        "*",
+        F.sum("c")
+        .over(
+            Window.orderBy("q").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+    )
+    a = F.lit(2) * F.col("cum") - F.col("c") + 1
+    agg = w.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum("c3").cast("long").alias("n3"),
+        F.sum((a * F.col("c1")).cast("decimal(38,0)")).alias("tr1"),
+        F.sum((a * F.col("c2")).cast("decimal(38,0)")).alias("tr2"),
+        F.sum((a * F.col("c3")).cast("decimal(38,0)")).alias("tr3"),
+        F.sum(
+            (
+                F.col("c") * F.col("c") * F.col("c") - F.col("c")
+            ).cast("decimal(38,0)")
+        ).alias("tie_cubes"),
+    )
+    n1, n2, n3 = F.col("n1"), F.col("n2"), F.col("n3")
+    nn = n1 + n2 + n3
+    # N³ passes 2^63 at sf10 — carry the all-tied guard in DECIMAL(38)
+    # (HUGEINT on the oracle side); long arithmetic would wrap silently
+    cubes_all = nn.cast("decimal(38,0)") * nn * nn - nn
+    rank_part = (
+        F.lit(3.0)
+        * (
+            (F.col("tr1") * F.col("tr1")).cast("double") / n1
+            + (F.col("tr2") * F.col("tr2")).cast("double") / n2
+            + (F.col("tr3") * F.col("tr3")).cast("double") / n3
+        )
+        / (nn.cast("double") * (nn + 1))
+        - F.lit(3.0) * (nn + 1)
+    )
+    corr = F.lit(1.0) - F.col("tie_cubes").cast("double") / (
+        nn.cast("double") * nn * nn - nn
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "n3",
+        F.when(
+            (n1 == 0)
+            | (n2 == 0)
+            | (n3 == 0)
+            | (nn < 2)
+            | (cubes_all == F.col("tie_cubes")),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(rank_part / corr)
+        .alias("kw_h"),
+    )
+
+
+@register(
     "q_agg_mann_whitney",
     oracle="""
     WITH h AS (
@@ -4397,6 +4545,268 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_orders") * F.col("sv")).cast("double"),
             6,
         ).alias("gini"),
+    )
+
+
+@register(
+    "q_agg_survival_km",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts,
+             MAX(ts) AS last_ts
+      FROM events GROUP BY user_id
+      HAVING MIN(CASE WHEN event_type = 'signup' THEN ts END)
+             IS NOT NULL),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM events e JOIN u ON u.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= u.s_ts
+      GROUP BY e.user_id),
+    dd AS (
+      SELECT u.user_id,
+             CASE WHEN p.c_ts IS NOT NULL
+                  THEN date_diff('day', CAST(u.s_ts AS DATE),
+                                 CAST(p.c_ts AS DATE))
+                  ELSE date_diff('day', CAST(u.s_ts AS DATE),
+                                 CAST(u.last_ts AS DATE)) END AS dur,
+             CASE WHEN p.c_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM u LEFT JOIN p ON p.user_id = u.user_id),
+    h AS (
+      SELECT dur, CAST(SUM(ev) AS BIGINT) AS d_events,
+             CAST(COUNT(*) AS BIGINT) AS total
+      FROM dd GROUP BY dur),
+    r AS (
+      SELECT dur, d_events,
+             CAST(SUM(total) OVER (ORDER BY dur DESC) AS BIGINT)
+               AS n_risk
+      FROM h),
+    k AS (
+      SELECT dur, d_events, n_risk,
+             MAX(CASE WHEN d_events >= n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY dur) AS dead,
+             SUM(CASE WHEN d_events < n_risk THEN
+                   CAST(ROUND(LN(1.0 - CAST(d_events AS DOUBLE)
+                                       / n_risk), 6)
+                        AS DECIMAL(28,6)) END)
+               OVER (ORDER BY dur) AS cum_log
+      FROM r WHERE d_events > 0)
+    SELECT CAST(dur AS BIGINT) AS dur_days, n_risk, d_events,
+           CASE WHEN dead = 1 THEN 0.0
+                ELSE ROUND(EXP(CAST(cum_log AS DOUBLE)), 6)
+           END AS km_surv
+    FROM k
+    """,
+)
+def q_agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for signup→purchase conversion:
+    per signed-up user, duration = days from first signup to first
+    purchase AT/AFTER it (event) or to last observed activity
+    (right-censored — the user may still convert later).  S(t) =
+    Π_{t'≤t} (1 − d_t'/n_t') over event times, the standard
+    product-limit estimator — time-to-value / churn analysis done
+    correctly, where naive conversion-rate cuts (q_funnel_ttc's
+    completed-pairs view) silently drop the censored mass.
+
+    Cross-engine exactness: d_t and the at-risk counts n_t (a
+    DESCENDING cumulative sum over the duration histogram) are exact
+    BIGINTs; the product is carried in log space with each
+    ln(1 − d/n) term ROUNDED TO 6 and accumulated in DECIMAL(28,6)
+    (the q_agg_entropy discipline: order-free exact accumulation of
+    identically-rounded terms; d/n is ONE IEEE division on both
+    engines), then EXP'd and rounded to 6.  When d = n at some time
+    (everyone at risk converts), S = 0 exactly from there on — a
+    windowed flag, not ln(0).
+
+    100 TB posture: one corpus-sized per-user partial agg (+ the
+    purchase-after-signup min, a second bounded pass); everything
+    after runs on the |users|-row relation, then on the
+    |distinct durations| histogram (~tens of rows).  No per-row
+    ranks, no global sort above the histogram."""
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("ts"))
+            ).alias("s_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .filter(F.col("s_ts").isNotNull())
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(u.select("user_id", "s_ts"), "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    d = u.join(p, "user_id", "left").select(
+        F.when(
+            F.col("c_ts").isNotNull(),
+            F.datediff(F.to_date("c_ts"), F.to_date("s_ts")),
+        )
+        .otherwise(F.datediff(F.to_date("last_ts"), F.to_date("s_ts")))
+        .alias("dur"),
+        F.when(F.col("c_ts").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    h = d.groupBy("dur").agg(
+        F.sum("ev").cast("long").alias("d_events"),
+        F.count("*").cast("long").alias("total"),
+    )
+    w_desc = Window.orderBy(F.col("dur").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = h.select(
+        "dur",
+        "d_events",
+        F.sum("total").over(w_desc).cast("long").alias("n_risk"),
+    ).filter(F.col("d_events") > 0)
+    w_asc = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    frac = F.col("d_events").cast("double") / F.col("n_risk")
+    k = r.select(
+        "dur",
+        "d_events",
+        "n_risk",
+        F.max(
+            F.when(F.col("d_events") >= F.col("n_risk"), 1).otherwise(0)
+        )
+        .over(w_asc)
+        .alias("dead"),
+        F.sum(
+            F.when(
+                F.col("d_events") < F.col("n_risk"),
+                F.round(F.log(F.lit(1.0) - frac), 6).cast(
+                    "decimal(28,6)"
+                ),
+            )
+        )
+        .over(w_asc)
+        .alias("cum_log"),
+    )
+    return k.select(
+        F.col("dur").cast("long").alias("dur_days"),
+        "n_risk",
+        "d_events",
+        F.when(F.col("dead") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("cum_log").cast("double")), 6))
+        .alias("km_surv"),
+    )
+
+
+LEADLAG_MAX = 7  # max lead (days) tested by q_ts_lead_lag
+
+
+@register(
+    "q_ts_lead_lag",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                      ELSE 0 END) AS BIGINT) AS p
+      FROM events GROUP BY 1),
+    pairs AS (
+      SELECT g.k AS lag_days, a.p AS y, b.c AS x
+      FROM daily a
+      JOIN UNNEST(generate_series(0, {LEADLAG_MAX})) AS g(k) ON TRUE
+      JOIN daily b ON b.d = a.d - CAST(g.k AS INTEGER)),
+    m AS (
+      SELECT lag_days, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM pairs GROUP BY lag_days)
+    SELECT CAST(lag_days AS BIGINT) AS lag_days, n_days,
+           CASE WHEN n_days < 2
+                     OR n_days * sxx - sx * sx = 0
+                     OR n_days * syy - sy * sy = 0 THEN NULL
+                ELSE ROUND(CAST(n_days * sxy - sx * sy AS DOUBLE)
+                           / sqrt(CAST(n_days * sxx - sx * sx
+                                       AS DOUBLE)
+                                  * CAST(n_days * syy - sy * sy
+                                         AS DOUBLE)), 6)
+           END AS xcorr
+    FROM m
+    """,
+)
+def q_ts_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation: Pearson r between daily PURCHASE
+    volume and daily CLICK volume k days EARLIER, for k = 0..{LEADLAG_MAX}
+    — "does click traffic lead purchases, and by how many days?", the
+    lead-indicator screen that q_ts_autocorr (self-lags) and
+    q_agg_linreg (contemporaneous fit) bracket.  The argmax row is the
+    empirically best lead time; a Granger-style test would regress on
+    it next.
+
+    Cross-engine exactness: daily counts are exact integers; per lag,
+    all five moments are exact HUGEINT/DECIMAL(38,0) sums; r is ONE
+    fixed-order double expression (nΣxy−ΣxΣy over the sqrt'd
+    variance product), rounded to 6; zero-variance series and n<2
+    yield NULL on both engines.  Day alignment is an equi-join on
+    calendar DATE minus k — gap days pair only where both ends exist,
+    identically in both engines.
+
+    100 TB posture: one corpus-sized partial-agg onto the |days|
+    grid; the lag fan-out ({LEADLAG_MAX}+1 copies) and the self-join
+    run on that bounded relation.  Moments are five integer
+    accumulators per lag."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("p"),
+    )
+    a = daily.select(
+        "d",
+        F.col("p").alias("y"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(LEADLAG_MAX))
+        ).alias("lag_days"),
+    )
+    b = daily.select(F.col("d").alias("d2"), F.col("c").alias("x"))
+    pairs = a.join(
+        b, F.col("d2") == F.date_sub(F.col("d"), F.col("lag_days"))
+    )
+    dx = F.col("x").cast("decimal(38,0)")
+    dy = F.col("y").cast("decimal(38,0)")
+    m = pairs.groupBy("lag_days").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(dx).alias("sx"),
+        F.sum(dy).alias("sy"),
+        F.sum(dx * F.col("y")).alias("sxy"),
+        F.sum(dx * F.col("x")).alias("sxx"),
+        F.sum(dy * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n_days").cast("decimal(38,0)")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        F.col("lag_days").cast("long").alias("lag_days"),
+        "n_days",
+        F.when(
+            (F.col("n_days") < 2) | (vx == 0) | (vy == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                num.cast("double")
+                / F.sqrt(vx.cast("double") * vy.cast("double")),
+                6,
+            )
+        )
+        .alias("xcorr"),
     )
 
 

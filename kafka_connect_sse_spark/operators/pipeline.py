@@ -1928,3 +1928,100 @@ def x_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+DP_EPSILON = "1.0"  # per-release privacy budget (shared literal string
+# so both engines parse the identical double)
+
+
+@register(
+    "x_dp_count_release",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    u AS (
+      SELECT event_type, day, n,
+             CAST(CAST('0x' || substr(md5(event_type || '|' || day
+                                          || '|release1'), 1, 8)
+                       AS BIGINT) AS DOUBLE) / 4294967296.0 AS uni
+      FROM c)
+    SELECT event_type, day,
+           ROUND(n + CASE WHEN uni = 0.5 THEN 0.0
+                          WHEN uni < 0.5 THEN
+                            (1.0 / {DP_EPSILON})
+                            * LN(1.0 - 2.0 * (0.5 - uni))
+                          ELSE
+                            -(1.0 / {DP_EPSILON})
+                            * LN(1.0 - 2.0 * (uni - 0.5))
+                     END, 6) AS noisy_count,
+           CAST({DP_EPSILON} AS DOUBLE) AS epsilon
+    FROM u
+    """,
+)
+def x_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of the daily event-type counts:
+    each true count + Laplace(1/ε) noise via the inverse CDF,
+    noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|) — the mechanism a
+    training-data pipeline uses to publish corpus composition stats
+    (domain mix, per-source volumes) without leaking any single
+    record.  ε = {DP_EPSILON} per released cell (count sensitivity 1);
+    the released relation is the ONLY thing downstream sees.
+
+    DETERMINISTIC noise for the gate: u is the md5('type|day|release1')
+    32-bit prefix over 2^32 — the q_agg_bootstrap_ci mechanism — so
+    both engines draw the identical uniform and the identical
+    Laplace deviate; a production release swaps the md5 tag for a
+    fresh secret salt per release (same plan, secret seed).  The
+    noisy count is ONE fixed-order double expression rounded to 6;
+    u = ½ maps to exactly 0 noise on both engines.
+
+    100 TB posture: map-side partial agg onto the |types|·|days|
+    grid; noise is a per-cell scalar expression.  The privacy
+    accounting is the release tag: one tag = one ε spend, composable
+    by counting tags (x_data_card records them)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type",
+        F.to_date("ts").cast("string").alias("day"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    uni = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("event_type"),
+                        F.col("day"),
+                        F.lit("release1"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    eps = F.lit(float(DP_EPSILON))
+    noise = (
+        F.when(uni == 0.5, F.lit(0.0))
+        .when(
+            uni < 0.5,
+            (F.lit(1.0) / eps)
+            * F.log(F.lit(1.0) - F.lit(2.0) * (F.lit(0.5) - uni)),
+        )
+        .otherwise(
+            -(F.lit(1.0) / eps)
+            * F.log(F.lit(1.0) - F.lit(2.0) * (uni - F.lit(0.5)))
+        )
+    )
+    return c.select(
+        "event_type",
+        "day",
+        F.round(F.col("n") + noise, 6).alias("noisy_count"),
+        eps.alias("epsilon"),
+    )

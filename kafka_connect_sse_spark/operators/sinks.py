@@ -698,3 +698,70 @@ if _kafka_datasource_available() and _kafka_bootstrap():  # pragma: no cover
             .alias("total_value"),
             F.every(F.col("key").isNull()).alias("keys_all_null"),
         )
+
+
+@register(
+    "snk_manifest_commit",
+    oracle="""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source
+    """,
+)
+def snk_manifest_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic multi-file publish via a manifest — the transactional
+    landing pattern (Iceberg/Delta's core idea, minimally): the writer
+    lands N data files plus an UNCOMMITTED extra, then atomically
+    publishes a manifest listing ONLY the committed files; readers
+    resolve the manifest and read exactly its file list, so a crashed
+    or concurrent writer's orphan files are invisible — no
+    eventually-consistent directory listing in the read path.  Here:
+    documents land 4-way, a poison orphan file (a duplicate copy of
+    the full table, which WOULD double every count if listed) lands
+    beside them, the manifest (JSON lines: path, row count) commits
+    only the 4; the re-read aggregates per source and must match the
+    straight-SQL oracle — equality proves orphan invisibility AND
+    no-loss in one check.
+
+    100 TB posture: the manifest is O(n_files) metadata written once
+    by the committing task (a rename-into-place on an object store);
+    readers do a bounded manifest scan + an exact file-list read
+    (spark.read.parquet(*paths) — no directory listing of a
+    million-file landing zone, the same reason the table formats
+    exist).  Data files stay partition-pruned parquet."""
+    import json as _json
+
+    base = scratch_dir("kcss_manifest")
+    data = os.path.join(base, "data")
+    shutil.rmtree(base, ignore_errors=True)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    d.repartition(4).write.mode("overwrite").parquet(data)
+    committed = sorted(
+        os.path.join(data, f)
+        for f in os.listdir(data)
+        if f.endswith(".parquet")
+    )
+    # the orphan: a full duplicate landed beside the committed files —
+    # a directory-listing reader would double-count everything
+    orphan_dir = os.path.join(base, "orphan")
+    d.coalesce(1).write.mode("overwrite").parquet(orphan_dir)
+    orphan = next(
+        os.path.join(orphan_dir, f)
+        for f in os.listdir(orphan_dir)
+        if f.endswith(".parquet")
+    )
+    shutil.copy(orphan, os.path.join(data, "orphan-uncommitted.parquet"))
+    manifest = os.path.join(base, "manifest.jsonl")
+    with open(manifest + ".tmp", "w") as fh:
+        for p in committed:
+            fh.write(_json.dumps({"path": p}) + "\n")
+    os.rename(manifest + ".tmp", manifest)  # the atomic commit point
+    with open(manifest) as fh:
+        paths = [_json.loads(ln)["path"] for ln in fh]
+    back = spark.read.parquet(*paths)
+    return back.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

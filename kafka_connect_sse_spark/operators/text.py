@@ -2179,3 +2179,85 @@ def x_ttr_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("msttr"),
     )
+
+
+# x_code_detect thresholds: symbol-weighted density per whitespace token
+CODE_SCORE_THR = "0.05"  # shared literal so both engines parse one double
+
+
+@register(
+    "x_code_detect",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source,
+             CAST(len(text) - len(replace(text, '{{', ''))
+                  + len(text) - len(replace(text, '}}', ''))
+                  AS BIGINT) AS n_brace,
+             CAST(len(text) - len(replace(text, ';', ''))
+                  AS BIGINT) AS n_semi,
+             CAST(len(text) - len(replace(text, '=', ''))
+                  AS BIGINT) AS n_eq,
+             CAST(len(str_split(trim(text), ' ')) AS BIGINT) AS n_tok
+      FROM documents WHERE len(trim(text)) > 0)
+    SELECT doc_id, source, n_brace, n_semi, n_eq, n_tok,
+           ROUND(CAST(3 * n_brace + 2 * n_semi + n_eq AS DOUBLE)
+                 / n_tok, 6) AS code_score,
+           CAST(3 * n_brace + 2 * n_semi + n_eq AS DOUBLE) / n_tok
+             >= {CODE_SCORE_THR} AS is_code_like
+    FROM s
+    """,
+)
+def x_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection signals per document: weighted density
+    of structural symbols (braces x3, semicolons x2, equals x1) per
+    whitespace token, thresholded at {CODE_SCORE_THR} — the cheap
+    router a mixed crawl needs BEFORE tokenization, since code wants
+    a different tokenizer, dedup unit, and quality rubric than prose
+    (the x_quality_score / x_gopher_rules path assumes prose).  The
+    signals stay exposed so downstream can re-threshold without a
+    rescan.
+
+    Cross-engine exactness: every count is an exact replace-length
+    delta (no regex dialect in play), the token count the established
+    single-space split (the corpus is single-space normalized — the
+    x_text_stats contract); score is ONE double division rounded 6,
+    and the boolean compares the UNROUNDED quotient on both engines.
+    Empty/whitespace docs are excluded on both sides (division
+    guard).
+
+    100 TB posture: map-only scan, no shuffle at all — pure
+    per-document expressions; the threshold routes into the same
+    partitioned-sink pattern as x_lang_balance."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    n_brace = (
+        F.length("text")
+        - F.length(F.expr("replace(text, '{', '')"))
+        + F.length("text")
+        - F.length(F.expr("replace(text, '}', '')"))
+    ).cast("long")
+    n_semi = (
+        F.length("text") - F.length(F.expr("replace(text, ';', '')"))
+    ).cast("long")
+    n_eq = (
+        F.length("text") - F.length(F.expr("replace(text, '=', '')"))
+    ).cast("long")
+    n_tok = F.size(F.split(F.trim(F.col("text")), " ")).cast("long")
+    score_raw = (
+        (3 * F.col("n_brace") + 2 * F.col("n_semi") + F.col("n_eq"))
+        .cast("double")
+        / F.col("n_tok")
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        n_brace.alias("n_brace"),
+        n_semi.alias("n_semi"),
+        n_eq.alias("n_eq"),
+        n_tok.alias("n_tok"),
+    ).select(
+        "*",
+        F.round(score_raw, 6).alias("code_score"),
+        (score_raw >= float(CODE_SCORE_THR)).alias("is_code_like"),
+    )

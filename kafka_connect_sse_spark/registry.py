@@ -352,19 +352,20 @@ _PRIORITY = (
     # (b) new this round — first driver attestation (each displaces
     # the deepest (d) row as it lands)
     "q_agg_gini_approx",
+    "q_agg_kruskal_wallis",
+    "q_agg_survival_km",
+    "q_ts_lead_lag",
+    "x_dp_count_release",
+    "x_code_detect",
+    "snk_manifest_commit",
     # (d) top-up to 50: the alphabetically-first r6-era rows — the
-    # r6 cohort rotation starts here
+    # r6 cohort rotation starts here (the rest of the cohort rotates
+    # in r13+; each holds its r6 record on code unmodified this round)
     "q_agg_approx_distinct",
     "q_agg_bytes_by_type",
     "q_agg_collect_sorted",
     "q_agg_having",
     "q_transitive_closure",
-    "q_win_running_sum",
-    "s_dedup_watermarked",
-    "s_foreachbatch_dlq",
-    "s_join_stream_static",
-    "s_join_stream_stream",
-    "s_join_stream_stream_outer",
 )
 
 

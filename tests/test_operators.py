@@ -146,18 +146,18 @@ def test_round12_driver_window_composition(qs):
         "x_ttr_segments",
         # (b) new this round
         "q_agg_gini_approx",
+        "q_agg_kruskal_wallis",
+        "q_agg_survival_km",
+        "q_ts_lead_lag",
+        "x_dp_count_release",
+        "x_code_detect",
+        "snk_manifest_commit",
         # (d) r6-era cohort rotation, alphabetical top-up to 50
         "q_agg_approx_distinct",
         "q_agg_bytes_by_type",
         "q_agg_collect_sorted",
         "q_agg_having",
         "q_transitive_closure",
-        "q_win_running_sum",
-        "s_dedup_watermarked",
-        "s_foreachbatch_dlq",
-        "s_join_stream_static",
-        "s_join_stream_stream",
-        "s_join_stream_stream_outer",
     ]
     # every window op must carry an oracle (EXACT gate, not rows-only)
     from kafka_connect_sse_spark.registry import oracle_sql

@@ -169,3 +169,52 @@ def test_assortativity_hot_part_cap_cross_engine(
     assert r["assortativity"] is None or r["assortativity"] != r[
         "assortativity"
     ]  # NULL/NaN under either pandas rendering
+
+
+def _write_documents(tmp_path, rows, name):
+    """rows: (doc_id, text, lang, source)."""
+    sf_dir = str(tmp_path / name)
+    os.makedirs(sf_dir, exist_ok=True)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array(
+                [len(r[1]) for r in rows], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, os.path.join(sf_dir, "documents.parquet"))
+    return sf_dir
+
+
+def test_code_detect_hand_computed_on_braced_doc(
+    spark, tmp_path, q, osql
+):
+    """A doc with real braces/semicolons must score code-like on BOTH
+    engines (the sf0.01 corpus has no braces, so the EXACT gate alone
+    would pass even if one engine counted a wrong literal — this
+    planted test is the guard).  Doc 1: 'int f() { return x; }' -> 6
+    tokens; braces 2, semi 1, eq 0 -> score (3*2+2*1)/6 = 8/6; doc 2
+    plain prose scores 0."""
+    rows = [
+        (1, "int f() { return x; }", "en", "s1"),
+        (2, "plain prose with no symbols at all", "en", "s1"),
+    ]
+    sf = _write_documents(tmp_path, rows, "sfcode12")
+    spdf = _cross_engine(
+        spark, q, osql, "x_code_detect", sf, "documents"
+    ).set_index("doc_id")
+    r1 = spdf.loc[1]
+    assert (r1["n_brace"], r1["n_semi"], r1["n_eq"], r1["n_tok"]) == (
+        2,
+        1,
+        0,
+        6,
+    )
+    assert r1["code_score"] == pytest.approx(8 / 6, abs=1e-6)
+    assert bool(r1["is_code_like"])
+    r2 = spdf.loc[2]
+    assert r2["code_score"] == 0.0 and not bool(r2["is_code_like"])
