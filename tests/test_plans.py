@@ -1150,3 +1150,17 @@ def test_simhash_bitparallel_plan_shape(spark):
     assert plan.count("FileScan parquet") == 1, plan
     assert plan.count("Generate") == 1, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_graph_pair_never_rescans_lineitem(spark):
+    """Round-12 posting-list shape (co_catalog_postings): the corpus
+    is scanned and collect_set-shuffled ONCE into the localCheckpointed
+    |parts|-row posting relation; every consumer (cap profile, degree
+    explode, pair expansion) must read the CHECKPOINT (Scan
+    ExistingRDD), never the parquet again.  The r11 shape carried
+    three corpus-wide stages; a regression to a lineitem self-join
+    would surface here as a parquet scan in the final plan."""
+    for op in ("q_jaccard_neighbors", "q_graph_assortativity"):
+        plan = formatted_plan(queries()[op](spark, SF))
+        assert "lineitem" not in plan, (op, "corpus re-scanned")
+        assert "Scan ExistingRDD" in plan, op
