@@ -4633,6 +4633,10 @@ def q_agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("last_ts"),
         )
         .filter(F.col("s_ts").isNotNull())
+        # two consumers (the purchase-window join + the duration
+        # assembly): |users|-bounded — checkpoint so the corpus agg
+        # runs once (plan-audit caught the AQE recompute at 3 scans)
+        .localCheckpoint(eager=True)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -4766,7 +4770,8 @@ def q_ts_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("p"),
-    )
+    ).localCheckpoint(eager=True)  # two consumers (both join sides),
+    # |days|-bounded — one corpus scan (plan-audit r12)
     a = daily.select(
         "d",
         F.col("p").alias("y"),
@@ -6384,4 +6389,484 @@ def q_agg_pairwise_diffs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(small | (sp2 <= 0), F.lit(None).cast("double"))
         .otherwise(F.round(mdiff / F.sqrt(sp2), 6))
         .alias("cohens_d"),
+    )
+
+
+@register(
+    "q_agg_jarque_bera",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(q * q) AS BIGINT) AS DOUBLE) AS s2,
+             CAST(CAST(SUM(q * q * q) AS BIGINT) AS DOUBLE) AS s3,
+             CAST(CAST(SUM(q * q * q * q) AS BIGINT) AS DOUBLE) AS s4
+      FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
+            FROM lineitem)
+      GROUP BY l_returnflag),
+    m AS (
+      SELECT l_returnflag, n, s1 / n AS m1, s2, s3, s4 FROM s),
+    v AS (
+      SELECT l_returnflag, n, m1, s3, s4,
+             s2 / n - m1 * m1 AS var_pop FROM m),
+    sk AS (
+      SELECT l_returnflag, n, var_pop,
+             (s3 / n - 3 * m1 * (var_pop + m1 * m1)
+              + 2 * m1 * m1 * m1) / POW(var_pop, 1.5) AS skw,
+             (s4 / n - 4 * m1 * (s3 / n)
+              + 6 * m1 * m1 * (var_pop + m1 * m1)
+              - 3 * m1 * m1 * m1 * m1)
+             / (var_pop * var_pop) - 3 AS kurt
+      FROM v WHERE var_pop > 0)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           ROUND(n / 6 * (skw * skw + kurt * kurt / 4), 6) AS jb_stat,
+           n / 6 * (skw * skw + kurt * kurt / 4) > 5.99 AS reject_normal_5pct
+    FROM sk
+    """,
+)
+def q_agg_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per return-flag cohort: JB =
+    n/6·(S² + K²/4) from the same exact integer power sums as
+    q_agg_skew_kurt, with the χ²(2) 5% critical value 5.99 as the
+    decision literal — the screen that tells a modeling pipeline
+    whether z-score-based rules (q_anomaly_zscore_daily's tier) are
+    even applicable to a measure, or whether the robust tier
+    (q_agg_mad / q_ts_theil_sen) is required.
+
+    Cross-engine exactness: the q_agg_skew_kurt discipline verbatim —
+    Σq..Σq⁴ exact BIGINTs, one fixed-order double expression, rounded
+    6; the rejection boolean compares the UNROUNDED statistic on both
+    engines; zero-variance cohorts are excluded on both sides (the
+    S/K expressions are undefined there).
+
+    100 TB posture: the identical four-BIGINT-accumulator partial-agg
+    shuffle as skew_kurt — JB adds only |groups|-sized projection
+    work on top."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("q")
+    ).groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("q").cast("double").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).cast("double").alias("s2"),
+        F.sum(F.col("q") * F.col("q") * F.col("q"))
+        .cast("double")
+        .alias("s3"),
+        F.sum(
+            F.col("q") * F.col("q") * F.col("q") * F.col("q")
+        )
+        .cast("double")
+        .alias("s4"),
+    )
+    m1 = F.col("s1") / F.col("n")
+    var_pop = F.col("s2") / F.col("n") - m1 * m1
+    skw = (
+        F.col("s3") / F.col("n")
+        - 3 * m1 * (var_pop + m1 * m1)
+        + 2 * m1 * m1 * m1
+    ) / F.pow(var_pop, 1.5)
+    kurt = (
+        F.col("s4") / F.col("n")
+        - 4 * m1 * (F.col("s3") / F.col("n"))
+        + 6 * m1 * m1 * (var_pop + m1 * m1)
+        - 3 * m1 * m1 * m1 * m1
+    ) / (var_pop * var_pop) - 3
+    jb = F.col("n") / 6 * (skw * skw + kurt * kurt / 4)
+    return (
+        s.filter(var_pop > 0)
+        .select(
+            "l_returnflag",
+            F.col("n").cast("long").alias("n_rows"),
+            F.round(jb, 6).alias("jb_stat"),
+            (jb > 5.99).alias("reject_normal_5pct"),
+        )
+    )
+
+
+@register(
+    "q_agg_log_rank",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts,
+             MAX(ts) AS last_ts
+      FROM events GROUP BY user_id
+      HAVING MIN(CASE WHEN event_type = 'signup' THEN ts END)
+             IS NOT NULL),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM events e JOIN u ON u.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= u.s_ts
+      GROUP BY e.user_id),
+    dd AS (
+      SELECT u.user_id, CAST(u.user_id % 2 AS INTEGER) AS grp,
+             CASE WHEN p.c_ts IS NOT NULL
+                  THEN date_diff('day', CAST(u.s_ts AS DATE),
+                                 CAST(p.c_ts AS DATE))
+                  ELSE date_diff('day', CAST(u.s_ts AS DATE),
+                                 CAST(u.last_ts AS DATE)) END AS dur,
+             CASE WHEN p.c_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM u LEFT JOIN p ON p.user_id = u.user_id),
+    h AS (
+      SELECT dur,
+             CAST(SUM(CASE WHEN grp = 0 THEN ev ELSE 0 END) AS BIGINT)
+               AS d1,
+             CAST(SUM(CASE WHEN grp = 1 THEN ev ELSE 0 END) AS BIGINT)
+               AS d2,
+             CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS t1,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS t2
+      FROM dd GROUP BY dur),
+    r AS (
+      SELECT dur, d1, d2,
+             CAST(SUM(t1) OVER (ORDER BY dur DESC) AS BIGINT) AS n1t,
+             CAST(SUM(t2) OVER (ORDER BY dur DESC) AS BIGINT) AS n2t
+      FROM h),
+    terms AS (
+      SELECT d1,
+             CAST(ROUND(CAST((d1 + d2) * n1t AS DOUBLE)
+                        / (n1t + n2t), 6) AS DECIMAL(28,6)) AS e1,
+             CASE WHEN n1t + n2t > 1 THEN
+               CAST(ROUND(CAST((d1 + d2) AS DOUBLE) * n1t
+                          / (n1t + n2t)
+                          * n2t / (n1t + n2t)
+                          * (n1t + n2t - d1 - d2)
+                          / (n1t + n2t - 1), 6)
+                    AS DECIMAL(28,6))
+             ELSE CAST(0 AS DECIMAL(28,6)) END AS v1
+      FROM r WHERE d1 + d2 > 0),
+    agg AS (
+      SELECT CAST(SUM(d1) AS BIGINT) AS o1, SUM(e1) AS e1,
+             SUM(v1) AS v1
+      FROM terms),
+    base AS (
+      SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1_users,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2_users
+      FROM dd)
+    SELECT b.n1_users, b.n2_users, a.o1,
+           ROUND(CAST(a.e1 AS DOUBLE), 6) AS e1,
+           CASE WHEN CAST(a.v1 AS DOUBLE) > 0 THEN
+             ROUND((a.o1 - CAST(a.e1 AS DOUBLE))
+                   / sqrt(CAST(a.v1 AS DOUBLE)), 6)
+           END AS lr_z
+    FROM agg a, base b
+    """,
+)
+def q_agg_log_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test between two user cohorts' signup→purchase
+    survival curves (q_agg_survival_km's durations; cohort =
+    user_id parity, the deterministic stand-in for an experiment
+    flag): at each event time, observed group-0 conversions vs the
+    hypergeometric expectation E1 = d·n1/n and variance
+    d·(n1/n)·(n2/n)·(n−d)/(n−1); z = (O1−ΣE1)/√ΣV — "did arm A
+    convert faster than arm B, censoring handled correctly", the
+    A/B-testing statistic naive conversion-rate cuts get wrong.
+
+    Cross-engine exactness: d's and the at-risk counts are exact
+    BIGINTs per event time (descending histogram cumsums, the
+    survival_km discipline); each E/V term is ONE fixed-order double
+    expression ROUNDED TO 6 and accumulated in DECIMAL(28,6)
+    (order-free — the q_agg_entropy mechanism); the close-out z is
+    one division + sqrt, rounded 6; zero variance → NULL on both
+    engines.
+
+    100 TB posture: the same two corpus passes as survival_km
+    (per-user agg + purchase-after-signup min); all test arithmetic
+    runs on the |distinct durations| histogram."""
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("ts"))
+            ).alias("s_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .filter(F.col("s_ts").isNotNull())
+        # two consumers, |users|-bounded (the survival_km discipline)
+        .localCheckpoint(eager=True)
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(u.select("user_id", "s_ts"), "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    dd = u.join(p, "user_id", "left").select(
+        (F.col("user_id") % 2).cast("int").alias("grp"),
+        F.when(
+            F.col("c_ts").isNotNull(),
+            F.datediff(F.to_date("c_ts"), F.to_date("s_ts")),
+        )
+        .otherwise(F.datediff(F.to_date("last_ts"), F.to_date("s_ts")))
+        .alias("dur"),
+        F.when(F.col("c_ts").isNotNull(), 1).otherwise(0).alias("ev"),
+    ).localCheckpoint(eager=True)  # two consumers: histogram + base
+    h = dd.groupBy("dur").agg(
+        F.sum(F.when(F.col("grp") == 0, F.col("ev")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum(F.when(F.col("grp") == 1, F.col("ev")).otherwise(0))
+        .cast("long")
+        .alias("d2"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("t1"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("t2"),
+    )
+    w_desc = Window.orderBy(F.col("dur").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = h.select(
+        "dur",
+        "d1",
+        "d2",
+        F.sum("t1").over(w_desc).cast("long").alias("n1t"),
+        F.sum("t2").over(w_desc).cast("long").alias("n2t"),
+    ).filter(F.col("d1") + F.col("d2") > 0)
+    nt = F.col("n1t") + F.col("n2t")
+    d = F.col("d1") + F.col("d2")
+    e1_term = F.round(
+        (d * F.col("n1t")).cast("double") / nt, 6
+    ).cast("decimal(28,6)")
+    v1_term = F.when(
+        nt > 1,
+        F.round(
+            d.cast("double")
+            * F.col("n1t")
+            / nt
+            * F.col("n2t")
+            / nt
+            * (nt - d)
+            / (nt - 1),
+            6,
+        ).cast("decimal(28,6)"),
+    ).otherwise(F.lit(0).cast("decimal(28,6)"))
+    agg = r.select(
+        "d1", e1_term.alias("e1"), v1_term.alias("v1")
+    ).agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("e1").alias("e1"),
+        F.sum("v1").alias("v1"),
+    )
+    base = dd.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n1_users"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n2_users"),
+    )
+    ed = F.col("e1").cast("double")
+    vd = F.col("v1").cast("double")
+    return base.crossJoin(agg).select(
+        "n1_users",
+        "n2_users",
+        "o1",
+        F.round(ed, 6).alias("e1"),
+        F.when(
+            vd > 0,
+            F.round((F.col("o1") - ed) / F.sqrt(vd), 6),
+        ).alias("lr_z"),
+    )
+
+
+WILSON_Z = "1.96"  # 95% two-sided normal quantile (shared literal)
+
+
+@register(
+    "q_agg_rate_wilson_ci",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                      ELSE 0 END) AS BIGINT) AS k
+      FROM events GROUP BY 1)
+    SELECT day, n, k,
+           ROUND(CAST(k AS DOUBLE) / n, 6) AS rate,
+           ROUND((CAST(k AS DOUBLE) / n
+                  + {WILSON_Z} * {WILSON_Z} / (2 * n)
+                  - {WILSON_Z}
+                    * sqrt(CAST(k AS DOUBLE) / n
+                           * (1 - CAST(k AS DOUBLE) / n) / n
+                           + {WILSON_Z} * {WILSON_Z}
+                             / (4.0 * n * n)))
+                 / (1 + {WILSON_Z} * {WILSON_Z} / n), 6) AS wilson_lo,
+           ROUND((CAST(k AS DOUBLE) / n
+                  + {WILSON_Z} * {WILSON_Z} / (2 * n)
+                  + {WILSON_Z}
+                    * sqrt(CAST(k AS DOUBLE) / n
+                           * (1 - CAST(k AS DOUBLE) / n) / n
+                           + {WILSON_Z} * {WILSON_Z}
+                             / (4.0 * n * n)))
+                 / (1 + {WILSON_Z} * {WILSON_Z} / n), 6) AS wilson_hi
+    FROM d
+    """,
+)
+def q_agg_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily purchase-share with a Wilson score 95% interval — the
+    proportion CI that behaves at the boundaries (k=0 or k=n give
+    sensible asymmetric intervals where the Wald ±z√(p̂q̂/n) collapses
+    to a point) and at small n — the per-cell uncertainty layer a
+    metrics dashboard needs before alerting on a rate change
+    (q_anomaly_zscore_daily flags the point move; this says whether
+    the day's sample even supports it).
+
+    Cross-engine exactness: k and n are exact integers; p̂ = k/n is
+    one IEEE division and the Wilson bounds are ONE fixed-order double
+    expression each with the z literal shared textually, rounded 6;
+    sqrt is correctly rounded on both engines.
+
+    100 TB posture: one map-side partial agg onto the |days| grid;
+    everything else is |days|-sized projection."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.to_date("ts").cast("string").alias("day")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("k"),
+    )
+    z = F.lit(float(WILSON_Z))
+    n = F.col("n")
+    p = F.col("k").cast("double") / n
+    half = z * F.sqrt(
+        p * (1 - p) / n + z * z / (F.lit(4.0) * n * n)
+    )
+    center = p + z * z / (2 * n)
+    denom = 1 + z * z / n
+    return d.select(
+        "day",
+        "n",
+        "k",
+        F.round(p, 6).alias("rate"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )
+
+
+@register(
+    "q_ts_seasonal_strength",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    tr AS (
+      SELECT event_type, d, c,
+             CAST(isodow(d) AS INTEGER) AS dow,
+             CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY d
+                               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                  AS BIGINT) AS s7,
+             COUNT(*) OVER (PARTITION BY event_type ORDER BY d
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS w
+      FROM daily),
+    det AS (
+      SELECT event_type, dow, {DECOMP_W} * c - s7 AS det7
+      FROM tr WHERE w = {DECOMP_W}),
+    g AS (
+      SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(det7) AS HUGEINT) AS sg,
+             SUM(CAST(det7 AS HUGEINT) * det7) AS sgg
+      FROM det GROUP BY event_type, dow),
+    parts AS (
+      SELECT event_type,
+             CAST(SUM(ng) AS BIGINT) AS n,
+             SUM(sg) AS s,
+             SUM(sgg) AS ss,
+             SUM(CAST(ROUND(CAST(sgg AS DOUBLE)
+                            - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                              / ng, 6) AS DECIMAL(38,6))) AS ssw
+      FROM g GROUP BY event_type)
+    SELECT event_type, n AS n_windows,
+           CASE WHEN n * ss - s * s > 0 THEN
+             ROUND(GREATEST(0.0,
+               1.0 - CAST(ssw AS DOUBLE)
+                     / (CAST(n * ss - s * s AS DOUBLE) / n)), 6)
+           END AS seasonal_strength
+    FROM parts
+    """,
+)
+def q_ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality STRENGTH per event type (Hyndman's F_s, STL-lite):
+    1 − Var(remainder)/Var(detrended), where detrended = seasonal +
+    remainder — computed as the ANOVA decomposition of the EXACT
+    integer det7 values (q_ts_decompose_ma's {DECOMP_W}·x − Σ₇ trick)
+    grouped by ISO weekday: within-dow sum of squares IS the
+    remainder variance mass, total SS the detrended mass, so
+    F_s = max(0, 1 − SSW/SST).  One number per series answering "is
+    the weekly cycle worth modeling" — the screen that routes between
+    q_ts_holt (no seasonality) and q_ts_holt_winters (weekly).
+
+    Cross-engine exactness: SST = nΣd²−(Σd)² is fully exact
+    (HUGEINT/DECIMAL); SSW needs one division per dow group, so each
+    group's term is rounded to 6 and accumulated in DECIMAL(38,6) —
+    the q_agg_entropy order-free discipline; the close-out is one
+    fixed-order double expression with GREATEST pinned at 0; constant
+    series → NULL on both engines.
+
+    100 TB posture: one corpus-sized (type, day) partial agg; the
+    centered window and both SS aggregations run on the
+    |types|·|days|-bounded daily relation."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").cast("long").alias("c"))
+    w7 = Window.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "event_type",
+        ((F.dayofweek("d") + 5) % 7 + 1).cast("int").alias("dow"),
+        (F.lit(DECOMP_W) * F.col("c") - F.sum("c").over(w7))
+        .cast("long")
+        .alias("det7"),
+        F.count("*").over(w7).alias("w"),
+    ).filter(F.col("w") == DECOMP_W)
+    dg = F.col("det7").cast("decimal(38,0)")
+    g = tr.groupBy("event_type", "dow").agg(
+        F.count("*").cast("long").alias("ng"),
+        F.sum(dg).alias("sg"),
+        F.sum(dg * F.col("det7")).alias("sgg"),
+    )
+    ssw_term = F.round(
+        F.col("sgg").cast("double")
+        - F.col("sg").cast("double")
+        * F.col("sg").cast("double")
+        / F.col("ng"),
+        6,
+    ).cast("decimal(38,6)")
+    parts = g.groupBy("event_type").agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("sgg").alias("ss"),
+        F.sum(ssw_term).alias("ssw"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    sst_num = nd * F.col("ss") - F.col("s") * F.col("s")
+    return parts.select(
+        "event_type",
+        F.col("n").alias("n_windows"),
+        F.when(
+            sst_num > 0,
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.lit(1.0)
+                    - F.col("ssw").cast("double")
+                    / (sst_num.cast("double") / F.col("n")),
+                ),
+                6,
+            ),
+        ).alias("seasonal_strength"),
     )

@@ -1539,3 +1539,95 @@ def x_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("cc").cast("double")) / KM_SCALE, 6
         ).alias("centroid_norm"),
     )
+
+
+SEM_DECON_N_EVAL = 20  # held-out eval set: vec_id < 20 (the
+# x_decontaminate doc_id<20 convention, embedding-space edition)
+SEM_DECON_THR = "0.35"  # flag threshold on max cosine to any eval
+# vector (shared literal; sized to the fixture's similarity range so
+# the op attests non-vacuously — corpus p99 vs evals is ~0.40)
+
+
+@register(
+    "x_decontaminate_semantic",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < {SEM_DECON_N_EVAL}),
+    c AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id >= {SEM_DECON_N_EVAL}),
+    scored AS (
+      SELECT c.vec_id, q.vec_id AS eval_id,
+             ROUND(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+      FROM c, q),
+    best AS (
+      SELECT vec_id, eval_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, eval_id) AS rnk
+      FROM scored)
+    SELECT vec_id, eval_id AS nearest_eval_id, cos_sim AS max_cos
+    FROM best
+    WHERE rnk = 1 AND cos_sim >= {SEM_DECON_THR}
+    """,
+)
+def x_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-SPACE decontamination: flag corpus vectors whose max
+    cosine to any held-out eval vector reaches {SEM_DECON_THR} — the
+    semantic sibling of x_decontaminate's exact 5-gram overlap.
+    Paraphrased or translated benchmark leakage carries near-zero
+    n-gram overlap but high embedding similarity, so a production
+    pipeline runs BOTH screens; each flagged row names its nearest
+    eval item for human triage (the survivor policy is downstream's).
+
+    Cross-engine exactness: the x_sim_topk_cosine conventions —
+    sequential-fold dot (bit-parity with list_dot_product), cosine
+    ROUNDED TO 6 BEFORE ranking so the argmax order is identical,
+    eval_id tiebreak.
+
+    100 TB posture: the eval set is bounded and BROADCAST (norms
+    precomputed per side, never per pair); the corpus is scanned once
+    map-side, |evals| dots per vector; the per-vector argmax is a
+    window over |evals| rows per key.  At billions of vectors the
+    LSH-bucketed variant (x_dedup_near_embedding_lsh's index) replaces
+    the dense sweep; the dense form here is the verify tier."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") < SEM_DECON_N_EVAL)
+        .select(
+            F.col("vec_id").alias("eval_id"),
+            _as_double(F.col("embedding")).alias("qv"),
+        )
+        .withColumn("qnorm", F.sqrt(dot(F.col("qv"), F.col("qv"))))
+    )
+    c = (
+        e.filter(F.col("vec_id") >= SEM_DECON_N_EVAL)
+        .select("vec_id", _as_double(F.col("embedding")).alias("cv"))
+        .withColumn("cnorm", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+    )
+    scored = c.join(broadcast(q)).select(
+        "vec_id",
+        "eval_id",
+        F.round(
+            dot(F.col("qv"), F.col("cv"))
+            / (F.col("qnorm") * F.col("cnorm")),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), "eval_id"
+    )
+    return (
+        scored.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(
+            (F.col("rnk") == 1)
+            & (F.col("cos_sim") >= float(SEM_DECON_THR))
+        )
+        .select(
+            "vec_id",
+            F.col("eval_id").alias("nearest_eval_id"),
+            F.col("cos_sim").alias("max_cos"),
+        )
+    )

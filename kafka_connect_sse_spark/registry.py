@@ -358,14 +358,15 @@ _PRIORITY = (
     "x_dp_count_release",
     "x_code_detect",
     "snk_manifest_commit",
-    # (d) top-up to 50: the alphabetically-first r6-era rows — the
-    # r6 cohort rotation starts here (the rest of the cohort rotates
-    # in r13+; each holds its r6 record on code unmodified this round)
-    "q_agg_approx_distinct",
-    "q_agg_bytes_by_type",
-    "q_agg_collect_sorted",
-    "q_agg_having",
-    "q_transitive_closure",
+    "x_decontaminate_semantic",
+    "q_agg_jarque_bera",
+    "q_agg_log_rank",
+    "q_agg_rate_wilson_ci",
+    "q_ts_seasonal_strength",
+    # (d) — displaced entirely by the 12 new ops; the r6 cohort
+    # rotation moves to r13 (all 43 rows hold their r6 records on
+    # code unmodified this round, plus this round's full sf0.01 +
+    # sf1 sweeps)
 )
 
 

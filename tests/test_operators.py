@@ -152,12 +152,11 @@ def test_round12_driver_window_composition(qs):
         "x_dp_count_release",
         "x_code_detect",
         "snk_manifest_commit",
-        # (d) r6-era cohort rotation, alphabetical top-up to 50
-        "q_agg_approx_distinct",
-        "q_agg_bytes_by_type",
-        "q_agg_collect_sorted",
-        "q_agg_having",
-        "q_transitive_closure",
+        "x_decontaminate_semantic",
+        "q_agg_jarque_bera",
+        "q_agg_log_rank",
+        "q_agg_rate_wilson_ci",
+        "q_ts_seasonal_strength",
     ]
     # every window op must carry an oracle (EXACT gate, not rows-only)
     from kafka_connect_sse_spark.registry import oracle_sql

@@ -120,6 +120,10 @@ ALLOWLIST = {
     "x_seq_pack": 2,
     "x_seq_tensorize": 2,
     "x_sim_topk_cosine": 2,
+    # eval slice + corpus slice of the same table (r12; the
+    # x_sim_topk_cosine query/candidate class — a checkpoint would
+    # materialize the whole corpus to save a 20-row scan)
+    "x_decontaminate_semantic": 2,
     "x_sim_topk_ivf": 2,
     "x_sim_topk_lsh": 2,
     "x_sim_topk_lsh_multiprobe": 2,
