@@ -6870,3 +6870,279 @@ def q_ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("seasonal_strength"),
     )
+
+
+# chi-squared 95% critical values for df 1..10 (Friedman decision);
+# literal in BOTH engines so the reject flag is engine-independent
+CHI2_CRIT_95 = {
+    1: 3.841, 2: 5.991, 3: 7.815, 4: 9.488, 5: 11.070,
+    6: 12.592, 7: 14.067, 8: 15.507, 9: 16.919, 10: 18.307,
+}
+_CHI2_CASE = " ".join(
+    f"WHEN {df} THEN {v}" for df, v in CHI2_CRIT_95.items()
+)
+
+
+@register(
+    "q_agg_friedman",
+    oracle=f"""
+    WITH days AS (
+      SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+      FROM events),
+    types AS (SELECT DISTINCT event_type FROM events),
+    cnt AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    grid AS (
+      SELECT d.day, t.event_type, COALESCE(c.n, 0) AS n
+      FROM days d CROSS JOIN types t
+      LEFT JOIN cnt c ON c.day = d.day AND c.event_type = t.event_type),
+    rk AS (
+      SELECT day, event_type,
+             CAST(RANK() OVER (PARTITION BY day ORDER BY n) AS BIGINT)
+               AS rmin,
+             CAST(COUNT(*) OVER (PARTITION BY day, n) AS BIGINT)
+               AS cties
+      FROM grid),
+    r2 AS (
+      SELECT event_type,
+             CAST(SUM(2 * rmin + cties - 1) AS BIGINT) AS rank_sum_x2
+      FROM rk GROUP BY event_type),
+    dims AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k FROM types),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM days),
+    q AS (
+      SELECT ROUND(
+               3.0 * SUM(CAST(rank_sum_x2 * rank_sum_x2 AS DOUBLE))
+                 / (nb.n * dims.k * (dims.k + 1))
+               - 3.0 * nb.n * (dims.k + 1), 6) AS friedman_q
+      FROM r2, dims, nb GROUP BY nb.n, dims.k)
+    SELECT r2.event_type, r2.rank_sum_x2,
+           ROUND(CAST(r2.rank_sum_x2 AS DOUBLE) / (2 * nb.n), 6)
+             AS mean_rank,
+           nb.n AS n_blocks, dims.k AS k,
+           q.friedman_q,
+           CAST(dims.k - 1 AS BIGINT) AS df,
+           CASE dims.k - 1 {_CHI2_CASE} END AS chi2_crit_95,
+           q.friedman_q > (CASE dims.k - 1 {_CHI2_CASE} END) AS reject
+    FROM r2, dims, nb, q
+    """,
+)
+def q_agg_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test — the non-parametric repeated-measures ANOVA:
+    do the event types differ in daily volume once every DAY serves as
+    its own block?  Each calendar day ranks the k event types by count
+    (ties get average ranks); Q = 12/(nk(k+1))·ΣR_j² − 3n(k+1) ~ χ²(k−1)
+    under exchangeability.  Completes the blocked-design corner of the
+    stats tier: q_agg_anova_oneway (independent parametric),
+    q_agg_kruskal_wallis (independent ranks), this (blocked ranks) —
+    robust to the day-to-day volume drift that inflates Kruskal-Wallis.
+
+    Mechanics: the day × type grid is completed (missing cells = 0) so
+    every block ranks ALL k treatments; average ranks stay EXACT as
+    2·rank integers (2·avgrank = 2·RANK() + ties − 1 — half-integers
+    never touch a float), so ΣR_j² enters the statistic as BIGINT²/4
+    and Q = 3·Σ(2R_j)²/(nk(k+1)) − 3n(k+1) is ONE double expression.
+    Classical (tie-uncorrected) statistic, documented as such.  The
+    reject decision compares the rounded Q against the literal χ²(df)
+    95% table shared textually by both engines (the q_agg_jarque_bera
+    convention).
+
+    100 TB posture: one corpus-sized (day, type) partial-agg count; the
+    grid completion, rank windows and rollup all ride the |days|·k
+    bounded relation.  Day blocks make the rank window's partition key
+    the date — no skew, k rows per partition."""
+    ev = load_table(spark, sf_dir, "events")
+    cnt = (
+        ev.groupBy(
+            F.to_date("ts").cast("string").alias("day"), "event_type"
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    days = cnt.select("day").distinct()
+    types = cnt.select("event_type").distinct()
+    grid = (
+        days.crossJoin(types)
+        .join(cnt, ["day", "event_type"], "left")
+        .select(
+            "day", "event_type", F.coalesce("n", F.lit(0)).alias("n")
+        )
+    )
+    wd = Window.partitionBy("day").orderBy("n")
+    wt = Window.partitionBy("day", "n")
+    rk = grid.select(
+        "day",
+        "event_type",
+        F.rank().over(wd).cast("long").alias("rmin"),
+        F.count("*").over(wt).cast("long").alias("cties"),
+    )
+    r2 = (
+        rk.groupBy("event_type")
+        .agg(
+            F.sum(2 * F.col("rmin") + F.col("cties") - 1)
+            .cast("long")
+            .alias("rank_sum_x2")
+        )
+        .localCheckpoint(eager=True)
+    )
+    dims = types.agg(F.count("*").cast("long").alias("k"))
+    nb = days.agg(F.count("*").cast("long").alias("n"))
+    q = (
+        r2.crossJoin(dims)
+        .crossJoin(nb)
+        .groupBy("n", "k")
+        .agg(
+            F.round(
+                F.lit(3.0)
+                * F.sum(
+                    (F.col("rank_sum_x2") * F.col("rank_sum_x2")).cast(
+                        "double"
+                    )
+                )
+                / (F.col("n") * F.col("k") * (F.col("k") + 1))
+                - F.lit(3.0) * F.col("n") * (F.col("k") + 1),
+                6,
+            ).alias("friedman_q")
+        )
+        .select("friedman_q")
+    )
+    crit = F.expr(f"CASE k - 1 {_CHI2_CASE} END")
+    return (
+        r2.crossJoin(dims)
+        .crossJoin(nb)
+        .crossJoin(q)
+        .select(
+            "event_type",
+            "rank_sum_x2",
+            F.round(
+                F.col("rank_sum_x2").cast("double") / (2 * F.col("n")), 6
+            ).alias("mean_rank"),
+            F.col("n").alias("n_blocks"),
+            "k",
+            "friedman_q",
+            (F.col("k") - 1).cast("long").alias("df"),
+            crit.alias("chi2_crit_95"),
+            (F.col("friedman_q") > crit).alias("reject"),
+        )
+    )
+
+
+BOLL_W = 7  # rolling window width (days, ROWS frame)
+BOLL_K = 2  # band half-width in rolling population stddevs
+
+
+@register(
+    "q_ts_bollinger",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             SUM(CAST(value AS DECIMAL(18,6))) AS tot
+      FROM events GROUP BY 1),
+    w AS (
+      SELECT day, tot,
+             CAST(COUNT(*) OVER win AS BIGINT) AS n_win,
+             SUM(tot) OVER win AS s,
+             SUM(tot * tot) OVER win AS sq
+      FROM d
+      WINDOW win AS (ORDER BY day ROWS {BOLL_W - 1} PRECEDING))
+    SELECT day,
+           ROUND(CAST(tot AS DOUBLE), 6) AS total,
+           n_win,
+           ROUND(CAST(s AS DOUBLE) / n_win, 6) AS sma,
+           ROUND(sqrt(GREATEST(
+             (n_win * CAST(sq AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+             / (CAST(n_win AS DOUBLE) * n_win), 0.0)), 6) AS sd,
+           ROUND(CAST(s AS DOUBLE) / n_win
+                 + {BOLL_K} * sqrt(GREATEST(
+                     (n_win * CAST(sq AS DOUBLE)
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                     / (CAST(n_win AS DOUBLE) * n_win), 0.0)), 6)
+             AS upper_band,
+           ROUND(CAST(s AS DOUBLE) / n_win
+                 - {BOLL_K} * sqrt(GREATEST(
+                     (n_win * CAST(sq AS DOUBLE)
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                     / (CAST(n_win AS DOUBLE) * n_win), 0.0)), 6)
+             AS lower_band,
+           CASE WHEN n_win < {BOLL_W} THEN NULL
+                WHEN ROUND(CAST(tot AS DOUBLE), 6)
+                     > ROUND(CAST(s AS DOUBLE) / n_win
+                             + {BOLL_K} * sqrt(GREATEST(
+                                 (n_win * CAST(sq AS DOUBLE)
+                                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                                 / (CAST(n_win AS DOUBLE) * n_win), 0.0)),
+                             6) THEN 'up'
+                WHEN ROUND(CAST(tot AS DOUBLE), 6)
+                     < ROUND(CAST(s AS DOUBLE) / n_win
+                             - {BOLL_K} * sqrt(GREATEST(
+                                 (n_win * CAST(sq AS DOUBLE)
+                                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                                 / (CAST(n_win AS DOUBLE) * n_win), 0.0)),
+                             6) THEN 'down'
+                ELSE 'in' END AS breakout
+    FROM w
+    """,
+)
+def q_ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands on the daily event-value total: {BOLL_W}-day
+    rolling mean ± {BOLL_K}·(rolling population σ), with a breakout flag
+    when a day closes outside its own band — the volatility-adaptive
+    envelope that complements q_ts_ewma (level), q_anomaly_zscore_daily
+    (global-distribution z) and q_ts_cusum (drift): the band widens in
+    volatile regimes so one-off spikes in a noisy week don't alert.
+
+    Cross-engine exactness: daily totals, their windowed sums and the
+    windowed sum of squares accumulate as DECIMAL — EXACT regardless of
+    the engines' window-frame association order (DuckDB's segment-tree
+    evaluation vs Spark's running frame never meets a float); mean, σ =
+    √((nΣx²−(Σx)²)/n²) and the bands are ONE fixed-order double
+    expression over those exact decimals, rounded 6; the breakout flag
+    compares the ROUNDED total to the ROUNDED bands so an ulp can never
+    flip it.  Warm-up rows (n_win < {BOLL_W}) emit NULL breakout.
+
+    100 TB posture: one corpus-sized (day) partial-agg; the rolling
+    window rides the |days| relation ordered by day — at scale that
+    window partitions by (series) when there are many series; here the
+    single series is |days|-bounded, the documented global-window
+    exception."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").cast("string").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("tot")
+    )
+    win = Window.orderBy("day").rowsBetween(-(BOLL_W - 1), 0)
+    w = d.select(
+        "day",
+        "tot",
+        F.count("*").over(win).cast("long").alias("n_win"),
+        F.sum("tot").over(win).alias("s"),
+        F.sum(F.col("tot") * F.col("tot")).over(win).alias("sq"),
+    )
+    n = F.col("n_win")
+    s = F.col("s").cast("double")
+    sq = F.col("sq").cast("double")
+    mean = s / n
+    sd = F.sqrt(
+        F.greatest(
+            (n * sq - s * s) / (n.cast("double") * n), F.lit(0.0)
+        )
+    )
+    tot6 = F.round(F.col("tot").cast("double"), 6)
+    up6 = F.round(mean + BOLL_K * sd, 6)
+    lo6 = F.round(mean - BOLL_K * sd, 6)
+    return w.select(
+        "day",
+        tot6.alias("total"),
+        "n_win",
+        F.round(mean, 6).alias("sma"),
+        F.round(sd, 6).alias("sd"),
+        up6.alias("upper_band"),
+        lo6.alias("lower_band"),
+        F.when(n < BOLL_W, F.lit(None).cast("string"))
+        .when(tot6 > up6, F.lit("up"))
+        .when(tot6 < lo6, F.lit("down"))
+        .otherwise(F.lit("in"))
+        .alias("breakout"),
+    )

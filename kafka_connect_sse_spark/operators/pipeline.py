@@ -2025,3 +2025,232 @@ def x_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") + noise, 6).alias("noisy_count"),
         eps.alias("epsilon"),
     )
+
+
+UNIMAX_EPOCH_CAP = 3  # max epochs any language may repeat (UniMax N)
+UNIMAX_BUDGET_X = 2   # token budget as a multiple of the corpus total
+
+
+@register(
+    "x_unimax_mixture",
+    oracle=f"""
+    WITH s AS (
+      SELECT lang, CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS t
+      FROM documents GROUP BY lang),
+    g AS (SELECT CAST({UNIMAX_BUDGET_X} * SUM(t) AS BIGINT) AS b,
+                 CAST(COUNT(*) AS BIGINT) AS l
+          FROM s),
+    r AS (
+      SELECT lang, t,
+             CAST({UNIMAX_EPOCH_CAP} * t AS BIGINT) AS cap,
+             CAST(ROW_NUMBER() OVER (ORDER BY t, lang) AS BIGINT) AS rn,
+             CAST(SUM({UNIMAX_EPOCH_CAP} * t)
+                    OVER (ORDER BY t, lang
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+      FROM s),
+    f AS (
+      SELECT r.*, g.b, g.l,
+             CASE WHEN cap * (g.l - rn + 1) <= g.b - (p - cap)
+                  THEN 1 ELSE 0 END AS capped
+      FROM r, g),
+    k AS (SELECT COALESCE(MAX(CASE WHEN capped = 1 THEN rn END),
+                          CAST(0 AS BIGINT)) AS kk,
+                 COALESCE(MAX(CASE WHEN capped = 1 THEN p END),
+                          CAST(0 AS BIGINT)) AS pk
+          FROM f)
+    SELECT f.lang, f.t AS n_tokens, f.cap AS cap_tokens,
+           f.capped = 1 AS capped,
+           CAST(CASE WHEN f.capped = 1 THEN f.cap
+                     ELSE (f.b - k.pk) // (f.l - k.kk) END
+                AS BIGINT) AS alloc_tokens,
+           ROUND(CAST(CASE WHEN f.capped = 1 THEN f.cap
+                           ELSE (f.b - k.pk) // (f.l - k.kk) END
+                      AS DOUBLE) / f.b, 6) AS alloc_share,
+           ROUND(CAST(CASE WHEN f.capped = 1 THEN f.cap
+                           ELSE (f.b - k.pk) // (f.l - k.kk) END
+                      AS DOUBLE) / f.t, 6) AS epochs
+    FROM f, k
+    """,
+)
+def x_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-mixture allocation (Chung et al. 2023): give every
+    language an equal share of the token budget, EXCEPT that no language
+    may repeat more than {UNIMAX_EPOCH_CAP} epochs — the waterfilling
+    policy that dominates temperature sampling when tail languages are
+    tiny (temperature still over-repeats them; UniMax caps the repeats
+    and redistributes the freed budget uniformly).  Completes the
+    mixture-policy tier: x_token_budget (proportional), x_lang_balance
+    (hard quota), x_sample_temperature (τ-scaled), this (cap + uniform).
+
+    Mechanics — the greedy loop has a CLOSED FORM over the cap-ascending
+    order: with caps c_i = {UNIMAX_EPOCH_CAP}·t_i sorted ascending and
+    prefix sums P_i, language i is capped iff
+    c_i·(L−i+1) ≤ B − P_(i−1) (false is absorbing as i grows — proved
+    by c_j ≥ c_i monotonicity), so ONE row_number + ONE prefix-sum
+    window finds the switch point k, and every uncapped language gets
+    the integer share (B − P_k) DIV (L − k).  No driver-side loop, no
+    recursion — the same rank-then-threshold shape as x_token_budget's
+    largest-remainder apportionment.
+
+    Cross-engine exactness: token counts, caps, prefix sums, the capped
+    predicate, and alloc_tokens are ALL BIGINT arithmetic (integer DIV,
+    never a float divide); alloc_share and epochs are single IEEE
+    divisions of those integers, rounded 6.
+
+    100 TB posture: one corpus-sized map-side token-count partial agg
+    onto |langs| rows; the windows and the k-scan run on that bounded
+    relation (global window over |langs| is deliberate — the relation
+    is mixture-table-sized).  The alloc table is what the sampler
+    broadcasts; budget B = {UNIMAX_BUDGET_X}× corpus total and cap
+    {UNIMAX_EPOCH_CAP} are sized so the fixture exercises BOTH branches
+    (the smallest language caps, the rest split the remainder)."""
+    d = load_table(spark, sf_dir, "documents")
+    s = (
+        d.groupBy("lang")
+        .agg(
+            F.sum(F.size(F.split(F.col("text"), " ")))
+            .cast("long")
+            .alias("t")
+        )
+        # |langs| rows feed the budget agg, the rank window and the
+        # k-scan — localCheckpoint so the corpus pass runs ONCE (the
+        # x_sample_temperature bounded-relation rule).
+        .localCheckpoint(eager=True)
+    )
+    g = s.agg(
+        (F.lit(UNIMAX_BUDGET_X) * F.sum("t")).cast("long").alias("b"),
+        F.count("*").cast("long").alias("l"),
+    )
+    w = Window.orderBy("t", "lang")
+    r = s.select(
+        "lang",
+        "t",
+        (F.lit(UNIMAX_EPOCH_CAP) * F.col("t")).cast("long").alias("cap"),
+        F.row_number().over(w).cast("long").alias("rn"),
+    ).withColumn(
+        "p",
+        F.sum("cap").over(
+            Window.orderBy("t", "lang").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ).cast("long"),
+    )
+    f = r.crossJoin(g).withColumn(
+        "capped",
+        (
+            F.col("cap") * (F.col("l") - F.col("rn") + 1)
+            <= F.col("b") - (F.col("p") - F.col("cap"))
+        ).cast("int"),
+    ).localCheckpoint(eager=True)
+    k = f.agg(
+        F.coalesce(
+            F.max(F.when(F.col("capped") == 1, F.col("rn"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("kk"),
+        F.coalesce(
+            F.max(F.when(F.col("capped") == 1, F.col("p"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("pk"),
+    )
+    alloc = F.when(F.col("capped") == 1, F.col("cap")).otherwise(
+        F.expr("(b - pk) div (l - kk)")
+    )
+    return f.crossJoin(k).select(
+        "lang",
+        F.col("t").alias("n_tokens"),
+        F.col("cap").alias("cap_tokens"),
+        (F.col("capped") == 1).alias("capped"),
+        alloc.cast("long").alias("alloc_tokens"),
+        F.round(alloc.cast("double") / F.col("b"), 6).alias("alloc_share"),
+        F.round(alloc.cast("double") / F.col("t"), 6).alias("epochs"),
+    )
+
+
+TENC_SMOOTH = 20  # pseudo-count m in enc = (sum_y + m·mu) / (n + m)
+
+
+@register(
+    "x_target_encoding",
+    oracle=f"""
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    seg AS (
+      SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(y) AS sy
+      FROM j GROUP BY segment),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS tn,
+             CAST(SUM(sy) AS DOUBLE) AS tsy
+      FROM seg)
+    SELECT seg.segment, seg.n AS n_orders,
+           ROUND(CAST(seg.sy AS DOUBLE) / seg.n, 6) AS raw_mean,
+           ROUND((CAST(seg.sy AS DOUBLE)
+                  + {TENC_SMOOTH} * (tot.tsy / tot.tn))
+                 / (seg.n + {TENC_SMOOTH}), 6) AS encoded,
+           ROUND(CAST(seg.n AS DOUBLE) / (seg.n + {TENC_SMOOTH}), 6)
+             AS shrink,
+           ROUND(tot.tsy / tot.tn, 6) AS global_mean
+    FROM seg, tot
+    """,
+)
+def x_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding (Micci-Barreca 2001): replace the
+    categorical c_mktsegment with the shrunk mean of the target
+    (o_totalprice) — enc = (Σy + m·μ)/(n + m) with pseudo-count
+    m = {TENC_SMOOTH} — the standard high-cardinality categorical
+    feature for tree/linear models.  A rare category's encoding shrinks
+    toward the global mean μ instead of memorizing its few labels (the
+    leakage failure mode of the unsmoothed per-category mean); `shrink`
+    = n/(n+m) says how much each category trusts its own data.
+
+    Cross-engine exactness: per-segment n and Σy are exact (BIGINT
+    count, DECIMAL(18,2) money sum per the FIXTURES.md §6 discipline);
+    μ and the encoding are ONE fixed-order double expression over those
+    exact aggregates, rounded 6.
+
+    100 TB posture: the only corpus-sized stage is the orders ⋈ customer
+    key shuffle (both sides large at scale — AQE broadcasts the dim when
+    it fits, q_join_inner_broadcast's pattern); the partial agg lands on
+    |segments| rows and everything after is constant-size.  The encoding
+    table is what the feature pipeline broadcasts back onto the fact
+    table at apply time."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+    )
+    seg = (
+        j.groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("y").alias("sy"),
+        )
+        # |segments| rows feed both the global-mean agg and the final
+        # projection — run the join once.
+        .localCheckpoint(eager=True)
+    )
+    tot = seg.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("sy").cast("double").alias("tsy"),
+    )
+    m = F.lit(float(TENC_SMOOTH))
+    mu = F.col("tsy") / F.col("tn")
+    return seg.crossJoin(tot).select(
+        "segment",
+        F.col("n").alias("n_orders"),
+        F.round(F.col("sy").cast("double") / F.col("n"), 6).alias(
+            "raw_mean"
+        ),
+        F.round(
+            (F.col("sy").cast("double") + m * mu) / (F.col("n") + m), 6
+        ).alias("encoded"),
+        F.round(F.col("n").cast("double") / (F.col("n") + m), 6).alias(
+            "shrink"
+        ),
+        F.round(mu, 6).alias("global_mean"),
+    )

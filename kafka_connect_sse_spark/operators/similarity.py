@@ -1631,3 +1631,173 @@ def x_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cos_sim").alias("max_cos"),
         )
     )
+
+
+ECE_BINS = 10  # reliability-diagram bins over confidence in [0, 1]
+
+
+@register(
+    "x_ece_calibration",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+               FROM embeddings),
+    exd AS (SELECT label, g.i AS i, e[g.i] AS val
+            FROM v, UNNEST(generate_series(1, len(e))) AS g(i)),
+    cm AS (SELECT label, i, ROUND(AVG(val), 6) AS cv
+           FROM exd GROUP BY label, i),
+    c AS (SELECT label AS clabel, list(cv ORDER BY i) AS cvec
+          FROM cm GROUP BY label),
+    scored AS (
+      SELECT v.vec_id, v.label, c.clabel,
+             ROUND(list_dot_product(v.e, c.cvec)
+                   / (SQRT(list_dot_product(v.e, v.e))
+                      * SQRT(list_dot_product(c.cvec, c.cvec))), 6)
+               AS cos
+      FROM v CROSS JOIN c),
+    pred AS (
+      SELECT vec_id, label, clabel AS predicted, cos,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, clabel) AS rn
+      FROM scored),
+    conf AS (
+      SELECT vec_id, label, predicted,
+             ROUND((1.0 + cos) / 2.0, 7) AS conf,
+             CAST(LEAST(FLOOR(((1.0 + cos) / 2.0) * {ECE_BINS}),
+                        {ECE_BINS} - 1) AS BIGINT) AS bin
+      FROM pred WHERE rn = 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM conf),
+    bins AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN predicted = label THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_correct,
+             SUM(CAST(conf AS DECIMAL(11,7))) AS sum_conf
+      FROM conf GROUP BY bin)
+    SELECT b.bin,
+           ROUND(CAST(b.bin AS DOUBLE) / {ECE_BINS}, 6) AS conf_lo,
+           b.n, b.n_correct,
+           ROUND(CAST(b.n_correct AS DOUBLE) / b.n, 6) AS acc,
+           ROUND(CAST(b.sum_conf AS DOUBLE) / b.n, 6) AS avg_conf,
+           ROUND(ABS(CAST(b.n_correct AS DOUBLE) / b.n
+                     - CAST(b.sum_conf AS DOUBLE) / b.n), 6) AS gap,
+           ROUND(CAST(b.n AS DOUBLE) / tot.nt, 6) AS weight,
+           CAST(SUM(CAST(ROUND(
+                  ABS(CAST(b.n_correct AS DOUBLE) / b.n
+                      - CAST(b.sum_conf AS DOUBLE) / b.n)
+                  * b.n / tot.nt, 9) AS DECIMAL(12,9)))
+                OVER () AS DOUBLE) AS ece
+    FROM bins b, tot
+    """,
+)
+def x_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error of the nearest-centroid classifier
+    over the embeddings table — the reliability diagram (per-bin
+    accuracy vs mean confidence) plus the scalar ECE = Σ_b w_b·|acc_b −
+    conf_b|.  The labeled-data QA layer ABOVE x_label_separation: the
+    centroid geometry says classes are separable; this says whether the
+    induced classifier's confidence can be TRUSTED as a probability —
+    the statistic that decides if model-scored quality/filter labels
+    (x_quality_classifier's world) can gate data by a confidence
+    threshold at 100 TB.
+
+    Mechanics: per-label centroids are the rounded-6 element-wise means
+    (the x_label_separation discipline); every vector scores a rounded-6
+    cosine against each centroid, argmax with label-ascending tiebreak
+    (rounded BEFORE ranking, the x_sim_topk_cosine rule); confidence is
+    the affine map (1+cos)/2 onto [0,1] (monotone, deterministic —
+    documented as a calibration MAP choice, not a softmax); bins are
+    floor(conf·10) clamped to 9.
+
+    Cross-engine exactness: cosines and conf are rounded-6 before any
+    decision; (1+x)/2 of a 6-dp value is a 7-decimal-digit quantity, so
+    conf rounds at 7 dp — NEVER back onto the 6-dp grid, whose halfway
+    points are exactly where Spark's shortest-repr HALF_UP and DuckDB's
+    binary rounding disagree (the BASELINE.md §18a class, caught live by
+    the gate); ·10 and the floor ride the same double on both engines;
+    per-bin conf sums ride DECIMAL(11,7) (order-free); acc and the gap are fixed-order expressions of exact
+    integers/decimals; the ECE fold sums rounded-9 DECIMAL contributions
+    over the ≤10-row bin relation.
+
+    100 TB posture: centroids come from ONE posexplode partial-agg onto
+    |labels|·dim groups and broadcast back (|labels| tiny); scoring is a
+    map-side |labels|-way fan-out — no N² pair join; the bin rollup is a
+    10-group partial agg.  Every post-scan relation is bounded."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("e")
+    )
+    exd = v.select("label", F.posexplode("e").alias("i", "val"))
+    cm = exd.groupBy("label", "i").agg(
+        F.round(F.avg("val"), 6).alias("cv")
+    )
+    c = (
+        cm.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cv"))).alias("sc"))
+        .select(
+            F.col("label").alias("clabel"), F.col("sc.cv").alias("cvec")
+        )
+    )
+    scored = v.crossJoin(broadcast(c)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.round(
+            dot(F.col("e"), F.col("cvec"))
+            / (
+                F.sqrt(dot(F.col("e"), F.col("e")))
+                * F.sqrt(dot(F.col("cvec"), F.col("cvec")))
+            ),
+            6,
+        ).alias("cos"),
+    )
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("clabel")
+    )
+    conf = (
+        scored.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "label",
+            F.col("clabel").alias("predicted"),
+            F.round((F.lit(1.0) + F.col("cos")) / 2.0, 7).alias("conf"),
+            F.least(
+                F.floor(((F.lit(1.0) + F.col("cos")) / 2.0) * ECE_BINS),
+                F.lit(ECE_BINS - 1).cast("long"),
+            )
+            .cast("long")
+            .alias("bin"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = conf.agg(F.count("*").cast("long").alias("nt"))
+    bins = conf.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("predicted") == F.col("label"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_correct"),
+        F.sum(F.col("conf").cast("decimal(11,7)")).alias("sum_conf"),
+    )
+    acc = F.col("n_correct").cast("double") / F.col("n")
+    avgc = F.col("sum_conf").cast("double") / F.col("n")
+    contrib = F.round(
+        F.abs(acc - avgc) * F.col("n") / F.col("nt"), 9
+    ).cast("decimal(12,9)")
+    return bins.crossJoin(tot).select(
+        "bin",
+        F.round(F.col("bin").cast("double") / ECE_BINS, 6).alias(
+            "conf_lo"
+        ),
+        "n",
+        "n_correct",
+        F.round(acc, 6).alias("acc"),
+        F.round(avgc, 6).alias("avg_conf"),
+        F.round(F.abs(acc - avgc), 6).alias("gap"),
+        F.round(F.col("n").cast("double") / F.col("nt"), 6).alias(
+            "weight"
+        ),
+        F.sum(contrib)
+        .over(Window.partitionBy())
+        .cast("double")
+        .alias("ece"),
+    )

@@ -108,7 +108,13 @@ def register(name: str, oracle: str | None = None):
 #       item 2).  q_ts_decompose_ma had a docstring-exponent fix only
 #       (ADVICE r12/3) but sits in the 38 regardless;
 #   (b) new ops this round lead per rotation policy and displace the
-#       deepest (d) rows one-for-one as they land;
+#       deepest (d) rows one-for-one as they land.  The session-2
+#       batch (x_unimax_mixture, x_target_encoding, q_agg_friedman,
+#       q_ts_bollinger, x_ece_calibration, ...) landed after the
+#       window filled at 50 (38 debt rows are immovable per VERDICT
+#       r11 item 1) — they carry sf0.001+sf0.01 builder attestation
+#       plus the sf1 gate this round and LEAD the r13 window, exactly
+#       the r11 session-3 precedent;
 #   (c) —
 #   (d) top-up to 50 from the r6-era cohort (43 rows hold r6 as their
 #       newest record after the r11 rotation closed the r5 debt),

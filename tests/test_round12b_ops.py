@@ -1,0 +1,197 @@
+"""Round-12 session-2 behavioral tests: UniMax waterfilling, target
+encoding, Friedman blocked ranks, Bollinger bands, ECE calibration.
+Each op gets (a) the driver-style cross-engine gate at sf0.01 and
+(b) hand-computed / invariant assertions that catch semantic bugs
+mirrored on both engines (the gate's blind spot)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from kafka_connect_sse_spark.registry import oracle_sql, queries
+
+SF001 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def q():
+    return queries()
+
+
+@pytest.fixture(scope="module")
+def osql():
+    return oracle_sql()
+
+
+def _duck_views(sf_dir: str, tables):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _cross_engine(spark, q, osql, name, sf_dir, tables):
+    from tools.check_correctness import canon
+
+    spdf = q[name](spark, sf_dir).toPandas()
+    con = _duck_views(sf_dir, tables)
+    opdf = con.execute(osql[name]).df()
+    scols, srows, shash = canon(spdf)
+    ocols, orows, ohash = canon(opdf)
+    assert scols == ocols, (name, scols, ocols)
+    assert shash == ohash, (name, srows[:4], orows[:4])
+    return spdf
+
+
+def test_unimax_gate_and_waterfilling_invariants(spark, q, osql):
+    from kafka_connect_sse_spark.operators.pipeline import (
+        UNIMAX_BUDGET_X,
+        UNIMAX_EPOCH_CAP,
+    )
+
+    df = _cross_engine(
+        spark, q, osql, "x_unimax_mixture", SF001, ["documents"]
+    )
+    total = int(df["n_tokens"].sum())
+    budget = UNIMAX_BUDGET_X * total
+    # nobody exceeds the epoch cap, and the budget is never overspent
+    assert (df["alloc_tokens"] <= df["cap_tokens"]).all()
+    assert (
+        df["epochs"] <= UNIMAX_EPOCH_CAP + 1e-9
+    ).all()
+    assert int(df["alloc_tokens"].sum()) <= budget
+    # the fixture exercises BOTH branches (constants are sized for it)
+    assert df["capped"].any() and (~df["capped"]).any()
+    # every capped language gets exactly its cap; every uncapped
+    # language gets the SAME equal share, and that share is at least
+    # as big as any cap that was granted (waterfilling order)
+    capped = df[df["capped"]]
+    uncapped = df[~df["capped"]]
+    assert (capped["alloc_tokens"] == capped["cap_tokens"]).all()
+    assert uncapped["alloc_tokens"].nunique() == 1
+    assert uncapped["alloc_tokens"].min() >= capped["cap_tokens"].max()
+
+
+def test_unimax_greedy_reference_loop_agrees(spark, q):
+    """Replay the UniMax greedy loop in plain Python and demand the
+    closed-form window implementation lands on the same allocation."""
+    from kafka_connect_sse_spark.operators.pipeline import (
+        UNIMAX_BUDGET_X,
+        UNIMAX_EPOCH_CAP,
+    )
+
+    df = (
+        q["x_unimax_mixture"](spark, SF001)
+        .toPandas()
+        .sort_values(["cap_tokens", "lang"])
+        .reset_index(drop=True)
+    )
+    total = int(df["n_tokens"].sum())
+    remaining = UNIMAX_BUDGET_X * total
+    langs_left = len(df)
+    expect = {}
+    share = None  # frozen equal share once the first language uncaps
+    for _, r in df.iterrows():
+        cap = int(r["cap_tokens"])
+        if share is None and cap * langs_left <= remaining:
+            expect[r["lang"]] = cap  # cheap language: grant its cap
+            remaining -= cap
+            langs_left -= 1
+        else:
+            # waterfilling switch point: every remaining language
+            # splits the leftover budget equally (integer floor)
+            if share is None:
+                share = remaining // langs_left
+            expect[r["lang"]] = share
+    got = dict(zip(df["lang"], df["alloc_tokens"].astype(int)))
+    assert got == expect
+
+
+def test_target_encoding_gate_and_shrinkage(spark, q, osql):
+    from kafka_connect_sse_spark.operators.pipeline import TENC_SMOOTH
+
+    df = _cross_engine(
+        spark,
+        q,
+        osql,
+        "x_target_encoding",
+        SF001,
+        ["orders", "customer"],
+    )
+    assert len(df) == 5  # mktsegments
+    mu = df["global_mean"].iloc[0]
+    for _, r in df.iterrows():
+        # encoding sits strictly between the raw mean and the global
+        # mean (proper shrinkage), closer to raw for bigger n
+        lo, hi = sorted([r["raw_mean"], mu])
+        assert lo - 1e-6 <= r["encoded"] <= hi + 1e-6, dict(r)
+        assert abs(
+            r["shrink"] - r["n_orders"] / (r["n_orders"] + TENC_SMOOTH)
+        ) < 1e-6
+
+
+def test_friedman_gate_and_rank_sum_identity(spark, q, osql):
+    df = _cross_engine(
+        spark, q, osql, "q_agg_friedman", SF001, ["events"]
+    )
+    k = int(df["k"].iloc[0])
+    n = int(df["n_blocks"].iloc[0])
+    assert len(df) == k == 5
+    # rank sums over all treatments must total n·k(k+1)/2 (each block
+    # hands out ranks 1..k exactly once, ties averaged) — doubled form
+    assert int(df["rank_sum_x2"].sum()) == n * k * (k + 1)
+    assert (df["df"] == k - 1).all()
+    # statistic non-negative and the decision matches the literal table
+    qstat = df["friedman_q"].iloc[0]
+    crit = df["chi2_crit_95"].iloc[0]
+    assert qstat >= 0
+    assert bool(df["reject"].iloc[0]) == (qstat > crit)
+
+
+def test_bollinger_gate_and_band_geometry(spark, q, osql):
+    df = _cross_engine(
+        spark, q, osql, "q_ts_bollinger", SF001, ["events"]
+    )
+    assert (df["upper_band"] >= df["sma"]).all()
+    assert (df["lower_band"] <= df["sma"]).all()
+    warm = df[df["n_win"] < 7]
+    full = df[df["n_win"] == 7]
+    assert warm["breakout"].isna().all()
+    assert full["breakout"].notna().all()
+    # flag consistent with the rounded band comparison
+    for _, r in full.iterrows():
+        if r["total"] > r["upper_band"]:
+            assert r["breakout"] == "up"
+        elif r["total"] < r["lower_band"]:
+            assert r["breakout"] == "down"
+        else:
+            assert r["breakout"] == "in"
+
+
+def test_ece_gate_and_weighted_gap_identity(spark, q, osql):
+    df = _cross_engine(
+        spark, q, osql, "x_ece_calibration", SF001, ["embeddings"]
+    )
+    assert df["n"].sum() == 500  # every vector lands in exactly one bin
+    assert (df["acc"] >= 0).all() and (df["acc"] <= 1).all()
+    assert (df["avg_conf"] >= 0).all() and (df["avg_conf"] <= 1).all()
+    # per-bin mean confidence must fall inside the bin's span (bins
+    # are floor(conf*10): [lo, lo+0.1))
+    for _, r in df.iterrows():
+        assert r["conf_lo"] - 1e-6 <= r["avg_conf"] < r["conf_lo"] + 0.1 + 1e-6
+    # the scalar ECE is the weight-gap fold it claims to be
+    ece = df["ece"].iloc[0]
+    assert (df["ece"] == ece).all()
+    manual = float((df["gap"] * df["weight"]).sum())
+    assert abs(ece - manual) < 5e-6
+    assert 0 <= ece <= 1
