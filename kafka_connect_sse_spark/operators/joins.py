@@ -1887,3 +1887,144 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "asof_lag_s"
         ),
     )
+
+
+KCORE_K = 2        # core order: peel until every survivor has deg >= K
+KCORE_ROUNDS = 8   # unrolled peel rounds; converged flag certifies it
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peel rounds as generated CTEs — the SAME fixed round
+    count the Spark plan unrolls, so both engines execute literally
+    the same iteration schedule."""
+    parts = [
+        # MATERIALIZED everywhere: DuckDB inlines plain CTEs at every
+        # reference, and each round references the previous one four
+        # times — un-materialized this expands 4^rounds scans (observed
+        # as "Too many open files" at round depth 8)
+        "e0 AS MATERIALIZED (SELECT u, v FROM edges)",
+        "n0 AS MATERIALIZED (SELECT DISTINCT node FROM ("
+        "SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0))",
+        "s0 AS (SELECT 0 AS round, "
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM n0) AS n_nodes, "
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM e0) AS n_edges)",
+    ]
+    for i in range(1, KCORE_ROUNDS + 1):
+        p = i - 1
+        parts += [
+            f"d{i} AS MATERIALIZED (SELECT node, COUNT(*) AS d FROM ("
+            f"SELECT u AS node FROM e{p} UNION ALL SELECT v FROM e{p})"
+            f" GROUP BY node)",
+            f"n{i} AS MATERIALIZED (SELECT node FROM d{i}"
+            f" WHERE d >= {KCORE_K})",
+            f"e{i} AS MATERIALIZED (SELECT e.u, e.v FROM e{p} e"
+            f" JOIN n{i} a ON a.node = e.u"
+            f" JOIN n{i} b ON b.node = e.v)",
+            f"s{i} AS (SELECT {i} AS round, "
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM n{i}) AS n_nodes, "
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM e{i}) AS n_edges)",
+        ]
+    union = " UNION ALL ".join(
+        f"SELECT * FROM s{i}" for i in range(KCORE_ROUNDS + 1)
+    )
+    return f"""
+    WITH {_COACT_EDGES_CTE},
+    {",".join(parts)},
+    hist AS ({union}),
+    conv AS (SELECT (SELECT n_nodes FROM hist
+                     WHERE round = {KCORE_ROUNDS})
+                  = (SELECT n_nodes FROM hist
+                     WHERE round = {KCORE_ROUNDS - 1}) AS converged)
+    SELECT hist.round, hist.n_nodes, hist.n_edges,
+           CAST({KCORE_K} AS BIGINT) AS k, conv.converged
+    FROM hist, conv
+    """
+
+
+@register("q_graph_kcore", oracle=_kcore_oracle())
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the user co-activity graph by iterative
+    peeling: repeatedly delete every vertex whose degree in the
+    surviving induced subgraph is < k (k = {KCORE_K}), until fixpoint —
+    the classic cohesion analytic (Seidman 1983; the 2-core is what
+    survives after all trees/pendants peel away).  Emits the peel
+    TRAJECTORY — (round, n_nodes, n_edges) per round — because the
+    decay curve itself is the diagnostic (a cliff at round 1 = pendant-
+    heavy graph; a long tail = chain structure), plus a `converged`
+    flag certifying the fixed {KCORE_ROUNDS}-round unroll actually
+    reached the fixpoint on this fixture (sf0.01 converges in 6; the
+    dense sf0.1/sf1 graphs in 1).
+
+    Iteration discipline: BOTH engines unroll the SAME literal round
+    count — the Spark plan via a Python loop that localCheckpoints each
+    survivor set (the x_kmeans_lloyd fixed-iteration precedent: bounded
+    lineage, no driver-side data, loop builds the plan only), the
+    oracle via generated CTEs from the same constants.  All counts
+    BIGINT — EXACT by construction.
+
+    100 TB posture: each round is one partial-agg degree count plus two
+    node-keyed semi-joins — all key-partitioned shuffles on the node
+    id, no global structure, no rank windows; the surviving relation
+    SHRINKS monotonically so later rounds are cheaper.  Round count at
+    scale follows the peel depth (the degeneracy ordering's span), not
+    graph size — for a production run the loop adds an early-exit on a
+    count equality check per round (driver reads ONE scalar, the
+    s_checkpoint_resume pacing rule); kept fixed-unrolled here so the
+    cross-engine gate pins an identical schedule.  Co-activity edge
+    build reuses _coactivity_edges (bucketed pair expansion, bounded
+    per-minute concurrency — q_triangle_count's analysis)."""
+    edges = _coactivity_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hist = [(0, nodes, edges)]
+    e_cur = edges
+    for i in range(1, KCORE_ROUNDS + 1):
+        deg = (
+            e_cur.select(F.col("u").alias("node"))
+            .unionAll(e_cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        n_new = (
+            deg.filter(F.col("d") >= KCORE_K)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        e_new = (
+            e_cur.join(
+                n_new.withColumnRenamed("node", "u"), "u", "left_semi"
+            )
+            .join(n_new.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        hist.append((i, n_new, e_new))
+        e_cur = e_new
+    rows = None
+    for i, n_df, e_df in hist:
+        r = (
+            n_df.agg(F.count("*").cast("long").alias("n_nodes"))
+            .crossJoin(
+                e_df.agg(F.count("*").cast("long").alias("n_edges"))
+            )
+            .select(
+                F.lit(i).cast("int").alias("round"), "n_nodes", "n_edges"
+            )
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    last = hist[-1][1].agg(F.count("*").cast("long").alias("a"))
+    prev = hist[-2][1].agg(F.count("*").cast("long").alias("b"))
+    conv = last.crossJoin(prev).select(
+        (F.col("a") == F.col("b")).alias("converged")
+    )
+    return rows.crossJoin(conv).select(
+        "round",
+        "n_nodes",
+        "n_edges",
+        F.lit(KCORE_K).cast("long").alias("k"),
+        "converged",
+    )

@@ -2254,3 +2254,207 @@ def x_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(mu, 6).alias("global_mean"),
     )
+
+
+DPQ_EPSILON = 1.0   # exponential-mechanism privacy budget
+QTY_DOMAIN = 50     # l_quantity candidate grid: 1..50 (public domain)
+
+
+@register(
+    "x_dp_quantile_release",
+    oracle=f"""
+    WITH h AS (
+      SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2),
+    flags AS (SELECT DISTINCT flag FROM h),
+    grid AS (
+      SELECT f.flag, g.v
+      FROM flags f, (SELECT UNNEST(generate_series(1, {QTY_DOMAIN}))
+                     AS v) g),
+    r AS (
+      SELECT grid.flag, grid.v,
+             CAST(SUM(COALESCE(h.c, 0)) OVER (
+                    PARTITION BY grid.flag ORDER BY grid.v
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rank_le
+      FROM grid LEFT JOIN h ON h.flag = grid.flag AND h.v = grid.v),
+    nn AS (SELECT flag, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY 1),
+    ru AS (
+      SELECT r.flag, r.v, nn.n, r.rank_le,
+             -ABS(2 * r.rank_le - nn.n) AS u2,
+             MAX(-ABS(2 * r.rank_le - nn.n))
+               OVER (PARTITION BY r.flag) AS u2max
+      FROM r JOIN nn ON nn.flag = r.flag),
+    w AS (
+      SELECT flag, v, n, rank_le,
+             CAST(ROUND(EXP({DPQ_EPSILON} * (u2 - u2max) / 4.0), 12)
+                  AS DECIMAL(16,12)) AS wt
+      FROM ru),
+    cw AS (
+      SELECT flag, v, n, wt,
+             SUM(wt) OVER (PARTITION BY flag ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(wt) OVER (PARTITION BY flag) AS tot
+      FROM w),
+    uni AS (
+      SELECT flag,
+             CAST(CAST('0x' || substr(md5(flag || '|dpq1'), 1, 8)
+                       AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+      FROM flags),
+    pick AS (
+      SELECT cw.flag, MIN(cw.v) AS dp_q
+      FROM cw JOIN uni ON uni.flag = cw.flag
+      WHERE CAST(cw.cum AS DOUBLE)
+            >= CAST(ROUND(uni.u * CAST(cw.tot AS DOUBLE), 12)
+                    AS DECIMAL(18,12))
+      GROUP BY cw.flag),
+    med AS (
+      SELECT flag, MIN(v) AS true_median
+      FROM r JOIN nn USING (flag)
+      WHERE 2 * rank_le >= n GROUP BY flag)
+    SELECT p.flag AS l_returnflag, nn.n, p.dp_q AS dp_median,
+           med.true_median,
+           CAST({DPQ_EPSILON} AS DOUBLE) AS epsilon
+    FROM pick p JOIN nn ON nn.flag = p.flag
+    JOIN med ON med.flag = p.flag
+    """,
+)
+def x_dp_quantile_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private median release via the EXPONENTIAL
+    MECHANISM (McSherry–Talwar) over the public 1..{QTY_DOMAIN} quantity
+    grid: candidate v scores utility u(v) = −|#(x ≤ v)·2 − n| (distance
+    from the median rank, sensitivity 2), weight ∝ exp(ε·u/4), and the
+    released value is the inverse-CDF pick at a deterministic
+    md5-derived uniform — the x_dp_count_release bootstrap mechanism
+    extended from noisy counts to a noisy ORDER STATISTIC, which the
+    Laplace mechanism cannot release directly (rank queries have
+    unbounded value sensitivity; the exponential mechanism needs only
+    the utility's).
+
+    Numerical discipline: weights are exp(ε·(u − u_max)/4) — the
+    standard (and mechanism-invariant) max-utility shift, WITHOUT which
+    every weight underflows the 12-dp rounding grid once n is large
+    (observed live: n≈20k rounded ALL weights to zero and the pick
+    degenerated to the grid minimum).  The shifted best candidate
+    always weighs exactly 1.
+
+    Cross-engine exactness: ranks over the completed candidate grid are
+    BIGINT cumsums; each weight is exp of an EXACT quarter-integer
+    argument, rounded to the 12-dp grid and accumulated as DECIMAL (the
+    rounded-ln discipline of q_agg_entropy applied to exp), so the CDF
+    is order-free; the uniform and the threshold are one double
+    multiply rounded onto the same 12-dp grid; the pick is a MIN over
+    an exact DECIMAL comparison.  true_median (exact, non-private) sits
+    beside the release as the fixture's calibration column.
+
+    100 TB posture: ONE corpus-sized partial-agg histogram onto
+    (|flags| × {QTY_DOMAIN}) cells; every window after rides that
+    bounded grid partitioned by flag.  The released table is
+    |flags|-sized — the shape a privacy-gated metrics export publishes;
+    ε accounting composes with x_dp_count_release's by release tag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_quantity").cast("long").alias("v"),
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    flags = h.select("flag").distinct()
+    grid = flags.crossJoin(
+        spark.range(1, QTY_DOMAIN + 1).select(F.col("id").alias("v"))
+    )
+    r = (
+        grid.join(h, ["flag", "v"], "left")
+        .select("flag", "v", F.coalesce("c", F.lit(0)).alias("c"))
+        .withColumn(
+            "rank_le",
+            F.sum("c")
+            .over(
+                Window.partitionBy("flag")
+                .orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .cast("long"),
+        )
+    )
+    nn = h.groupBy("flag").agg(F.sum("c").cast("long").alias("n"))
+    ru = r.join(nn, "flag").select(
+        "flag",
+        "v",
+        "n",
+        "rank_le",
+        (-F.abs(2 * F.col("rank_le") - F.col("n"))).alias("u2"),
+    ).withColumn(
+        "u2max", F.max("u2").over(Window.partitionBy("flag"))
+    )
+    w = ru.select(
+        "flag",
+        "v",
+        "n",
+        "rank_le",
+        F.round(
+            F.exp(
+                F.lit(DPQ_EPSILON)
+                * (F.col("u2") - F.col("u2max"))
+                / F.lit(4.0)
+            ),
+            12,
+        )
+        .cast("decimal(16,12)")
+        .alias("wt"),
+    )
+    cw = w.select(
+        "flag",
+        "v",
+        "n",
+        "wt",
+        F.sum("wt")
+        .over(
+            Window.partitionBy("flag")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cum"),
+        F.sum("wt").over(Window.partitionBy("flag")).alias("tot"),
+    )
+    uni = flags.select(
+        "flag",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("flag"), F.lit("|dpq1"))), 1, 8),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(4294967296.0)
+        ).alias("u"),
+    )
+    pick = (
+        cw.join(uni, "flag")
+        .filter(
+            F.col("cum").cast("double")
+            >= F.round(
+                F.col("u") * F.col("tot").cast("double"), 12
+            ).cast("decimal(18,12)").cast("double")
+        )
+        .groupBy("flag")
+        .agg(F.min("v").alias("dp_q"))
+    )
+    med = (
+        r.join(nn, "flag")
+        .filter(2 * F.col("rank_le") >= F.col("n"))
+        .groupBy("flag")
+        .agg(F.min("v").alias("true_median"))
+    )
+    return (
+        pick.join(nn, "flag")
+        .join(med, "flag")
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            "n",
+            F.col("dp_q").alias("dp_median"),
+            "true_median",
+            F.lit(float(DPQ_EPSILON)).alias("epsilon"),
+        )
+    )

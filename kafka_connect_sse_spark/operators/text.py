@@ -2261,3 +2261,97 @@ def x_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(score_raw, 6).alias("code_score"),
         (score_raw >= float(CODE_SCORE_THR)).alias("is_code_like"),
     )
+
+
+@register(
+    "x_langid_kappa",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 'en_like' ELSE 'other' END
+               AS truth,
+             CASE WHEN len(list_filter(str_split(text, ' '),
+                                       t -> list_contains({_STOP_SQL!s}, t)))
+                       * 10 >= len(str_split(text, ' '))
+                  THEN 'en_like' ELSE 'other' END AS pred
+      FROM documents),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN truth = pred THEN 1 ELSE 0 END)
+                  AS BIGINT) AS agree,
+             CAST(SUM(CASE WHEN truth = 'en_like' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS t_en,
+             CAST(SUM(CASE WHEN pred = 'en_like' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS p_en
+      FROM scored)
+    SELECT n, agree, t_en, p_en,
+           ROUND(CAST(agree AS DOUBLE) / n, 6) AS p_observed,
+           ROUND((CAST(t_en AS DOUBLE) * p_en
+                  + CAST(n - t_en AS DOUBLE) * (n - p_en))
+                 / (CAST(n AS DOUBLE) * n), 6) AS p_chance,
+           ROUND((CAST(agree AS DOUBLE) / n
+                  - (CAST(t_en AS DOUBLE) * p_en
+                     + CAST(n - t_en AS DOUBLE) * (n - p_en))
+                    / (CAST(n AS DOUBLE) * n))
+                 / (1.0
+                    - (CAST(t_en AS DOUBLE) * p_en
+                       + CAST(n - t_en AS DOUBLE) * (n - p_en))
+                      / (CAST(n AS DOUBLE) * n)), 6) AS kappa
+    FROM m
+    """,
+)
+def x_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ for the language-ID predictor: chance-corrected
+    agreement between the stored label (collapsed to the predictor's
+    en_like/other space) and the x_langid_ngram stopword-density
+    prediction — the scalar that belongs NEXT TO x_langid_confusion's
+    matrix, because raw accuracy flatters any classifier on a skewed
+    corpus (predicting the majority class scores p_majority for free;
+    κ subtracts exactly that chance floor: κ = (p_o − p_e)/(1 − p_e)).
+
+    Cross-engine exactness: the predictor expression is shared
+    textually with x_langid_confusion; all four counts are exact
+    BIGINTs; p_o, p_e and κ are ONE fixed-order double expression over
+    them, rounded 6.
+
+    100 TB posture: prediction is map-side; ONE partial agg collapses
+    the corpus to four integers — the cheapest possible evaluation
+    pass, no per-class relation survives the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    scored = d.select(
+        F.when(F.col("lang") == "en", "en_like")
+        .otherwise("other")
+        .alias("truth"),
+        F.when(n_stop * 10 >= F.size(toks), "en_like")
+        .otherwise("other")
+        .alias("pred"),
+    )
+    m = scored.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("truth") == F.col("pred"), 1).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+        F.sum(F.when(F.col("truth") == "en_like", 1).otherwise(0))
+        .cast("long")
+        .alias("t_en"),
+        F.sum(F.when(F.col("pred") == "en_like", 1).otherwise(0))
+        .cast("long")
+        .alias("p_en"),
+    )
+    n = F.col("n")
+    po = F.col("agree").cast("double") / n
+    pe = (
+        F.col("t_en").cast("double") * F.col("p_en")
+        + (n - F.col("t_en")).cast("double") * (n - F.col("p_en"))
+    ) / (n.cast("double") * n)
+    return m.select(
+        "n",
+        "agree",
+        "t_en",
+        "p_en",
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_chance"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )

@@ -195,3 +195,86 @@ def test_ece_gate_and_weighted_gap_identity(spark, q, osql):
     manual = float((df["gap"] * df["weight"]).sum())
     assert abs(ece - manual) < 5e-6
     assert 0 <= ece <= 1
+
+
+def test_kcore_gate_and_peel_matches_reference_simulation(spark, q, osql):
+    """Cross-engine gate + an independent pure-Python peel of the same
+    co-activity graph must reproduce the whole trajectory."""
+    import collections
+
+    df = _cross_engine(
+        spark, q, osql, "q_graph_kcore", SF001, ["events"]
+    ).sort_values("round")
+    from kafka_connect_sse_spark.operators.joins import (
+        KCORE_K,
+        KCORE_ROUNDS,
+        _coactivity_edges,
+    )
+
+    assert len(df) == KCORE_ROUNDS + 1
+    # monotone non-increasing peel
+    assert (df["n_nodes"].diff().dropna() <= 0).all()
+    assert (df["n_edges"].diff().dropna() <= 0).all()
+    # independent simulation
+    edges = [
+        (r["u"], r["v"])
+        for r in _coactivity_edges(spark, SF001).collect()
+    ]
+    adj = collections.defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    nodes = set(adj)
+    expect = [(len(nodes), len(edges))]
+    for _ in range(KCORE_ROUNDS):
+        keep = {n for n in nodes if len(adj[n] & nodes) >= KCORE_K}
+        nodes = keep
+        n_e = sum(len(adj[n] & nodes) for n in nodes) // 2
+        expect.append((len(nodes), n_e))
+    got = list(zip(df["n_nodes"].astype(int), df["n_edges"].astype(int)))
+    assert got == expect
+    # the fixture converges within the unroll, and the flag says so
+    assert bool(df["converged"].iloc[0]) == (
+        expect[-1][0] == expect[-2][0]
+    )
+    assert df["converged"].iloc[0]
+
+
+def test_langid_kappa_consistent_with_confusion_matrix(spark, q, osql):
+    df = _cross_engine(
+        spark, q, osql, "x_langid_kappa", SF001, ["documents"]
+    )
+    assert len(df) == 1
+    r = df.iloc[0]
+    # recompute kappa from the already-verified confusion matrix op
+    cm = q["x_langid_confusion"](spark, SF001).toPandas()
+    n = int(cm["n"].sum())
+    agree = int(
+        cm[
+            (
+                (cm["lang"] == "en") & (cm["langid_pred"] == "en_like")
+            )
+            | ((cm["lang"] != "en") & (cm["langid_pred"] == "other"))
+        ]["n"].sum()
+    )
+    t_en = int(cm[cm["lang"] == "en"]["n"].sum())
+    p_en = int(cm[cm["langid_pred"] == "en_like"]["n"].sum())
+    assert (int(r["n"]), int(r["agree"])) == (n, agree)
+    assert (int(r["t_en"]), int(r["p_en"])) == (t_en, p_en)
+    po = agree / n
+    pe = (t_en * p_en + (n - t_en) * (n - p_en)) / (n * n)
+    assert abs(r["kappa"] - (po - pe) / (1 - pe)) < 1e-6
+    assert -1 <= r["kappa"] <= 1
+
+
+def test_dp_quantile_gate_and_concentration(spark, q, osql):
+    df = _cross_engine(
+        spark, q, osql, "x_dp_quantile_release", SF001, ["lineitem"]
+    )
+    assert len(df) == 3
+    assert df["dp_median"].between(1, 50).all()
+    # at n~20k per flag the exponential mechanism's mass concentrates:
+    # the release must land within one grid step of the true median
+    # (this is exactly the guard that caught the pre-shift underflow,
+    # where flag A released 1 against a true median of 25)
+    assert (df["dp_median"] - df["true_median"]).abs().max() <= 1
