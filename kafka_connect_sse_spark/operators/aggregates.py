@@ -7146,3 +7146,121 @@ def q_ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("in"))
         .alias("breakout"),
     )
+
+
+TT_Z95 = 1.96  # normal-approx two-sided 95% critical value (df >> 30)
+
+
+@register(
+    "q_agg_ttest_paired",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                AS BIGINT) END) AS sp,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS np,
+             SUM(CASE WHEN event_type = 'click'
+                      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                AS BIGINT) END) AS sc,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS nc
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY user_id),
+    d AS (
+      SELECT CAST(sp - sc AS BIGINT) AS diff
+      FROM e WHERE np > 0 AND nc > 0),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(diff) AS BIGINT) AS s1,
+             CAST(SUM(CAST(diff AS DECIMAL(38,0))
+                      * CAST(diff AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS s2
+      FROM d)
+    SELECT n AS n_pairs,
+           ROUND(CAST(s1 AS DOUBLE) / n / 100.0, 6) AS mean_diff,
+           ROUND(sqrt((n * CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * (n - 1))) / 100.0, 6)
+             AS sd_diff,
+           ROUND((CAST(s1 AS DOUBLE) / n)
+                 / (sqrt((n * CAST(s2 AS DOUBLE)
+                          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * (n - 1))) / sqrt(n)), 6)
+             AS t_stat,
+           CAST(n - 1 AS BIGINT) AS df,
+           ABS(ROUND((CAST(s1 AS DOUBLE) / n)
+                 / (sqrt((n * CAST(s2 AS DOUBLE)
+                          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * (n - 1))) / sqrt(n)), 6))
+             > {TT_Z95} AS reject_95
+    FROM m
+    """,
+)
+def q_agg_ttest_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired t-test on the SAME per-user purchase-vs-click spend pairs
+    q_agg_wilcoxon_signed ranks — the parametric member of the paired
+    family (wilcoxon = robust ranks, this = mean of differences), and
+    the within-subject counterpart to q_agg_welch_t exactly as wilcoxon
+    is to mann_whitney.  Zero diffs KEEP their pairs here (they carry
+    information about the mean, unlike in the signed-rank convention —
+    the deliberate semantic difference between the two ops).
+
+    Cross-engine exactness: diffs land on the cent grid as BIGINTs; n,
+    Σd (BIGINT) and Σd² (DECIMAL(38,0) ≡ HUGEINT, the q_agg_cohens_d
+    discipline) are exact; mean, sd = √((nΣd²−(Σd)²)/(n(n−1))) and t =
+    mean/(sd/√n) are ONE fixed-order double expression, rounded 6; the
+    95% decision compares the rounded |t| against the z literal
+    {TT_Z95} shared textually (df ≈ thousands — the normal
+    approximation is exact to 3 dp there, documented).
+
+    100 TB posture: ONE partial-agg shuffle onto user_id (four integer
+    accumulators — identical shape to wilcoxon's first stage), then a
+    single-row moment rollup.  No histogram, no window: the paired t
+    needs only three moments, which is WHY it is the cheap first look
+    before the rank test runs."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    e = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents)
+        ).alias("sp"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("np"),
+        F.sum(F.when(F.col("event_type") == "click", cents)).alias("sc"),
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("nc"),
+    )
+    d = e.filter((F.col("np") > 0) & (F.col("nc") > 0)).select(
+        (F.col("sp") - F.col("sc")).cast("long").alias("diff")
+    )
+    m = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("diff").cast("long").alias("s1"),
+        F.sum(
+            F.col("diff").cast("decimal(38,0)")
+            * F.col("diff").cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    n = F.col("n")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    sd_cents = F.sqrt(
+        (n * s2 - s1 * s1) / (n.cast("double") * (n - 1))
+    )
+    t = (s1 / n) / (sd_cents / F.sqrt(n))
+    return m.select(
+        n.alias("n_pairs"),
+        F.round(s1 / n / 100.0, 6).alias("mean_diff"),
+        F.round(sd_cents / 100.0, 6).alias("sd_diff"),
+        F.round(t, 6).alias("t_stat"),
+        (n - 1).cast("long").alias("df"),
+        (F.abs(F.round(t, 6)) > TT_Z95).alias("reject_95"),
+    )

@@ -1801,3 +1801,194 @@ def x_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("ece"),
     )
+
+
+MMR_K = 5        # diversified picks
+MMR_POOL = 20    # relevance-ranked candidate pool fed to the greedy
+MMR_LAMBDA = "0.7"  # textual literal: score = 0.7*rel - 0.3*max_sim
+
+
+def _mmr_oracle() -> str:
+    """Generated MATERIALIZED CTEs for the unrolled greedy — the same
+    fixed schedule the Spark loop builds (the q_graph_kcore pattern)."""
+    lam = MMR_LAMBDA
+    parts = [
+        "v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e"
+        " FROM embeddings)",
+        "qv AS MATERIALIZED (SELECT e FROM v WHERE vec_id = 0)",
+        "rel AS MATERIALIZED ("
+        "SELECT v.vec_id, ROUND(list_dot_product(v.e, qv.e)"
+        " / (SQRT(list_dot_product(v.e, v.e))"
+        " * SQRT(list_dot_product(qv.e, qv.e))), 6) AS rel"
+        " FROM v, qv WHERE v.vec_id <> 0)",
+        f"pool AS MATERIALIZED (SELECT vec_id, rel FROM ("
+        f"SELECT vec_id, rel, ROW_NUMBER() OVER"
+        f" (ORDER BY rel DESC, vec_id) AS rn FROM rel)"
+        f" WHERE rn <= {MMR_POOL})",
+        "sims AS MATERIALIZED ("
+        "SELECT a.vec_id AS ca, b.vec_id AS cb,"
+        " ROUND(list_dot_product(va.e, vb.e)"
+        " / (SQRT(list_dot_product(va.e, va.e))"
+        " * SQRT(list_dot_product(vb.e, vb.e))), 6) AS sim"
+        " FROM pool a JOIN v va ON va.vec_id = a.vec_id"
+        " JOIN pool b ON a.vec_id <> b.vec_id"
+        " JOIN v vb ON vb.vec_id = b.vec_id)",
+        "pick1 AS MATERIALIZED ("
+        "SELECT vec_id, rel, rel AS mmr_score, 1 AS pick"
+        " FROM pool ORDER BY rel DESC, vec_id LIMIT 1)",
+        "sel1 AS MATERIALIZED (SELECT vec_id FROM pick1)",
+    ]
+    for i in range(2, MMR_K + 1):
+        p = i - 1
+        parts += [
+            f"cand{i} AS MATERIALIZED ("
+            f"SELECT p.vec_id, p.rel, MAX(s.sim) AS ms"
+            f" FROM pool p JOIN sims s ON s.ca = p.vec_id"
+            f" JOIN sel{p} t ON t.vec_id = s.cb"
+            f" WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{p})"
+            f" GROUP BY p.vec_id, p.rel)",
+            f"pick{i} AS MATERIALIZED ("
+            f"SELECT vec_id, rel,"
+            f" ROUND({lam} * rel - (1 - {lam}) * ms, 7) AS mmr_score,"
+            f" {i} AS pick FROM cand{i}"
+            f" ORDER BY ROUND({lam} * rel - (1 - {lam}) * ms, 7) DESC,"
+            f" vec_id LIMIT 1)",
+            f"sel{i} AS MATERIALIZED (SELECT vec_id FROM sel{p}"
+            f" UNION ALL SELECT vec_id FROM pick{i})",
+        ]
+    union = " UNION ALL ".join(
+        f"SELECT * FROM pick{i}" for i in range(1, MMR_K + 1)
+    )
+    return f"""
+    WITH {",".join(parts)}
+    SELECT CAST(pick AS BIGINT) AS pick, vec_id, rel, mmr_score
+    FROM ({union})
+    """
+
+
+@register("x_embed_mmr_diversify", oracle=_mmr_oracle())
+def x_embed_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein
+    1998): pick {MMR_K} results for query vec 0 that are RELEVANT but
+    not redundant — greedy argmax of λ·rel(c) − (1−λ)·max sim(c, s)
+    over already-selected s, λ = {MMR_LAMBDA}.  The diversification
+    layer the retrieval tier was missing: x_sim_topk_cosine returns the
+    k most-similar vectors even if they are near-duplicates of each
+    other; MMR is how a retrieval-augmented or few-shot-selection
+    pipeline avoids paying its context budget for the same passage
+    five times.
+
+    Mechanics: the pool is the top-{MMR_POOL} by rounded relevance
+    (bounded — the greedy never touches the corpus again), its pairwise
+    cosine matrix is computed ONCE, and the {MMR_K}-step greedy is
+    unrolled with the SAME fixed schedule on both engines (generated
+    MATERIALIZED CTEs / a localCheckpointed plan loop — the
+    q_graph_kcore discipline).  Every relevance and similarity rounds
+    to 6 dp BEFORE any argmax (the x_sim_topk_cosine rule); MMR scores
+    round at 7 dp — λ·(6-dp) products are 7-decimal-digit quantities,
+    so 7 is the grid OFF the halfway points (the x_ece_calibration
+    lesson); all ties break by vec_id ascending.
+
+    100 TB posture: relevance scoring is the one corpus-sized pass
+    (map-side vs a broadcast query, the x_sim_topk_cosine plan); the
+    pool row_number, the {MMR_POOL}²-cell sim matrix and the greedy all
+    ride broadcast-sized relations.  At billions of vectors the pool
+    feed swaps to x_sim_topk_lsh's bucketed candidates — the greedy is
+    feed-agnostic."""
+    lam = float(MMR_LAMBDA)
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    qv = v.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    rel = (
+        v.filter(F.col("vec_id") != 0)
+        .crossJoin(broadcast(qv))
+        .select(
+            "vec_id",
+            "e",
+            F.round(
+                dot(F.col("e"), F.col("qe"))
+                / (
+                    F.sqrt(dot(F.col("e"), F.col("e")))
+                    * F.sqrt(dot(F.col("qe"), F.col("qe")))
+                ),
+                6,
+            ).alias("rel"),
+        )
+    )
+    wp = Window.orderBy(F.col("rel").desc(), F.col("vec_id"))
+    pool = (
+        rel.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= MMR_POOL)
+        .select("vec_id", "rel", "e")
+        .localCheckpoint(eager=True)
+    )
+    a = pool.select(
+        F.col("vec_id").alias("ca"), F.col("e").alias("ea")
+    )
+    b = pool.select(
+        F.col("vec_id").alias("cb"), F.col("e").alias("eb")
+    )
+    sims = (
+        a.join(b, F.col("ca") != F.col("cb"))
+        .select(
+            "ca",
+            "cb",
+            F.round(
+                dot(F.col("ea"), F.col("eb"))
+                / (
+                    F.sqrt(dot(F.col("ea"), F.col("ea")))
+                    * F.sqrt(dot(F.col("eb"), F.col("eb")))
+                ),
+                6,
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pool_slim = pool.select("vec_id", "rel")
+    pick1 = (
+        pool_slim.orderBy(F.col("rel").desc(), F.col("vec_id"))
+        .limit(1)
+        .select(
+            F.lit(1).cast("long").alias("pick"),
+            "vec_id",
+            "rel",
+            F.col("rel").alias("mmr_score"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    picks = [pick1]
+    sel = pick1.select("vec_id").localCheckpoint(eager=True)
+    for i in range(2, MMR_K + 1):
+        cand = (
+            pool_slim.join(sel, "vec_id", "left_anti")
+            .join(sims, F.col("ca") == F.col("vec_id"))
+            .join(sel.withColumnRenamed("vec_id", "cb"), "cb")
+            .groupBy("vec_id", "rel")
+            .agg(F.max("sim").alias("ms"))
+        )
+        score = F.round(
+            F.lit(lam) * F.col("rel")
+            - (F.lit(1.0) - F.lit(lam)) * F.col("ms"),
+            7,
+        )
+        pick = (
+            cand.withColumn("mmr_score", score)
+            .orderBy(F.col("mmr_score").desc(), F.col("vec_id"))
+            .limit(1)
+            .select(
+                F.lit(i).cast("long").alias("pick"),
+                "vec_id",
+                "rel",
+                "mmr_score",
+            )
+            .localCheckpoint(eager=True)
+        )
+        picks.append(pick)
+        sel = sel.unionAll(pick.select("vec_id")).localCheckpoint(
+            eager=True
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out

@@ -278,3 +278,105 @@ def test_dp_quantile_gate_and_concentration(spark, q, osql):
     # (this is exactly the guard that caught the pre-shift underflow,
     # where flag A released 1 against a true median of 25)
     assert (df["dp_median"] - df["true_median"]).abs().max() <= 1
+
+
+def test_ttest_paired_gate_and_pandas_replication(spark, q, osql):
+    df = _cross_engine(
+        spark, q, osql, "q_agg_ttest_paired", SF001, ["events"]
+    )
+    assert len(df) == 1
+    r = df.iloc[0]
+    # independent replication: pandas over the raw parquet
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF001}/events.parquet")
+    ev = ev[ev.event_type.isin(["purchase", "click"])]
+    cents = (ev.value * 100).round().astype("int64")
+    g = ev.assign(cents=cents).groupby("user_id")
+    agg = g.apply(
+        lambda x: pd.Series(
+            {
+                "sp": x.loc[x.event_type == "purchase", "cents"].sum(),
+                "np": (x.event_type == "purchase").sum(),
+                "sc": x.loc[x.event_type == "click", "cents"].sum(),
+                "nc": (x.event_type == "click").sum(),
+            }
+        ),
+        include_groups=False,
+    )
+    both = agg[(agg["np"] > 0) & (agg["nc"] > 0)]
+    d = (both.sp - both.sc).astype("int64")
+    n = len(d)
+    assert int(r["n_pairs"]) == n
+    assert abs(r["mean_diff"] - d.mean() / 100.0) < 1e-4
+    t = (d.mean()) / (d.std(ddof=1) / n**0.5)
+    assert abs(r["t_stat"] - t) < 1e-4
+    assert bool(r["reject_95"]) == (abs(r["t_stat"]) > 1.96)
+    # paired family coherence: the t-test keeps zero diffs, wilcoxon
+    # drops them — so its n can never exceed ours
+    w = q["q_agg_wilcoxon_signed"](spark, SF001).toPandas()
+    ncol = [c for c in w.columns if c in ("n", "n_pairs")][0]
+    assert int(w[ncol].iloc[0]) <= n
+
+
+def test_mmr_gate_and_python_greedy_replication(spark, q, osql):
+    """Independent pure-Python greedy over the same rounded cosines
+    must reproduce every pick and score."""
+    import pandas as pd
+
+    df = _cross_engine(
+        spark, q, osql, "x_embed_mmr_diversify", SF001, ["embeddings"]
+    ).sort_values("pick")
+    from kafka_connect_sse_spark.operators.similarity import (
+        MMR_K,
+        MMR_LAMBDA,
+        MMR_POOL,
+    )
+
+    lam = float(MMR_LAMBDA)
+    emb = pd.read_parquet(f"{SF001}/embeddings.parquet")
+    vecs = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.itertuples()
+    }
+
+    def cos(a, b):
+        # sequential fold, the dot() accumulation order
+        d = ns = nb = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+            ns += x * x
+            nb += y * y
+        return round(d / (ns**0.5 * nb**0.5), 6)
+
+    qe = vecs[0]
+    rel = {i: cos(v, qe) for i, v in vecs.items() if i != 0}
+    pool = sorted(rel, key=lambda i: (-rel[i], i))[:MMR_POOL]
+    sims = {
+        (a, b): cos(vecs[a], vecs[b])
+        for a in pool
+        for b in pool
+        if a != b
+    }
+    sel = [max(pool, key=lambda i: (rel[i], -i))]
+    scores = [rel[sel[0]]]
+    for _ in range(MMR_K - 1):
+        cand = [c for c in pool if c not in sel]
+        sc = {
+            c: round(
+                lam * rel[c]
+                - (1 - lam) * max(sims[(c, s)] for s in sel),
+                7,
+            )
+            for c in cand
+        }
+        nxt = max(cand, key=lambda c: (sc[c], -c))
+        sel.append(nxt)
+        scores.append(sc[nxt])
+    assert list(df["vec_id"].astype(int)) == sel
+    for got, exp in zip(df["mmr_score"], scores):
+        assert abs(got - exp) < 1e-9
+    # diversification actually happened: the MMR set is not simply the
+    # top-K by raw relevance
+    topk = sorted(rel, key=lambda i: (-rel[i], i))[:MMR_K]
+    assert set(sel) != set(topk)
