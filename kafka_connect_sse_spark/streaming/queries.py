@@ -944,3 +944,134 @@ def s_threshold_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("times_mean"),
     )
+
+
+BOLL_S_W = 6  # rolling band width in completed hourly windows
+
+
+@register(
+    "s_bollinger_alert",
+    oracle=f"""
+    WITH c AS (
+      SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                      '{_TS_FMT_DUCK}') AS win_start,
+             event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT win_start, event_type, n,
+             CAST(COUNT(*) OVER win AS BIGINT) AS n_win,
+             CAST(SUM(n) OVER win AS BIGINT) AS s,
+             CAST(SUM(n * n) OVER win AS BIGINT) AS sq
+      FROM c
+      WINDOW win AS (PARTITION BY event_type ORDER BY win_start
+                     ROWS {BOLL_S_W - 1} PRECEDING))
+    SELECT win_start, event_type, n,
+           ROUND(CAST(s AS DOUBLE) / n_win, 6) AS sma,
+           ROUND(sqrt(GREATEST(
+             (n_win * CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s)
+             / (CAST(n_win AS DOUBLE) * n_win), 0.0)), 6) AS sd,
+           CASE WHEN CAST(n AS DOUBLE)
+                     > ROUND(CAST(s AS DOUBLE) / n_win
+                             + 2 * sqrt(GREATEST(
+                                 (n_win * CAST(sq AS DOUBLE)
+                                  - CAST(s AS DOUBLE) * s)
+                                 / (CAST(n_win AS DOUBLE) * n_win),
+                                 0.0)), 6)
+                THEN 'up' ELSE 'down' END AS direction
+    FROM w
+    WHERE n_win = {BOLL_S_W}
+      AND (CAST(n AS DOUBLE)
+             > ROUND(CAST(s AS DOUBLE) / n_win
+                     + 2 * sqrt(GREATEST(
+                         (n_win * CAST(sq AS DOUBLE)
+                          - CAST(s AS DOUBLE) * s)
+                         / (CAST(n_win AS DOUBLE) * n_win), 0.0)), 6)
+           OR CAST(n AS DOUBLE)
+             < ROUND(CAST(s AS DOUBLE) / n_win
+                     - 2 * sqrt(GREATEST(
+                         (n_win * CAST(sq AS DOUBLE)
+                          - CAST(s AS DOUBLE) * s)
+                         / (CAST(n_win AS DOUBLE) * n_win), 0.0)), 6))
+    """,
+)
+def s_bollinger_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming volatility-band alerting: the q_ts_bollinger envelope
+    applied to the live feed — alert when an hour's event volume for a
+    type closes outside its own {BOLL_S_W}-hour rolling mean ± 2σ band.
+    Complements s_threshold_alert (fixed multiple of the GLOBAL mean):
+    the band adapts to each type's recent volatility, so a noisy type
+    needs a bigger spike to page — the alert a production feed actually
+    wants at 3am.
+
+    The stream maintains the tumbling-hour counts (the only stateful
+    part — |windows|·|types| counters); the band fold runs over the
+    materialized completed windows exactly as a foreachBatch alert sink
+    would (the s_threshold_alert decomposition), emitting alert rows
+    only.  Warm-up windows (n_win < {BOLL_S_W}) never alert.
+
+    Cross-engine exactness: hourly counts and the rolling Σn, Σn² are
+    exact BIGINTs (no DECIMAL needed — the batch op's discipline
+    specializes: integer counts square to integers); mean, σ and the
+    bands are ONE fixed-order double expression, and the alert
+    predicate compares the raw count against the ROUNDED band on both
+    engines.
+
+    100 TB posture: identical to s_threshold_alert — per-(type, hour)
+    streaming counters with watermarked eviction at scale, a
+    |types|·{BOLL_S_W}-row band window in the alert sink.  The rolling
+    window partitions by event_type — many series, no global window."""
+    sdf = events_stream(spark, sf_dir)
+    agg = (
+        sdf.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("window.start"), _TS_FMT).alias(
+                "win_start"
+            ),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+    counts = run_to_memory(agg, mode="complete").localCheckpoint(
+        eager=True
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("win_start")
+        .rowsBetween(-(BOLL_S_W - 1), 0)
+    )
+    w = counts.select(
+        "win_start",
+        "event_type",
+        "n",
+        F.count("*").over(win).cast("long").alias("n_win"),
+        F.sum("n").over(win).cast("long").alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(win).cast("long").alias("sq"),
+    )
+    nw = F.col("n_win")
+    s = F.col("s").cast("double")
+    sq = F.col("sq").cast("double")
+    mean = s / nw
+    sd = F.sqrt(
+        F.greatest(
+            (nw * sq - s * s) / (nw.cast("double") * nw), F.lit(0.0)
+        )
+    )
+    up6 = F.round(mean + 2 * sd, 6)
+    lo6 = F.round(mean - 2 * sd, 6)
+    nd = F.col("n").cast("double")
+    return (
+        w.filter(
+            (nw == BOLL_S_W) & ((nd > up6) | (nd < lo6))
+        )
+        .select(
+            "win_start",
+            "event_type",
+            "n",
+            F.round(mean, 6).alias("sma"),
+            F.round(sd, 6).alias("sd"),
+            F.when(nd > up6, F.lit("up"))
+            .otherwise(F.lit("down"))
+            .alias("direction"),
+        )
+    )

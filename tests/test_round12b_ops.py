@@ -380,3 +380,22 @@ def test_mmr_gate_and_python_greedy_replication(spark, q, osql):
     # top-K by raw relevance
     topk = sorted(rel, key=lambda i: (-rel[i], i))[:MMR_K]
     assert set(sel) != set(topk)
+
+
+def test_streaming_bollinger_gate_and_alert_semantics(spark, q, osql):
+    df = _cross_engine(
+        spark, q, osql, "s_bollinger_alert", SF001, ["events"]
+    )
+    assert len(df) > 0  # the fixture produces alerts
+    assert set(df["direction"]) <= {"up", "down"}
+    # every alert is genuinely outside its band: n vs sma ± 2sd
+    for _, r in df.iterrows():
+        lo = r["sma"] - 2 * r["sd"]
+        hi = r["sma"] + 2 * r["sd"]
+        if r["direction"] == "up":
+            assert r["n"] > hi - 1e-4
+        else:
+            assert r["n"] < lo + 1e-4
+    # alerts must be a strict subset of all completed windows
+    ev = q["s_window_tumbling"](spark, SF001).toPandas()
+    assert len(df) < len(ev)
