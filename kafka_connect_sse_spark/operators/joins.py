@@ -1974,18 +1974,43 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     build reuses _coactivity_edges (bucketed pair expansion, bounded
     per-minute concurrency — q_triangle_count's analysis)."""
     edges = _coactivity_edges(spark, sf_dir)
+    # endpoint relations are 2|E| rows keyed by node — widen the
+    # distinct/degree shuffles so per-task hash state stays bounded on
+    # the dense sf10 graph (the widen_pair_shuffle rule; 32 partitions
+    # hit UNABLE_TO_ACQUIRE_MEMORY there)
     nodes = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
+        widen_pair_shuffle(
+            edges.select(F.col("u").alias("node")).unionAll(
+                edges.select(F.col("v").alias("node"))
+            ),
+            "node",
+        )
         .distinct()
         .localCheckpoint(eager=True)
     )
     hist = [(0, nodes, edges)]
-    e_cur = edges
+    n_cur, e_cur = nodes, edges
+    n_cur_count = None  # lazily read once a round completes
+    at_fixpoint = False
     for i in range(1, KCORE_ROUNDS + 1):
+        if at_fixpoint:
+            # fixpoint reached: later rounds are the identity — reuse
+            # the checkpointed relations instead of re-materializing
+            # the (possibly 10^8-row) edge set another R-i times.
+            # Results are IDENTICAL to the full unroll (the oracle's
+            # rounds compute the same fixpoint relation); only the
+            # physical work disappears.  Without this, the dense sf10
+            # graph (converged after round 1) re-shuffled its edge
+            # set all 8 rounds and the probe ran >590 s.
+            hist.append((i, n_cur, e_cur))
+            continue
         deg = (
-            e_cur.select(F.col("u").alias("node"))
-            .unionAll(e_cur.select(F.col("v").alias("node")))
+            widen_pair_shuffle(
+                e_cur.select(F.col("u").alias("node")).unionAll(
+                    e_cur.select(F.col("v").alias("node"))
+                ),
+                "node",
+            )
             .groupBy("node")
             .agg(F.count("*").alias("d"))
         )
@@ -1994,16 +2019,35 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node")
             .localCheckpoint(eager=True)
         )
+        # ONE driver-side scalar per round (the s_checkpoint_resume
+        # pacing rule): survivors are always a subset, so equal counts
+        # mean equal sets — the convergence test the peel needs anyway
+        if n_cur_count is None:
+            n_cur_count = n_cur.count()
+        n_new_count = n_new.count()
+        if n_new_count == n_cur_count:
+            at_fixpoint = True
+            hist.append((i, n_cur, e_cur))
+            continue
+        removed = n_cur.join(n_new, "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+        # subtract edges touching removed nodes (anti vs the small
+        # removed set — AQE broadcasts it; the semi-join against the
+        # big survivor set would shuffle both sides)
         e_new = (
             e_cur.join(
-                n_new.withColumnRenamed("node", "u"), "u", "left_semi"
+                removed.withColumnRenamed("node", "u"), "u", "left_anti"
             )
-            .join(n_new.withColumnRenamed("node", "v"), "v", "left_semi")
+            .join(
+                removed.withColumnRenamed("node", "v"), "v", "left_anti"
+            )
             .select("u", "v")
             .localCheckpoint(eager=True)
         )
         hist.append((i, n_new, e_new))
-        e_cur = e_new
+        n_cur, e_cur = n_new, e_new
+        n_cur_count = n_new_count
     rows = None
     for i, n_df, e_df in hist:
         r = (
