@@ -7264,3 +7264,222 @@ def q_agg_ttest_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n - 1).cast("long").alias("df"),
         (F.abs(F.round(t, 6)) > TT_Z95).alias("reject_95"),
     )
+
+
+EULER_GAMMA = "0.5772156649015329"  # textual literal, both engines
+SQRT6_OVER_PI = "0.7796968012336793"  # sqrt(6)/pi, textual literal
+GUMBEL_RET_T = 30  # return period (blocks) for the reported level
+
+
+@register(
+    "q_agg_gumbel_fit",
+    oracle=f"""
+    WITH mx AS (
+      SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             CAST(MAX(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS mv
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(mv) AS BIGINT) AS s1,
+             CAST(SUM(CAST(mv AS DECIMAL(38,0))
+                      * CAST(mv AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS s2
+      FROM mx GROUP BY event_type)
+    SELECT event_type, n AS n_blocks,
+           ROUND(CAST(s1 AS DOUBLE) / n / 100.0, 6) AS mean_max,
+           ROUND({SQRT6_OVER_PI}
+                 * sqrt((n * CAST(s2 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * (n - 1))) / 100.0, 6)
+             AS beta_hat,
+           ROUND((CAST(s1 AS DOUBLE) / n
+                  - {EULER_GAMMA} * {SQRT6_OVER_PI}
+                    * sqrt((n * CAST(s2 AS DOUBLE)
+                            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                           / (CAST(n AS DOUBLE) * (n - 1)))) / 100.0, 6)
+             AS mu_hat,
+           ROUND(((CAST(s1 AS DOUBLE) / n
+                   - {EULER_GAMMA} * {SQRT6_OVER_PI}
+                     * sqrt((n * CAST(s2 AS DOUBLE)
+                             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                            / (CAST(n AS DOUBLE) * (n - 1))))
+                  - {SQRT6_OVER_PI}
+                    * sqrt((n * CAST(s2 AS DOUBLE)
+                            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                           / (CAST(n AS DOUBLE) * (n - 1)))
+                    * LN(-LN(1.0 - 1.0 / {GUMBEL_RET_T}))) / 100.0, 6)
+             AS return_level_{GUMBEL_RET_T}
+    FROM m
+    """,
+)
+def q_agg_gumbel_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel extreme-value fit per event type by the method of moments
+    over DAILY BLOCK MAXIMA of the event value (classic EVT block-maxima
+    design): β̂ = s·√6/π, μ̂ = x̄ − γ·β̂, plus the {GUMBEL_RET_T}-block
+    return level μ̂ − β̂·ln(−ln(1−1/T)) — the "how big is the biggest
+    value we should expect this month" statistic that tail-blind
+    moments (q_agg_stats) and even quantiles (q_agg_percentile) cannot
+    answer, because it EXTRAPOLATES the max distribution.  Method of
+    moments rather than MLE deliberately: closed form, no iteration,
+    exact-moment discipline applies (the document notes the small-block
+    caveat — 30 daily blocks at sf0.01 — as inherent to block-maxima
+    EVT, not to the engine).
+
+    Cross-engine exactness: block maxima land on the cent grid as
+    BIGINTs; n, Σmax, Σmax² are exact (HUGEINT second moment, the
+    q_agg_ttest_paired discipline); β̂/μ̂/return level are ONE
+    fixed-order double expression with γ, √6/π and the return period as
+    shared textual literals; sqrt/ln correctly rounded on both engines.
+
+    100 TB posture: one (type, day) partial-agg MAX — mergeable state,
+    map-side combine absorbs the row volume; the moment rollup rides
+    the |types|×|days| relation.  Nothing after the scan scales with
+    the corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.groupBy(
+        "event_type", F.to_date("ts").cast("string").alias("day")
+    ).agg(
+        F.max(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("mv")
+    )
+    m = mx.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("mv").cast("long").alias("s1"),
+        F.sum(
+            F.col("mv").cast("decimal(38,0)")
+            * F.col("mv").cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    n = F.col("n")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    sd = F.sqrt((n * s2 - s1 * s1) / (n.cast("double") * (n - 1)))
+    beta = F.lit(float(SQRT6_OVER_PI)) * sd
+    mu = s1 / n - F.lit(float(EULER_GAMMA)) * beta
+    ret = mu - beta * F.log(
+        -F.log(F.lit(1.0) - F.lit(1.0) / GUMBEL_RET_T)
+    )
+    return m.select(
+        "event_type",
+        n.alias("n_blocks"),
+        F.round(s1 / n / 100.0, 6).alias("mean_max"),
+        F.round(beta / 100.0, 6).alias("beta_hat"),
+        F.round(mu / 100.0, 6).alias("mu_hat"),
+        F.round(ret / 100.0, 6).alias(f"return_level_{GUMBEL_RET_T}"),
+    )
+
+
+@register(
+    "q_agg_poisson_rate_test",
+    oracle=f"""
+    WITH p AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CASE WHEN dayofweek(ts) IN (0, 6) THEN 'weekend'
+                  ELSE 'weekday' END AS cohort
+      FROM events WHERE event_type = 'purchase'),
+    days AS (
+      SELECT CASE WHEN dayofweek(day) IN (0, 6) THEN 'weekend'
+                  ELSE 'weekday' END AS cohort,
+             CAST(COUNT(*) AS BIGINT) AS t
+      FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+      GROUP BY 1),
+    k AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS k
+      FROM p GROUP BY cohort),
+    m AS (
+      SELECT
+        (SELECT k FROM k WHERE cohort = 'weekend') AS k1,
+        (SELECT t FROM days WHERE cohort = 'weekend') AS t1,
+        (SELECT k FROM k WHERE cohort = 'weekday') AS k2,
+        (SELECT t FROM days WHERE cohort = 'weekday') AS t2)
+    SELECT k1 AS k_weekend, t1 AS days_weekend,
+           k2 AS k_weekday, t2 AS days_weekday,
+           ROUND(CAST(k1 AS DOUBLE) / t1, 6) AS rate_weekend,
+           ROUND(CAST(k2 AS DOUBLE) / t2, 6) AS rate_weekday,
+           ROUND((CAST(k1 AS DOUBLE) / t1 - CAST(k2 AS DOUBLE) / t2)
+                 / sqrt(CAST(k1 AS DOUBLE) / (CAST(t1 AS DOUBLE) * t1)
+                        + CAST(k2 AS DOUBLE)
+                          / (CAST(t2 AS DOUBLE) * t2)), 6) AS z,
+           ABS(ROUND((CAST(k1 AS DOUBLE) / t1 - CAST(k2 AS DOUBLE) / t2)
+                 / sqrt(CAST(k1 AS DOUBLE) / (CAST(t1 AS DOUBLE) * t1)
+                        + CAST(k2 AS DOUBLE)
+                          / (CAST(t2 AS DOUBLE) * t2)), 6))
+             > {TT_Z95} AS reject_95
+    FROM m
+    """,
+)
+def q_agg_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Poisson rate comparison: does the purchase arrival
+    RATE (events per exposure day) differ between weekends and
+    weekdays?  Wald z on the rate difference, z = (λ̂₁−λ̂₂)/√(k₁/t₁² +
+    k₂/t₂²) — the COUNT-process member of the two-sample family
+    (welch_t compares means of values, mann_whitney their ranks; this
+    compares arrival intensities with EXPOSURE NORMALIZATION, the
+    statistic a traffic/conversion dashboard actually needs because
+    weekends have fewer days in any window).
+
+    Cross-engine exactness: event counts and exposure-day counts are
+    exact BIGINTs (dayofweek pinned UTC on both engines per FIXTURES.md
+    §6); rates and z are ONE fixed-order double expression, rounded 6;
+    the decision compares the rounded |z| to the shared {TT_Z95}
+    literal.
+
+    100 TB posture: one filtered map-side partial agg to TWO counter
+    cells plus a distinct-day rollup bounded by |days|.  Nothing scales
+    past the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    wknd = F.dayofweek(F.col("ts")).isin(1, 7)  # Spark: Sun=1, Sat=7
+    k = (
+        ev.filter(F.col("event_type") == "purchase")
+        .agg(
+            F.sum(F.when(wknd, 1).otherwise(0))
+            .cast("long")
+            .alias("k1"),
+            F.sum(F.when(~wknd, 1).otherwise(0))
+            .cast("long")
+            .alias("k2"),
+        )
+    )
+    days = (
+        ev.select(F.to_date("ts").alias("day"))
+        .distinct()
+        .agg(
+            F.sum(
+                F.when(F.dayofweek(F.col("day")).isin(1, 7), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("t1"),
+            F.sum(
+                F.when(
+                    ~F.dayofweek(F.col("day")).isin(1, 7), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("t2"),
+        )
+    )
+    m = k.crossJoin(days)
+    r1 = F.col("k1").cast("double") / F.col("t1")
+    r2 = F.col("k2").cast("double") / F.col("t2")
+    z = (r1 - r2) / F.sqrt(
+        F.col("k1").cast("double")
+        / (F.col("t1").cast("double") * F.col("t1"))
+        + F.col("k2").cast("double")
+        / (F.col("t2").cast("double") * F.col("t2"))
+    )
+    return m.select(
+        F.col("k1").alias("k_weekend"),
+        F.col("t1").alias("days_weekend"),
+        F.col("k2").alias("k_weekday"),
+        F.col("t2").alias("days_weekday"),
+        F.round(r1, 6).alias("rate_weekend"),
+        F.round(r2, 6).alias("rate_weekday"),
+        F.round(z, 6).alias("z"),
+        (F.abs(F.round(z, 6)) > TT_Z95).alias("reject_95"),
+    )

@@ -399,3 +399,36 @@ def test_streaming_bollinger_gate_and_alert_semantics(spark, q, osql):
     # alerts must be a strict subset of all completed windows
     ev = q["s_window_tumbling"](spark, SF001).toPandas()
     assert len(df) < len(ev)
+
+
+def test_gumbel_fit_gate_and_moment_identities(spark, q, osql):
+    df = _cross_engine(
+        spark, q, osql, "q_agg_gumbel_fit", SF001, ["events"]
+    )
+    assert len(df) == 5
+    for _, r in df.iterrows():
+        assert r["beta_hat"] > 0
+        # mu_hat = mean - gamma*beta (method-of-moments identity)
+        assert abs(
+            r["mu_hat"] - (r["mean_max"] - 0.5772156649015329 * r["beta_hat"])
+        ) < 1e-4
+        # the 30-block return level must exceed the location parameter
+        # (ln(-ln(1-1/30)) < 0) and, for a 30-day fixture, sit above
+        # the mean of the daily maxima
+        assert r["return_level_30"] > r["mu_hat"]
+        assert r["return_level_30"] > r["mean_max"]
+
+
+def test_poisson_rate_gate_and_exposure_normalization(spark, q, osql):
+    df = _cross_engine(
+        spark, q, osql, "q_agg_poisson_rate_test", SF001, ["events"]
+    )
+    r = df.iloc[0]
+    assert r["days_weekend"] + r["days_weekday"] == 30
+    assert abs(
+        r["rate_weekend"] - r["k_weekend"] / r["days_weekend"]
+    ) < 1e-6
+    assert abs(
+        r["rate_weekday"] - r["k_weekday"] / r["days_weekday"]
+    ) < 1e-6
+    assert bool(r["reject_95"]) == (abs(r["z"]) > 1.96)

@@ -124,6 +124,14 @@ ALLOWLIST = {
     # x_sim_topk_cosine query/candidate class — a checkpoint would
     # materialize the whole corpus to save a 20-row scan)
     "x_decontaminate_semantic": 2,
+    # centroid pass + scoring pass over embeddings (r12; the same
+    # query/candidate class — checkpointing the corpus to save the
+    # second scan is exactly the move the class note above rejects)
+    "x_ece_calibration": 2,
+    # query slice + relevance pass over embeddings (r12; the
+    # x_sim_topk_cosine class verbatim — the greedy itself runs on
+    # checkpointed pool-bounded relations)
+    "x_embed_mmr_diversify": 2,
     "x_sim_topk_ivf": 2,
     "x_sim_topk_lsh": 2,
     "x_sim_topk_lsh_multiprobe": 2,
