@@ -7038,52 +7038,43 @@ BOLL_K = 2  # band half-width in rolling population stddevs
     oracle=f"""
     WITH d AS (
       SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
-             SUM(CAST(value AS DECIMAL(18,6))) AS tot
+             CAST(SUM(CAST(value AS DECIMAL(18,6)) * 1000000)
+                  AS DECIMAL(38,0)) AS mu
       FROM events GROUP BY 1),
     w AS (
-      SELECT day, tot,
+      SELECT day, mu,
              CAST(COUNT(*) OVER win AS BIGINT) AS n_win,
-             SUM(tot) OVER win AS s,
-             SUM(tot * tot) OVER win AS sq
+             CAST(SUM(mu) OVER win AS DECIMAL(38,0)) AS s,
+             CAST(SUM(mu * mu) OVER win AS DECIMAL(38,0)) AS sq
       FROM d
-      WINDOW win AS (ORDER BY day ROWS {BOLL_W - 1} PRECEDING))
+      WINDOW win AS (ORDER BY day ROWS {BOLL_W - 1} PRECEDING)),
+    v AS (
+      SELECT day, mu, n_win, s,
+             CAST(n_win * sq - s * s AS DECIMAL(38,0)) AS var_num
+      FROM w)
     SELECT day,
-           ROUND(CAST(tot AS DOUBLE), 6) AS total,
+           ROUND(CAST(mu AS DOUBLE) / 1000000.0, 6) AS total,
            n_win,
-           ROUND(CAST(s AS DOUBLE) / n_win, 6) AS sma,
-           ROUND(sqrt(GREATEST(
-             (n_win * CAST(sq AS DOUBLE)
-              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
-             / (CAST(n_win AS DOUBLE) * n_win), 0.0)), 6) AS sd,
-           ROUND(CAST(s AS DOUBLE) / n_win
-                 + {BOLL_K} * sqrt(GREATEST(
-                     (n_win * CAST(sq AS DOUBLE)
-                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
-                     / (CAST(n_win AS DOUBLE) * n_win), 0.0)), 6)
-             AS upper_band,
-           ROUND(CAST(s AS DOUBLE) / n_win
-                 - {BOLL_K} * sqrt(GREATEST(
-                     (n_win * CAST(sq AS DOUBLE)
-                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
-                     / (CAST(n_win AS DOUBLE) * n_win), 0.0)), 6)
-             AS lower_band,
+           ROUND(CAST(s AS DOUBLE) / n_win / 1000000.0, 6) AS sma,
+           ROUND(sqrt(CAST(var_num AS DOUBLE)) / n_win / 1000000.0, 6)
+             AS sd,
+           ROUND((CAST(s AS DOUBLE) / n_win
+                  + {BOLL_K} * sqrt(CAST(var_num AS DOUBLE)) / n_win)
+                 / 1000000.0, 6) AS upper_band,
+           ROUND((CAST(s AS DOUBLE) / n_win
+                  - {BOLL_K} * sqrt(CAST(var_num AS DOUBLE)) / n_win)
+                 / 1000000.0, 6) AS lower_band,
            CASE WHEN n_win < {BOLL_W} THEN NULL
-                WHEN ROUND(CAST(tot AS DOUBLE), 6)
-                     > ROUND(CAST(s AS DOUBLE) / n_win
-                             + {BOLL_K} * sqrt(GREATEST(
-                                 (n_win * CAST(sq AS DOUBLE)
-                                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
-                                 / (CAST(n_win AS DOUBLE) * n_win), 0.0)),
-                             6) THEN 'up'
-                WHEN ROUND(CAST(tot AS DOUBLE), 6)
-                     < ROUND(CAST(s AS DOUBLE) / n_win
-                             - {BOLL_K} * sqrt(GREATEST(
-                                 (n_win * CAST(sq AS DOUBLE)
-                                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
-                                 / (CAST(n_win AS DOUBLE) * n_win), 0.0)),
-                             6) THEN 'down'
+                WHEN ROUND(CAST(mu AS DOUBLE) / 1000000.0, 6)
+                     > ROUND((CAST(s AS DOUBLE) / n_win
+                              + {BOLL_K} * sqrt(CAST(var_num AS DOUBLE))
+                                / n_win) / 1000000.0, 6) THEN 'up'
+                WHEN ROUND(CAST(mu AS DOUBLE) / 1000000.0, 6)
+                     < ROUND((CAST(s AS DOUBLE) / n_win
+                              - {BOLL_K} * sqrt(CAST(var_num AS DOUBLE))
+                                / n_win) / 1000000.0, 6) THEN 'down'
                 ELSE 'in' END AS breakout
-    FROM w
+    FROM v
     """,
 )
 def q_ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7094,14 +7085,19 @@ def q_ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     (global-distribution z) and q_ts_cusum (drift): the band widens in
     volatile regimes so one-off spikes in a noisy week don't alert.
 
-    Cross-engine exactness: daily totals, their windowed sums and the
-    windowed sum of squares accumulate as DECIMAL — EXACT regardless of
-    the engines' window-frame association order (DuckDB's segment-tree
-    evaluation vs Spark's running frame never meets a float); mean, σ =
-    √((nΣx²−(Σx)²)/n²) and the bands are ONE fixed-order double
-    expression over those exact decimals, rounded 6; the breakout flag
-    compares the ROUNDED total to the ROUNDED bands so an ulp can never
-    flip it.  Warm-up rows (n_win < {BOLL_W}) emit NULL breakout.
+    Cross-engine exactness: daily totals ride the micro-unit (1e-6)
+    INTEGER grid — DECIMAL(38,0) ≡ HUGEINT window sums and sums of
+    squares, so nΣx²−(Σx)² is an EXACT non-negative integer (Cauchy-
+    Schwarz holds exactly; no GREATEST clamp needed) regardless of the
+    engines' window-frame association order.  The ONLY decimal→double
+    cast is of that exact integer: at sf1 the earlier fractional-
+    DECIMAL(·,12) form split an ulp in DuckDB's two-step int128/10^12
+    conversion and flipped σ's 6th decimal — the micro-grid kills the
+    class (q_agg_cohens_d's discipline).  σ = √var_num / n and the
+    bands are ONE fixed-order double expression rounded 6; the breakout
+    flag compares the ROUNDED total to the ROUNDED bands so an ulp can
+    never flip it.  Warm-up rows (n_win < {BOLL_W}) emit NULL
+    breakout.
 
     100 TB posture: one corpus-sized (day) partial-agg; the rolling
     window rides the |days| relation ordered by day — at scale that
@@ -7110,34 +7106,43 @@ def q_ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     exception."""
     ev = load_table(spark, sf_dir, "events")
     d = ev.groupBy(F.to_date("ts").cast("string").alias("day")).agg(
-        F.sum(F.col("value").cast("decimal(18,6)")).alias("tot")
+        F.sum(F.col("value").cast("decimal(18,6)") * 1000000)
+        .cast("decimal(38,0)")
+        .alias("mu")
     )
     win = Window.orderBy("day").rowsBetween(-(BOLL_W - 1), 0)
     w = d.select(
         "day",
-        "tot",
+        "mu",
         F.count("*").over(win).cast("long").alias("n_win"),
-        F.sum("tot").over(win).alias("s"),
-        F.sum(F.col("tot") * F.col("tot")).over(win).alias("sq"),
+        F.sum("mu").over(win).cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("mu") * F.col("mu"))
+        .over(win)
+        .cast("decimal(38,0)")
+        .alias("sq"),
+    )
+    v = w.select(
+        "day",
+        "mu",
+        "n_win",
+        "s",
+        (F.col("n_win") * F.col("sq") - F.col("s") * F.col("s"))
+        .cast("decimal(38,0)")
+        .alias("var_num"),
     )
     n = F.col("n_win")
     s = F.col("s").cast("double")
-    sq = F.col("sq").cast("double")
+    sdraw = F.sqrt(F.col("var_num").cast("double")) / n
     mean = s / n
-    sd = F.sqrt(
-        F.greatest(
-            (n * sq - s * s) / (n.cast("double") * n), F.lit(0.0)
-        )
-    )
-    tot6 = F.round(F.col("tot").cast("double"), 6)
-    up6 = F.round(mean + BOLL_K * sd, 6)
-    lo6 = F.round(mean - BOLL_K * sd, 6)
-    return w.select(
+    tot6 = F.round(F.col("mu").cast("double") / 1000000.0, 6)
+    up6 = F.round((mean + BOLL_K * sdraw) / 1000000.0, 6)
+    lo6 = F.round((mean - BOLL_K * sdraw) / 1000000.0, 6)
+    return v.select(
         "day",
         tot6.alias("total"),
         "n_win",
-        F.round(mean, 6).alias("sma"),
-        F.round(sd, 6).alias("sd"),
+        F.round(mean / 1000000.0, 6).alias("sma"),
+        F.round(sdraw / 1000000.0, 6).alias("sd"),
         up6.alias("upper_band"),
         lo6.alias("lower_band"),
         F.when(n < BOLL_W, F.lit(None).cast("string"))
