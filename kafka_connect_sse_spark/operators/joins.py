@@ -1006,43 +1006,136 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # co-activity graph (edge = two users active in the same (event_type,
 # minute) bucket, deterministic vertex sample user_id % 2 = 0) — shared
-# by q_triangle_count and q_pagerank_iter on both engine sides
-_COACT_EDGES_CTE = """act AS (SELECT DISTINCT event_type,
+# by q_triangle_count, q_pagerank_iter and q_graph_kcore on both engine
+# sides.
+#
+# Round 13 (VERDICT r12 item 2): the per-cohort pair expansion is
+# CAPPED with the same deterministic auto-knee rule as the co-catalog
+# graph (GRAPH_PD_*) and x_containment_dedup's hot-postings cap: p99 of
+# the cohort size over the 1/16 md5-prefix cohort sample, cap =
+# max(COACT_FLOOR, COACT_HEADROOM x p99).  A (event_type, minute)
+# cohort above the cap contributes C(n,2) pairs and no discriminative
+# signal (a flash-crowd minute makes everyone "co-active" with
+# everyone) — the graph analogue of a stop word.  The rule is mirrored
+# verbatim in the oracle CTE so the gate stays EXACT.  On the fixtures
+# the cap NEVER binds (cohort max 47 at sf10 vs cap >= 64), so all
+# prior driver records remain valid; it exists for flash-crowd skew,
+# where uncapped blocking is the last quadratic in the engine.
+COACT_FLOOR = 64
+COACT_HEADROOM = 8
+COACT_PROFILE_PREFIX = "0"  # md5(cohort key) LIKE '0%' = 1/16 sample
+
+_COACT_EDGES_CTE = f"""act AS (SELECT DISTINCT event_type,
                         date_trunc('minute', ts) AS m, user_id
                  FROM events WHERE user_id % 2 = 0),
+    coh AS (SELECT event_type, m, CAST(COUNT(*) AS BIGINT) AS cd
+            FROM act GROUP BY event_type, m),
+    cprof AS (SELECT cd FROM coh
+              WHERE md5(event_type || '|'
+                        || strftime(m, '%Y-%m-%d %H:%M:%S'))
+                    LIKE '{COACT_PROFILE_PREFIX}%'
+                AND cd >= 2),
+    chist AS (SELECT cd, COUNT(*) AS cnt FROM cprof GROUP BY cd),
+    ctot AS (SELECT SUM(cnt) AS n FROM chist),
+    ccum AS (SELECT h.cd, SUM(h2.cnt) AS cum
+             FROM chist h JOIN chist h2 ON h2.cd <= h.cd GROUP BY h.cd),
+    cp99 AS (SELECT MIN(cd) AS p99_cd FROM ccum, ctot
+             WHERE cum >= (99 * n + 99) // 100),
+    ccap AS (SELECT GREATEST({COACT_FLOOR},
+                             {COACT_HEADROOM} * COALESCE(p99_cd, 0))
+                    AS cap_d FROM cp99),
+    kact AS (SELECT a.event_type, a.m, a.user_id
+             FROM act a
+             JOIN coh c ON c.event_type = a.event_type AND c.m = a.m,
+                  ccap
+             WHERE c.cd <= ccap.cap_d),
     edges AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
-              FROM act a JOIN act b
+              FROM kact a JOIN kact b
                 ON a.event_type = b.event_type AND a.m = b.m
                AND a.user_id < b.user_id)"""
 
+# Session-scoped cache of the built edge relation (VERDICT r12 item 3):
+# q_triangle_count / q_pagerank_iter / q_graph_kcore each need the same
+# localCheckpointed edges, and within one sweep/bench session the build
+# (the only corpus-sized shuffle in the family) used to run three
+# times.  Keyed by (applicationId, sf_dir) so a new session or a
+# different fixture rebuilds; the checkpointed blocks live for the
+# session, which is exactly the artifact's intended lifetime.
+_COACT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
 
 def _coactivity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct undirected co-activity edges (u < v), localCheckpointed —
-    the self-join runs once per caller regardless of downstream fan-out
-    (AQE no-cross-stage-reuse trap)."""
+    """Distinct undirected co-activity edges (u < v), localCheckpointed
+    and session-cached — the build runs once per (session, fixture)
+    regardless of how many graph ops consume it (AQE cannot reuse
+    across queries; the cache can).
+
+    Build shape (round 13): ONE corpus-sized shuffle — collect_set of
+    users per (event_type, minute) cohort — then a map-side double
+    explode of each cohort list into (u < v) pairs, the
+    co_catalog_postings() inverted-index shape, with the auto-knee
+    cohort cap (COACT_*) dropping flash-crowd cohorts BEFORE expansion
+    so pair work is bounded at Σ min(cd, cap)² under skew."""
+    key = (spark.sparkContext.applicationId, str(sf_dir))
+    cached = _COACT_CACHE.get(key)
+    if cached is not None:
+        return cached
     e = load_table(spark, sf_dir, "events").filter(
         F.col("user_id") % 2 == 0
     )
-    act = e.select(
-        "event_type",
-        F.date_trunc("minute", F.col("ts")).alias("m"),
-        "user_id",
-    ).distinct()
-    a = act.alias("a")
-    b = act.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.m") == F.col("b.m"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
+    posts = (
+        e.groupBy(
+            "event_type",
+            F.date_trunc("minute", F.col("ts")).alias("m"),
         )
-        .select(
-            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
-        )
+        .agg(F.collect_set("user_id").alias("us"))
+        .select("event_type", "m", "us", F.size("us").alias("cd"))
+        # consumers: profile + pair expansion; |cohorts| rows
+        .localCheckpoint(eager=True)
+    )
+    prof = posts.filter(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("event_type"),
+                F.date_format("m", "yyyy-MM-dd HH:mm:ss"),
+            )
+        ).startswith(COACT_PROFILE_PREFIX)
+        & (F.col("cd") >= 2)
+    ).select("cd")
+    hist = prof.groupBy("cd").agg(F.count("*").alias("cnt"))
+    h2 = hist.select(F.col("cd").alias("cd2"), F.col("cnt").alias("cnt2"))
+    cum = (
+        hist.join(h2, F.col("cd2") <= F.col("cd"))
+        .groupBy("cd")
+        .agg(F.sum("cnt2").alias("cum"))
+    )
+    tot = hist.agg(F.sum("cnt").alias("n_lists"))
+    p99 = (
+        cum.crossJoin(tot)
+        .filter(F.col("cum") >= F.expr("(99 * n_lists + 99) div 100"))
+        .agg(F.min("cd").alias("p99_cd"))
+    )
+    cap = p99.select(
+        F.greatest(
+            F.lit(COACT_FLOOR),
+            F.lit(COACT_HEADROOM) * F.coalesce(F.col("p99_cd"), F.lit(0)),
+        ).alias("cap_d")
+    )
+    kept = posts.crossJoin(cap).filter(F.col("cd") <= F.col("cap_d"))
+    pairs = (
+        kept.filter(F.col("cd") >= 2)
+        .select(F.explode("us").alias("u"), "us")
+        .select("u", F.explode("us").alias("v"))
+        .filter(F.col("u") < F.col("v"))
+    )
+    edges = (
+        widen_pair_shuffle(pairs, "u", "v")
         .distinct()
         .localCheckpoint(eager=True)
     )
+    _COACT_CACHE[key] = edges
+    return edges
 
 
 @register(

@@ -94,6 +94,18 @@ def register(name: str, oracle: str | None = None):
 # topped up from the next-oldest cohort — so no record ages past ~3
 # rounds.
 #
+# ROUND 13 ON — the rotation is COMPUTED, not hand-listed (VERDICT r12
+# item 7).  ``window_order()`` derives the registry ordering from the
+# committed CORRECTNESS_r*.json driver records at the repo root:
+#   (a) every op with NO green driver record leads (new ops this round
+#       are recordless by construction, so they seat automatically);
+#   (b) the rest follow oldest-newest-record-first, alphabetical within
+#       a round — the same convention every hand-built window used.
+# tests/test_window_rotation.py re-derives the expected window from the
+# record files independently and pins the 50-entry prefix, so omitting
+# a recordless op is a structural test failure, not a review item.
+# The hand-written compositions below stay as the r6–r12 audit trail.
+#
 # Round-12 window composition (50 entries):
 #   (a) the 38 ops with NO driver record yet (VERDICT r11 item 1 names
 #       them exhaustively — the round-11 continuation/session-3 batch
@@ -313,7 +325,56 @@ def register(name: str, oracle: str | None = None):
 #   q_agg_listagg, q_cdc_scd2, q_agg_filtered, q_agg_global,
 #   q_fn_datetime2, q_fn_string3, q_project_rename,
 #   q_set_intersect_all
-_PRIORITY = (
+WINDOW_SIZE = 50
+
+
+def driver_record_rounds() -> dict[str, int]:
+    """op id -> newest round holding a fully-green driver record.
+
+    Reads the committed ``CORRECTNESS_r*.json`` files at the repo root
+    (the driver's own attestation artifacts).  A record counts as green
+    when rows+schema matched, the value-hash matched where checked
+    (rows-only ops carry no hash), and no error was recorded."""
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    newest: dict[str, int] = {}
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for op, rec in data.items():
+            if (
+                isinstance(rec, dict)
+                and rec.get("rows_match")
+                and rec.get("schema_match")
+                and rec.get("hash_match") is not False
+                and not rec.get("err")
+            ):
+                if newest.get(op, -1) < rnd:
+                    newest[op] = rnd
+    return newest
+
+
+def window_order(ops) -> list[str]:
+    """Rotation policy (VERDICT r12 item 7): recordless ops first, then
+    oldest-driver-record-first; alphabetical within each group."""
+    newest = driver_record_rounds()
+    return sorted(ops, key=lambda op: (newest.get(op, -1), op))
+
+
+# r12 audit trail — the last hand-built window (kept verbatim so the
+# r6–r12 composition comments above stay checkable):
+_R12_PRIORITY = (
     # (a) the 38 driver-recordless round-11 ops (VERDICT r11 item 1);
     # mutual_info / bootstrap_ci / the graph pair also re-attest their
     # round-12 code changes from inside this block
@@ -377,9 +438,7 @@ _PRIORITY = (
 
 
 def _ordered(d: dict) -> dict:
-    out = {k: d[k] for k in _PRIORITY if k in d}
-    out.update({k: v for k, v in d.items() if k not in out})
-    return out
+    return {k: d[k] for k in window_order(d)}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

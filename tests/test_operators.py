@@ -84,85 +84,10 @@ def test_salting_helpers_round_trip(spark):
     assert joined.count() == plain.count()
 
 
-def test_round12_driver_window_composition(qs):
-    """The driver checks the FIRST 50 registry entries.  Pin the
-    round-12 rotation window: (a) the 38 ops holding NO driver record
-    (VERDICT r11 item 1 names them exhaustively — the round-11
-    continuation/session-3 batch the r11 rotation debt displaced;
-    q_agg_mutual_info / q_agg_bootstrap_ci / the graph pair also
-    re-attest their round-12 code changes from inside this block),
-    (b) ops new this round (displace the deepest (d) rows as they
-    land), (d) top-up to 50 from the r6-era cohort, alphabetical —
-    starting that cohort's rotation exactly as r5's and r4's started.
-    A silent reordering here would burn the round's freshness
-    evidence.  Every deferred op is code-UNMODIFIED this round (its
-    newest driver record attests the running code) and the
-    full-registry sf0.01 + sf1 sweeps re-cover the whole surface each
-    round."""
-    from kafka_connect_sse_spark.registry import _PRIORITY
-
-    window = list(qs)[: len(_PRIORITY)]
-    assert window == list(_PRIORITY)
-    assert len(_PRIORITY) == 50, "round-12 window must fill all 50 slots"
-    assert window == [
-        # (a) the 38 driver-recordless round-11 ops
-        "q_agg_anova_oneway",
-        "q_agg_benford",
-        "q_agg_bootstrap_ci",
-        "q_agg_cohens_d",
-        "q_agg_cramers_v",
-        "q_agg_gini",
-        "q_agg_hodges_lehmann",
-        "q_agg_iqr_outliers",
-        "q_agg_kendall_tau",
-        "q_agg_levene",
-        "q_agg_mutual_info",
-        "q_agg_pairwise_diffs",
-        "q_agg_psi",
-        "q_agg_spearman",
-        "q_agg_wilcoxon_signed",
-        "q_graph_assortativity",
-        "q_jaccard_neighbors",
-        "q_join_asof_tolerance",
-        "q_join_interval_overlap",
-        "q_snapshot_diff",
-        "q_ts_acf_multi",
-        "q_ts_changepoint",
-        "q_ts_decompose_ma",
-        "q_ts_holt_winters",
-        "q_ts_sma_crossover",
-        "q_win_median",
-        "s_threshold_alert",
-        "s_topk_per_window",
-        "s_window_distinct_users",
-        "x_ccnet_buckets",
-        "x_data_contract",
-        "x_dedup_fuzzy_edit",
-        "x_gopher_rules",
-        "x_kmeans_lloyd",
-        "x_multimodal_phash",
-        "x_shard_manifest",
-        "x_span_corruption_plan",
-        "x_ttr_segments",
-        # (b) new this round
-        "q_agg_gini_approx",
-        "q_agg_kruskal_wallis",
-        "q_agg_survival_km",
-        "q_ts_lead_lag",
-        "x_dp_count_release",
-        "x_code_detect",
-        "snk_manifest_commit",
-        "x_decontaminate_semantic",
-        "q_agg_jarque_bera",
-        "q_agg_log_rank",
-        "q_agg_rate_wilson_ci",
-        "q_ts_seasonal_strength",
-    ]
-    # every window op must carry an oracle (EXACT gate, not rows-only)
-    from kafka_connect_sse_spark.registry import oracle_sql
-
-    osql = oracle_sql()
-    assert all(name in osql for name in window)
+# The driver-window composition pin moved to tests/test_window_rotation.py
+# in round 13: the rotation is now COMPUTED from the committed
+# CORRECTNESS_r*.json records (registry.window_order), and the test
+# re-derives the expected window independently.
 
 
 def test_registry_count_matches_survey(qs):
