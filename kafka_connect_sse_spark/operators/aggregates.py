@@ -6881,6 +6881,17 @@ CHI2_CRIT_95 = {
 _CHI2_CASE = " ".join(
     f"WHEN {df} THEN {v}" for df, v in CHI2_CRIT_95.items()
 )
+# out-of-range df must FAIL LOUDLY, not NULL the reject flag (ADVICE
+# r12/2): both engines raise from the CASE's ELSE arm — `raise_error`
+# on Spark, `error()` on DuckDB — with the offending df in the message
+_CHI2_ELSE_SPARK = (
+    "ELSE CAST(raise_error(CONCAT('q_agg_friedman: chi2 table covers "
+    "df 1..10, got df=', CAST(k - 1 AS STRING))) AS DOUBLE) END"
+)
+_CHI2_ELSE_DUCK = (
+    "ELSE CAST(error('q_agg_friedman: chi2 table covers df 1..10, "
+    "got df=' || CAST(dims.k - 1 AS VARCHAR)) AS DOUBLE) END"
+)
 
 
 @register(
@@ -6924,8 +6935,9 @@ _CHI2_CASE = " ".join(
            nb.n AS n_blocks, dims.k AS k,
            q.friedman_q,
            CAST(dims.k - 1 AS BIGINT) AS df,
-           CASE dims.k - 1 {_CHI2_CASE} END AS chi2_crit_95,
-           q.friedman_q > (CASE dims.k - 1 {_CHI2_CASE} END) AS reject
+           CASE dims.k - 1 {_CHI2_CASE} {_CHI2_ELSE_DUCK} AS chi2_crit_95,
+           q.friedman_q
+             > (CASE dims.k - 1 {_CHI2_CASE} {_CHI2_ELSE_DUCK}) AS reject
     FROM r2, dims, nb, q
     """,
 )
@@ -6947,7 +6959,9 @@ def q_agg_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     Classical (tie-uncorrected) statistic, documented as such.  The
     reject decision compares the rounded Q against the literal χ²(df)
     95% table shared textually by both engines (the q_agg_jarque_bera
-    convention).
+    convention); a df OUTSIDE the table (k−1 > 10) raises loudly on
+    both engines from the CASE's ELSE arm instead of silently NULLing
+    the reject flag (ADVICE r12/2).
 
     100 TB posture: one corpus-sized (day, type) partial-agg count; the
     grid completion, rank windows and rollup all ride the |days|·k
@@ -7008,7 +7022,7 @@ def q_agg_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("friedman_q")
     )
-    crit = F.expr(f"CASE k - 1 {_CHI2_CASE} END")
+    crit = F.expr(f"CASE k - 1 {_CHI2_CASE} {_CHI2_ELSE_SPARK}")
     return (
         r2.crossJoin(dims)
         .crossJoin(nb)
@@ -7031,16 +7045,32 @@ def q_agg_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BOLL_W = 7  # rolling window width (days, ROWS frame)
 BOLL_K = 2  # band half-width in rolling population stddevs
+# Overflow guard for the micro-grid variance (ADVICE r12/3): with
+# |mu| < 1e17 the worst window terms are |s| <= 7e17 -> s*s <= 4.9e35
+# and n*sq <= 7*7e34 = 4.9e35, both far inside DECIMAL(38,0)'s 1e38 —
+# Spark's non-ANSI decimal multiply would NULL silently past that where
+# DuckDB raises, so BOTH engines now raise at the same explicit knee.
+# Observed daily micro-unit totals are ~1e15-1e16 at sf1-sf10: two
+# orders of headroom.
+BOLL_MU_HEADROOM = 10**17
 
 
 @register(
     "q_ts_bollinger",
     oracle=f"""
-    WITH d AS (
+    WITH d0 AS (
       SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
              CAST(SUM(CAST(value AS DECIMAL(18,6)) * 1000000)
                   AS DECIMAL(38,0)) AS mu
       FROM events GROUP BY 1),
+    d AS (
+      SELECT day,
+             CASE WHEN ABS(mu) < {BOLL_MU_HEADROOM}
+                  THEN mu
+                  ELSE CAST(error('q_ts_bollinger: daily micro-unit '
+                       || 'total exceeds DECIMAL(38,0) variance '
+                       || 'headroom') AS DECIMAL(38,0)) END AS mu
+      FROM d0),
     w AS (
       SELECT day, mu,
              CAST(COUNT(*) OVER win AS BIGINT) AS n_win,
@@ -7097,7 +7127,10 @@ def q_ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands are ONE fixed-order double expression rounded 6; the breakout
     flag compares the ROUNDED total to the ROUNDED bands so an ulp can
     never flip it.  Warm-up rows (n_win < {BOLL_W}) emit NULL
-    breakout.
+    breakout.  Daily totals past BOLL_MU_HEADROOM (1e17 micro-units;
+    see the constant's headroom math) raise LOUDLY on both engines
+    instead of Spark silently NULLing the overflowed variance while
+    DuckDB throws (ADVICE r12/3).
 
     100 TB posture: one corpus-sized (day) partial-agg; the rolling
     window rides the |days| relation ordered by day — at scale that
@@ -7105,10 +7138,25 @@ def q_ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     single series is |days|-bounded, the documented global-window
     exception."""
     ev = load_table(spark, sf_dir, "events")
-    d = ev.groupBy(F.to_date("ts").cast("string").alias("day")).agg(
+    d0 = ev.groupBy(F.to_date("ts").cast("string").alias("day")).agg(
         F.sum(F.col("value").cast("decimal(18,6)") * 1000000)
         .cast("decimal(38,0)")
         .alias("mu")
+    )
+    # loud overflow knee (ADVICE r12/3): past BOLL_MU_HEADROOM the
+    # decimal products below would NULL silently in Spark's non-ANSI
+    # multiply; raise instead, mirroring the oracle's error() arm
+    d = d0.select(
+        "day",
+        F.when(F.abs(F.col("mu")) < F.lit(BOLL_MU_HEADROOM), F.col("mu"))
+        .otherwise(
+            F.expr(
+                "CAST(raise_error('q_ts_bollinger: daily micro-unit "
+                "total exceeds DECIMAL(38,0) variance headroom') "
+                "AS DECIMAL(38,0))"
+            )
+        )
+        .alias("mu"),
     )
     win = Window.orderBy("day").rowsBetween(-(BOLL_W - 1), 0)
     w = d.select(

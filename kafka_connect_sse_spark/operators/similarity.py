@@ -1662,7 +1662,8 @@ ECE_BINS = 10  # reliability-diagram bins over confidence in [0, 1]
     conf AS (
       SELECT vec_id, label, predicted,
              ROUND((1.0 + cos) / 2.0, 7) AS conf,
-             CAST(LEAST(FLOOR(((1.0 + cos) / 2.0) * {ECE_BINS}),
+             CAST(LEAST(FLOOR(CAST(ROUND((1.0 + cos) / 2.0, 7)
+                                   AS DECIMAL(11,7)) * {ECE_BINS}),
                         {ECE_BINS} - 1) AS BIGINT) AS bin
       FROM pred WHERE rn = 1),
     tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM conf),
@@ -1705,7 +1706,9 @@ def x_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rounded BEFORE ranking, the x_sim_topk_cosine rule); confidence is
     the affine map (1+cos)/2 onto [0,1] (monotone, deterministic —
     documented as a calibration MAP choice, not a softmax); bins are
-    floor(conf·10) clamped to 9.
+    floor(conf·10) clamped to 9, computed from the ROUNDED conf on the
+    exact DECIMAL(11,7) grid so bin membership and the reported conf
+    always agree at bin edges (ADVICE r12/1).
 
     Cross-engine exactness: cosines and conf are rounded-6 before any
     decision; (1+x)/2 of a 6-dp value is a 7-decimal-digit quantity, so
@@ -1759,8 +1762,17 @@ def x_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             F.col("clabel").alias("predicted"),
             F.round((F.lit(1.0) + F.col("cos")) / 2.0, 7).alias("conf"),
+            # bin from the ROUNDED conf on the exact decimal grid
+            # (ADVICE r12/1): decimal x integer multiply is exact, so
+            # bin membership always agrees with the reported conf even
+            # when rounding crosses a bin edge; mirrored in the oracle
             F.least(
-                F.floor(((F.lit(1.0) + F.col("cos")) / 2.0) * ECE_BINS),
+                F.floor(
+                    F.round((F.lit(1.0) + F.col("cos")) / 2.0, 7).cast(
+                        "decimal(11,7)"
+                    )
+                    * ECE_BINS
+                ),
                 F.lit(ECE_BINS - 1).cast("long"),
             )
             .cast("long")
