@@ -2256,6 +2256,117 @@ def x_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tenc_bucketed_seg(spark: SparkSession) -> DataFrame:
+    """Per-segment (n, Σy) over the custkey-bucketed orders⋈customer —
+    the exchange-free join stage, factored out (pre-localCheckpoint) so
+    tests/test_plans.py can pin its physical plan."""
+    ob = spark.table("kcss_orders_by_cust").hint("merge")
+    cb = spark.table("kcss_customer_by_cust")
+    j = ob.join(cb, ob.o_custkey == cb.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+    )
+    return j.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").alias("sy"),
+    )
+
+
+@register(
+    "x_target_encoding_bucketed",
+    oracle=f"""
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    seg AS (
+      SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(y) AS sy
+      FROM j GROUP BY segment),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS tn,
+             CAST(SUM(sy) AS DOUBLE) AS tsy
+      FROM seg)
+    SELECT seg.segment, seg.n AS n_orders,
+           ROUND(CAST(seg.sy AS DOUBLE) / seg.n, 6) AS raw_mean,
+           ROUND((CAST(seg.sy AS DOUBLE)
+                  + {TENC_SMOOTH} * (tot.tsy / tot.tn))
+                 / (seg.n + {TENC_SMOOTH}), 6) AS encoded,
+           ROUND(CAST(seg.n AS DOUBLE) / (seg.n + {TENC_SMOOTH}), 6)
+             AS shrink,
+           ROUND(tot.tsy / tot.tn, 6) AS global_mean
+    FROM seg, tot
+    """,
+)
+def x_target_encoding_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """x_target_encoding on a BUCKETED layout (VERDICT r12 item 6):
+    identical semantics and oracle, but orders and customer are written
+    bucketed+sorted by the customer key first, so the fact⋈dim join —
+    the only true large×large key shuffle among the round-12 ops
+    (31.3 s at sf10, an honest 15M×1.5M AQE sort-merge) — reads buckets
+    pairwise with ZERO exchange on either join side
+    (tests/test_plans.py pins it, the q_join_bucketed precedent).
+
+    This is the recurring-pipeline posture: a feature store recomputes
+    target encodings every training run; paying the bucketing once at
+    landing time converts every subsequent run's corpus shuffle into a
+    co-located merge join.  The MERGE hint pins SortMergeJoin so the
+    plan demonstrates the bucket path even at fixture scale where
+    broadcast would win."""
+    import os
+    import shutil
+
+    from ..io import scratch_dir
+
+    base = scratch_dir("kcss_tenc_bucketed")
+    shutil.rmtree(base, ignore_errors=True)
+    spark.sql("DROP TABLE IF EXISTS kcss_orders_by_cust")
+    spark.sql("DROP TABLE IF EXISTS kcss_customer_by_cust")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    (
+        o.write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", os.path.join(base, "orders"))
+        .mode("overwrite")
+        .saveAsTable("kcss_orders_by_cust")
+    )
+    (
+        c.write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", os.path.join(base, "customer"))
+        .mode("overwrite")
+        .saveAsTable("kcss_customer_by_cust")
+    )
+    seg = tenc_bucketed_seg(spark).localCheckpoint(eager=True)
+    tot = seg.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("sy").cast("double").alias("tsy"),
+    )
+    m = F.lit(float(TENC_SMOOTH))
+    mu = F.col("tsy") / F.col("tn")
+    return seg.crossJoin(tot).select(
+        "segment",
+        F.col("n").alias("n_orders"),
+        F.round(F.col("sy").cast("double") / F.col("n"), 6).alias(
+            "raw_mean"
+        ),
+        F.round(
+            (F.col("sy").cast("double") + m * mu) / (F.col("n") + m), 6
+        ).alias("encoded"),
+        F.round(F.col("n").cast("double") / (F.col("n") + m), 6).alias(
+            "shrink"
+        ),
+        F.round(mu, 6).alias("global_mean"),
+    )
+
+
 DPQ_EPSILON = 1.0   # exponential-mechanism privacy budget
 QTY_DOMAIN = 50     # l_quantity candidate grid: 1..50 (public domain)
 

@@ -1164,3 +1164,22 @@ def test_graph_pair_never_rescans_lineitem(spark):
         plan = formatted_plan(queries()[op](spark, SF))
         assert "lineitem" not in plan, (op, "corpus re-scanned")
         assert "Scan ExistingRDD" in plan, op
+
+
+def test_target_encoding_bucketed_join_is_exchange_free(spark):
+    """The bucketed target-encoding twin (VERDICT r12 item 6): both
+    custkey-bucketed scans feed the SortMergeJoin with NO exchange on
+    either join side — the only Exchange is the segment aggregation's.
+    The op localCheckpoints the seg relation (cutting lineage), so the
+    join stage is pinned via the factored-out tenc_bucketed_seg."""
+    import re
+
+    # run the op once so the bucketed tables exist, then pin the
+    # factored join stage's plan
+    queries()["x_target_encoding_bucketed"](spark, SF).collect()
+    from kafka_connect_sse_spark.operators.pipeline import tenc_bucketed_seg
+
+    plan = formatted_plan(tenc_bucketed_seg(spark))
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
+    assert len(set(re.findall(r"\((\d+)\) Exchange", plan))) == 1, plan
