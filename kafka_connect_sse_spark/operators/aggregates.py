@@ -7536,3 +7536,518 @@ def q_agg_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z"),
         (F.abs(F.round(z, 6)) > TT_Z95).alias("reject_95"),
     )
+
+
+@register(
+    "q_agg_theil_index",
+    oracle="""
+    WITH x AS (
+      SELECT o_orderpriority AS priority,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS v
+      FROM orders),
+    g AS (
+      SELECT priority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS s,
+             SUM(CAST(ROUND(v * LN(v), 4) AS DECIMAL(38,4))) AS svlnv
+      FROM x GROUP BY priority)
+    SELECT priority, n,
+           ROUND(CAST(s AS DOUBLE) / n / 100.0, 6) AS mean_price,
+           ROUND(CAST(svlnv AS DOUBLE) / s
+                 - LN(CAST(s AS DOUBLE) / n), 6) AS theil_t
+    FROM g
+    """,
+)
+def q_agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of order value per priority class —
+    the DECOMPOSABLE inequality measure next to q_agg_gini (rank-based)
+    and q_agg_hhi (concentration): T = Σ(x/S)·ln(x/μ), zero at perfect
+    equality, ln(n) at total concentration, and (unlike Gini) exactly
+    additive across subgroups, which is why mixture/allocation audits
+    (the x_unimax_mixture world) prefer it.
+
+    Mechanics: the identity T = (Σ x·ln x)/S − ln(S/n) needs only ONE
+    data-dependent sum — each x·ln(x) term on the cent grid is rounded
+    to 4 and CARRIED AS DECIMAL(38,4) (the q_agg_entropy discipline:
+    order-free association), n and S are exact BIGINTs, and the close
+    is one fixed-order double expression rounded 6.  Scale-invariance
+    makes the cent grid harmless: the grid factor cancels between the
+    two logarithms.
+
+    100 TB posture: one corpus-sized partial agg onto |priorities|
+    groups — map-side combine does almost all the work; nothing after
+    the shuffle exceeds group cardinality."""
+    o = load_table(spark, sf_dir, "orders")
+    x = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("v"),
+    )
+    g = x.groupBy("priority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(
+            F.round(F.col("v") * F.log(F.col("v")), 4).cast(
+                "decimal(38,4)"
+            )
+        ).alias("svlnv"),
+    )
+    return g.select(
+        "priority",
+        "n",
+        F.round(F.col("s").cast("double") / F.col("n") / 100.0, 6).alias(
+            "mean_price"
+        ),
+        F.round(
+            F.col("svlnv").cast("double") / F.col("s")
+            - F.log(F.col("s").cast("double") / F.col("n")),
+            6,
+        ).alias("theil_t"),
+    )
+
+
+# winsorized mean: DISCRETE (inverse-CDF) decile bounds so every clamp
+# bound is an exact grid integer on both engines — no interpolation
+# parity surface (the q_agg_mad histogram discipline)
+WINSOR_LO_PCT = 10
+WINSOR_HI_PCT = 90
+
+
+@register(
+    "q_agg_winsorized_mean",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events),
+    h AS (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+          FROM x GROUP BY event_type, v),
+    cum AS (
+      SELECT event_type, v, c,
+             CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cc
+      FROM h),
+    nn AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+                  CAST(SUM(v * c) AS BIGINT) AS s
+           FROM h GROUP BY event_type),
+    bounds AS (
+      SELECT c.event_type,
+             MIN(CASE WHEN c.cc >= ({WINSOR_LO_PCT} * nn.n + 99) // 100
+                      THEN c.v END) AS lo,
+             MIN(CASE WHEN c.cc >= ({WINSOR_HI_PCT} * nn.n + 99) // 100
+                      THEN c.v END) AS hi
+      FROM cum c JOIN nn ON nn.event_type = c.event_type
+      GROUP BY c.event_type),
+    parts AS (
+      SELECT h.event_type,
+             CAST(SUM(CASE WHEN h.v < b.lo THEN h.c ELSE 0 END)
+                  AS BIGINT) AS n_below,
+             CAST(SUM(CASE WHEN h.v > b.hi THEN h.c ELSE 0 END)
+                  AS BIGINT) AS n_above,
+             CAST(SUM(CASE WHEN h.v BETWEEN b.lo AND b.hi
+                           THEN h.v * h.c ELSE 0 END) AS BIGINT)
+               AS s_mid
+      FROM h JOIN bounds b ON b.event_type = h.event_type
+      GROUP BY h.event_type)
+    SELECT p.event_type, nn.n,
+           ROUND(CAST(nn.s AS DOUBLE) / nn.n / 100.0, 6) AS raw_mean,
+           ROUND(CAST(b.lo AS DOUBLE) / 100.0, 6) AS lo_bound,
+           ROUND(CAST(b.hi AS DOUBLE) / 100.0, 6) AS hi_bound,
+           p.n_below, p.n_above,
+           ROUND((p.n_below * CAST(b.lo AS DOUBLE)
+                  + CAST(p.s_mid AS DOUBLE)
+                  + p.n_above * CAST(b.hi AS DOUBLE))
+                 / nn.n / 100.0, 6) AS winsorized_mean
+    FROM parts p
+    JOIN bounds b ON b.event_type = p.event_type
+    JOIN nn ON nn.event_type = p.event_type
+    """,
+)
+def q_agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of event value per type — the robust-location
+    estimator that KEEPS sample size (clamp the tails to the decile
+    bounds) where q_agg_trimmed_mean drops it: the standard spend/KPI
+    mean when a few whale rows would otherwise own the average.
+
+    Mechanics: decile bounds are DISCRETE inverse-CDF quantiles off the
+    per-(type, value) histogram cumulative — smallest grid value whose
+    cumulative count reaches ⌈p·n⌉ — so lo/hi are exact cent-grid
+    integers on both engines (no interpolation-parity surface), and the
+    winsorized sum decomposes exactly: n_below·lo + Σ_mid v·c +
+    n_above·hi, all BIGINT; ONE double division at the close, rounded
+    6.
+
+    100 TB posture: the only corpus-sized stage is the (type, value)
+    histogram partial agg (the q_agg_mad discipline); cumulative
+    windows, bounds and the clamped rollup all ride the |types|×|values|
+    bounded relation."""
+    e = load_table(spark, sf_dir, "events")
+    x = e.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("v"),
+    )
+    h = x.groupBy("event_type", "v").agg(
+        F.count("*").cast("long").alias("c")
+    ).localCheckpoint(eager=True)
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = h.select(
+        "event_type", "v", "c", F.sum("c").over(wcum).cast("long").alias("cc")
+    )
+    nn = h.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("v") * F.col("c")).cast("long").alias("s"),
+    )
+    j = cum.join(nn, "event_type")
+    bounds = j.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                F.col("cc")
+                >= F.expr(f"({WINSOR_LO_PCT} * n + 99) div 100"),
+                F.col("v"),
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("cc")
+                >= F.expr(f"({WINSOR_HI_PCT} * n + 99) div 100"),
+                F.col("v"),
+            )
+        ).alias("hi"),
+    )
+    parts = (
+        h.join(bounds, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("v") < F.col("lo"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_below"),
+            F.sum(F.when(F.col("v") > F.col("hi"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_above"),
+            F.sum(
+                F.when(
+                    F.col("v").between(F.col("lo"), F.col("hi")),
+                    F.col("v") * F.col("c"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("s_mid"),
+        )
+    )
+    return (
+        parts.join(bounds, "event_type")
+        .join(nn, "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("s").cast("double") / F.col("n") / 100.0, 6).alias(
+                "raw_mean"
+            ),
+            F.round(F.col("lo").cast("double") / 100.0, 6).alias("lo_bound"),
+            F.round(F.col("hi").cast("double") / 100.0, 6).alias("hi_bound"),
+            "n_below",
+            "n_above",
+            F.round(
+                (
+                    F.col("n_below") * F.col("lo").cast("double")
+                    + F.col("s_mid").cast("double")
+                    + F.col("n_above") * F.col("hi").cast("double")
+                )
+                / F.col("n")
+                / 100.0,
+                6,
+            ).alias("winsorized_mean"),
+        )
+    )
+
+
+RUNS_Z95 = 1.96  # two-sided 5% normal critical value (runs test)
+
+
+@register(
+    "q_agg_runs_test",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS v
+      FROM events GROUP BY 1),
+    df AS (
+      SELECT day, v - LAG(v) OVER (ORDER BY day) AS diff FROM d),
+    sgn AS (
+      SELECT day, CASE WHEN diff > 0 THEN 1 ELSE -1 END AS s
+      FROM df WHERE diff IS NOT NULL AND diff <> 0),
+    chg AS (
+      SELECT s, CASE WHEN s <> LAG(s) OVER (ORDER BY day)
+                     THEN 1 ELSE 0 END AS brk
+      FROM sgn),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+             CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2,
+             CAST(1 + SUM(brk) AS BIGINT) AS runs
+      FROM chg)
+    SELECT nn AS n_signs, n1 AS n_up, n2 AS n_down, runs AS n_runs,
+           CASE WHEN n1 = 0 OR n2 = 0 OR nn < 2 THEN NULL
+                ELSE ROUND((runs - (1.0 + 2.0 * n1 * n2 / nn))
+                     / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - nn)
+                            / (CAST(nn AS DOUBLE) * nn * (nn - 1))), 6)
+           END AS z,
+           CASE WHEN n1 = 0 OR n2 = 0 OR nn < 2 THEN NULL
+                ELSE ABS(ROUND((runs - (1.0 + 2.0 * n1 * n2 / nn))
+                     / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - nn)
+                            / (CAST(nn AS DOUBLE) * nn * (nn - 1))), 6))
+                     > {RUNS_Z95}
+           END AS reject_randomness
+    FROM m
+    """,
+)
+def q_agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily-revenue direction sequence
+    — is the up/down pattern of day-over-day changes random, or does it
+    trend (too few runs) / oscillate (too many)?  The
+    distribution-free randomness screen that complements
+    q_ts_mann_kendall (monotone trend) and q_ts_autocorr (linear
+    memory): it sees ONLY signs, so one whale day can't drag it.
+
+    Mechanics: daily totals on the cent grid (exact BIGINT); zero
+    diffs are DROPPED (the classical treatment, documented); R = 1 +
+    #sign-changes, n1/n2 sign counts — all exact integers off two lag
+    windows over the |days| relation; z = (R − μ)/σ with μ = 1 +
+    2n1n2/N and σ² = 2n1n2(2n1n2−N)/(N²(N−1)) is ONE fixed-order
+    double expression rounded 6; degenerate sequences (one sign
+    absent) emit NULL z rather than ±inf.  Literal 1.96 decision
+    shared textually.
+
+    100 TB posture: one corpus-sized (day) partial agg; both lag
+    windows and the single-row rollup ride |days| rows — the
+    documented global-window exception on a bounded relation."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("v")
+    )
+    wday = Window.orderBy("day")
+    df_ = d.select(
+        "day", (F.col("v") - F.lag("v").over(wday)).alias("diff")
+    )
+    sgn = df_.filter(
+        F.col("diff").isNotNull() & (F.col("diff") != 0)
+    ).select(
+        "day", F.when(F.col("diff") > 0, 1).otherwise(-1).alias("s")
+    )
+    chg = sgn.select(
+        "s",
+        F.when(F.col("s") != F.lag("s").over(wday), 1)
+        .otherwise(0)
+        .alias("brk"),
+    )
+    m = chg.agg(
+        F.count("*").cast("long").alias("nn"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        (F.lit(1) + F.sum("brk")).cast("long").alias("runs"),
+    )
+    nn = F.col("nn").cast("double")
+    mu = F.lit(1.0) + 2.0 * F.col("n1") * F.col("n2") / F.col("nn")
+    sd = F.sqrt(
+        2.0
+        * F.col("n1")
+        * F.col("n2")
+        * (2.0 * F.col("n1") * F.col("n2") - F.col("nn"))
+        / (nn * F.col("nn") * (F.col("nn") - 1))
+    )
+    degenerate = (
+        (F.col("n1") == 0) | (F.col("n2") == 0) | (F.col("nn") < 2)
+    )
+    z6 = F.round((F.col("runs") - mu) / sd, 6)
+    return m.select(
+        F.col("nn").alias("n_signs"),
+        F.col("n1").alias("n_up"),
+        F.col("n2").alias("n_down"),
+        F.col("runs").alias("n_runs"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(z6)
+        .alias("z"),
+        F.when(degenerate, F.lit(None).cast("boolean"))
+        .otherwise(F.abs(z6) > RUNS_Z95)
+        .alias("reject_randomness"),
+    )
+
+
+SRM_CHI2_CRIT_95 = 3.841  # chi-squared(1) 95% critical value
+
+
+@register(
+    "q_agg_srm_check",
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    arms AS (
+      SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM u)
+    SELECT n AS n_users, n0 AS n_arm0, n1 AS n_arm1,
+           ROUND(CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / n, 6) AS chi2,
+           ROUND(CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / n, 6)
+             > {SRM_CHI2_CRIT_95} AS srm_detected
+    FROM arms
+    """,
+)
+def q_agg_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check — the A/B-test GATE that runs before
+    q_agg_welch_t / q_agg_mann_whitney ever should: with a 50/50
+    assignment (user parity, the repo's standing arm convention), a
+    chi-squared(1) test on the arm counts detects broken randomization
+    (bot filtering, logging loss, redirect bias).  An experiment that
+    fails SRM is invalid no matter what its effect size says.
+
+    Mechanics: for equal expected splits the 1-df statistic collapses
+    to (n0 − n1)²/N — exact BIGINTs into ONE double division rounded
+    6; the 3.841 critical value is a shared literal (the q_agg_friedman
+    convention).
+
+    100 TB posture: one distinct-users shuffle (partial distinct
+    map-side), then a single-row rollup — nothing after the distinct
+    exceeds one row."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct()
+    arms = u.agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.count("*").cast("long").alias("n"),
+    )
+    chi2 = F.round(
+        ((F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n1")))
+        .cast("double")
+        / F.col("n"),
+        6,
+    )
+    return arms.select(
+        F.col("n").alias("n_users"),
+        F.col("n0").alias("n_arm0"),
+        F.col("n1").alias("n_arm1"),
+        chi2.alias("chi2"),
+        (chi2 > SRM_CHI2_CRIT_95).alias("srm_detected"),
+    )
+
+
+RSI_W = 14  # lookback in trading days (Cutler's SMA form)
+
+
+@register(
+    "q_ts_rsi",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS v
+      FROM events GROUP BY 1),
+    df AS (
+      SELECT day, v, v - LAG(v) OVER (ORDER BY day) AS diff FROM d),
+    gl AS (
+      SELECT day, v, diff,
+             CASE WHEN diff > 0 THEN diff ELSE 0 END AS gain,
+             CASE WHEN diff < 0 THEN -diff ELSE 0 END AS loss
+      FROM df),
+    w AS (
+      SELECT day, v,
+             CAST(COUNT(diff) OVER win AS BIGINT) AS n_diffs,
+             CAST(SUM(gain) OVER win AS BIGINT) AS sg,
+             CAST(SUM(loss) OVER win AS BIGINT) AS sl
+      FROM gl
+      WINDOW win AS (ORDER BY day ROWS {RSI_W - 1} PRECEDING))
+    SELECT day,
+           ROUND(CAST(v AS DOUBLE) / 100.0, 6) AS total,
+           n_diffs, sg AS gain_cents, sl AS loss_cents,
+           CASE WHEN n_diffs < {RSI_W} OR sg + sl = 0 THEN NULL
+                ELSE ROUND(100.0 * sg / (sg + sl), 6) END AS rsi
+    FROM w
+    """,
+)
+def q_ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative Strength Index (Cutler's SMA form) of the daily revenue
+    series: RSI = 100·Σgain/(Σgain+Σloss) over the last {RSI_W}
+    day-over-day changes — the bounded [0,100] momentum oscillator
+    that completes the technical tier next to q_ts_bollinger
+    (volatility envelope), q_ts_sma_crossover (trend) and q_ts_ewma
+    (level).  Cutler's simple-average form is used DELIBERATELY:
+    Wilder's recursive smoothing has an infinite memory that a
+    bounded window can't replay exactly; Cutler's is windowed and
+    therefore exactly distributable (and the form most chartists
+    actually compute).
+
+    Cross-engine exactness: gains/losses are exact cent-grid BIGINTs
+    off one lag; window sums stay integer; RSI is ONE double division
+    rounded 6.  Warm-up rows (< {RSI_W} diffs) and flat windows
+    (Σgain+Σloss = 0) emit NULL rather than a fake 50.
+
+    100 TB posture: one corpus-sized (day) partial agg; the lag and
+    the rolling window ride the |days| relation — the documented
+    global-window exception (partition by series id when there are
+    many series)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").cast("string").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("v")
+    )
+    wday = Window.orderBy("day")
+    gl = d.select(
+        "day",
+        "v",
+        (F.col("v") - F.lag("v").over(wday)).alias("diff"),
+    ).select(
+        "day",
+        "v",
+        "diff",
+        F.when(F.col("diff") > 0, F.col("diff")).otherwise(0).alias("gain"),
+        F.when(F.col("diff") < 0, -F.col("diff")).otherwise(0).alias("loss"),
+    )
+    win = Window.orderBy("day").rowsBetween(-(RSI_W - 1), 0)
+    w = gl.select(
+        "day",
+        "v",
+        F.count("diff").over(win).cast("long").alias("n_diffs"),
+        F.sum("gain").over(win).cast("long").alias("sg"),
+        F.sum("loss").over(win).cast("long").alias("sl"),
+    )
+    return w.select(
+        "day",
+        F.round(F.col("v").cast("double") / 100.0, 6).alias("total"),
+        "n_diffs",
+        F.col("sg").alias("gain_cents"),
+        F.col("sl").alias("loss_cents"),
+        F.when(
+            (F.col("n_diffs") < RSI_W) | (F.col("sg") + F.col("sl") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                F.lit(100.0) * F.col("sg") / (F.col("sg") + F.col("sl")), 6
+            )
+        )
+        .alias("rsi"),
+    )

@@ -1247,12 +1247,20 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     close = oriented.select(
         F.col("p").alias("q1"), F.col("q").alias("q2")
     )
-    tri = (
+    wedge = (
         e1.join(e2, "p")
         .filter(
             (F.col("dq1") < F.col("dq2"))
             | ((F.col("dq1") == F.col("dq2")) & (F.col("q1") < F.col("q2")))
         )
+        .select("q1", "q2")
+    )
+    # the wedge relation is |wedges|-sized (Σ C(outdeg,2) — ~2.5e9 at
+    # sf10); its close-join shuffle needs the widen rule just like the
+    # pair aggregations, or 32-wide tasks OOM the 8g heap (round-13
+    # finding, same class as the r11 jaccard OOM)
+    tri = (
+        widen_pair_shuffle(wedge, "q1", "q2")
         .join(close, ["q1", "q2"])
         .agg(F.count("*").alias("n_triangles"))
     )

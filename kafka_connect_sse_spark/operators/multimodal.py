@@ -657,3 +657,134 @@ def x_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("min_doc_id"),
         F.max("doc_id").cast("long").alias("max_doc_id"),
     )
+
+
+# phash near-dup banding: 4 bands x 4 bits over the 16-bit hash; by
+# pigeonhole any pair at Hamming distance <= PHASH_HAM_THR (= bands-1)
+# shares at least one unchanged band, so banded recall is COMPLETE at
+# the threshold (the x_dedup_simhash nibble-bucket argument, image
+# edition)
+PHASH_BANDS = 4
+PHASH_BAND_BITS = 4
+PHASH_HAM_THR = 3
+
+_PHASH_ORACLE_HSH = """
+    dims AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      FROM documents WHERE doc_id % 4 = 1),
+    cells AS (
+      SELECT d.doc_id, y.y * 4 + x.x AS k,
+             SUM((d.doc_id * 7
+                  + 13 * (3 * (((y.y * d.h) // 4) * d.w
+                               + (x.x * d.w) // 4) + c.c)) % 256) AS g
+      FROM dims d,
+           UNNEST(generate_series(0, 3)) AS y(y),
+           UNNEST(generate_series(0, 3)) AS x(x),
+           UNNEST(generate_series(0, 2)) AS c(c)
+      GROUP BY d.doc_id, k),
+    tot AS (SELECT doc_id, SUM(g) AS t FROM cells GROUP BY doc_id),
+    hsh AS (
+      SELECT c.doc_id,
+             CAST(SUM(CASE WHEN 16 * c.g > t.t
+                           THEN CAST(1 AS BIGINT) << c.k
+                           ELSE 0 END) AS BIGINT) AS phash
+      FROM cells c JOIN tot t ON t.doc_id = c.doc_id
+      GROUP BY c.doc_id)"""
+
+
+@register(
+    "x_multimodal_phash_neardup",
+    oracle=f"""
+    WITH {_PHASH_ORACLE_HSH},
+    banded AS (
+      SELECT doc_id, phash, b.b AS band,
+             (phash >> ({PHASH_BAND_BITS} * b.b))
+               & {2 ** PHASH_BAND_BITS - 1} AS bval
+      FROM hsh, UNNEST(generate_series(0, {PHASH_BANDS - 1})) AS b(b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.phash AS pa,
+             b.doc_id AS doc_b, b.phash AS pb
+      FROM banded a JOIN banded b
+        ON b.band = a.band AND b.bval = a.bval
+       AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(pa, pb)) <= {PHASH_HAM_THR}
+    """,
+)
+def x_multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual NEAR-duplicate image pairs — the Hamming-banded
+    extension x_multimodal_phash's docstring names: two rasters whose
+    16-bit average-hashes differ in ≤ {PHASH_HAM_THR} bits are
+    perceptual-duplicate candidates (re-encode, mild crop, brightness
+    shift).  Banding is {PHASH_BANDS}×{PHASH_BAND_BITS} bits; by
+    pigeonhole a ≤{PHASH_HAM_THR}-bit pair shares an unchanged band,
+    so candidate generation has COMPLETE recall at the threshold and
+    the exact bit_count(xor) verify gives exact precision — the
+    LSH-banding contract (x_dedup_near_minhash) on the image tier.
+
+    Cross-engine exactness: the hash arithmetic replays integer-exactly
+    in the oracle (the x_multimodal_phash derivation), band extraction
+    is shift/mask, and Hamming distance is bit_count of xor — every
+    stage integer.
+
+    100 TB posture: mint/decode/hash are map-only mapInPandas stages;
+    the shuffle carries (doc_id, 16-bit hash) × {PHASH_BANDS} band rows;
+    pair expansion is bounded per band bucket (E[|bucket|] =
+    N/2^{PHASH_BAND_BITS} per band at uniform hashes — production
+    64-bit phashes use {PHASH_BANDS} bands of 16 bits, same plan, far
+    smaller buckets); verification is map-side on the candidate
+    relation.  A hot bucket (constant-color rasters) is the df-cap
+    case — the COACT_*/GRAPH_PD_* auto-knee applies if it
+    materializes."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 1)
+        .select("doc_id")
+    )
+    payloads = d.mapInPandas(_ppm_payloads, "doc_id long, payload binary")
+    hashes = payloads.mapInPandas(
+        _phash_batches, "doc_id long, phash long"
+    )
+    banded = hashes.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(PHASH_BANDS)])
+        ).alias("band"),
+    ).withColumn(
+        "bval",
+        F.expr(
+            f"shiftright(phash, {PHASH_BAND_BITS} * band) "
+            f"& {2 ** PHASH_BAND_BITS - 1}"
+        ),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash").alias("pa"),
+        "band",
+        "bval",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("pb"),
+        F.col("band").alias("band_b"),
+        F.col("bval").alias("bval_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band_b") == F.col("band"))
+            & (F.col("bval_b") == F.col("bval"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "pa", "doc_b", "pb")
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.col("pa").bitwiseXOR(F.col("pb"))
+    ).cast("long")
+    return cand.select(
+        "doc_a", "doc_b", ham.alias("hamming")
+    ).filter(F.col("hamming") <= PHASH_HAM_THR)

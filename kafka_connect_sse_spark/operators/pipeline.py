@@ -2569,3 +2569,56 @@ def x_dp_quantile_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(float(DPQ_EPSILON)).alias("epsilon"),
         )
     )
+
+
+@register(
+    "x_class_balance_weights",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(label AS BIGINT) AS label,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM embeddings GROUP BY label),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+                 CAST(COUNT(*) AS BIGINT) AS k FROM c)
+    SELECT c.label, c.n,
+           ROUND(CAST(c.n AS DOUBLE) / t.nt, 6) AS share,
+           ROUND(CAST(t.nt AS DOUBLE) / (t.k * c.n), 6) AS weight,
+           ROUND(CAST(t.nt AS DOUBLE) / (t.k * c.n)
+                 * c.n / t.nt * t.k, 6) AS weight_check
+    FROM c, t
+    """,
+)
+def x_class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency class weights over the labeled embedding set —
+    the sklearn `class_weight='balanced'` table (w_c = N/(K·n_c)) that
+    every imbalanced-label training run broadcasts into its loss: a
+    label with half the average frequency gets weight 2.  Emits the
+    share alongside so the imbalance itself is visible, plus the
+    sanity identity w_c·n_c·K/N = 1 as weight_check (a literal-1 column
+    that catches any future formula drift on EITHER engine).
+
+    Cross-engine exactness: counts exact; each weight is one double
+    expression of exact integers, rounded 6.
+
+    100 TB posture: one partial-agg count onto |labels| groups; the
+    total is a 1-row rollup re-joined by broadcast (crossJoin of a
+    single row).  The weight table is itself what gets broadcast at
+    train time."""
+    e = load_table(spark, sf_dir, "embeddings")
+    c = e.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    t = c.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.count("*").cast("long").alias("k"),
+    )
+    w = F.col("nt").cast("double") / (F.col("k") * F.col("n"))
+    return c.crossJoin(broadcast(t)).select(
+        "label",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("nt"), 6).alias("share"),
+        F.round(w, 6).alias("weight"),
+        F.round(
+            w * F.col("n") / F.col("nt") * F.col("k"), 6
+        ).alias("weight_check"),
+    )
