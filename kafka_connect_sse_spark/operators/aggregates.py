@@ -8051,3 +8051,255 @@ def q_ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("rsi"),
     )
+
+
+@register(
+    "q_ts_drawdown",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS v
+      FROM events GROUP BY 1),
+    c AS (
+      SELECT day, v,
+             CAST(SUM(v) OVER (ORDER BY day
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum
+      FROM d),
+    p AS (
+      SELECT day, v, cum,
+             CAST(MAX(cum) OVER (ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS peak
+      FROM c)
+    SELECT day,
+           ROUND(CAST(cum AS DOUBLE) / 100.0, 6) AS cum_total,
+           ROUND(CAST(peak AS DOUBLE) / 100.0, 6) AS peak_total,
+           CASE WHEN peak > 0
+                THEN ROUND(CAST(peak - cum AS DOUBLE) / peak, 6)
+                ELSE NULL END AS drawdown,
+           peak - cum = CAST(MAX(peak - cum) OVER () AS BIGINT)
+             AS is_max_drawdown
+    FROM p
+    """,
+)
+def q_ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drawdown trajectory of cumulative daily revenue: running peak,
+    per-day drawdown (peak − cum)/peak, and a flag on the
+    maximum-drawdown day — the path-dependent risk statistic that no
+    distributional summary (q_agg_stats) sees: two series with equal
+    variance can have wildly different worst peak-to-trough runs.
+    Completes the technical tier's risk corner next to q_ts_bollinger
+    (local volatility) and q_ts_cusum (drift detection).
+
+    Cross-engine exactness: cumulative sums and running peaks are exact
+    cent-grid BIGINTs off ordered windows (day strings pin the order);
+    drawdown is ONE double division rounded 6; the max-drawdown flag
+    compares exact integers (peak − cum), never the rounded ratio — an
+    ulp can't move the argmax.
+
+    100 TB posture: one corpus-sized (day) partial agg; three windows
+    ride the |days| relation (the documented global-window exception —
+    partition by series when there are many)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").cast("string").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("v")
+    )
+    wrun = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = d.select(
+        "day", "v", F.sum("v").over(wrun).cast("long").alias("cum")
+    )
+    p = c.select(
+        "day",
+        "v",
+        "cum",
+        F.max("cum").over(wrun).cast("long").alias("peak"),
+    )
+    wall = Window.partitionBy()
+    gap = F.col("peak") - F.col("cum")
+    return p.select(
+        "day",
+        F.round(F.col("cum").cast("double") / 100.0, 6).alias("cum_total"),
+        F.round(F.col("peak").cast("double") / 100.0, 6).alias(
+            "peak_total"
+        ),
+        F.when(
+            F.col("peak") > 0,
+            F.round(gap.cast("double") / F.col("peak"), 6),
+        ).alias("drawdown"),
+        (gap == F.max(gap).over(wall).cast("long")).alias(
+            "is_max_drawdown"
+        ),
+    )
+
+
+@register(
+    "q_agg_bowley_skew",
+    oracle="""
+    WITH x AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events),
+    h AS (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+          FROM x GROUP BY event_type, v),
+    cum AS (
+      SELECT event_type, v, c,
+             CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cc
+      FROM h),
+    nn AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+           FROM h GROUP BY event_type),
+    q AS (
+      SELECT c.event_type, nn.n,
+             MIN(CASE WHEN c.cc >= (25 * nn.n + 99) // 100
+                      THEN c.v END) AS q1,
+             MIN(CASE WHEN c.cc >= (50 * nn.n + 99) // 100
+                      THEN c.v END) AS q2,
+             MIN(CASE WHEN c.cc >= (75 * nn.n + 99) // 100
+                      THEN c.v END) AS q3
+      FROM cum c JOIN nn ON nn.event_type = c.event_type
+      GROUP BY c.event_type, nn.n)
+    SELECT event_type, n,
+           ROUND(CAST(q1 AS DOUBLE) / 100.0, 6) AS q1_val,
+           ROUND(CAST(q2 AS DOUBLE) / 100.0, 6) AS median_val,
+           ROUND(CAST(q3 AS DOUBLE) / 100.0, 6) AS q3_val,
+           CASE WHEN q3 > q1
+                THEN ROUND(CAST(q3 + q1 - 2 * q2 AS DOUBLE)
+                           / (q3 - q1), 6)
+                ELSE NULL END AS bowley_skew
+    FROM q
+    """,
+)
+def q_agg_bowley_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowley (quartile) skewness per event type — the ROBUST asymmetry
+    measure next to q_agg_skew_kurt's moment skewness: B = (Q3 + Q1 −
+    2·median)/(Q3 − Q1) ∈ [−1, 1] sees only quartiles, so the whale
+    rows that own the third moment can't touch it; disagreement between
+    B and the moment skew is itself the heavy-tail diagnostic.
+
+    Mechanics: quartiles are DISCRETE inverse-CDF quantiles off the
+    (type, value) histogram cumulative (the q_agg_winsorized_mean
+    discipline) — exact cent-grid integers on both engines — and B is
+    ONE double division of exact integers rounded 6; a degenerate IQR
+    (Q3 = Q1) emits NULL rather than dividing by zero.
+
+    100 TB posture: the only corpus-sized stage is the (type, value)
+    histogram partial agg; cumulative windows and the quartile rollup
+    ride the |types|×|values| bounded relation."""
+    e = load_table(spark, sf_dir, "events")
+    x = e.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("v"),
+    )
+    h = x.groupBy("event_type", "v").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = h.select(
+        "event_type",
+        "v",
+        F.sum("c").over(wcum).cast("long").alias("cc"),
+    )
+    nn = h.groupBy("event_type").agg(F.sum("c").cast("long").alias("n"))
+    j = cum.join(nn, "event_type")
+
+    def _q(pct: int):
+        return F.min(
+            F.when(
+                F.col("cc") >= F.expr(f"({pct} * n + 99) div 100"),
+                F.col("v"),
+            )
+        )
+
+    q = j.groupBy("event_type", "n").agg(
+        _q(25).alias("q1"), _q(50).alias("q2"), _q(75).alias("q3")
+    )
+    return q.select(
+        "event_type",
+        "n",
+        F.round(F.col("q1").cast("double") / 100.0, 6).alias("q1_val"),
+        F.round(F.col("q2").cast("double") / 100.0, 6).alias("median_val"),
+        F.round(F.col("q3").cast("double") / 100.0, 6).alias("q3_val"),
+        F.when(
+            F.col("q3") > F.col("q1"),
+            F.round(
+                (F.col("q3") + F.col("q1") - 2 * F.col("q2")).cast(
+                    "double"
+                )
+                / (F.col("q3") - F.col("q1")),
+                6,
+            ),
+        ).alias("bowley_skew"),
+    )
+
+
+# chi-squared(6) 95% critical value (weekday-uniformity decision)
+CHI2_CRIT_95_DF6 = 12.592
+
+
+@register(
+    "q_agg_chi2_uniform_dow",
+    oracle=f"""
+    WITH c AS (
+      SELECT dayofweek(CAST(ts AS DATE)) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY 1),
+    m AS (
+      SELECT CAST(SUM(o) AS BIGINT) AS n,
+             CAST(SUM(o * o) AS BIGINT) AS so2,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM c)
+    SELECT n AS n_events, k AS n_weekdays,
+           ROUND(CAST(7 * so2 - n * n AS DOUBLE) / n, 6) AS chi2,
+           CAST(6 AS BIGINT) AS df,
+           ROUND(CAST(7 * so2 - n * n AS DOUBLE) / n, 6)
+             > {CHI2_CRIT_95_DF6} AS reject_uniform
+    FROM m
+    """,
+)
+def q_agg_chi2_uniform_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared goodness-of-fit of event volume against a UNIFORM
+    weekday profile — the seasonality EXISTENCE test that gates the
+    seasonal tier: if uniformity survives, q_ts_seasonal_dow /
+    q_ts_holt_winters have nothing to model.  For equal expected cells
+    the statistic collapses to Σ(O−E)²/E = (7·ΣO² − N²)/N — exact
+    BIGINTs into ONE double division rounded 6 (the q_agg_srm_check
+    identity, 7 cells); df = 6 with the literal 12.592 decision (the
+    q_agg_friedman convention).  Weekday extraction uses dayofweek(),
+    identical 1..7 numbering on both engines.
+
+    100 TB posture: one corpus-sized partial agg onto ≤7 groups —
+    map-side combine does all the work; the rollup is single-row."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.dayofweek(F.col("ts").cast("date")).alias("dow")
+    ).agg(F.count("*").cast("long").alias("o"))
+    m = c.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.sum(F.col("o") * F.col("o")).cast("long").alias("so2"),
+        F.count("*").cast("long").alias("k"),
+    )
+    chi2 = F.round(
+        (7 * F.col("so2") - F.col("n") * F.col("n")).cast("double")
+        / F.col("n"),
+        6,
+    )
+    return m.select(
+        F.col("n").alias("n_events"),
+        F.col("k").alias("n_weekdays"),
+        chi2.alias("chi2"),
+        F.lit(6).cast("long").alias("df"),
+        (chi2 > CHI2_CRIT_95_DF6).alias("reject_uniform"),
+    )

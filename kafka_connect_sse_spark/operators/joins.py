@@ -2173,3 +2173,46 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(KCORE_K).cast("long").alias("k"),
         "converged",
     )
+
+
+@register(
+    "q_join_asof_forward",
+    oracle="""
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           strftime(
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+             '%Y-%m-%d %H:%M:%S') AS next_purchase_ts
+    FROM events
+    """,
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (nearest FUTURE match per key) — the
+    time-to-next-event primitive (time-to-conversion, time-to-failure
+    labeling) that completes the as-of family: q_join_asof (backward),
+    q_join_asof_nearest (either side), q_join_asof_tolerance (bounded
+    staleness), this (forward).  Expressed shuffle-free as a running
+    conditional MIN over the mirror-image window frame (CURRENT ROW TO
+    UNBOUNDED FOLLOWING) — one hash partition by key, no join blowup,
+    the identical 100 TB posture as the backward form.
+
+    Cross-engine exactness: timestamps emitted as formatted strings
+    (the q_join_asof convention); the (ts, event_id) tiebreak pins the
+    frame order on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nxt = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("next_purchase_ts"),
+    )
