@@ -8201,7 +8201,7 @@ def q_agg_bowley_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = x.groupBy("event_type", "v").agg(
         F.count("*").cast("long").alias("c")
-    )
+    ).localCheckpoint(eager=True)  # feeds cum + nn: one corpus scan
     wcum = (
         Window.partitionBy("event_type")
         .orderBy("v")

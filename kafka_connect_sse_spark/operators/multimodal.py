@@ -746,7 +746,7 @@ def x_multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = d.mapInPandas(_ppm_payloads, "doc_id long, payload binary")
     hashes = payloads.mapInPandas(
         _phash_batches, "doc_id long, phash long"
-    )
+    ).localCheckpoint(eager=True)  # both band sides: mint+hash run once
     banded = hashes.select(
         "doc_id",
         "phash",

@@ -2607,7 +2607,7 @@ def x_class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     c = e.groupBy(F.col("label").cast("long").alias("label")).agg(
         F.count("*").cast("long").alias("n")
-    )
+    ).localCheckpoint(eager=True)  # feeds t + the weight projection
     t = c.agg(
         F.sum("n").cast("long").alias("nt"),
         F.count("*").cast("long").alias("k"),

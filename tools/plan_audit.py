@@ -124,6 +124,11 @@ ALLOWLIST = {
     # x_sim_topk_cosine query/candidate class — a checkpoint would
     # materialize the whole corpus to save a 20-row scan)
     "x_decontaminate_semantic": 2,
+    # same disjoint-filter shape as the dense twin: eval probes
+    # (vec_id < N) and corpus (vec_id >= N) are two scans by
+    # construction; at billion-vector scale the eval side is a
+    # separate tiny table anyway
+    "x_decontaminate_semantic_lsh": 2,
     # centroid pass + scoring pass over embeddings (r12; the same
     # query/candidate class — checkpointing the corpus to save the
     # second scan is exactly the move the class note above rejects)
