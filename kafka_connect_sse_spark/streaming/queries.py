@@ -1075,3 +1075,108 @@ def s_bollinger_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("direction"),
         )
     )
+
+
+SRM_S_CRIT = 3.841  # chi-squared(1) 95% critical value (q_agg_srm_check)
+
+
+@register(
+    "s_srm_monitor",
+    oracle=f"""
+    WITH c AS (
+      SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                      '{_TS_FMT_DUCK}') AS win_start,
+             CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1
+      FROM events GROUP BY 1),
+    cum AS (
+      SELECT win_start, n0, n1,
+             CAST(SUM(n0) OVER (ORDER BY win_start
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS c0,
+             CAST(SUM(n1) OVER (ORDER BY win_start
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS c1
+      FROM c)
+    SELECT win_start, n0 AS n_arm0_hour, n1 AS n_arm1_hour,
+           c0 AS cum_arm0, c1 AS cum_arm1,
+           ROUND(CAST((c0 - c1) * (c0 - c1) AS DOUBLE) / (c0 + c1), 6)
+             AS chi2_cum,
+           ROUND(CAST((c0 - c1) * (c0 - c1) AS DOUBLE) / (c0 + c1), 6)
+             > {SRM_S_CRIT} AS srm_breach
+    FROM cum
+    """,
+)
+def s_srm_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sample-ratio-mismatch monitor — q_agg_srm_check's gate
+    run CONTINUOUSLY against the live feed: per completed hour, arm
+    traffic counts (user parity, the standing arm convention) fold into
+    cumulative totals and a running chi-squared(1), flagging the hour a
+    50/50 split breaks (a bot filter deployed to one arm, a logging
+    regression, a redirect bias).  Event-weighted by design — it
+    monitors TRAFFIC share drift, the early symptom; the batch op on
+    distinct users is the confirmatory test.
+
+    Stream decomposition (the s_threshold_alert/s_bollinger_alert
+    shape): the stateful part is ONLY the per-(hour, arm) counters;
+    the cumulative fold and decision run over the materialized
+    completed windows as a foreachBatch alert sink would.
+
+    Cross-engine exactness: counts and cumulative sums exact BIGINT;
+    chi² = (c0−c1)²/N is ONE double division rounded 6 (the
+    q_agg_srm_check identity); literal 3.841 decision.
+
+    100 TB posture: per-hour-arm streaming counters (2 per hour) with
+    watermarked eviction; the monitor fold rides |hours| rows —
+    single-series ordered window, the documented exception."""
+    sdf = events_stream(spark, sf_dir)
+    agg = (
+        sdf.groupBy(
+            F.window("ts", "1 hour"),
+            (F.col("user_id") % 2).alias("arm"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("window.start"), _TS_FMT).alias(
+                "win_start"
+            ),
+            "arm",
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+    counts = run_to_memory(agg, mode="complete")
+    hourly = counts.groupBy("win_start").agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+    )
+    wcum = Window.orderBy("win_start").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hourly.select(
+        "win_start",
+        "n0",
+        "n1",
+        F.sum("n0").over(wcum).cast("long").alias("c0"),
+        F.sum("n1").over(wcum).cast("long").alias("c1"),
+    )
+    chi2 = F.round(
+        ((F.col("c0") - F.col("c1")) * (F.col("c0") - F.col("c1")))
+        .cast("double")
+        / (F.col("c0") + F.col("c1")),
+        6,
+    )
+    return cum.select(
+        "win_start",
+        F.col("n0").alias("n_arm0_hour"),
+        F.col("n1").alias("n_arm1_hour"),
+        F.col("c0").alias("cum_arm0"),
+        F.col("c1").alias("cum_arm1"),
+        chi2.alias("chi2_cum"),
+        (chi2 > SRM_S_CRIT).alias("srm_breach"),
+    )

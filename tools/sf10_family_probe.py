@@ -4,9 +4,13 @@ scale twins (VERDICT r12 items 2/3/5/6).
 
 Measures, at the sf10 tier on one default-memory session:
   * the graph family SHARING one cached co-activity edge artifact
-    (kcore -> pagerank -> triangle in sequence: the first op pays the
-    build, the siblings reuse it; kcore first so the r12 137.4 s
-    fresh-session baseline compares directly);
+    (kcore -> pagerank -> sampled triangle in sequence: the first op
+    pays the build, the siblings reuse it; kcore first so the r12
+    137.4 s fresh-session baseline compares directly.  The EXACT
+    triangle census is not probed at sf10: the measured density (avg
+    degree 1527 -> 2.2e10 oriented wedges) makes exact enumeration a
+    ~500 GB shuffle by construction — SCALE.md round-13 section — and
+    q_triangle_count_sampled is the registered scale path);
   * x_decontaminate_semantic (dense) vs x_decontaminate_semantic_lsh
     (candidate-only) walls;
   * x_target_encoding (shuffle join) vs x_target_encoding_bucketed
@@ -62,7 +66,7 @@ def main() -> None:
 
     # 1. graph family, shared artifact: sequential in ONE session
     fam = rec.setdefault("graph_family_shared_session_sec", {})
-    for name in ("q_graph_kcore", "q_pagerank_iter", "q_triangle_count"):
+    for name in ("q_graph_kcore", "q_pagerank_iter", "q_triangle_count_sampled"):
         if name in fam:
             continue
         fam[name], _ = timed(qs[name], spark, args.sf_dir)
