@@ -8303,3 +8303,186 @@ def q_agg_chi2_uniform_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(6).cast("long").alias("df"),
         (chi2 > CHI2_CRIT_95_DF6).alias("reject_uniform"),
     )
+
+
+@register(
+    "q_agg_capture_recapture",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS in_a,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS in_b
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      GROUP BY user_id),
+    m AS (
+      SELECT CAST(SUM(in_a) AS BIGINT) AS n1,
+             CAST(SUM(in_b) AS BIGINT) AS n2,
+             CAST(SUM(in_a * in_b) AS BIGINT) AS m_both,
+             CAST(COUNT(*) AS BIGINT) AS n_observed
+      FROM u)
+    SELECT n1 AS n_capture1, n2 AS n_capture2, m_both AS n_recaptured,
+           n_observed,
+           ROUND(CAST((n1 + 1) * (n2 + 1) AS DOUBLE) / (m_both + 1)
+                 - 1.0, 6) AS chapman_estimate,
+           ROUND(CAST((n1 + 1) * (n2 + 1) AS DOUBLE) / (m_both + 1)
+                 - 1.0 - n_observed, 6) AS est_unobserved
+    FROM m
+    """,
+)
+def q_agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture population estimate (Chapman's bias-corrected
+    Lincoln-Petersen): treat clickers and purchasers as two independent
+    'captures' of the same user population and estimate TOTAL population
+    — including never-observed users — from the overlap: N̂ =
+    (n1+1)(n2+1)/(m+1) − 1.  The ecology estimator that data work
+    reuses constantly: how many duplicates does the corpus REALLY have
+    when two dedup passes each catch a sample (x_dedup_* world), how
+    big is the user base when every channel undercounts.
+
+    Cross-engine exactness: membership flags collapse per user with
+    MAX (one partial agg), all counts exact BIGINT, the estimator is
+    ONE double expression of exact integers rounded 6.
+
+    100 TB posture: one corpus scan with map-side per-user flag
+    combine onto |users| groups, then a single-row rollup — the
+    q_agg_srm_check shape with a two-flag payload."""
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    m = u.agg(
+        F.sum("in_a").cast("long").alias("n1"),
+        F.sum("in_b").cast("long").alias("n2"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("m_both"),
+        F.count("*").cast("long").alias("n_observed"),
+    )
+    chapman = (
+        ((F.col("n1") + 1) * (F.col("n2") + 1)).cast("double")
+        / (F.col("m_both") + 1)
+        - 1.0
+    )
+    return m.select(
+        F.col("n1").alias("n_capture1"),
+        F.col("n2").alias("n_capture2"),
+        F.col("m_both").alias("n_recaptured"),
+        "n_observed",
+        F.round(chapman, 6).alias("chapman_estimate"),
+        F.round(chapman - F.col("n_observed"), 6).alias("est_unobserved"),
+    )
+
+
+@register(
+    "q_agg_jackknife_var",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS ni,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS si
+      FROM events GROUP BY 1),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS b,
+             CAST(SUM(ni) AS BIGINT) AS n,
+             CAST(SUM(si) AS BIGINT) AS s
+      FROM d),
+    loo AS (
+      SELECT d.day,
+             CAST(ROUND(CAST(t.s - d.si AS DOUBLE)
+                        / (t.n - d.ni), 6) AS DECIMAL(24,6)) AS th
+      FROM d, t),
+    js AS (
+      SELECT CAST(SUM(th) AS DECIMAL(30,6)) AS sth,
+             SUM(CAST(ROUND(CAST(th AS DOUBLE) * CAST(th AS DOUBLE), 9)
+                      AS DECIMAL(30,9))) AS sth2
+      FROM loo)
+    SELECT t.b AS n_blocks, t.n AS n_events,
+           ROUND(CAST(t.s AS DOUBLE) / t.n / 100.0, 6) AS mean_value,
+           ROUND((CAST(t.b AS DOUBLE) - 1) / t.b
+                 * (CAST(js.sth2 AS DOUBLE)
+                    - CAST(js.sth AS DOUBLE) * CAST(js.sth AS DOUBLE)
+                      / t.b) / 10000.0, 6) AS jackknife_var,
+           ROUND(sqrt((CAST(t.b AS DOUBLE) - 1) / t.b
+                 * (CAST(js.sth2 AS DOUBLE)
+                    - CAST(js.sth AS DOUBLE) * CAST(js.sth AS DOUBLE)
+                      / t.b)) / 100.0, 6) AS jackknife_se
+    FROM t, js
+    """,
+)
+def q_agg_jackknife_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-BLOCK jackknife variance of the mean event value (days
+    as blocks) — the resampling uncertainty estimate that respects
+    within-day correlation, next to q_agg_bootstrap_ci (iid resample):
+    each leave-one-day-out mean θ₍ᵢ₎ = (S−sᵢ)/(n−nᵢ) comes straight
+    from exact totals (no resample pass exists at all), and Var_jk =
+    (B−1)/B·Σ(θ₍ᵢ₎−θ̄)².  The block structure is what makes it honest
+    on event data: days are the exchangeable unit, not rows.
+
+    Cross-engine exactness: per-day (nᵢ, sᵢ) and totals are exact
+    cent-grid integers; each θ₍ᵢ₎ is rounded-6 and CARRIED AS
+    DECIMAL(24,6), its square rounded-9 as DECIMAL(30,9) (the
+    q_agg_entropy discipline), so both folds are order-free; the
+    variance close is one fixed-order double expression (cents² →
+    dollars² via /10⁴) rounded 6.
+
+    100 TB posture: one corpus-sized (day) partial agg; the
+    leave-one-out relation is |days| rows against a broadcast 1-row
+    total — no second corpus pass, no resampling shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("long").alias("ni"),
+        F.sum(
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+        )
+        .cast("long")
+        .alias("si"),
+    )
+    t = d.agg(
+        F.count("*").cast("long").alias("b"),
+        F.sum("ni").cast("long").alias("n"),
+        F.sum("si").cast("long").alias("s"),
+    )
+    loo = d.crossJoin(broadcast(t)).select(
+        F.round(
+            (F.col("s") - F.col("si")).cast("double")
+            / (F.col("n") - F.col("ni")),
+            6,
+        )
+        .cast("decimal(24,6)")
+        .alias("th")
+    )
+    js = loo.agg(
+        F.sum("th").cast("decimal(30,6)").alias("sth"),
+        F.sum(
+            F.round(
+                F.col("th").cast("double") * F.col("th").cast("double"), 9
+            ).cast("decimal(30,9)")
+        ).alias("sth2"),
+    )
+    b = F.col("b").cast("double")
+    core = (b - 1) / F.col("b") * (
+        F.col("sth2").cast("double")
+        - F.col("sth").cast("double")
+        * F.col("sth").cast("double")
+        / F.col("b")
+    )
+    return t.crossJoin(js).select(
+        F.col("b").alias("n_blocks"),
+        F.col("n").alias("n_events"),
+        F.round(
+            F.col("s").cast("double") / F.col("n") / 100.0, 6
+        ).alias("mean_value"),
+        F.round(core / 10000.0, 6).alias("jackknife_var"),
+        F.round(F.sqrt(core) / 100.0, 6).alias("jackknife_se"),
+    )
