@@ -8486,3 +8486,121 @@ def q_agg_jackknife_var(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(core / 10000.0, 6).alias("jackknife_var"),
         F.round(F.sqrt(core) / 100.0, 6).alias("jackknife_se"),
     )
+
+
+TOST_MARGIN_CENTS = 500   # +/- $5 equivalence margin on mean value
+TOST_Z90 = 1.645          # one-sided 5% normal critical value
+
+
+@register(
+    "q_agg_tost_equivalence",
+    oracle=f"""
+    WITH x AS (
+      SELECT user_id % 2 AS arm,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events WHERE event_type = 'purchase'),
+    g AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS s,
+             CAST(SUM(CAST(v AS DECIMAL(38,0))
+                      * CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS s2
+      FROM x GROUP BY arm),
+    m AS (
+      SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+             MAX(CASE WHEN arm = 0 THEN s END) AS s0,
+             MAX(CASE WHEN arm = 0 THEN s2 END) AS q0,
+             MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+             MAX(CASE WHEN arm = 1 THEN s END) AS s1,
+             MAX(CASE WHEN arm = 1 THEN s2 END) AS q1
+      FROM g),
+    c AS (
+      SELECT n0, n1,
+             CAST(s0 AS DOUBLE) / n0 - CAST(s1 AS DOUBLE) / n1 AS delta,
+             sqrt((n0 * CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0)
+                  / (CAST(n0 AS DOUBLE) * n0 * (n0 - 1))
+                + (n1 * CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1)
+                  / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))) AS se
+      FROM m)
+    SELECT n0 AS n_arm0, n1 AS n_arm1,
+           ROUND(delta / 100.0, 6) AS mean_diff,
+           ROUND(se / 100.0, 6) AS se_diff,
+           ROUND((delta + {TOST_MARGIN_CENTS}) / se, 6) AS t_lower,
+           ROUND(({TOST_MARGIN_CENTS} - delta) / se, 6) AS t_upper,
+           ROUND((delta + {TOST_MARGIN_CENTS}) / se, 6) > {TOST_Z90}
+             AND ROUND(({TOST_MARGIN_CENTS} - delta) / se, 6)
+                 > {TOST_Z90} AS equivalent
+    FROM c
+    """,
+)
+def q_agg_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (two one-sided tests, Schuirmann 1987) on
+    mean purchase value between the user-parity arms: PROVE the arms
+    are the same to within ±${TOST_MARGIN_CENTS // 100}, which a
+    non-significant q_agg_welch_t can never do (absence of evidence ≠
+    evidence of absence — the inferential gap every launch review trips
+    on).  Equivalent iff BOTH one-sided statistics (Δ+m)/se and
+    (m−Δ)/se clear the one-sided critical value.
+
+    Cross-engine exactness: per-arm moments are exact (BIGINT counts
+    and cent sums, DECIMAL(38,0) sums of squares — the q_agg_ttest
+    discipline); Δ, the Welch se and both t's are fixed-order double
+    expressions rounded 6; margin and z are shared literals; the
+    decision compares the ROUNDED t's.
+
+    100 TB posture: one corpus-sized partial agg onto 2 arm groups —
+    map-side combine does everything; the close-out is single-row."""
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 2).alias("arm"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("v"),
+    )
+    g = x.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(
+            F.col("v").cast("decimal(38,0)")
+            * F.col("v").cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    m = g.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("s"))).alias("s0"),
+        F.max(F.when(F.col("arm") == 0, F.col("s2"))).alias("q0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("arm") == 1, F.col("s2"))).alias("q1"),
+    )
+    n0d = F.col("n0").cast("double")
+    n1d = F.col("n1").cast("double")
+    delta = (
+        F.col("s0").cast("double") / F.col("n0")
+        - F.col("s1").cast("double") / F.col("n1")
+    )
+    se = F.sqrt(
+        (
+            F.col("n0") * F.col("q0").cast("double")
+            - F.col("s0").cast("double") * F.col("s0")
+        )
+        / (n0d * F.col("n0") * (F.col("n0") - 1))
+        + (
+            F.col("n1") * F.col("q1").cast("double")
+            - F.col("s1").cast("double") * F.col("s1")
+        )
+        / (n1d * F.col("n1") * (F.col("n1") - 1))
+    )
+    tl = F.round((delta + TOST_MARGIN_CENTS) / se, 6)
+    tu = F.round((TOST_MARGIN_CENTS - delta) / se, 6)
+    return m.select(
+        F.col("n0").alias("n_arm0"),
+        F.col("n1").alias("n_arm1"),
+        F.round(delta / 100.0, 6).alias("mean_diff"),
+        F.round(se / 100.0, 6).alias("se_diff"),
+        tl.alias("t_lower"),
+        tu.alias("t_upper"),
+        ((tl > TOST_Z90) & (tu > TOST_Z90)).alias("equivalent"),
+    )

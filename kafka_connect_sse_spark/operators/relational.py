@@ -219,3 +219,99 @@ def q_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok"
     )
+
+
+@register(
+    "q_profile_columns",
+    oracle="""
+    WITH p AS (
+      SELECT 'event_id' AS col_name,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_null,
+             CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+             CAST(MIN(event_id) AS VARCHAR) AS min_s,
+             CAST(MAX(event_id) AS VARCHAR) AS max_s
+      FROM events
+      UNION ALL
+      SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+             COUNT(DISTINCT user_id),
+             CAST(MIN(user_id) AS VARCHAR),
+             CAST(MAX(user_id) AS VARCHAR)
+      FROM events
+      UNION ALL
+      SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+             COUNT(DISTINCT event_type),
+             MIN(event_type), MAX(event_type)
+      FROM events
+      UNION ALL
+      SELECT 'ts', COUNT(*), COUNT(*) - COUNT(ts),
+             COUNT(DISTINCT ts),
+             strftime(MIN(ts), '%Y-%m-%d %H:%M:%S'),
+             strftime(MAX(ts), '%Y-%m-%d %H:%M:%S')
+      FROM events
+      UNION ALL
+      SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+             COUNT(DISTINCT CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                 AS BIGINT)),
+             CAST(CAST(CAST(MIN(value) AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS VARCHAR),
+             CAST(CAST(CAST(MAX(value) AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS VARCHAR)
+      FROM events)
+    SELECT * FROM p
+    """,
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — the data-quality census every warehouse ships
+    (row count, null count, distinct cardinality, min/max) over the
+    events table's typed columns, ONE corpus pass: the operational
+    sibling of x_data_contract (which asserts; this DESCRIBES, and its
+    output is what you write the contract from).
+
+    Mechanics: all per-column metrics compute in a single multi-distinct
+    aggregate (Catalyst Expands the distinct sets — one scan, k-way
+    partial aggs), then unpivot to one row per column via stack().
+    Values emit on the cent grid, timestamps as formatted strings, so
+    every min/max is an exact string on both engines.
+
+    100 TB posture: the Expand for k distinct columns replicates the
+    scan k-way BEFORE the shuffle (the documented cost of exact
+    multi-column NDV in one pass — swap in approx_count_distinct per
+    column when exact cardinality isn't the point); everything lands
+    on k single-row aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    m = ev.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        (F.count("*") - F.count("event_id")).cast("long").alias("id_null"),
+        F.countDistinct("event_id").cast("long").alias("id_nd"),
+        F.min("event_id").cast("string").alias("id_min"),
+        F.max("event_id").cast("string").alias("id_max"),
+        (F.count("*") - F.count("user_id")).cast("long").alias("u_null"),
+        F.countDistinct("user_id").cast("long").alias("u_nd"),
+        F.min("user_id").cast("string").alias("u_min"),
+        F.max("user_id").cast("string").alias("u_max"),
+        (F.count("*") - F.count("event_type"))
+        .cast("long")
+        .alias("t_null"),
+        F.countDistinct("event_type").cast("long").alias("t_nd"),
+        F.min("event_type").alias("t_min"),
+        F.max("event_type").alias("t_max"),
+        (F.count("*") - F.count("ts")).cast("long").alias("ts_null"),
+        F.countDistinct("ts").cast("long").alias("ts_nd"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("ts_min"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("ts_max"),
+        (F.count("*") - F.count("value")).cast("long").alias("v_null"),
+        F.countDistinct(cents).cast("long").alias("v_nd"),
+        F.min(cents).cast("string").alias("v_min"),
+        F.max(cents).cast("string").alias("v_max"),
+    )
+    return m.selectExpr(
+        """stack(5,
+             'event_id',  n_rows, id_null, id_nd, id_min, id_max,
+             'user_id',   n_rows, u_null,  u_nd,  u_min,  u_max,
+             'event_type',n_rows, t_null,  t_nd,  t_min,  t_max,
+             'ts',        n_rows, ts_null, ts_nd, ts_min, ts_max,
+             'value',     n_rows, v_null,  v_nd,  v_min,  v_max)
+           AS (col_name, n_rows, n_null, n_distinct, min_s, max_s)"""
+    )
