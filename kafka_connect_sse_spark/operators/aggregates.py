@@ -8604,3 +8604,336 @@ def q_agg_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         tu.alias("t_upper"),
         ((tl > TOST_Z90) & (tu > TOST_Z90)).alias("equivalent"),
     )
+
+
+# shared 2x2 contingency CTE over per-USER-DAY click/purchase flags
+# (the per-user grain is degenerate on this fixture — every user has
+# every event type — so the paired observation is the user-day):
+# a = clicked AND purchased that day, b = click-only, c = purchase-
+# only, d = active that day with neither.
+_FLAGS_2X2_SQL = """
+    u AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS fx,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS fy
+      FROM events GROUP BY user_id, CAST(ts AS DATE)),
+    t AS (
+      SELECT CAST(SUM(fx * fy) AS BIGINT) AS a,
+             CAST(SUM(fx * (1 - fy)) AS BIGINT) AS b,
+             CAST(SUM((1 - fx) * fy) AS BIGINT) AS c,
+             CAST(SUM((1 - fx) * (1 - fy)) AS BIGINT) AS d
+      FROM u)"""
+
+
+def _flags_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user-day click/purchase 2x2 table (a, b, c, d) — one
+    partial agg over the corpus onto |user-days| groups, then a
+    single-row rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id", F.col("ts").cast("date").alias("d")).agg(
+        F.max(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("fx"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("fy"),
+    )
+    return u.agg(
+        F.sum(F.col("fx") * F.col("fy")).cast("long").alias("a"),
+        F.sum(F.col("fx") * (1 - F.col("fy"))).cast("long").alias("b"),
+        F.sum((1 - F.col("fx")) * F.col("fy")).cast("long").alias("c"),
+        F.sum((1 - F.col("fx")) * (1 - F.col("fy")))
+        .cast("long")
+        .alias("d"),
+    )
+
+
+@register(
+    "q_agg_mcnemar",
+    oracle=f"""
+    WITH {_FLAGS_2X2_SQL}
+    SELECT a AS n_both, b AS n_click_only, c AS n_purchase_only,
+           d AS n_neither,
+           CASE WHEN b + c = 0 THEN NULL
+                ELSE ROUND(CAST((b - c) * (b - c) AS DOUBLE) / (b + c),
+                           6) END AS mcnemar_chi2,
+           CASE WHEN b + c = 0 THEN NULL
+                ELSE CAST(ROUND(CAST((b - c) * (b - c) AS DOUBLE)
+                                / (b + c), 6)
+                          > {SRM_CHI2_CRIT_95} AS INTEGER)
+           END AS reject_marginal_homogeneity
+    FROM t
+    """,
+)
+def q_agg_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar test on the per-user-day click/purchase 2×2 table — are
+    the daily click rate and purchase rate DIFFERENT within the same
+    user-days?  Only
+    the DISCORDANT cells matter (click-only b vs purchase-only c):
+    χ² = (b−c)²/(b+c) ~ χ²(1) — the paired-binary counterpart of
+    q_agg_ttest_paired (paired continuous) and q_agg_srm_check
+    (independent binary), closing the paired corner of the categorical
+    tier.
+
+    Cross-engine exactness: flags collapse per user-day with MAX,
+    cells are exact BIGINTs, the statistic is ONE double division
+    rounded 6 with the shared 3.841 literal; b + c = 0 (no
+    discordance) emits NULL, and the reject flag rides as a nullable
+    INT so both engines canonicalize the NULL identically.
+
+    100 TB posture: one corpus scan with map-side flag combine onto
+    |user-days| groups, single-row rollup — the q_agg_srm_check
+    shape."""
+    t = _flags_2x2(spark, sf_dir)
+    chi2 = F.round(
+        ((F.col("b") - F.col("c")) * (F.col("b") - F.col("c"))).cast(
+            "double"
+        )
+        / (F.col("b") + F.col("c")),
+        6,
+    )
+    degenerate = (F.col("b") + F.col("c")) == 0
+    return t.select(
+        F.col("a").alias("n_both"),
+        F.col("b").alias("n_click_only"),
+        F.col("c").alias("n_purchase_only"),
+        F.col("d").alias("n_neither"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(chi2)
+        .alias("mcnemar_chi2"),
+        F.when(degenerate, F.lit(None).cast("int"))
+        .otherwise((chi2 > SRM_CHI2_CRIT_95).cast("int"))
+        .alias("reject_marginal_homogeneity"),
+    )
+
+
+@register(
+    "q_agg_mcc",
+    oracle=f"""
+    WITH {_FLAGS_2X2_SQL}
+    SELECT a AS n_both, b AS n_click_only, c AS n_purchase_only,
+           d AS n_neither,
+           CASE WHEN (a+b) = 0 OR (c+d) = 0 OR (a+c) = 0 OR (b+d) = 0
+                THEN NULL
+                ELSE ROUND((CAST(a AS DOUBLE) * d
+                            - CAST(b AS DOUBLE) * c)
+                     / sqrt(CAST(a+b AS DOUBLE) * (c+d) * (a+c) * (b+d)),
+                     6) END AS mcc
+    FROM t
+    """,
+)
+def q_agg_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation (phi coefficient) of the per-user-day
+    click and purchase flags — the balanced binary-association measure the
+    classifier-evaluation world standardized on (immune to the
+    base-rate inflation that makes accuracy/odds look good on skewed
+    flags): MCC = (ad − bc)/√((a+b)(c+d)(a+c)(b+d)) ∈ [−1, 1].
+    Completes the association tier: q_agg_cramers_v (k×k nominal),
+    q_agg_mutual_info (information), this (binary-binary on the
+    canonical 2×2).
+
+    Cross-engine exactness: exact cells; one fixed-order double
+    expression rounded 6; any zero margin emits NULL (undefined MCC)
+    rather than ±inf.
+
+    100 TB posture: the shared _flags_2x2 single-scan shape."""
+    t = _flags_2x2(spark, sf_dir)
+    degenerate = (
+        ((F.col("a") + F.col("b")) == 0)
+        | ((F.col("c") + F.col("d")) == 0)
+        | ((F.col("a") + F.col("c")) == 0)
+        | ((F.col("b") + F.col("d")) == 0)
+    )
+    mcc = F.round(
+        (
+            F.col("a").cast("double") * F.col("d")
+            - F.col("b").cast("double") * F.col("c")
+        )
+        / F.sqrt(
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("c") + F.col("d"))
+            * (F.col("a") + F.col("c"))
+            * (F.col("b") + F.col("d"))
+        ),
+        6,
+    )
+    return t.select(
+        F.col("a").alias("n_both"),
+        F.col("b").alias("n_click_only"),
+        F.col("c").alias("n_purchase_only"),
+        F.col("d").alias("n_neither"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(mcc)
+        .alias("mcc"),
+    )
+
+
+OR_Z95 = 1.96  # two-sided 95% z (Woolf interval on ln OR)
+
+
+@register(
+    "q_agg_odds_ratio_ci",
+    oracle=f"""
+    WITH {_FLAGS_2X2_SQL}
+    SELECT a AS n_both, b AS n_click_only, c AS n_purchase_only,
+           d AS n_neither,
+           CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN NULL
+                ELSE ROUND(CAST(a AS DOUBLE) * d
+                           / (CAST(b AS DOUBLE) * c), 6)
+           END AS odds_ratio,
+           CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN NULL
+                ELSE ROUND(exp(ln(CAST(a AS DOUBLE) * d
+                                  / (CAST(b AS DOUBLE) * c))
+                               - {OR_Z95} * sqrt(1.0/a + 1.0/b
+                                                 + 1.0/c + 1.0/d)), 6)
+           END AS ci_lo,
+           CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN NULL
+                ELSE ROUND(exp(ln(CAST(a AS DOUBLE) * d
+                                  / (CAST(b AS DOUBLE) * c))
+                               + {OR_Z95} * sqrt(1.0/a + 1.0/b
+                                                 + 1.0/c + 1.0/d)), 6)
+           END AS ci_hi
+    FROM t
+    """,
+)
+def q_agg_odds_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio of purchasing given clicking on the same user-day,
+    with the Woolf 95%
+    interval on the log scale: OR = ad/bc, CI = exp(ln OR ± z·√(1/a +
+    1/b + 1/c + 1/d)) — THE effect-size currency of epidemiology and
+    conversion analysis (an interval excluding 1 is the decision), the
+    magnitude companion to q_agg_mcnemar's yes/no.
+
+    Cross-engine exactness: exact cells into fixed-order double
+    expressions rounded 6; ln/exp evaluate on the identical doubles in
+    both engines (same IEEE input, libm-class functions; the rounded-6
+    emission absorbs the ulp class, the q_agg_entropy precedent).  Any
+    zero cell emits NULL (the classic undefined case; production adds
+    the Haldane 0.5 correction — documented, not silently applied).
+
+    100 TB posture: the shared _flags_2x2 single-scan shape."""
+    t = _flags_2x2(spark, sf_dir)
+    degenerate = (
+        (F.col("a") == 0)
+        | (F.col("b") == 0)
+        | (F.col("c") == 0)
+        | (F.col("d") == 0)
+    )
+    orr = (
+        F.col("a").cast("double")
+        * F.col("d")
+        / (F.col("b").cast("double") * F.col("c"))
+    )
+    half = OR_Z95 * F.sqrt(
+        1.0 / F.col("a")
+        + 1.0 / F.col("b")
+        + 1.0 / F.col("c")
+        + 1.0 / F.col("d")
+    )
+    return t.select(
+        F.col("a").alias("n_both"),
+        F.col("b").alias("n_click_only"),
+        F.col("c").alias("n_purchase_only"),
+        F.col("d").alias("n_neither"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(F.round(orr, 6))
+        .alias("odds_ratio"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(F.round(F.exp(F.log(orr) - half), 6))
+        .alias("ci_lo"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(F.round(F.exp(F.log(orr) + half), 6))
+        .alias("ci_hi"),
+    )
+
+
+@register(
+    "q_agg_weighted_median",
+    oracle="""
+    WITH x AS (
+      SELECT l_returnflag AS flag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS v,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem),
+    h AS (SELECT flag, v, CAST(SUM(w) AS BIGINT) AS w
+          FROM x GROUP BY flag, v),
+    cum AS (
+      SELECT flag, v, w,
+             CAST(SUM(w) OVER (PARTITION BY flag ORDER BY v
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cw
+      FROM h),
+    tot AS (SELECT flag, CAST(SUM(w) AS BIGINT) AS tw,
+                   CAST(SUM(v * w) AS BIGINT) AS sw
+            FROM h GROUP BY flag)
+    SELECT c.flag,
+           t.tw AS total_weight,
+           ROUND(CAST(MIN(CASE WHEN 2 * c.cw >= t.tw THEN c.v END)
+                      AS DOUBLE) / 100.0, 6) AS weighted_median,
+           ROUND(CAST(t.sw AS DOUBLE) / t.tw / 100.0, 6)
+             AS weighted_mean
+    FROM cum c JOIN tot t ON t.flag = c.flag
+    GROUP BY c.flag, t.tw, t.sw
+    """,
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median (and mean) of extended price per return
+    flag — the inventory-weighted 'typical price' where the unweighted
+    q_agg_median_mode answers a different question (every LINE equal vs
+    every UNIT equal).  The lower weighted median: smallest price whose
+    cumulative weight reaches half the total (2·cw ≥ tw kept in exact
+    integers — no /2 rounding surface).
+
+    Mechanics: the (flag, price) weight histogram is the only
+    corpus-sized stage; the cumulative window and the threshold-min
+    rollup ride the bounded histogram (the q_agg_winsorized_mean
+    discipline with weights in place of counts).
+
+    100 TB posture: one partial agg onto |flags|×|prices| groups;
+    weighted quantiles at any scale stay exact as long as values live
+    on a grid — the histogram IS the sketch."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    h = x.groupBy("flag", "v").agg(
+        F.sum("w").cast("long").alias("w")
+    ).localCheckpoint(eager=True)
+    wcum = (
+        Window.partitionBy("flag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = h.select(
+        "flag", "v", F.sum("w").over(wcum).cast("long").alias("cw")
+    )
+    tot = h.groupBy("flag").agg(
+        F.sum("w").cast("long").alias("tw"),
+        F.sum(F.col("v") * F.col("w")).cast("long").alias("sw"),
+    )
+    return (
+        cum.join(tot, "flag")
+        .groupBy("flag", "tw", "sw")
+        .agg(
+            F.min(
+                F.when(2 * F.col("cw") >= F.col("tw"), F.col("v"))
+            ).alias("med_v")
+        )
+        .select(
+            "flag",
+            F.col("tw").alias("total_weight"),
+            F.round(F.col("med_v").cast("double") / 100.0, 6).alias(
+                "weighted_median"
+            ),
+            F.round(
+                F.col("sw").cast("double") / F.col("tw") / 100.0, 6
+            ).alias("weighted_mean"),
+        )
+    )

@@ -1,0 +1,224 @@
+"""Round-13 session-3 behavioral tests: the 2×2 contingency family
+(McNemar, MCC, odds ratio) and the weighted median.  Each op gets
+(a) the driver-style cross-engine gate at sf0.01 and (b) hand-computed
+pandas replays / planted degenerate fixtures that catch semantic bugs
+mirrored on both engines (the gate's blind spot)."""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+import sys
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from kafka_connect_sse_spark.registry import oracle_sql, queries
+
+SF001 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def q():
+    return queries()
+
+
+@pytest.fixture(scope="module")
+def osql():
+    return oracle_sql()
+
+
+def _duck_views(sf_dir: str, tables):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _cross_engine(spark, q, osql, name, sf_dir, tables):
+    from tools.check_correctness import canon
+
+    spdf = q[name](spark, sf_dir).toPandas()
+    con = _duck_views(sf_dir, tables)
+    opdf = con.execute(osql[name]).df()
+    scols, srows, shash = canon(spdf)
+    ocols, orows, ohash = canon(opdf)
+    assert scols == ocols, (name, scols, ocols)
+    assert shash == ohash, (name, srows[:4], orows[:4])
+    return spdf
+
+
+def _pandas_2x2(sf_dir: str):
+    """Independent per-user-day click/purchase cell replay in pandas."""
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["d"] = ev["ts"].dt.date
+    g = ev.groupby(["user_id", "d"])["event_type"].agg(
+        fx=lambda s: int((s == "click").any()),
+        fy=lambda s: int((s == "purchase").any()),
+    )
+    a = int((g["fx"] * g["fy"]).sum())
+    b = int((g["fx"] * (1 - g["fy"])).sum())
+    c = int(((1 - g["fx"]) * g["fy"]).sum())
+    d = int(((1 - g["fx"]) * (1 - g["fy"])).sum())
+    return a, b, c, d
+
+
+def test_mcnemar_gate_and_pandas_replay(spark, q, osql):
+    df = _cross_engine(spark, q, osql, "q_agg_mcnemar", SF001, ["events"])
+    a, b, c, d = _pandas_2x2(SF001)
+    row = df.iloc[0]
+    assert (
+        int(row["n_both"]),
+        int(row["n_click_only"]),
+        int(row["n_purchase_only"]),
+        int(row["n_neither"]),
+    ) == (a, b, c, d)
+    # the fixture must exercise the REAL (non-degenerate) path
+    assert b + c > 0
+    chi2 = round((b - c) ** 2 / (b + c), 6)
+    assert row["mcnemar_chi2"] == pytest.approx(chi2, abs=1e-9)
+    assert int(row["reject_marginal_homogeneity"]) == int(chi2 > 3.841)
+
+
+def test_mcc_gate_bounds_and_replay(spark, q, osql):
+    df = _cross_engine(spark, q, osql, "q_agg_mcc", SF001, ["events"])
+    a, b, c, d = _pandas_2x2(SF001)
+    mcc = (a * d - b * c) / math.sqrt(
+        (a + b) * (c + d) * (a + c) * (b + d)
+    )
+    got = float(df.iloc[0]["mcc"])
+    assert got == pytest.approx(round(mcc, 6), abs=1e-9)
+    assert -1.0 <= got <= 1.0
+
+
+def test_odds_ratio_gate_interval_and_replay(spark, q, osql):
+    df = _cross_engine(
+        spark, q, osql, "q_agg_odds_ratio_ci", SF001, ["events"]
+    )
+    a, b, c, d = _pandas_2x2(SF001)
+    assert min(a, b, c, d) > 0  # non-degenerate fixture
+    row = df.iloc[0]
+    orr = a * d / (b * c)
+    half = 1.96 * math.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+    assert row["odds_ratio"] == pytest.approx(round(orr, 6), abs=1e-9)
+    assert row["ci_lo"] == pytest.approx(
+        round(math.exp(math.log(orr) - half), 6), abs=1e-9
+    )
+    assert row["ci_hi"] == pytest.approx(
+        round(math.exp(math.log(orr) + half), 6), abs=1e-9
+    )
+    assert row["ci_lo"] < row["odds_ratio"] < row["ci_hi"]
+
+
+def _plant_events(tmp_path, rows):
+    """Write a minimal events.parquet with the fixture schema."""
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [
+                datetime.datetime(2024, 1, 1 + day, 12, 0, 0)
+                for day, _u, _t in rows
+            ],
+            "user_id": [u for _d, u, _t in rows],
+            "event_type": [t for _d, _u, t in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    pdf.to_parquet(tmp_path / "events.parquet")
+    return str(tmp_path)
+
+
+def test_mcnemar_degenerate_no_discordance_is_null(spark, q, tmp_path):
+    """All user-days concordant (both or neither): b = c = 0 → the
+    statistic and the reject flag are NULL, not a division error."""
+    rows = [
+        (0, 1, "click"),
+        (0, 1, "purchase"),  # day 0 user 1: both (a)
+        (1, 1, "view"),  # day 1 user 1: neither (d)
+        (1, 2, "view"),
+    ]
+    sf = _plant_events(tmp_path, rows)
+    df = q["q_agg_mcnemar"](spark, sf).toPandas()
+    row = df.iloc[0]
+    assert (int(row["n_both"]), int(row["n_neither"])) == (1, 2)
+    assert int(row["n_click_only"]) == 0
+    assert int(row["n_purchase_only"]) == 0
+    assert pd.isna(row["mcnemar_chi2"])
+    assert pd.isna(row["reject_marginal_homogeneity"])
+
+
+def test_mcc_and_odds_ratio_degenerate_margins_are_null(
+    spark, q, tmp_path
+):
+    """A zero margin (nobody purchased) → MCC undefined (NULL); a zero
+    cell → odds ratio NULL (no silent Haldane correction)."""
+    rows = [
+        (0, 1, "click"),  # b
+        (1, 1, "view"),  # d
+    ]
+    sf = _plant_events(tmp_path, rows)
+    assert pd.isna(q["q_agg_mcc"](spark, sf).toPandas().iloc[0]["mcc"])
+    orow = q["q_agg_odds_ratio_ci"](spark, sf).toPandas().iloc[0]
+    assert pd.isna(orow["odds_ratio"])
+    assert pd.isna(orow["ci_lo"]) and pd.isna(orow["ci_hi"])
+
+
+def test_weighted_median_gate_and_pandas_replay(spark, q, osql):
+    df = _cross_engine(
+        spark, q, osql, "q_agg_weighted_median", SF001, ["lineitem"]
+    )
+    li = pd.read_parquet(f"{SF001}/lineitem.parquet")
+    li["v"] = (li["l_extendedprice"].round(2) * 100).round().astype(
+        "int64"
+    )
+    li["w"] = li["l_quantity"].astype("int64")
+    for _, row in df.iterrows():
+        sub = li[li["l_returnflag"] == row["flag"]]
+        tw = int(sub["w"].sum())
+        assert int(row["total_weight"]) == tw
+        h = (
+            sub.groupby("v")["w"].sum().sort_index().cumsum()
+        )  # cumulative weight per price on the micro-unit grid
+        med_v = h.index[(2 * h >= tw).argmax()]
+        assert row["weighted_median"] == pytest.approx(
+            round(med_v / 100.0, 6), abs=1e-9
+        )
+        mean = float((sub["v"] * sub["w"]).sum()) / tw / 100.0
+        assert row["weighted_mean"] == pytest.approx(
+            round(mean, 6), abs=1e-6
+        )
+
+
+def test_weighted_median_differs_from_unweighted_semantics(spark, q):
+    """The weighted median must answer the every-UNIT question: with a
+    huge-quantity cheap line present, it sits at the cheap price while
+    the unweighted line median would not."""
+    import pyspark.sql.functions as F
+
+    df = q["q_agg_weighted_median"](spark, SF001)
+    # invariant on the real fixture: median lies within [min, max] price
+    from kafka_connect_sse_spark.operators.aggregates import load_table
+
+    li = load_table(spark, SF001, "lineitem")
+    lim = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .toPandas()
+        .set_index("l_returnflag")
+    )
+    for _, row in df.toPandas().iterrows():
+        lo = float(lim.loc[row["flag"], "lo"])
+        hi = float(lim.loc[row["flag"], "hi"])
+        assert lo <= row["weighted_median"] <= hi
