@@ -2622,3 +2622,75 @@ def x_class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             w * F.col("n") / F.col("nt") * F.col("k"), 6
         ).alias("weight_check"),
     )
+
+
+SHUF_SEED = 20240816  # the run's shuffle epoch seed
+SHUF_SHARDS = 64
+# Knuth multiplicative constant; doc_id*K + seed stays < 2^63 for any
+# doc_id < ~3.5e9, so the arithmetic is exact (no overflow surface) in
+# both engines.  Production would use xxhash64(doc_id, seed); the
+# linear-congruential form is chosen because BOTH engines can evaluate
+# it exactly from the same text.
+SHUF_MULT = 2654435761
+SHUF_MOD = 2147483647
+
+
+@register(
+    "x_shard_shuffle_seeded",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             (doc_id * {SHUF_MULT} + {SHUF_SEED}) % {SHUF_MOD} AS hv
+      FROM documents),
+    p AS (
+      SELECT doc_id, hv, hv % {SHUF_SHARDS} AS shard,
+             ROW_NUMBER() OVER (PARTITION BY hv % {SHUF_SHARDS}
+                                ORDER BY hv, doc_id) AS pos
+      FROM h)
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(pos * doc_id) AS BIGINT) AS order_checksum,
+           CAST(MIN(hv) AS BIGINT) AS h_min,
+           CAST(MAX(hv) AS BIGINT) AS h_max
+    FROM p GROUP BY shard
+    """,
+)
+def x_shard_shuffle_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded global shuffle of the training corpus —
+    the epoch-shuffle every data loader needs, done the distributed
+    way: a seeded per-doc hash assigns each document a shard
+    (hv % 64) and an intra-shard position (rank of hv within the
+    shard), so the full corpus order is (shard, pos) WITHOUT any
+    single-partition global sort; changing the seed constant re-deals
+    the entire corpus.  Two-level order is exactly how packed training
+    shards are consumed (reader i streams shard i in pos order), and
+    re-running with the same seed reproduces the byte-identical epoch
+    — the reproducibility contract shuffle=random() can never give.
+
+    Cross-engine exactness: the hash is exact BIGINT arithmetic shared
+    textually with the oracle, ties in hv break on doc_id, and the
+    order_checksum Σ pos·doc_id pins every position assignment, not
+    just the shard histogram.
+
+    100 TB posture: one scan, one shuffle onto 64 shard partitions,
+    per-shard window sort (the x_lang_balance window precedent) — the
+    shard count is the parallelism knob, and no stage ever needs the
+    global order materialized in one place."""
+    d = load_table(spark, sf_dir, "documents")
+    hv = (F.col("doc_id") * SHUF_MULT + SHUF_SEED) % SHUF_MOD
+    h = d.select("doc_id", hv.alias("hv"))
+    shard = (F.col("hv") % SHUF_SHARDS).alias("shard")
+    w = Window.partitionBy(F.col("hv") % SHUF_SHARDS).orderBy(
+        "hv", "doc_id"
+    )
+    p = h.select(
+        "doc_id", "hv", shard, F.row_number().over(w).alias("pos")
+    )
+    return p.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("pos") * F.col("doc_id"))
+        .cast("long")
+        .alias("order_checksum"),
+        F.min("hv").cast("long").alias("h_min"),
+        F.max("hv").cast("long").alias("h_max"),
+    )

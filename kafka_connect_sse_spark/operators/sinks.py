@@ -765,3 +765,272 @@ def snk_manifest_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustered parquet sink
+# ---------------------------------------------------------------------------
+
+_ZORDER_BITS = 8  # 256 range buckets per dimension -> 16-bit Morton code
+_ZORDER_FILES = 16
+
+
+def _zorder_expr(xcol: str, ycol: str) -> str:
+    """Morton (bit-interleaved) code of two {0..255} bucket columns as a
+    SQL expression valid VERBATIM in both Spark SQL and DuckDB — bits
+    extracted with FLOOR-division/modulo (no engine-specific bit ops),
+    x owning the odd bit positions, y the even ones."""
+    terms = []
+    for i in range(_ZORDER_BITS):
+        p = 1 << i
+        terms.append(
+            f"(CAST(FLOOR({xcol} / {p}) AS BIGINT) % 2) * {1 << (2 * i + 1)}"
+        )
+        terms.append(
+            f"(CAST(FLOOR({ycol} / {p}) AS BIGINT) % 2) * {1 << (2 * i)}"
+        )
+    return " + ".join(terms)
+
+
+def _parquet_file_ranges(out: str, cols: list[str]):
+    """Per-file (min, max) footer statistics for each named column of a
+    parquet directory, zero-row files skipped; returns
+    ``[{col: (lo, hi)}, ...]`` plus the total row count."""
+    import pyarrow.parquet as pq
+
+    ranges = []
+    n_rows = 0
+    for fname in sorted(os.listdir(out)):
+        if not fname.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out, fname)).metadata
+        if md.num_rows == 0:
+            continue
+        n_rows += md.num_rows
+        idx = {
+            md.schema.column(i).name: i for i in range(len(md.schema))
+        }
+        entry = {}
+        for c in cols:
+            st = [
+                md.row_group(g).column(idx[c]).statistics
+                for g in range(md.num_row_groups)
+            ]
+            entry[c] = (min(s.min for s in st), max(s.max for s in st))
+        ranges.append(entry)
+    return ranges, n_rows
+
+
+def write_zorder_layout(spark: SparkSession, sf_dir: str, out: str):
+    """Shared write path: lineitem (l_orderkey, l_partkey) bucketed to
+    256 range cells per dimension off the exact global min/max, Morton
+    z computed by the engine-shared expression, then
+    repartitionByRange(z) + sortWithinPartitions(z) so every output
+    file owns a DISJOINT z interval."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    mm = li.agg(
+        F.min("l_orderkey").alias("xmin"),
+        F.max("l_orderkey").alias("xmax"),
+        F.min("l_partkey").alias("ymin"),
+        F.max("l_partkey").alias("ymax"),
+    ).first()
+    nbk = 1 << _ZORDER_BITS
+    zx = (
+        f"CAST(FLOOR((l_orderkey - {mm['xmin']}) * {nbk}.0 "
+        f"/ {mm['xmax'] - mm['xmin'] + 1}) AS BIGINT)"
+    )
+    zy = (
+        f"CAST(FLOOR((l_partkey - {mm['ymin']}) * {nbk}.0 "
+        f"/ {mm['ymax'] - mm['ymin'] + 1}) AS BIGINT)"
+    )
+    zed = li.select(
+        "l_orderkey",
+        "l_partkey",
+        F.expr(_zorder_expr(zx, zy)).alias("z"),
+    )
+    (
+        zed.repartitionByRange(_ZORDER_FILES, "z")
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+
+
+@register(
+    "snk_parquet_zorder",
+    oracle=f"""
+    WITH m AS (SELECT MIN(l_orderkey) AS xmin, MAX(l_orderkey) AS xmax,
+                      MIN(l_partkey) AS ymin, MAX(l_partkey) AS ymax
+               FROM lineitem),
+    b AS (SELECT
+        CAST(FLOOR((l_orderkey - m.xmin) * 256.0
+                   / (m.xmax - m.xmin + 1)) AS BIGINT) AS zx,
+        CAST(FLOOR((l_partkey - m.ymin) * 256.0
+                   / (m.ymax - m.ymin + 1)) AS BIGINT) AS zy
+      FROM lineitem CROSS JOIN m),
+    zz AS (SELECT {_zorder_expr("zx", "zy")} AS z FROM b)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(z) AS BIGINT) AS z_sum,
+           CAST(MIN(z) AS BIGINT) AS z_min,
+           CAST(MAX(z) AS BIGINT) AS z_max,
+           CAST(0 AS INTEGER) AS z_overlapping_pairs
+    FROM zz
+    """,
+)
+def snk_parquet_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustered parquet sink on (l_orderkey,
+    l_partkey) — the MULTI-dimensional companion of snk_parquet_sorted:
+    a single-key sorted layout prunes range scans on that one key and
+    nothing else, while interleaving the bits of both range-bucketed
+    keys gives every file a z interval that maps to a bounded rectangle
+    of (orderkey, partkey) space, so footer min/max statistics prune
+    predicates on EITHER dimension (the layout Delta/Iceberg OPTIMIZE
+    ZORDER BY ships for exactly this reason; at 100 TB it is the
+    difference between a two-column rectangle probe opening ~√F of the
+    files and opening all of them).
+
+    Cross-engine exactness: buckets come from exact global min/max in
+    integer arithmetic, the Morton code is ONE shared expression text
+    evaluated by both engines (_zorder_expr — FLOOR-div/mod bit
+    extraction, no engine bit ops), and the oracle pins n_rows plus the
+    full z checksum (sum/min/max).  The layout claim itself is pinned
+    the snk_parquet_sorted way: written footers are read back with
+    pyarrow and OVERLAPPING z-interval file pairs are counted — the
+    oracle says exactly 0, so a shuffle regression that breaks the
+    disjoint clustering fails the EXACT gate, not a perf chart.
+
+    100 TB posture: one map-side min/max scan, one write pass whose
+    only shuffle is the range exchange on z (the clustering itself);
+    verification is footer metadata, not a data re-read, except the
+    z checksum which is one narrow scan of the written files.
+    tests/test_round13b_ops.py adds the behavioral half: a partkey-only
+    probe rectangle skips most z-layout files while pruning NOTHING of
+    an orderkey-sorted layout."""
+    out = scratch_dir("kcss_snk_zorder")
+    shutil.rmtree(out, ignore_errors=True)
+    write_zorder_layout(spark, sf_dir, out)
+    ranges, _ = _parquet_file_ranges(out, ["z"])
+    zr = [e["z"] for e in ranges]
+    overlaps = sum(
+        1
+        for i in range(len(zr))
+        for j in range(i + 1, len(zr))
+        if zr[i][0] <= zr[j][1] and zr[j][0] <= zr[i][1]
+    )
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("z").cast("long").alias("z_sum"),
+        F.min("z").cast("long").alias("z_min"),
+        F.max("z").cast("long").alias("z_max"),
+        F.lit(overlaps).cast("int").alias("z_overlapping_pairs"),
+    )
+
+
+@register(
+    "src_csv_malformed",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN event_id % 97 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_good,
+           CAST(SUM(CASE WHEN event_id % 97 <> 0 THEN user_id END)
+                AS BIGINT) AS uid_sum_good,
+           CAST(MAX(CASE WHEN event_id % 97 = 0 THEN event_id END)
+                AS BIGINT) AS max_corrupt_event_id,
+           CAST(SUM(CASE WHEN event_id % 97 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropmalformed
+    FROM events
+    """,
+)
+def src_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row tolerance on the CSV source — the batch-read mirror
+    of the reference's DLQ posture (`kafka-connect-sse.properties:6-7`
+    errors.tolerance=all + dead letter queue, already mirrored on the
+    streaming side by s_foreachbatch_dlq): a deterministic 1/97 of the
+    serialized rows get an unparseable user_id, and the PERMISSIVE read
+    must (a) keep every row, (b) null ONLY the malformed field while
+    retaining the fields that did parse (max_corrupt_event_id proves
+    the partial parse), and (c) capture the raw line in
+    _corrupt_record for the quarantine path.  A second read in
+    DROPMALFORMED mode pins the other tolerance policy: exactly the
+    good rows survive.
+
+    Cross-engine exactness: the corruption rule (event_id % 97 = 0) is
+    arithmetic on exact BIGINTs, so the oracle reproduces every count
+    from the clean events table without parsing anything.
+
+    100 TB posture: serialization, parse, and both aggregations are
+    map-side single-scan; the corrupt-record column is per-row state,
+    not a driver-side collect — quarantine at any scale is a filtered
+    WRITE of the already-parsed frame."""
+    out = scratch_dir("kcss_src_csv_malformed")
+    shutil.rmtree(out, ignore_errors=True)
+    e = load_table(spark, sf_dir, "events")
+    lines = e.select(
+        F.concat_ws(
+            ",",
+            F.col("event_id"),
+            F.when(F.col("event_id") % 97 == 0, F.lit("XX")).otherwise(
+                F.col("user_id").cast("string")
+            ),
+            F.col("event_type"),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(out)
+    schema = (
+        "event_id BIGINT, user_id BIGINT, event_type STRING, "
+        "_corrupt_record STRING"
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+    )
+    agg = back.agg(
+        F.sum(
+            F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_corrupt"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_good"),
+        F.sum(
+            F.when(
+                F.col("_corrupt_record").isNull(), F.col("user_id")
+            )
+        )
+        .cast("long")
+        .alias("uid_sum_good"),
+        F.max(
+            F.when(
+                F.col("_corrupt_record").isNotNull(), F.col("event_id")
+            )
+        )
+        .cast("long")
+        .alias("max_corrupt_event_id"),
+    )
+    # CSV gotcha, pinned here on purpose (measured on this engine):
+    # DROPMALFORMED only drops a row when the malformed column is in
+    # the required projection — a COUNT(*) takes a no-parse fast path
+    # and drops NOTHING, and even COUNT(event_type) leaves the bad rows
+    # in because user_id is never converted.  The tolerance policy
+    # silently depends on which columns the query touches, so the
+    # surviving-row count below references user_id itself (survivors
+    # always have it non-null — the only nullable path was the
+    # malformed one that DROPMALFORMED removes).
+    dropped = (
+        spark.read.schema(
+            "event_id BIGINT, user_id BIGINT, event_type STRING"
+        )
+        .option("mode", "DROPMALFORMED")
+        .csv(out)
+        .agg(F.count("user_id").cast("long").alias("n_dropmalformed"))
+    )
+    return agg.crossJoin(dropped)

@@ -222,3 +222,91 @@ def test_weighted_median_differs_from_unweighted_semantics(spark, q):
         lo = float(lim.loc[row["flag"], "lo"])
         hi = float(lim.loc[row["flag"], "hi"])
         assert lo <= row["weighted_median"] <= hi
+
+
+def test_zorder_gate(spark, q, osql):
+    _cross_engine(
+        spark, q, osql, "snk_parquet_zorder", SF001, ["lineitem"]
+    )
+
+
+def test_zorder_prunes_both_dims_where_single_sort_cannot(
+    spark, tmp_path
+):
+    """The data-skipping claim itself: for a partkey-only probe window,
+    footer ranges of the z-ordered layout skip MOST files, while an
+    orderkey-sorted layout skips NONE (every file spans ~the full
+    partkey range).  And on an orderkey probe the z layout still skips
+    at least as many files as a plain unsorted layout would (bounded
+    rectangles in both dimensions)."""
+    from kafka_connect_sse_spark.io import load_table
+    from kafka_connect_sse_spark.operators.sinks import (
+        _parquet_file_ranges,
+        write_zorder_layout,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    zout = str(tmp_path / "zorder")
+    sout = str(tmp_path / "osorted")
+    write_zorder_layout(spark, sf, zout)
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    (
+        li.repartitionByRange(16, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(sout)
+    )
+    zr, zn = _parquet_file_ranges(zout, ["l_orderkey", "l_partkey"])
+    sr, sn = _parquet_file_ranges(sout, ["l_orderkey", "l_partkey"])
+    assert zn == sn and len(zr) > 4 and len(sr) > 4
+    import pandas as pd
+
+    pk = pd.read_parquet(f"{sf}/lineitem.parquet")["l_partkey"]
+    # probe window inside the first y-quadrant: the midline-crossing
+    # window is Morton's worst case (both top-level y blocks overlap)
+    # and is covered by the weaker strict-pruning assertion below
+    lo = pk.min() + (pk.max() - pk.min()) * 1 // 16
+    hi = pk.min() + (pk.max() - pk.min()) * 3 // 16
+    mid_lo = pk.min() + (pk.max() - pk.min()) * 7 // 16
+    mid_hi = pk.min() + (pk.max() - pk.min()) * 9 // 16
+
+    def overlapping(ranges, col, lo, hi):
+        return sum(
+            1 for e in ranges if e[col][0] <= hi and lo <= e[col][1]
+        )
+
+    z_files = overlapping(zr, "l_partkey", lo, hi)
+    s_files = overlapping(sr, "l_partkey", lo, hi)
+    # orderkey-sorted layout: partkey is uncorrelated with file order,
+    # so essentially every file intersects the probe window
+    assert s_files == len(sr)
+    # z layout: bounded partkey rectangles -> most files skipped
+    assert z_files <= len(zr) // 2
+    # even the worst-case midline-crossing window still prunes
+    assert overlapping(zr, "l_partkey", mid_lo, mid_hi) < len(zr)
+    assert overlapping(sr, "l_partkey", mid_lo, mid_hi) == len(sr)
+
+
+def test_csv_malformed_gate_and_partial_parse(spark, q, osql):
+    df = _cross_engine(
+        spark, q, osql, "src_csv_malformed", SF001, ["events"]
+    )
+    row = df.iloc[0]
+    # tolerance policies agree: DROPMALFORMED survivors == good rows
+    assert int(row["n_dropmalformed"]) == int(row["n_good"])
+    assert int(row["n_corrupt"]) > 0  # fixture exercises the bad path
+
+
+def test_shard_shuffle_gate_and_reproducibility(spark, q, osql):
+    df = _cross_engine(
+        spark, q, osql, "x_shard_shuffle_seeded", SF001, ["documents"]
+    )
+    n_docs = len(pd.read_parquet(f"{SF001}/documents.parquet"))
+    assert int(df["n_docs"].sum()) == n_docs  # a permutation: no loss
+    # same seed -> byte-identical epoch
+    df2 = q["x_shard_shuffle_seeded"](spark, SF001).toPandas()
+    a = df.sort_values("shard").reset_index(drop=True)
+    b = df2.sort_values("shard").reset_index(drop=True)
+    assert a.equals(b)
