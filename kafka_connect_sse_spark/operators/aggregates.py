@@ -8849,6 +8849,11 @@ def q_agg_odds_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# two-level prefix-sum bucket width (micro-unit price grid): bounds
+# every within-bucket cumsum partition to ≤ WM_BUCKET distinct prices
+WM_BUCKET = 4096
+
+
 @register(
     "q_agg_weighted_median",
     oracle="""
@@ -8888,13 +8893,20 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers — no /2 rounding surface).
 
     Mechanics: the (flag, price) weight histogram is the only
-    corpus-sized stage; the cumulative window and the threshold-min
-    rollup ride the bounded histogram (the q_agg_winsorized_mean
-    discipline with weights in place of counts).
+    corpus-sized stage.  Prices are near-unique (26.7M histogram cells
+    at sf10), so a flat per-flag cumulative window would sort millions
+    of rows in |flags| tasks — instead the running weight is a
+    TWO-LEVEL prefix sum: per-(flag, 4096-wide price bucket) subtotals
+    take a small per-flag window for the bucket offsets, and the
+    per-price cumsum runs inside (flag, bucket) partitions of bounded
+    size; cw = bucket offset + within-bucket running sum, exact
+    BIGINTs throughout (measured: the flat window's 3-task sort gone,
+    sf10 wall 20.7 s → see SCALE.md).
 
-    100 TB posture: one partial agg onto |flags|×|prices| groups;
-    weighted quantiles at any scale stay exact as long as values live
-    on a grid — the histogram IS the sketch."""
+    100 TB posture: one partial agg onto |flags|×|prices| groups, then
+    bucket-bounded windows — no partition ever holds more than one
+    price bucket; weighted quantiles at any scale stay exact as long
+    as values live on a grid — the histogram IS the sketch."""
     li = load_table(spark, sf_dir, "lineitem")
     x = li.select(
         F.col("l_returnflag").alias("flag"),
@@ -8903,16 +8915,42 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("v"),
         F.col("l_quantity").cast("long").alias("w"),
     )
-    h = x.groupBy("flag", "v").agg(
-        F.sum("w").cast("long").alias("w")
-    ).localCheckpoint(eager=True)
-    wcum = (
+    # persist, not localCheckpoint: the histogram is 26.7M rows at
+    # sf10 and the checkpoint's deserialized row storage OOMs a
+    # default-8g driver, while the compressed columnar cache holds it
+    # in a few hundred MB (measured; three consumers reuse it)
+    h = (
+        x.groupBy("flag", "v")
+        .agg(F.sum("w").cast("long").alias("w"))
+        .withColumn("bkt", F.floor(F.col("v") / WM_BUCKET).cast("long"))
+        .persist()
+    )
+    bsum = h.groupBy("flag", "bkt").agg(
+        F.sum("w").cast("long").alias("bw")
+    )
+    wb = (
         Window.partitionBy("flag")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    off = bsum.select(
+        "flag",
+        "bkt",
+        (F.sum("bw").over(wb) - F.col("bw"))
+        .cast("long")
+        .alias("boff"),
+    )
+    wv = (
+        Window.partitionBy("flag", "bkt")
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = h.select(
-        "flag", "v", F.sum("w").over(wcum).cast("long").alias("cw")
+    cum = h.join(F.broadcast(off), ["flag", "bkt"]).select(
+        "flag",
+        "v",
+        (F.col("boff") + F.sum("w").over(wv))
+        .cast("long")
+        .alias("cw"),
     )
     tot = h.groupBy("flag").agg(
         F.sum("w").cast("long").alias("tw"),
