@@ -2308,3 +2308,107 @@ def q_triangle_count_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("est_triangles_full"),
     )
+
+
+LPROP_ITERS = 3
+
+
+def _lprop_oracle() -> str:
+    """Unrolled min-label propagation over the shared capped edge CTE:
+    l0 = own id; each round every node takes the min of its own label
+    and its neighbors' — LPROP_ITERS synchronous rounds, then the
+    component census + a full-assignment checksum."""
+    step = """
+    l{k} AS (
+      SELECT p.node,
+             LEAST(p.lab, COALESCE(MIN(q.lab), p.lab)) AS lab
+      FROM l{prev} p
+      LEFT JOIN sym s ON s.a = p.node
+      LEFT JOIN l{prev} q ON q.node = s.b
+      GROUP BY p.node, p.lab)"""
+    steps = ",".join(
+        step.format(k=k, prev=k - 1) for k in range(1, LPROP_ITERS + 1)
+    )
+    return f"""
+    WITH {_COACT_EDGES_CTE},
+    sym AS (SELECT u AS a, v AS b FROM edges
+            UNION ALL SELECT v AS a, u AS b FROM edges),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    l0 AS (SELECT node, node AS lab FROM nodes),
+    {steps},
+    comp AS (SELECT lab, CAST(COUNT(*) AS BIGINT) AS sz
+             FROM l{LPROP_ITERS} GROUP BY lab)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_components,
+           CAST(SUM(sz) AS BIGINT) AS n_nodes,
+           CAST(MAX(sz) AS BIGINT) AS largest_component,
+           CAST((SELECT SUM(lab) FROM l{LPROP_ITERS}) AS BIGINT)
+             AS label_checksum
+    FROM comp
+    """
+
+
+@register("q_graph_connected_comp", oracle=_lprop_oracle())
+def q_graph_connected_comp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the user co-activity graph by
+    synchronous min-label propagation (the GraphX/Pregel
+    connectedComponents recurrence, LPROP_ITERS fixed rounds): every
+    node starts as its own label and repeatedly adopts the minimum
+    label in its closed neighborhood — after k rounds each label has
+    flooded its k-hop ball, so fixed-k output is deterministic whether
+    or not the fixture converged (the q_graph_kcore fixed-unroll
+    posture; q_transitive_closure materializes full reachability pairs
+    where this keeps ONE label per node, the shape that survives
+    graphs whose closure is quadratic).  label_checksum Σ label pins
+    the entire final assignment, not just the census.
+
+    100 TB posture: fifth consumer of the session-cached capped edge
+    artifact (_coactivity_edges — built once per session); each round
+    is one join+min-agg on the edge relation with localCheckpoint
+    lineage truncation, state is |nodes| rows, and the per-round
+    shuffle key is the node id (no near-unique pair keys).  Min-label
+    needs O(diameter) rounds; production pairs it with the large-star/
+    small-star contraction when diameters are long."""
+    edges = _coactivity_edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).unionAll(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lab"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(LPROP_ITERS):
+        nmin = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("lab").alias("nlab")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nlab").alias("nmin"))
+        )
+        labels = (
+            labels.join(
+                nmin.select(F.col("a").alias("node"), "nmin"),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("lab"), F.coalesce(F.col("nmin"), F.col("lab"))
+                ).alias("lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    comp = labels.groupBy("lab").agg(F.count("*").alias("sz"))
+    return comp.agg(
+        F.count("*").cast("long").alias("n_components"),
+        F.sum("sz").cast("long").alias("n_nodes"),
+        F.max("sz").cast("long").alias("largest_component"),
+    ).crossJoin(
+        labels.agg(F.sum("lab").cast("long").alias("label_checksum"))
+    )

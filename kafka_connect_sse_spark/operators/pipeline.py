@@ -2694,3 +2694,198 @@ def x_shard_shuffle_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("hv").cast("long").alias("h_min"),
         F.max("hv").cast("long").alias("h_max"),
     )
+
+
+LR_SCALE = 1_000_000  # micro-unit grid for features, gradients, betas
+LR_XDIV = 3000  # n_chars / 3000: keeps z in sigmoid's active range
+LR_ITERS = 3
+
+
+def _lr_rhu(a: int, b: int) -> int:
+    """Round-half-away-from-zero of a/b on exact ints (the
+    x_kmeans_lloyd centroid formula, driver-side)."""
+    if a >= 0:
+        return (2 * a + b) // (2 * b)
+    return -((2 * (-a) + b) // (2 * b))
+
+
+def _lr_oracle() -> str:
+    """Unrolled 3-iteration batch-gradient-descent oracle.  All
+    iteration state (feature, gradient sums, betas) lives on the
+    LR_SCALE integer grid — the x_kmeans_lloyd discipline — so the
+    only FP surfaces are the per-row sigmoid/log terms, each rounded
+    to the grid BEFORE exact integer summation (the q_agg_log_rank
+    rounded-carry fold)."""
+    sig = (
+        "1.0 / (1.0 + exp(-(CAST(s.b0q AS DOUBLE) / 1000000.0"
+        " + CAST(s.b1q AS DOUBLE) / 1000000.0"
+        " * (CAST(d.xsq AS DOUBLE) / 1000000.0))))"
+    )
+    grad = """
+    g{k} AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND((t.y - t.sig) * 1000000) AS BIGINT))
+                  AS BIGINT) AS g0,
+             CAST(SUM(CAST(ROUND((t.y - t.sig)
+                                 * (CAST(t.xsq AS DOUBLE) / 1000000.0)
+                                 * 1000000) AS BIGINT))
+                  AS BIGINT) AS g1
+      FROM (SELECT d.y, d.xsq, {sig} AS sig
+            FROM d CROSS JOIN b{prev} s) t),
+    b{k} AS (
+      SELECT s.b0q + (CASE WHEN g.g0 >= 0
+                      THEN (2 * g.g0 + 2 * g.n) // (4 * g.n)
+                      ELSE -((2 * (-g.g0) + 2 * g.n) // (4 * g.n))
+                      END) AS b0q,
+             s.b1q + (CASE WHEN g.g1 >= 0
+                      THEN (2 * g.g1 + 2 * g.n) // (4 * g.n)
+                      ELSE -((2 * (-g.g1) + 2 * g.n) // (4 * g.n))
+                      END) AS b1q
+      FROM b{prev} s CROSS JOIN g{k} g)"""
+    parts = [
+        f"""
+    WITH d AS (
+      SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             (2 * n_chars * {LR_SCALE} + {LR_XDIV})
+               // (2 * {LR_XDIV}) AS xsq
+      FROM documents),
+    b0 AS (SELECT CAST(0 AS BIGINT) AS b0q, CAST(0 AS BIGINT) AS b1q)"""
+    ]
+    for k in range(1, LR_ITERS + 1):
+        parts.append(grad.format(k=k, prev=k - 1, sig=sig))
+    parts.append(f"""
+    fin AS (
+      SELECT d.y, d.xsq, {sig} AS sig, s.b0q, s.b1q
+      FROM d CROSS JOIN b{LR_ITERS} s),
+    met AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(ROUND(-(y * ln(sig)
+                                   + (1.0 - y) * ln(1.0 - sig))
+                                 * 1000000) AS BIGINT))
+                  AS BIGINT) AS llq,
+             CAST(SUM(CASE WHEN (CASE WHEN b0q * 1000000
+                                           + b1q * xsq > 0
+                                      THEN 1.0 ELSE 0.0 END) = y
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+             MIN(b0q) AS b0q, MIN(b1q) AS b1q
+      FROM fin)
+    SELECT n_docs,
+           ROUND(CAST(b0q AS DOUBLE) / {LR_SCALE}, 6) AS beta0,
+           ROUND(CAST(b1q AS DOUBLE) / {LR_SCALE}, 6) AS beta1,
+           ROUND(CAST(llq AS DOUBLE) / {LR_SCALE} / n_docs, 6)
+             AS log_loss,
+           n_correct,
+           ROUND(CAST(n_correct AS DOUBLE) / n_docs, 6) AS accuracy
+    FROM met""")
+    return ",".join(parts)
+
+
+@register("x_logreg_train_gd", oracle=_lr_oracle())
+def x_logreg_train_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic-regression trainer (is-English from document length) by
+    LR_ITERS unrolled batch gradient-descent steps — the quality-/
+    language-classifier TRAINING loop every curation pipeline runs,
+    done the distributed-determinism way: each step is ONE partial-agg
+    scan whose per-row gradient terms are rounded onto the LR_SCALE
+    integer grid before exact integer summation (q_agg_log_rank's
+    rounded-carry fold), and the beta update itself is exact integer
+    round-half-away arithmetic on that grid (x_kmeans_lloyd's centroid
+    formula), so iteration state NEVER accumulates float error and
+    both engines walk the identical beta trajectory.  Decision metric
+    is sign-exact: predicted-English ⇔ b0q·1e6 + b1q·xsq > 0 in pure
+    BIGINTs.
+
+    Cross-engine exactness: the one FP surface per row (sigmoid / log
+    terms off the same fixed-order double expression) is grid-rounded
+    before any aggregation; betas, gradients, features are BIGINTs.
+
+    100 TB posture: K map-side-combine scans (K=3 literal), one
+    single-row driver collect per step — the canonical Spark ML loop
+    shape (no per-row Python, no driver-side data); the 4th scan
+    computes loss/accuracy with the final betas as literals."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        F.expr(
+            f"CAST((2 * n_chars * {LR_SCALE} + {LR_XDIV})"
+            f" DIV (2 * {LR_XDIV}) AS BIGINT)"
+        ).alias("xsq"),
+    ).localCheckpoint(eager=True)
+    b0q, b1q = 0, 0
+    for _ in range(LR_ITERS):
+        sig = 1.0 / (
+            1.0
+            + F.exp(
+                -(
+                    F.lit(float(b0q) / LR_SCALE)
+                    + F.lit(float(b1q) / LR_SCALE)
+                    * (F.col("xsq").cast("double") / LR_SCALE)
+                )
+            )
+        )
+        g = d.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                F.round((F.col("y") - sig) * LR_SCALE, 0).cast("long")
+            )
+            .cast("long")
+            .alias("g0"),
+            F.sum(
+                F.round(
+                    (F.col("y") - sig)
+                    * (F.col("xsq").cast("double") / LR_SCALE)
+                    * LR_SCALE,
+                    0,
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("g1"),
+        ).first()
+        b0q += _lr_rhu(int(g["g0"]), 2 * int(g["n"]))
+        b1q += _lr_rhu(int(g["g1"]), 2 * int(g["n"]))
+    sig = 1.0 / (
+        1.0
+        + F.exp(
+            -(
+                F.lit(float(b0q) / LR_SCALE)
+                + F.lit(float(b1q) / LR_SCALE)
+                * (F.col("xsq").cast("double") / LR_SCALE)
+            )
+        )
+    )
+    pred = F.when(
+        F.lit(b0q).cast("long") * LR_SCALE
+        + F.lit(b1q).cast("long") * F.col("xsq")
+        > 0,
+        1.0,
+    ).otherwise(0.0)
+    return d.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.lit(round(b0q / LR_SCALE, 6)).alias("beta0"),
+        F.lit(round(b1q / LR_SCALE, 6)).alias("beta1"),
+        F.round(
+            F.sum(
+                F.round(
+                    -(
+                        F.col("y") * F.log(sig)
+                        + (1.0 - F.col("y")) * F.log(1.0 - sig)
+                    )
+                    * LR_SCALE,
+                    0,
+                ).cast("long")
+            )
+            .cast("double")
+            / LR_SCALE
+            / F.count("*"),
+            6,
+        ).alias("log_loss"),
+        F.sum(F.when(pred == F.col("y"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+        F.round(
+            F.sum(F.when(pred == F.col("y"), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count("*"),
+            6,
+        ).alias("accuracy"),
+    )

@@ -310,3 +310,98 @@ def test_shard_shuffle_gate_and_reproducibility(spark, q, osql):
     a = df.sort_values("shard").reset_index(drop=True)
     b = df2.sort_values("shard").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_logreg_gd_gate_and_learning_invariants(spark, q, osql):
+    df = _cross_engine(
+        spark, q, osql, "x_logreg_train_gd", SF001, ["documents"]
+    )
+    row = df.iloc[0]
+    # the trajectory moved off the origin and reduced loss below the
+    # beta=0 baseline ln 2 (any learning at all beats coin-flip loss)
+    assert (row["beta0"], row["beta1"]) != (0.0, 0.0)
+    assert row["log_loss"] < math.log(2.0)
+    # accuracy is the exact integer sign test, bounded sanely
+    assert 0 < int(row["n_correct"]) < int(row["n_docs"])
+
+
+def test_logreg_gd_matches_numpy_trajectory(spark, q):
+    """Replay the exact grid walk in numpy/python ints and demand the
+    Spark loop lands on the identical betas."""
+    import numpy as np
+
+    from kafka_connect_sse_spark.operators.pipeline import (
+        LR_ITERS,
+        LR_SCALE,
+        LR_XDIV,
+        _lr_rhu,
+    )
+
+    docs = pd.read_parquet(f"{SF001}/documents.parquet")
+    y = (docs["lang"] == "en").astype(float).to_numpy()
+    xsq = (
+        (2 * docs["n_chars"].astype(object) * LR_SCALE + LR_XDIV)
+        // (2 * LR_XDIV)
+    ).astype("int64")
+    b0q = b1q = 0
+    for _ in range(LR_ITERS):
+        z = b0q / LR_SCALE + (b1q / LR_SCALE) * (
+            xsq.to_numpy().astype(float) / LR_SCALE
+        )
+        sig = 1.0 / (1.0 + np.exp(-z))
+        g0 = int(np.round((y - sig) * LR_SCALE).astype("int64").sum())
+        g1 = int(
+            np.round(
+                (y - sig) * (xsq.to_numpy().astype(float) / LR_SCALE) * LR_SCALE
+            )
+            .astype("int64")
+            .sum()
+        )
+        n = len(y)
+        b0q += _lr_rhu(g0, 2 * n)
+        b1q += _lr_rhu(g1, 2 * n)
+    row = q["x_logreg_train_gd"](spark, SF001).toPandas().iloc[0]
+    assert row["beta0"] == pytest.approx(round(b0q / LR_SCALE, 6))
+    assert row["beta1"] == pytest.approx(round(b1q / LR_SCALE, 6))
+
+
+def test_connected_comp_gate(spark, q, osql):
+    df = _cross_engine(
+        spark, q, osql, "q_graph_connected_comp", SF001, ["events"]
+    )
+    row = df.iloc[0]
+    assert 1 <= int(row["n_components"]) <= int(row["n_nodes"])
+    assert int(row["largest_component"]) <= int(row["n_nodes"])
+
+
+def test_connected_comp_planted_two_cliques(spark, q, tmp_path):
+    """Two co-activity cliques in different minutes with no shared user
+    must come out as exactly two components, labels = each clique's
+    min user id."""
+    rows = []
+    # minute 0: users 2,4,6 click together; minute 1: users 10,12
+    for i, u in enumerate([2, 4, 6]):
+        rows.append((0, u, "click"))
+    for u in [10, 12]:
+        rows.append((1, u, "click"))
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [
+                datetime.datetime(2024, 1, 1, 12, m, 0)
+                for m, _u, _t in rows
+            ],
+            "user_id": [u for _m, u, _t in rows],
+            "event_type": [t for _m, _u, t in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    pdf.to_parquet(tmp_path / "events.parquet")
+    df = q["q_graph_connected_comp"](spark, str(tmp_path)).toPandas()
+    row = df.iloc[0]
+    assert int(row["n_components"]) == 2
+    assert int(row["n_nodes"]) == 5
+    assert int(row["largest_component"]) == 3
+    # labels flood to each clique's min id: 2*3 + 10*2
+    assert int(row["label_checksum"]) == 2 * 3 + 10 * 2
