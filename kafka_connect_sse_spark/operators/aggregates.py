@@ -8975,3 +8975,130 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("weighted_mean"),
         )
     )
+
+
+PWR_Z_ALPHA = 1.96  # two-sided 5%
+PWR_Z_BETA = 0.8416  # 80% power
+PWR_REL_EFFECT = 0.05  # planning target: detect a 5% relative lift
+
+
+@register(
+    "q_agg_power_mde",
+    oracle=f"""
+    WITH x AS (
+      SELECT user_id % 2 AS arm,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events WHERE event_type = 'purchase'),
+    g AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS s,
+             CAST(SUM(CAST(v AS DECIMAL(38,0))
+                      * CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS s2
+      FROM x GROUP BY arm),
+    m AS (
+      SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+             MAX(CASE WHEN arm = 0 THEN s END) AS s0,
+             MAX(CASE WHEN arm = 0 THEN s2 END) AS q0,
+             MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+             MAX(CASE WHEN arm = 1 THEN s END) AS s1,
+             MAX(CASE WHEN arm = 1 THEN s2 END) AS q1
+      FROM g),
+    c AS (
+      SELECT n0, n1,
+             ((n0 * CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0)
+                / (CAST(n0 AS DOUBLE) * (n0 - 1))
+              * (n0 - 1)
+              + (n1 * CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1)
+                / (CAST(n1 AS DOUBLE) * (n1 - 1))
+                * (n1 - 1))
+             / (n0 + n1 - 2) AS sp2,
+             (CAST(s0 AS DOUBLE) + CAST(s1 AS DOUBLE))
+               / (CAST(n0 AS DOUBLE) + n1) AS mu
+      FROM m)
+    SELECT n0 AS n_arm0, n1 AS n_arm1,
+           ROUND(sqrt(sp2) / 100.0, 6) AS pooled_sd,
+           ROUND(({PWR_Z_ALPHA} + {PWR_Z_BETA})
+                 * sqrt(sp2 / n0 + sp2 / n1) / 100.0, 6) AS mde_abs,
+           ROUND(({PWR_Z_ALPHA} + {PWR_Z_BETA})
+                 * sqrt(sp2 / n0 + sp2 / n1) / mu, 6) AS mde_rel,
+           CAST(CEIL(2.0 * ({PWR_Z_ALPHA} + {PWR_Z_BETA})
+                     * ({PWR_Z_ALPHA} + {PWR_Z_BETA}) * sp2
+                     / (({PWR_REL_EFFECT} * mu)
+                        * ({PWR_REL_EFFECT} * mu))) AS BIGINT)
+             AS n_per_arm_for_5pct
+    FROM c
+    """,
+)
+def q_agg_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment PLANNING for the purchase-value A/B: the minimum
+    detectable effect at the CURRENT sample (80% power, two-sided 5%)
+    and the per-arm n required to detect a 5% relative lift — the
+    pre-launch calculation every experimentation platform runs before
+    q_agg_welch_t ever gets to speak (an underpowered test that 'finds
+    nothing' is the most expensive kind of nothing).  MDE =
+    (z_α/2 + z_β)·√(sp²/n0 + sp²/n1); n = 2(z_α/2+z_β)²sp²/δ².
+
+    Cross-engine exactness: per-arm moments exact (the q_agg_tost
+    BIGINT/DECIMAL(38,0) discipline); pooled variance, MDE and the
+    ceiling are fixed-order double expressions with shared z literals,
+    rounded 6 (the CEIL boundary shares the accepted rounded-emission
+    ulp class).
+
+    100 TB posture: one corpus-sized partial agg onto 2 arm groups,
+    single-row close-out — the q_agg_srm_check shape."""
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 2).alias("arm"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("v"),
+    )
+    g = x.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(
+            F.col("v").cast("decimal(38,0)")
+            * F.col("v").cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    m = g.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("s"))).alias("s0"),
+        F.max(F.when(F.col("arm") == 0, F.col("s2"))).alias("q0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("arm") == 1, F.col("s2"))).alias("q1"),
+    )
+    n0, n1 = F.col("n0"), F.col("n1")
+    s0, s1 = F.col("s0").cast("double"), F.col("s1").cast("double")
+    q0, q1 = F.col("q0").cast("double"), F.col("q1").cast("double")
+    sp2 = (
+        (n0 * q0 - s0 * F.col("s0"))
+        / (n0.cast("double") * (n0 - 1))
+        * (n0 - 1)
+        + (n1 * q1 - s1 * F.col("s1"))
+        / (n1.cast("double") * (n1 - 1))
+        * (n1 - 1)
+    ) / (n0 + n1 - 2)
+    mu = (s0 + s1) / (n0.cast("double") + n1)
+    zsum = PWR_Z_ALPHA + PWR_Z_BETA
+    mde = zsum * F.sqrt(sp2 / n0 + sp2 / n1)
+    return m.select(
+        n0.alias("n_arm0"),
+        n1.alias("n_arm1"),
+        F.round(F.sqrt(sp2) / 100.0, 6).alias("pooled_sd"),
+        F.round(mde / 100.0, 6).alias("mde_abs"),
+        F.round(mde / mu, 6).alias("mde_rel"),
+        F.ceil(
+            2.0
+            * zsum
+            * zsum
+            * sp2
+            / ((PWR_REL_EFFECT * mu) * (PWR_REL_EFFECT * mu))
+        )
+        .cast("long")
+        .alias("n_per_arm_for_5pct"),
+    )

@@ -1034,3 +1034,86 @@ def src_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("user_id").cast("long").alias("n_dropmalformed"))
     )
     return agg.crossJoin(dropped)
+
+
+@register(
+    "snk_manifest_time_travel",
+    oracle="""
+    SELECT 1 AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents WHERE doc_id % 3 <> 0
+    UNION ALL
+    SELECT 2 AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    """,
+)
+def snk_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel on the manifest-committed landing
+    (snk_manifest_commit's second act, the other half of the
+    table-format idea): version 1 commits the initial files, version 2
+    commits an APPEND — a new manifest listing v1's files plus the new
+    ones, while v1's manifest stays immutable on disk — and a reader
+    handed either manifest reconstructs exactly that snapshot.  Data
+    files are never rewritten or deleted between versions; a snapshot
+    IS its manifest (Iceberg's central invariant).  The op reads BOTH
+    versions back and emits their censuses; the oracle derives the
+    same two snapshots from the doc_id % 3 split, so a reader that
+    sees v2 files through the v1 manifest (or loses v1 files in the
+    append) fails the EXACT gate.
+
+    100 TB posture: an append commits O(new files) data + one metadata
+    file; time travel costs a manifest scan, never a data copy —
+    the same economics at any snapshot count."""
+    import json as _json
+
+    base = scratch_dir("kcss_manifest_tt")
+    shutil.rmtree(base, ignore_errors=True)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    v1dir = os.path.join(base, "v1")
+    v2dir = os.path.join(base, "v2")
+    d.filter(F.col("doc_id") % 3 != 0).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(v1dir)
+    d.filter(F.col("doc_id") % 3 == 0).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(v2dir)
+
+    def _files(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+
+    manifests = {}
+    v1_files = _files(v1dir)
+    v2_files = v1_files + _files(v2dir)  # append: v1 files unchanged
+    for ver, paths in ((1, v1_files), (2, v2_files)):
+        mp = os.path.join(base, f"manifest-v{ver}.jsonl")
+        with open(mp + ".tmp", "w") as fh:
+            for p in paths:
+                fh.write(_json.dumps({"path": p}) + "\n")
+        os.rename(mp + ".tmp", mp)  # atomic commit per snapshot
+        manifests[ver] = mp
+
+    out = None
+    for ver, mp in manifests.items():
+        with open(mp) as fh:
+            paths = [_json.loads(ln)["path"] for ln in fh]
+        snap = (
+            spark.read.parquet(*paths)
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("doc_id").cast("long").alias("id_sum"),
+            )
+            .select(
+                F.lit(ver).cast("int").alias("version"),
+                "n_docs",
+                "id_sum",
+            )
+        )
+        out = snap if out is None else out.unionAll(snap)
+    return out

@@ -405,3 +405,26 @@ def test_connected_comp_planted_two_cliques(spark, q, tmp_path):
     assert int(row["largest_component"]) == 3
     # labels flood to each clique's min id: 2*3 + 10*2
     assert int(row["label_checksum"]) == 2 * 3 + 10 * 2
+
+
+def test_power_mde_gate_and_consistency(spark, q, osql):
+    df = _cross_engine(
+        spark, q, osql, "q_agg_power_mde", SF001, ["events"]
+    )
+    row = df.iloc[0]
+    # more samples than we have -> the current MDE must exceed the 5%
+    # planning target (and vice versa); internal consistency check
+    needs_more = int(row["n_per_arm_for_5pct"]) > max(
+        int(row["n_arm0"]), int(row["n_arm1"])
+    )
+    assert needs_more == (row["mde_rel"] > 0.05)
+    assert row["pooled_sd"] > 0 and row["mde_abs"] > 0
+
+
+def test_manifest_time_travel_gate_and_immutability(spark, q, osql):
+    df = _cross_engine(
+        spark, q, osql, "snk_manifest_time_travel", SF001, ["documents"]
+    ).set_index("version")
+    # append-only: v2 strictly grows v1 in both count and checksum
+    assert int(df.loc[2, "n_docs"]) > int(df.loc[1, "n_docs"])
+    assert int(df.loc[2, "id_sum"]) > int(df.loc[1, "id_sum"])
