@@ -2355,3 +2355,99 @@ def x_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 6).alias("p_chance"),
         F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
     )
+
+
+@register(
+    "x_js_divergence_sources",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(str_split(text, ' ')) AS w
+      FROM documents),
+    csw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok GROUP BY source, w),
+    cw AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cwt FROM csw GROUP BY w),
+    ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns
+           FROM csw GROUP BY source),
+    tot AS (SELECT CAST(SUM(cwt) AS BIGINT) AS n FROM cw),
+    grid AS (
+      SELECT ns.source, ns.ns, cw.w, cw.cwt,
+             COALESCE(csw.c, 0) AS c, tot.n
+      FROM ns CROSS JOIN cw
+      LEFT JOIN csw ON csw.source = ns.source AND csw.w = cw.w
+      CROSS JOIN tot),
+    terms AS (
+      SELECT source, ns, c,
+             CASE WHEN c > 0 THEN
+               (c / CAST(ns AS DOUBLE))
+               * ln((c / CAST(ns AS DOUBLE))
+                    / ((c / CAST(ns AS DOUBLE)
+                        + cwt / CAST(n AS DOUBLE)) / 2.0))
+             ELSE 0.0 END AS tp,
+             (cwt / CAST(n AS DOUBLE))
+             * ln((cwt / CAST(n AS DOUBLE))
+                  / ((c / CAST(ns AS DOUBLE)
+                      + cwt / CAST(n AS DOUBLE)) / 2.0)) AS tq
+      FROM grid)
+    SELECT source,
+           MIN(ns) AS n_tokens,
+           CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_vocab_src,
+           ROUND(0.5 * SUM(tp) + 0.5 * SUM(tq), 6) AS js_to_corpus
+    FROM terms GROUP BY source
+    """,
+)
+def x_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's word distribution
+    from the corpus-wide mixture — the symmetric, bounded (≤ ln 2)
+    distribution-shift score that answers 'which sources are
+    lexically OFF relative to the blend we're training on': the
+    whole-distribution companion to x_chi2_keyness (per-term
+    association), q_agg_psi (binned numeric drift) and x_ks_drift
+    (numeric CDF drift).  JS(P_s‖C) = ½ KL(P_s‖M) + ½ KL(C‖M),
+    M = (P_s + C)/2, over the FULL corpus vocabulary (a word absent
+    from the source contributes only the corpus-side term).
+
+    Cross-engine exactness: all counts exact BIGINTs; the per-word
+    KL terms are fixed-order double expressions and the per-source
+    sums round to 6 (the x_word_entropy emission discipline — FP sum
+    order across a ~|vocab| term set sits at the 1e-13 ulp scale,
+    far inside the rounding).
+
+    100 TB posture: one token explode → vocab-bounded (source, word)
+    counts with map-side combine; the scoring grid is
+    |sources| × |vocab| — METADATA-sized next to the corpus — and
+    joins the tiny per-word totals, never the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    csw = tok.groupBy("source", "w").agg(
+        F.count("*").cast("long").alias("c")
+    ).localCheckpoint(eager=True)
+    cw = csw.groupBy("w").agg(F.sum("c").cast("long").alias("cwt"))
+    ns = csw.groupBy("source").agg(F.sum("c").cast("long").alias("ns"))
+    tot = cw.agg(F.sum("cwt").cast("long").alias("n"))
+    grid = (
+        ns.crossJoin(cw)
+        .join(csw, ["source", "w"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+        .crossJoin(broadcast(tot))
+    )
+    p = F.col("c") / F.col("ns").cast("double")
+    q = F.col("cwt") / F.col("n").cast("double")
+    m = (p + q) / 2.0
+    tp = F.when(F.col("c") > 0, p * F.log(p / m)).otherwise(0.0)
+    tq = q * F.log(q / m)
+    return (
+        grid.select("source", "ns", "c", tp.alias("tp"), tq.alias("tq"))
+        .groupBy("source")
+        .agg(
+            F.min("ns").alias("n_tokens"),
+            F.sum(F.when(F.col("c") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_vocab_src"),
+            F.round(
+                0.5 * F.sum("tp") + 0.5 * F.sum("tq"), 6
+            ).alias("js_to_corpus"),
+        )
+    )

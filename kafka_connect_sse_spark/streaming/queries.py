@@ -10,6 +10,9 @@ result, so the driver's oracle can hold it to the batch-equivalent answer.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1179,4 +1182,56 @@ def s_srm_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c1").alias("cum_arm1"),
         chi2.alias("chi2_cum"),
         (chi2 > SRM_S_CRIT).alias("srm_breach"),
+    )
+
+
+@register(
+    "s_foreachbatch_idempotent",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(user_id) AS BIGINT) AS uid_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def s_foreachbatch_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once file landing under at-least-once redelivery — the
+    OTHER half of the foreachBatch contract next to s_foreachbatch_dlq:
+    Structured Streaming guarantees a batch_id is stable across
+    retries, so a writer that lands each micro-batch at a
+    DETERMINISTIC batch_id-keyed path with overwrite semantics
+    converges to exactly-once output no matter how many times the
+    batch is redelivered.  The op REPLAYS batch 0's write (the retry a
+    crashed commit produces in production), then reads the landing
+    back — an append-mode writer would double batch 0's rows and fail
+    the EXACT gate; the idempotent one matches the batch truth.
+
+    100 TB posture: per-batch overwrite of a batch-keyed directory is
+    a metadata swap (no read-modify-write of prior batches), and the
+    landing read is an ordinary partition-discovered parquet scan —
+    this is how every foreachBatch → object-store sink earns its
+    exactly-once claim on top of at-least-once execution."""
+    out = scratch_dir("kcss_s_idem")
+    shutil.rmtree(out, ignore_errors=True)
+    sdf = events_stream(spark, sf_dir)
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        target = os.path.join(out, f"batch={batch_id}")
+        batch_df.select("event_type", "user_id").write.mode(
+            "overwrite"
+        ).parquet(target)
+        if batch_id == 0:  # simulated redelivery: the retried commit
+            batch_df.select("event_type", "user_id").write.mode(
+                "overwrite"
+            ).parquet(target)
+
+    q = (
+        sdf.writeStream.foreachBatch(land)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(os.path.join(out, "batch=*"))
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("user_id").cast("long").alias("uid_sum"),
     )

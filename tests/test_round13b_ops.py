@@ -428,3 +428,23 @@ def test_manifest_time_travel_gate_and_immutability(spark, q, osql):
     # append-only: v2 strictly grows v1 in both count and checksum
     assert int(df.loc[2, "n_docs"]) > int(df.loc[1, "n_docs"])
     assert int(df.loc[2, "id_sum"]) > int(df.loc[1, "id_sum"])
+
+
+def test_js_divergence_gate_and_bounds(spark, q, osql):
+    df = _cross_engine(
+        spark, q, osql, "x_js_divergence_sources", SF001, ["documents"]
+    )
+    # JS in nats is bounded by ln 2; strictly positive for any source
+    # whose distribution differs at all from the mixture
+    assert (df["js_to_corpus"] >= 0).all()
+    assert (df["js_to_corpus"] <= math.log(2.0)).all()
+    assert len(df) == 20
+
+
+def test_foreachbatch_idempotent_gate(spark, q, osql):
+    df = _cross_engine(
+        spark, q, osql, "s_foreachbatch_idempotent", SF001, ["events"]
+    )
+    ev = pd.read_parquet(f"{SF001}/events.parquet")
+    # the replayed batch-0 write did not double anything
+    assert int(df["n"].sum()) == len(ev)
