@@ -2369,10 +2369,13 @@ def q_graph_connected_comp(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs O(diameter) rounds; production pairs it with the large-star/
     small-star contraction when diameters are long."""
     edges = _coactivity_edges(spark, sf_dir)
+    # sym is a zero-shuffle map over the already-checkpointed edges —
+    # do NOT checkpoint it: materializing 2|E| deserialized rows cost
+    # 75 s at sf10 (the q_agg_weighted_median lesson), while
+    # recomputing the union per round only re-reads checkpoint blocks
     sym = edges.select(
         F.col("u").alias("a"), F.col("v").alias("b")
     ).unionAll(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
-    sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -2380,10 +2383,18 @@ def q_graph_connected_comp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     for _ in range(LPROP_ITERS):
+        # labels is |nodes| rows behind an ExistingRDD (no stats), so
+        # AQE can't see it's broadcastable — without the hint each
+        # round SortMergeJoins the full 2|E| edge list (measured 100 s
+        # for 3 rounds at sf10; broadcast turns each round into one
+        # map-side pass + the |nodes|-sized min aggregation)
         nmin = (
             sym.join(
-                labels.select(
-                    F.col("node").alias("b"), F.col("lab").alias("nlab")
+                F.broadcast(
+                    labels.select(
+                        F.col("node").alias("b"),
+                        F.col("lab").alias("nlab"),
+                    )
                 ),
                 "b",
             )
