@@ -7481,43 +7481,31 @@ def q_agg_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     the decision compares the rounded |z| to the shared {TT_Z95}
     literal.
 
-    100 TB posture: one filtered map-side partial agg to TWO counter
-    cells plus a distinct-day rollup bounded by |days|.  Nothing scales
-    past the scan."""
+    100 TB posture: ONE corpus scan — the per-day purchase counts
+    (|days| groups, map-side combine) carry both the event counts and
+    the exposure days, so the weekend/weekday rollup never rescans the
+    corpus (round-13 restructure: the first cut read events twice —
+    once for counts, once for distinct days — and tripped the
+    plan-audit rescan gate)."""
     ev = load_table(spark, sf_dir, "events")
-    wknd = F.dayofweek(F.col("ts")).isin(1, 7)  # Spark: Sun=1, Sat=7
-    k = (
-        ev.filter(F.col("event_type") == "purchase")
-        .agg(
-            F.sum(F.when(wknd, 1).otherwise(0))
-            .cast("long")
-            .alias("k1"),
-            F.sum(F.when(~wknd, 1).otherwise(0))
-            .cast("long")
-            .alias("k2"),
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         )
+        .cast("long")
+        .alias("kp")
     )
-    days = (
-        ev.select(F.to_date("ts").alias("day"))
-        .distinct()
-        .agg(
-            F.sum(
-                F.when(F.dayofweek(F.col("day")).isin(1, 7), 1).otherwise(
-                    0
-                )
-            )
-            .cast("long")
-            .alias("t1"),
-            F.sum(
-                F.when(
-                    ~F.dayofweek(F.col("day")).isin(1, 7), 1
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("t2"),
-        )
+    dw = F.dayofweek(F.col("day")).isin(1, 7)  # Spark: Sun=1, Sat=7
+    m = daily.agg(
+        F.sum(F.when(dw, F.col("kp")).otherwise(0))
+        .cast("long")
+        .alias("k1"),
+        F.sum(F.when(~dw, F.col("kp")).otherwise(0))
+        .cast("long")
+        .alias("k2"),
+        F.sum(F.when(dw, 1).otherwise(0)).cast("long").alias("t1"),
+        F.sum(F.when(~dw, 1).otherwise(0)).cast("long").alias("t2"),
     )
-    m = k.crossJoin(days)
     r1 = F.col("k1").cast("double") / F.col("t1")
     r2 = F.col("k2").cast("double") / F.col("t2")
     z = (r1 - r2) / F.sqrt(

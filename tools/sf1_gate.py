@@ -51,6 +51,13 @@ _WEAK = re.compile(r"^WEAK (\S+):")
 
 def parse_sweep(text: str) -> dict:
     ops: dict[str, dict] = {}
+    # Spark's console progress bar emits \r-terminated fragments that
+    # can land on the same physical line as a checker PASS/FAIL row;
+    # the anchored regexes below then miss the row and the
+    # completeness gate refuses a genuinely green sweep (bit round 13:
+    # 182 of 365 rows parsed).  Keep only the text after the last \r
+    # on every line before matching.
+    text = re.sub(r"[^\n]*\r", "", text)
     for line in text.splitlines():
         m = _PASS.match(line)
         if m:
