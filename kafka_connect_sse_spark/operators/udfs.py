@@ -330,3 +330,35 @@ def u_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         nrows("value").alias("n"),
         F.round(wmean("value", "w"), 6).alias("wmean_value"),
     )
+
+
+@register(
+    "u_arrow_py_udf",
+    oracle=f"""
+    SELECT o_orderkey,
+           (o_orderkey * {MIX_MULT}) % {MIX_MOD} AS mixed
+    FROM orders
+    WHERE o_orderkey % 20 = 0
+    """,
+)
+def u_arrow_py_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (`useArrow=True`, Spark 3.5+/4.x) —
+    the missing rung between u_py_udf and u_pandas_udf on the UDF
+    ladder: same row-at-a-time Python function as u_py_udf (the
+    _key_mix exact-integer mixer, same oracle), but serialized over
+    Arrow batches instead of pickled rows, which removes most of the
+    (de)serialization cost while keeping the simple scalar-function
+    authoring model (no pandas Series signature).  The ladder a user
+    should climb: u_py_udf (pickle rows) < THIS (Arrow transport,
+    Python loop) < u_pandas_udf (Arrow transport, vectorized numpy
+    body) < u_arrow_map (raw RecordBatches, no per-row Python at all).
+
+    Same bounded-input discipline as u_py_udf: Python-loop rungs stay
+    on the 5% orderkey sample; at 100 TB this expression would be a
+    built-in column expression anyway — the op exists to pin the
+    API's semantics and transport."""
+    key_mix = udf(_key_mix, "long", useArrow=True)
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 20 == 0
+    )
+    return o.select("o_orderkey", key_mix("o_orderkey").alias("mixed"))
