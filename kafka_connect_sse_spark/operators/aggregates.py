@@ -9090,3 +9090,166 @@ def q_agg_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_per_arm_for_5pct"),
     )
+
+
+@register(
+    "q_agg_mantel_haenszel",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS fx,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS fy
+      FROM events GROUP BY user_id, CAST(ts AS DATE)),
+    s AS (
+      SELECT d,
+             CAST(SUM(fx * fy) AS BIGINT) AS a,
+             CAST(SUM(fx * (1 - fy)) AS BIGINT) AS b,
+             CAST(SUM((1 - fx) * fy) AS BIGINT) AS c,
+             CAST(SUM((1 - fx) * (1 - fy)) AS BIGINT) AS d_cell,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM u GROUP BY d),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+             CAST(SUM(a) AS BIGINT) AS a_tot,
+             SUM(CAST(a AS DOUBLE) * d_cell / n) AS num,
+             SUM(CAST(b AS DOUBLE) * c / n) AS den
+      FROM s WHERE n > 0)
+    SELECT n_strata, a_tot,
+           CASE WHEN den > 0
+                THEN ROUND(num / den, 6) END AS or_mh
+    FROM t
+    """,
+)
+def q_agg_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel common odds ratio of the click→purchase 2×2
+    STRATIFIED BY DAY — the confounder-adjusted companion to
+    q_agg_odds_ratio_ci: pooling all user-days into one table lets a
+    day-level confounder (weekend traffic mix, a promo day) manufacture
+    or mask association (Simpson's paradox); MH weights each day's
+    within-stratum odds ratio by b·c/n, so only WITHIN-day association
+    survives.  OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ).
+
+    Cross-engine exactness: per-stratum cells are exact BIGINTs off
+    the same user-day flag collapse as the 2×2 family; each stratum
+    contributes one fixed-order double term to DOUBLE sums whose
+    ordering noise (~1e-15 over |days| terms) is absorbed by the
+    rounded-6 emission; zero pooled denominator emits NULL.
+
+    100 TB posture: the identical single-scan flag collapse as
+    q_agg_mcnemar, then a |days|-bounded stratum rollup — adding the
+    stratification costs one more small aggregate, not a scan."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("fx"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("fy"),
+    )
+    s = u.groupBy("d").agg(
+        F.sum(F.col("fx") * F.col("fy")).cast("long").alias("a"),
+        F.sum(F.col("fx") * (1 - F.col("fy"))).cast("long").alias("b"),
+        F.sum((1 - F.col("fx")) * F.col("fy")).cast("long").alias("c"),
+        F.sum((1 - F.col("fx")) * (1 - F.col("fy")))
+        .cast("long")
+        .alias("d_cell"),
+        F.count("*").cast("long").alias("n"),
+    )
+    t = s.filter(F.col("n") > 0).agg(
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum("a").cast("long").alias("a_tot"),
+        F.sum(
+            F.col("a").cast("double") * F.col("d_cell") / F.col("n")
+        ).alias("num"),
+        F.sum(
+            F.col("b").cast("double") * F.col("c") / F.col("n")
+        ).alias("den"),
+    )
+    return t.select(
+        "n_strata",
+        "a_tot",
+        F.when(
+            F.col("den") > 0, F.round(F.col("num") / F.col("den"), 6)
+        ).alias("or_mh"),
+    )
+
+
+HILL_K = 100  # order statistics in the Hill tail estimate
+
+
+@register(
+    "q_agg_hill_tail",
+    oracle=f"""
+    WITH top AS (
+      SELECT n_chars,
+             ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents QUALIFY rn <= {HILL_K} + 1),
+    ref AS (SELECT CAST(n_chars AS BIGINT) AS x_ref FROM top
+            WHERE rn = {HILL_K} + 1),
+    h AS (
+      SELECT AVG(ln(CAST(t.n_chars AS DOUBLE) / r.x_ref)) AS hmean,
+             MIN(r.x_ref) AS x_ref
+      FROM top t CROSS JOIN ref r
+      WHERE t.rn <= {HILL_K})
+    SELECT CAST({HILL_K} AS BIGINT) AS k,
+           x_ref,
+           ROUND(hmean, 6) AS mean_log_excess,
+           CASE WHEN hmean > 0 THEN ROUND(1.0 / hmean, 6) END
+             AS hill_alpha
+    FROM h
+    """,
+)
+def q_agg_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the document-length tail index — the
+    extreme-value companion to x_zipf_fit (rank-frequency slope) and
+    q_agg_gumbel_fit (block maxima): α̂ = 1 / mean(ln x₍ᵢ₎ − ln x₍ₖ₊₁₎)
+    over the k = {HILL_K} largest lengths, the standard heavy-tail
+    diagnostic for 'how Pareto is this corpus's long-document tail'
+    (α ≤ 2 means infinite variance — sequence packing and batch-shape
+    planning must plan for it; the per-shard max is NOT a fluke).
+
+    Cross-engine exactness: which rows form the tail is pinned by the
+    (n_chars DESC, doc_id) rank — ties at the threshold contribute
+    identical values either way; k+1 integer order statistics, one
+    AVG of {HILL_K} fixed-order ln terms rounded 6 (the x_word_entropy
+    emission class); degenerate hmean ≤ 0 (all-equal tail) emits NULL.
+
+    100 TB posture: TakeOrderedAndProject — per-partition top-(k+1)
+    heaps merged on the driver, never a global sort; the estimate
+    itself touches k+1 rows."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    top = (
+        d.select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(HILL_K + 1)
+        .select("n_chars", F.row_number().over(w).alias("rn"))
+    )
+    ref = top.filter(F.col("rn") == HILL_K + 1).select(
+        F.col("n_chars").cast("long").alias("x_ref")
+    )
+    h = (
+        top.filter(F.col("rn") <= HILL_K)
+        .crossJoin(F.broadcast(ref))
+        .agg(
+            F.avg(
+                F.log(
+                    F.col("n_chars").cast("double") / F.col("x_ref")
+                )
+            ).alias("hmean"),
+            F.min("x_ref").alias("x_ref"),
+        )
+    )
+    return h.select(
+        F.lit(HILL_K).cast("long").alias("k"),
+        "x_ref",
+        F.round(F.col("hmean"), 6).alias("mean_log_excess"),
+        F.when(
+            F.col("hmean") > 0, F.round(1.0 / F.col("hmean"), 6)
+        ).alias("hill_alpha"),
+    )

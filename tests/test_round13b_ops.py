@@ -448,3 +448,45 @@ def test_foreachbatch_idempotent_gate(spark, q, osql):
     ev = pd.read_parquet(f"{SF001}/events.parquet")
     # the replayed batch-0 write did not double anything
     assert int(df["n"].sum()) == len(ev)
+
+
+def test_mantel_haenszel_gate_and_pandas_replay(spark, q, osql):
+    df = _cross_engine(
+        spark, q, osql, "q_agg_mantel_haenszel", SF001, ["events"]
+    )
+    ev = pd.read_parquet(f"{SF001}/events.parquet")
+    ev["d"] = ev["ts"].dt.date
+    g = ev.groupby(["user_id", "d"])["event_type"].agg(
+        fx=lambda s: int((s == "click").any()),
+        fy=lambda s: int((s == "purchase").any()),
+    ).reset_index()
+    num = den = 0.0
+    for _, sub in g.groupby("d"):
+        a = int((sub["fx"] * sub["fy"]).sum())
+        b = int((sub["fx"] * (1 - sub["fy"])).sum())
+        c = int(((1 - sub["fx"]) * sub["fy"]).sum())
+        dd = int(((1 - sub["fx"]) * (1 - sub["fy"])).sum())
+        n = len(sub)
+        num += a * dd / n
+        den += b * c / n
+    row = df.iloc[0]
+    assert int(row["n_strata"]) == g["d"].nunique()
+    assert row["or_mh"] == pytest.approx(round(num / den, 6), abs=1e-6)
+
+
+def test_hill_tail_gate_and_numpy_replay(spark, q, osql):
+    import numpy as np
+
+    df = _cross_engine(
+        spark, q, osql, "q_agg_hill_tail", SF001, ["documents"]
+    )
+    x = np.sort(
+        pd.read_parquet(f"{SF001}/documents.parquet")["n_chars"].to_numpy()
+    )[::-1]
+    k = int(df.iloc[0]["k"])
+    ref = x[k]  # (k+1)-th largest
+    hmean = float(np.mean(np.log(x[:k].astype(float) / ref)))
+    assert int(df.iloc[0]["x_ref"]) == ref
+    assert df.iloc[0]["hill_alpha"] == pytest.approx(
+        round(1.0 / hmean, 6), abs=1e-5
+    )
