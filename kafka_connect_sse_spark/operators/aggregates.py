@@ -9253,3 +9253,109 @@ def q_agg_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hmean") > 0, F.round(1.0 / F.col("hmean"), 6)
         ).alias("hill_alpha"),
     )
+
+
+COCHRAN_CHI2_CRIT_95_DF4 = 9.488  # chi-squared(4) 95% critical value
+
+
+@register(
+    "q_agg_cochran_q",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x1,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x2,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS x3,
+             MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS x4,
+             MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS x5
+      FROM events GROUP BY user_id, CAST(ts AS DATE)),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+             CAST(SUM(x1) AS BIGINT) AS t1,
+             CAST(SUM(x2) AS BIGINT) AS t2,
+             CAST(SUM(x3) AS BIGINT) AS t3,
+             CAST(SUM(x4) AS BIGINT) AS t4,
+             CAST(SUM(x5) AS BIGINT) AS t5,
+             CAST(SUM(x1 + x2 + x3 + x4 + x5) AS BIGINT) AS rsum,
+             CAST(SUM((x1 + x2 + x3 + x4 + x5)
+                      * (x1 + x2 + x3 + x4 + x5)) AS BIGINT) AS rsq
+      FROM u),
+    c AS (
+      SELECT nb, t1, t2, t3, t4, t5, rsum, rsq,
+             5 * (CAST(t1 AS DOUBLE) * t1 + CAST(t2 AS DOUBLE) * t2
+                  + CAST(t3 AS DOUBLE) * t3 + CAST(t4 AS DOUBLE) * t4
+                  + CAST(t5 AS DOUBLE) * t5)
+             - CAST(rsum AS DOUBLE) * rsum AS num,
+             5.0 * rsum - rsq AS den
+      FROM s)
+    SELECT nb AS n_blocks, t1 AS n_click, t3 AS n_purchase,
+           CASE WHEN den > 0 THEN ROUND(4.0 * num / (5.0 * den), 6) END
+             AS cochran_q,
+           CASE WHEN den > 0
+                THEN CAST(ROUND(4.0 * num / (5.0 * den), 6)
+                          > {COCHRAN_CHI2_CRIT_95_DF4} AS INTEGER)
+           END AS reject_equal_rates
+    FROM c
+    """,
+)
+def q_agg_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q across ALL FIVE event-type incidence flags on the
+    same user-day blocks — the k-treatment generalization of
+    q_agg_mcnemar (k = 2 reduces to it exactly): do the five event
+    types occur on a user-day at the SAME rate, accounting for the
+    pairing?  Q = k(k−1)·(kΣTⱼ² − (ΣR)²) / (k·ΣR − ΣR²) ~ χ²(k−1),
+    with Tⱼ the per-type block totals and R the per-block row sums —
+    the within-subjects ANOVA of the binary world, next to
+    q_agg_friedman (ranks) and q_agg_chi2_uniform_dow (independent
+    counts).
+
+    Cross-engine exactness: every moment (Tⱼ, ΣR, ΣR²) is an exact
+    BIGINT off ONE flag-collapse scan; Q is one fixed-order double
+    expression rounded 6 against the shared χ²(4) literal; the
+    degenerate all-equal-rows case (den = 0) emits NULL, and the
+    reject flag rides as nullable INT (the q_agg_mcnemar NULL
+    canonicalization rule).
+
+    100 TB posture: identical single-scan user-day collapse as the
+    2×2 family, then a single-row rollup — k widens the row, not the
+    shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    flags = [
+        F.max(
+            F.when(F.col("event_type") == t, 1).otherwise(0)
+        ).alias(f"x{i}")
+        for i, t in enumerate(
+            ["click", "view", "purchase", "signup", "error"], 1
+        )
+    ]
+    u = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).agg(*flags)
+    r = sum(F.col(f"x{i}") for i in range(1, 6))
+    s = u.agg(
+        F.count("*").cast("long").alias("nb"),
+        *[
+            F.sum(F.col(f"x{i}")).cast("long").alias(f"t{i}")
+            for i in range(1, 6)
+        ],
+        F.sum(r).cast("long").alias("rsum"),
+        F.sum(r * r).cast("long").alias("rsq"),
+    )
+    tsq = sum(
+        F.col(f"t{i}").cast("double") * F.col(f"t{i}")
+        for i in range(1, 6)
+    )
+    num = 5 * tsq - F.col("rsum").cast("double") * F.col("rsum")
+    den = 5.0 * F.col("rsum") - F.col("rsq")
+    qstat = F.round(4.0 * num / (5.0 * den), 6)
+    return s.select(
+        F.col("nb").alias("n_blocks"),
+        F.col("t1").alias("n_click"),
+        F.col("t3").alias("n_purchase"),
+        F.when(den > 0, qstat).alias("cochran_q"),
+        F.when(
+            den > 0,
+            (qstat > COCHRAN_CHI2_CRIT_95_DF4).cast("int"),
+        ).alias("reject_equal_rates"),
+    )

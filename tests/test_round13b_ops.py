@@ -490,3 +490,31 @@ def test_hill_tail_gate_and_numpy_replay(spark, q, osql):
     assert df.iloc[0]["hill_alpha"] == pytest.approx(
         round(1.0 / hmean, 6), abs=1e-5
     )
+
+
+def test_cochran_q_gate_and_pandas_replay(spark, q, osql):
+    df = _cross_engine(
+        spark, q, osql, "q_agg_cochran_q", SF001, ["events"]
+    )
+    ev = pd.read_parquet(f"{SF001}/events.parquet")
+    ev["d"] = ev["ts"].dt.date
+    piv = (
+        ev.assign(one=1)
+        .pivot_table(
+            index=["user_id", "d"],
+            columns="event_type",
+            values="one",
+            aggfunc="max",
+            fill_value=0,
+        )
+    )
+    k = 5
+    T = piv.sum(axis=0).to_numpy()
+    R = piv.sum(axis=1).to_numpy()
+    num = k * float((T.astype(float) ** 2).sum()) - float(R.sum()) ** 2
+    den = k * float(R.sum()) - float((R**2).sum())
+    qstat = round((k - 1) * num / (k * den), 6)
+    row = df.iloc[0]
+    assert int(row["n_blocks"]) == len(piv)
+    assert row["cochran_q"] == pytest.approx(qstat, abs=1e-6)
+    assert int(row["reject_equal_rates"]) == int(qstat > 9.488)
