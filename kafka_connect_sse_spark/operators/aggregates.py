@@ -9224,11 +9224,15 @@ def q_agg_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself touches k+1 rows."""
     d = load_table(spark, sf_dir, "documents")
     w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    # checkpoint the k+1 = 101-row order-statistic relation: both the
+    # tail branch and the threshold branch consume it, and without the
+    # cut each would re-run the corpus TakeOrderedAndProject
     top = (
         d.select("doc_id", "n_chars")
         .orderBy(F.desc("n_chars"), F.asc("doc_id"))
         .limit(HILL_K + 1)
         .select("n_chars", F.row_number().over(w).alias("rn"))
+        .localCheckpoint(eager=True)
     )
     ref = top.filter(F.col("rn") == HILL_K + 1).select(
         F.col("n_chars").cast("long").alias("x_ref")
