@@ -167,7 +167,12 @@ def main() -> None:
         print(f"{n_weak} ops ran WEAK (no oracle) — the sf1 gate requires "
               "the full EXACT surface", file=sys.stderr)
         sys.exit(1)
-    manifest = json.load(open(os.path.join(SF1_DIR, "MANIFEST.json")))
+    # MANIFEST.json exists whenever the tier was generated (gen_fixture
+    # writes it); under --skip-gen with an external --sweep-log the tier
+    # may be absent entirely — record a null fixture instead of crashing
+    manifest_path = os.path.join(SF1_DIR, "MANIFEST.json")
+    manifest = (json.load(open(manifest_path))
+                if os.path.exists(manifest_path) else None)
     sweep_rec = {
         "sf_dir": SF1_DIR,
         "fixture": manifest,
