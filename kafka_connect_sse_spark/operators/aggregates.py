@@ -5497,7 +5497,14 @@ def q_agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted copies of each row's CENTS, not the row); the shuffle
     carries {BOOT_R}+1 groups × two integer accumulators.  Rank scan
     and sd run on the {BOOT_R}-row means relation."""
-    o = load_table(spark, sf_dir, "orders")
+    from ..plans import spread
+
+    # spread() before the 33x replicate fan-out: the fixture scans as a
+    # single effective split (one parquet row group), which serialized
+    # every (row, replicate) md5 draw onto one core — measured 9.8s ->
+    # 4.2s at sf0.1 from the repartition alone (guide §2.5 input skew;
+    # no-op at real scale where the scan has thousands of splits)
+    o = spread(load_table(spark, sf_dir, "orders"), "o_orderkey")
     reps = o.select(
         "o_orderkey",
         (F.col("o_totalprice").cast("decimal(18,2)") * 100)

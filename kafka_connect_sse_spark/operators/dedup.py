@@ -107,30 +107,41 @@ def shingles(text_col, k: int = SHINGLE_K):
     return F.when(n >= k, z).otherwise(F.array().cast("array<string>"))
 
 
-def _min_seeded_hash(shingle_col, seed: int):
-    """min over shingles of xxhash64(shingle, seed) — one MinHash
-    permutation.  The inner lambda MUST be arity-1: a two-parameter
-    lambda (even with a default) makes Spark bind the second parameter
-    to the ARRAY INDEX, which silently turns every permutation into the
-    same position-sensitive hash (the round-1 bug this function fixes —
-    caught the moment the op gained a full ground-truth oracle)."""
+def _min_seeded_hash(hashed_col, seed: int):
+    """min over pre-hashed shingles of xxhash64(h, seed) — one MinHash
+    permutation over an array<long>.  The inner lambda MUST be arity-1:
+    a two-parameter lambda (even with a default) makes Spark bind the
+    second parameter to the ARRAY INDEX, which silently turns every
+    permutation into the same position-sensitive hash (the round-1 bug
+    this function fixes — caught the moment the op gained a full
+    ground-truth oracle)."""
     return F.array_min(
-        F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(seed)))
+        F.transform(hashed_col, lambda h: F.xxhash64(h, F.lit(seed)))
     )
 
 
-def minhash_signature(shingle_col, n_hashes: int = N_MINHASH):
-    """MinHash signature: min over shingles of seeded xxhash64 per
-    permutation.  Seeding via a literal keeps everything JVM-side.
+def minhash_signature(hashed_col, n_hashes: int = N_MINHASH):
+    """MinHash signature: min over pre-hashed shingles of seeded
+    xxhash64 per permutation.
+
+    The argument is an array<long> of per-shingle base hashes
+    (xxhash64(shingle)), computed ONCE per document: re-hashing an
+    8-byte long per permutation costs a handful of multiplies, while
+    the round-1..12 form re-hashed the ~30-byte shingle STRING in all
+    {n} permutations — measured 1.9s -> 1.1s on the sf0.1 eager build.
+    The derived family xxhash64(xxhash64(s), i) is deterministic and
+    uniform per seed, so the banding recall math in
+    tests/test_minhash_recall.py is unchanged (the fixture guard +
+    synthetic-knee tests re-measure it against ground truth).
 
     CSE WARNING: pass a *materialized column reference* (project the
-    shingle array in its own select first), NOT the raw shingle
-    expression — the n_hashes seeded subtrees are all distinct, so
-    Catalyst will not share a common shingle expression across them and
-    each permutation would re-tokenize the document (measured 8× slowdown
-    at sf0.1)."""
+    hashed array in its own select first), NOT the raw expression —
+    the n_hashes seeded subtrees are all distinct, so Catalyst will not
+    share a common subexpression across them and each permutation would
+    re-tokenize and re-hash the document (measured 8× slowdown at
+    sf0.1)."""
     return F.array(
-        *[_min_seeded_hash(shingle_col, i) for i in range(n_hashes)]
+        *[_min_seeded_hash(hashed_col, i) for i in range(n_hashes)]
     )
 
 
@@ -143,8 +154,15 @@ def banded_signatures(sh_df: DataFrame) -> DataFrame:
     hashed to its bucket id.  This relation IS the stored dedup index —
     O(n * bands) rows of three longs — that incremental ingest joins new
     batches against (x_dedup_incremental)."""
-    sig = sh_df.select(
-        "doc_id", minhash_signature(F.col("sh")).alias("sig")
+    # base-hash the shingle strings ONCE into a materialized array<long>
+    # column; the 32 seeded permutations then re-mix 8-byte longs instead
+    # of re-hashing the strings (see minhash_signature docstring)
+    hashed = sh_df.select(
+        "doc_id",
+        F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("hs"),
+    )
+    sig = hashed.select(
+        "doc_id", minhash_signature(F.col("hs")).alias("sig")
     )
     return sig.select(
         "doc_id",

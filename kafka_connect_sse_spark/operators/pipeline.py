@@ -1146,7 +1146,12 @@ def x_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the ranking is TakeOrderedAndProject (per-task heaps).  The
     hashed feature space is fixed at 256 buckets at ANY corpus size —
     that dimensionality independence is the point of DSIR's hashing."""
-    d = load_table(spark, sf_dir, "documents")
+    from ..plans import spread
+
+    # spread() before the token explode: single-row-group fixture scans
+    # would otherwise run the per-token md5 on one core (bootstrap_ci
+    # precedent; no-op at real scale)
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     ex = d.select(
         "doc_id",
         "lang",

@@ -75,7 +75,11 @@ def x_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline; broadcast the queries, scan candidates once).  Norms are
     precomputed per side before the join — cosine inside the join would
     recompute dot(q,q) per *pair*, tripling the flops."""
-    e = load_table(spark, sf_dir, "embeddings")
+    from ..plans import spread
+
+    # spread(): parallelize the per-pair fold dots off the single-split
+    # scan (x_ann_rerank precedent)
+    e = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qv")
     ).withColumn("qnorm", F.sqrt(dot(F.col("qv"), F.col("qv"))))
@@ -508,7 +512,12 @@ def x_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicates the full two-stage pipeline EXACTLY — including any
     recall loss the shortlist introduces, which is the honest contract
     of a quantized first pass."""
-    e = load_table(spark, sf_dir, "embeddings")
+    from ..plans import spread
+
+    # spread() the single-row-group fixture scan: quantization and the
+    # broadcast-join dot products are per-element lambda work that
+    # otherwise runs on one core (measured 1.44s -> 1.10s stage-1 noop)
+    e = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
     v = _as_double(F.col("embedding"))
     scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
     q8 = F.when(scale == 0, F.transform(v, lambda x: F.lit(0).cast("long"))).otherwise(
