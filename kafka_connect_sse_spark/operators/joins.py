@@ -1084,6 +1084,20 @@ _COACT_EDGES_CTE = f"""act AS (SELECT DISTINCT event_type,
 # different fixture rebuilds; the checkpointed blocks live for the
 # session, which is exactly the artifact's intended lifetime.
 _COACT_CACHE: dict[tuple[str, str], DataFrame] = {}
+# measured pre-distinct pair volume per cached edge artifact: an upper
+# bound on |edges| that consumers use to size their own node/endpoint
+# shuffles without re-counting
+_COACT_PAIR_VOLUME: dict[tuple[str, str], int] = {}
+
+
+def _coactivity_pair_volume(spark: SparkSession, sf_dir: str) -> int:
+    """Measured pair volume of the session's co-activity edge artifact
+    (building it if needed) — the widen_pair_shuffle n_rows hint for
+    graph-family consumers."""
+    key = (spark.sparkContext.applicationId, str(sf_dir))
+    if key not in _COACT_PAIR_VOLUME:
+        _coactivity_edges(spark, sf_dir)
+    return _COACT_PAIR_VOLUME[key]
 
 
 def _coactivity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1145,6 +1159,19 @@ def _coactivity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cap_d")
     )
     kept = posts.crossJoin(cap).filter(F.col("cd") <= F.col("cap_d"))
+    # exact pre-distinct pair volume, read off the |cohorts|-row
+    # checkpointed relation (NOT a corpus pass): sizes the pair
+    # shuffle to the data instead of the fixed sf10-tuned width
+    n_pairs = int(
+        kept.filter(F.col("cd") >= 2)
+        .agg(
+            F.sum(F.col("cd") * (F.col("cd") - 1) / 2)
+            .cast("long")
+            .alias("n")
+        )
+        .first()["n"]
+        or 0
+    )
     pairs = (
         kept.filter(F.col("cd") >= 2)
         .select(F.explode("us").alias("u"), "us")
@@ -1152,11 +1179,12 @@ def _coactivity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") < F.col("v"))
     )
     edges = (
-        widen_pair_shuffle(pairs, "u", "v")
+        widen_pair_shuffle(pairs, "u", "v", n_rows=n_pairs)
         .distinct()
         .localCheckpoint(eager=True)
     )
     _COACT_CACHE[key] = edges
+    _COACT_PAIR_VOLUME[key] = n_pairs
     return edges
 
 
@@ -1297,19 +1325,25 @@ def _triangle_stats(edges: DataFrame) -> DataFrame:
     # the wedge relation is |wedges|-sized (Σ C(outdeg,2) — ~2.5e9 at
     # sf10); its close-join shuffle needs the widen rule just like the
     # pair aggregations, or 32-wide tasks OOM the 8g heap (round-13
-    # finding, same class as the r11 jaccard OOM)
+    # finding, same class as the r11 jaccard OOM).  The exact wedge
+    # count is read eagerly (one aggregate over the |nodes|-row degree
+    # relation) so the width adapts to the measured volume; the scalar
+    # then rides the output as a literal instead of a second wedge
+    # aggregation subtree in the final plan.
+    n_wedges = wedges.first()["n_wedges"]  # None on a wedge-free graph
     tri = (
-        widen_pair_shuffle(wedge, "q1", "q2")
+        widen_pair_shuffle(wedge, "q1", "q2", n_rows=n_wedges or 0)
         .join(close, ["q1", "q2"])
         .agg(F.count("*").alias("n_triangles"))
     )
     n_edges = edges.agg(F.count("*").alias("n_edges"))
     return (
         tri.crossJoin(broadcast(n_edges))
-        .crossJoin(broadcast(wedges))
         .select(
             "n_edges",
-            "n_wedges",
+            # NULL (not 0) when no wedges exist — the empty-graph
+            # convention the oracle's SUM produces
+            F.lit(n_wedges).cast("long").alias("n_wedges"),
             "n_triangles",
             F.round(
                 F.when(
@@ -1490,7 +1524,29 @@ _CO_CATALOG_SQL = f"""
 """
 
 
-def widen_pair_shuffle(df: DataFrame, *cols: str) -> DataFrame:
+# Scale-adaptive pair-shuffle sizing (round 13): the fixed 512-wide
+# repartition was tuned for the sf10 OOM bound, but an explicit
+# repartition(N) is exempt from AQE coalescing, so every small-SF graph
+# stage (and every consumer of a localCheckpoint materialized behind
+# one) scheduled 512-1024 near-empty tasks — measured 5.5 s/round label
+# propagation over a 7,500-node graph at sf1.  The width is now derived
+# from the MEASURED expansion volume (one scalar aggregate over the
+# already-checkpointed posting/cohort relation, i.e. |cohorts| rows,
+# not a corpus pass): width = n_rows x per-key state / target state
+# per task, clamped to [defaultParallelism, MAX].  Calibration:
+# PAIR_STATE_BYTES = 64 reproduces the r11 finding (900M pairs at 256
+# partitions held ~220 MB/task; 64 MB/task needs ~860) so the sf10
+# memory bound is PRESERVED with headroom while sf0.1/sf1 collapse to
+# the core count.  This is the guide-§2 "derive partitioning from
+# input size" rule with the input size measured, not estimated.
+PAIR_STATE_BYTES = 64
+PAIR_PARTITION_BYTES = 64 << 20
+MAX_PAIR_PARTITIONS = 4096
+
+
+def widen_pair_shuffle(
+    df: DataFrame, *cols: str, n_rows: int | None = None
+) -> DataFrame:
     """Widen the shuffle under a NEAR-UNIQUE-key aggregation/distinct.
 
     Pair-expansion relations (co-occurrence, similarity candidates)
@@ -1499,20 +1555,44 @@ def widen_pair_shuffle(df: DataFrame, *cols: str) -> DataFrame:
     reduction and its per-task hash state is |pairs|/partitions.  At
     sf10 that is ~900M pairs, which thrashes 32 partitions into
     allocation death (the r11 finding, now a shared rule per VERDICT
-    r11 item 2).  Widening to JACCARD_AGG_PARTITIONS bounds per-task
-    state; AQE coalesces the read side back down at small SF, so the
-    only small-SF cost is empty-partition round-off."""
-    return df.repartition(JACCARD_AGG_PARTITIONS, *cols)
+    r11 item 2).  Widening bounds per-task state.
+
+    `n_rows`: the measured (or analytically exact) row count of `df` —
+    callers read it off the posting/cohort relation the expansion
+    derives from (Σ C(size, 2), one tiny aggregate).  When given, the
+    width adapts to the actual volume (PAIR_* calibration above);
+    when None, the legacy fixed width applies."""
+    if n_rows is None:
+        width = JACCARD_AGG_PARTITIONS
+    else:
+        need = (
+            int(n_rows) * PAIR_STATE_BYTES + PAIR_PARTITION_BYTES - 1
+        ) // PAIR_PARTITION_BYTES
+        width = max(
+            df.sparkSession.sparkContext.defaultParallelism,
+            min(MAX_PAIR_PARTITIONS, need),
+        )
+    return df.repartition(width, *cols)
+
+
+# Session-scoped cache (the _COACT_CACHE rule, VERDICT r12 item 3):
+# q_jaccard_neighbors and q_graph_assortativity each need the same
+# localCheckpointed postings artifact; within one sweep/bench session
+# the corpus-sized collect_set shuffle used to run once per consumer.
+_CO_CATALOG_CACHE: dict[
+    tuple[str, str], tuple[DataFrame, DataFrame, DataFrame, int]
+] = {}
 
 
 def co_catalog_postings(spark: SparkSession, sf_dir: str) -> tuple[
-    DataFrame, DataFrame, DataFrame
+    DataFrame, DataFrame, DataFrame, int
 ]:
     """The capped supplier co-catalog graph both graph ops share:
-    returns (pairs, deg, postings) where `pairs` has one (s1 < s2) row
-    per shared KEPT part (pre-aggregation), `deg` is the per-supplier
-    degree over kept parts, and `postings` is the kept per-part
-    supplier-set relation.
+    returns (pairs, deg, postings, n_pairs) where `pairs` has one
+    (s1 < s2) row per shared KEPT part (pre-aggregation), `deg` is the
+    per-supplier degree over kept parts, `postings` is the kept
+    per-part supplier-set relation, and `n_pairs` the exact pair count
+    (Σ C(pd, 2) over kept lists — the widen_pair_shuffle size hint).
 
     Shape (round 12, VERDICT r11 item 2): ONE corpus-sized shuffle —
     `collect_set(supp)` grouped by part folds the old
@@ -1529,6 +1609,10 @@ def co_catalog_postings(spark: SparkSession, sf_dir: str) -> tuple[
     and needed anyway.  Degrees count ALL kept parts (including
     single-supplier parts — they are real neighbor-set members), while
     only pd >= 2 lists expand into pairs."""
+    ck = (spark.sparkContext.applicationId, str(sf_dir))
+    cached = _CO_CATALOG_CACHE.get(ck)
+    if cached is not None:
+        return cached
     li = load_table(spark, sf_dir, "lineitem")
     postings = (
         li.groupBy(F.col("l_partkey").alias("part"))
@@ -1576,7 +1660,21 @@ def co_catalog_postings(spark: SparkSession, sf_dir: str) -> tuple[
         .select("s1", F.explode("ss").alias("s2"))
         .filter(F.col("s1") < F.col("s2"))
     )
-    return pairs, deg, kept
+    # exact pair volume off the |parts|-row checkpointed relation —
+    # the widen_pair_shuffle n_rows hint for both graph consumers
+    n_pairs = int(
+        kept.filter(F.col("pd") >= 2)
+        .agg(
+            F.sum(F.col("pd") * (F.col("pd") - 1) / 2)
+            .cast("long")
+            .alias("n")
+        )
+        .first()["n"]
+        or 0
+    )
+    out = (pairs, deg, kept, n_pairs)
+    _CO_CATALOG_CACHE[ck] = out
+    return out
 
 
 @register(
@@ -1629,9 +1727,9 @@ def q_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduction).  The degree relation is |suppliers|-bounded and
     broadcast; the final top-k is TakeOrderedAndProject, never a
     global sort."""
-    raw_pairs, deg, _ = co_catalog_postings(spark, sf_dir)
+    raw_pairs, deg, _, n_pairs = co_catalog_postings(spark, sf_dir)
     inter = (
-        widen_pair_shuffle(raw_pairs, "s1", "s2")
+        widen_pair_shuffle(raw_pairs, "s1", "s2", n_rows=n_pairs)
         .groupBy("s1", "s2")
         .agg(F.count("*").cast("long").alias("n_common"))
     )
@@ -1914,8 +2012,10 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side pair expansion, auto-knee hot-part cap mirrored in the
     oracle (Σ min(pd, cap)² bounded work); degrees broadcast; moments
     are four integer accumulators."""
-    raw_pairs, deg, _ = co_catalog_postings(spark, sf_dir)
-    pairs = widen_pair_shuffle(raw_pairs, "s1", "s2").distinct()
+    raw_pairs, deg, _, n_pairs = co_catalog_postings(spark, sf_dir)
+    pairs = widen_pair_shuffle(
+        raw_pairs, "s1", "s2", n_rows=n_pairs
+    ).distinct()
     # symmetrized moments computed ALGEBRAICALLY over the directed
     # pairs — n_sym = 2n, Σx_sym = Σ(x+y), Σx²_sym = Σ(x²+y²),
     # Σxy_sym = 2Σxy — one aggregation pass, no union, and no
@@ -2117,13 +2217,17 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # endpoint relations are 2|E| rows keyed by node — widen the
     # distinct/degree shuffles so per-task hash state stays bounded on
     # the dense sf10 graph (the widen_pair_shuffle rule; 32 partitions
-    # hit UNABLE_TO_ACQUIRE_MEMORY there)
+    # hit UNABLE_TO_ACQUIRE_MEMORY there).  The cached pre-distinct
+    # pair volume upper-bounds 2|E|, so it sizes these shuffles
+    # without an extra count.
+    n_end = 2 * _coactivity_pair_volume(spark, sf_dir)
     nodes = (
         widen_pair_shuffle(
             edges.select(F.col("u").alias("node")).unionAll(
                 edges.select(F.col("v").alias("node"))
             ),
             "node",
+            n_rows=n_end,
         )
         .distinct()
         .localCheckpoint(eager=True)
@@ -2150,6 +2254,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                     e_cur.select(F.col("v").alias("node"))
                 ),
                 "node",
+                n_rows=n_end,
             )
             .groupBy("node")
             .agg(F.count("*").alias("d"))
