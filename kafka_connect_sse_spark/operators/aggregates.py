@@ -321,14 +321,31 @@ def q_agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (SQL PERCENTILE_CONT semantics — same
-    linear-interpolation definition as DuckDB quantile_cont).  At 100 TB
-    exact percentiles require a full sort per group; the scale path is
-    percentile_approx (t-digest-style sketch, one pass, mergeable)."""
+    linear-interpolation definition as DuckDB quantile_cont).
+
+    Round 13: computed via percentile_cont_by_hist (codegen'd histogram
+    + two-level prefix sum + Spark-formula interpolation, bit-identical
+    results) instead of Spark's imperative `percentile`, whose per-group
+    value→count map ran single-threaded over 5.5M distinct prices at
+    sf1 (measured 16-24 s → ~4 s).  The sketch scale path remains
+    percentile_approx (one pass, mergeable)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_quantity", 0.5), 6).alias("median_qty"),
-        F.round(F.percentile("l_extendedprice", 0.9), 6).alias("p90_price"),
-        F.round(F.percentile("l_extendedprice", 0.1), 6).alias("p10_price"),
+    pq = percentile_cont_by_hist(
+        li.select("l_returnflag", "l_quantity", F.lit(1).alias("w")),
+        "l_returnflag", "l_quantity", "w", [0.5], ["mq"],
+    )
+    pp = percentile_cont_by_hist(
+        li.select(
+            "l_returnflag", "l_extendedprice", F.lit(1).alias("w")
+        ),
+        "l_returnflag", "l_extendedprice", "w", [0.9, 0.1],
+        ["p90", "p10"],
+    )
+    return pq.join(pp, "l_returnflag").select(
+        "l_returnflag",
+        F.round("mq", 6).alias("median_qty"),
+        F.round("p90", 6).alias("p90_price"),
+        F.round("p10", 6).alias("p10_price"),
     )
 
 
@@ -476,22 +493,27 @@ def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents.  Like q_agg_approx_distinct, the sketch value itself is
     implementation-defined, so the EXACT check is error-bounded: Spark
     emits a boolean asserting the sketch median landed within 1% of the
-    exact interpolated median; the oracle asserts TRUE."""
+    exact interpolated median; the oracle asserts TRUE.
+
+    Round 13: the exact reference median comes from
+    percentile_cont_by_hist (bit-identical interpolation) instead of
+    the imperative exact `percentile`, which buffered 5.5M distinct
+    prices per group single-threaded next to the sketch."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx"),
-            F.round(F.percentile("l_extendedprice", 0.5), 6).alias("exact_p50"),
-        )
-        .select(
-            "l_returnflag",
-            "exact_p50",
-            (
-                F.abs(F.col("approx") - F.col("exact_p50"))
-                <= 0.01 * F.abs(F.col("exact_p50"))
-            ).alias("approx_within_1pct"),
-        )
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx")
+    )
+    exact = percentile_cont_by_hist(
+        li.select("l_returnflag", "l_extendedprice", F.lit(1).alias("w")),
+        "l_returnflag", "l_extendedprice", "w", [0.5], ["p50_raw"],
+    ).select("l_returnflag", F.round("p50_raw", 6).alias("exact_p50"))
+    return approx.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "exact_p50",
+        (
+            F.abs(F.col("approx") - F.col("exact_p50"))
+            <= 0.01 * F.abs(F.col("exact_p50"))
+        ).alias("approx_within_1pct"),
     )
 
 
@@ -1477,42 +1499,59 @@ def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference between the engines' percentile formulas cannot flip
     n_outliers.
 
-    100 TB posture / bounded-cardinality contract: Spark's exact
-    `percentile` buffers a value->count map PER GROUP in one
-    aggregation buffer — safe here because l_extendedprice is
-    cents-granular (bounded distinct values), a memory hazard on a
-    continuous measure at 100x.  The scale path is the registered
-    sketch twin q_agg_mad_approx (one-pass mergeable percentile_approx,
-    O(accuracy) state); this exact form is the bounded-SF correctness
-    twin (the q_agg_percentile precedent).  The median relations are
-    |groups| rows and broadcast back — two passes over the fact, each
-    column-pruned to two columns."""
+    100 TB posture (round 13): ONE column-pruned pass builds the
+    (flag, price) weight histogram; both medians run through
+    percentile_cont_by_hist (two-level prefix sum — no per-group
+    imperative value→count buffer, no single-threaded sort), and the
+    outlier census is a weight sum over the histogram.  On the
+    cents-granular price grid the histogram is grid-bounded, so every
+    stage stays bounded at any corpus size; the sketch twin
+    q_agg_mad_approx (one-pass mergeable percentile_approx) remains
+    the continuous-measure scale path.  The median relations are
+    |groups| rows and broadcast back."""
     li = load_table(spark, sf_dir, "lineitem")
-    med = li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", 0.5), 6).alias("med")
+    # round 13: both medians run through percentile_cont_by_hist
+    # (bit-identical interpolation, see its docstring) — every
+    # corpus-sized stage is a map-side pass over the two-column scan;
+    # med/mad are 3-row relations, eagerly localCheckpointed so their
+    # selection subtrees run once instead of once per consumer
+    # (measured 19-22 s → ~6 s at sf1)
+    x = li.select("l_returnflag", "l_extendedprice", F.lit(1).alias("w"))
+    med = (
+        percentile_cont_by_hist(
+            x, "l_returnflag", "l_extendedprice", "w", [0.5], ["med_raw"]
+        )
+        .select("l_returnflag", F.round("med_raw", 6).alias("med"))
+        .localCheckpoint(eager=True)
     )
-    dev = li.join(broadcast(med), "l_returnflag").select(
+    dev = x.join(broadcast(med), "l_returnflag").select(
         "l_returnflag",
-        "med",
         F.abs(F.col("l_extendedprice") - F.col("med")).alias("adev"),
+        "w",
     )
-    mad = dev.groupBy("l_returnflag").agg(
-        F.any_value("med").alias("med2"),
-        F.round(F.percentile("adev", 0.5), 6).alias("mad"),
+    mad = (
+        percentile_cont_by_hist(
+            dev, "l_returnflag", "adev", "w", [0.5], ["mad_raw"]
+        )
+        .select("l_returnflag", F.round("mad_raw", 6).alias("mad"))
+        .localCheckpoint(eager=True)
     )
     return (
-        dev.join(broadcast(mad), "l_returnflag")
+        x.join(broadcast(med), "l_returnflag")
+        .join(broadcast(mad), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
-            F.any_value("med2").alias("median_price"),
+            F.any_value("med").alias("median_price"),
             F.any_value("mad").alias("mad_price"),
             F.sum(
                 F.when(
-                    F.col("adev")
+                    F.abs(F.col("l_extendedprice") - F.col("med"))
                     > F.lit(MAD_SIGMAS) * F.lit(MAD_K) * F.col("mad"),
-                    1,
-                ).otherwise(0)
-            ).alias("n_outliers"),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_outliers"),
         )
     )
 
@@ -8847,6 +8886,153 @@ def q_agg_odds_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 # two-level prefix-sum bucket width (micro-unit price grid): bounds
 # every within-bucket cumsum partition to ≤ WM_BUCKET distinct prices
 WM_BUCKET = 4096
+
+
+def percentile_cont_by_hist(
+    hist: DataFrame,
+    gcol: str,
+    vcol: str,
+    wcol: str,
+    ps: list[float],
+    out_cols: list[str],
+) -> DataFrame:
+    """Exact PERCENTILE_CONT per group over a (group, value, weight)
+    histogram — the scale path for exact percentiles on near-unique
+    measures (round 13).
+
+    Spark's exact `percentile` is a TypedImperativeAggregate: every
+    partial task builds a value→count OpenHashMap that is serialized,
+    merged, then sorted INSIDE one final aggregation buffer per group —
+    single-threaded over |distinct values| per group, with the whole
+    map riding the shuffle (measured 16-24 s on 5.5M distinct prices /
+    3 groups at sf1).  This helper computes the identical order
+    statistics with ordinary codegen'd relational algebra, SELECTION-
+    style: (1) per-(group, unit bucket) weight sums — one map-side-
+    reduced corpus pass; (2) bucket offsets by prefix sum over the
+    |buckets|-row relation (the q_agg_weighted_median two-level idea);
+    (3) locate the 1-2 buckets covering each percentile's bracketing
+    order-statistic indices on that tiny relation; (4) one map-side
+    broadcast-join filter pass re-reads ONLY those buckets and resolves
+    the exact values with a grid-bounded within-bucket cumsum.  No
+    stage ever sorts or buffers more than one bucket's values.
+
+    Cross-engine exactness: the interpolation REPLICATES Spark's
+    Percentile.getPercentile arithmetic operation-for-operation —
+    position = p·(n−1) in double, lower/higher = floor/ceil, result =
+    (higher−position)·v_lo + (position−lower)·v_hi — on the same exact
+    inputs (order statistics are exact data values, weights exact
+    longs), so every emitted double is BIT-IDENTICAL to what the
+    imperative aggregate produced; callers' oracles are untouched.
+
+    The input needs NO pre-deduplication: duplicate (group, value)
+    rows are a weighted multiset, and every step below is
+    tie-insensitive.
+
+    Returns one row per group: (gcol, *out_cols), out_cols[i] holding
+    the ps[i] percentile (unrounded — callers round as before)."""
+    n_p = len(ps)
+    b = hist.withColumn("_bkt", F.floor(F.col(vcol)).cast("long"))
+    # corpus pass 1: per-(group, unit bucket) weight sums — map-side
+    # partial aggregation collapses the near-unique values onto the
+    # grid-bounded bucket key space before the exchange
+    bsum = b.groupBy(gcol, "_bkt").agg(
+        F.sum(wcol).cast("long").alias("_bw")
+    )
+    wb = (
+        Window.partitionBy(gcol)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    off = bsum.select(
+        gcol,
+        "_bkt",
+        "_bw",
+        (F.sum("_bw").over(wb) - F.col("_bw")).cast("long").alias("_boff"),
+    )
+    tot = off.groupBy(gcol).agg(
+        F.sum("_bw").cast("long").alias("_n")
+    )
+    tot = tot.select(
+        gcol,
+        "_n",
+        *[
+            (F.lit(float(p)) * (F.col("_n") - 1).cast("double")).alias(
+                f"_pos{i}"
+            )
+            for i, p in enumerate(ps)
+        ],
+    )
+    tot = tot.select(
+        "*",
+        *[
+            F.floor(F.col(f"_pos{i}")).cast("long").alias(f"_lo{i}")
+            for i in range(n_p)
+        ],
+    )
+    # candidate buckets: only the 1-2 buckets whose cumulative span
+    # covers an order-statistic index [lo+1, lo+2] survive — selected
+    # on the |buckets|-row relation, never the corpus
+    hit = None
+    for i in range(n_p):
+        c = (F.col("_boff") < F.col(f"_lo{i}") + 2) & (
+            F.col("_boff") + F.col("_bw") >= F.col(f"_lo{i}") + 1
+        )
+        hit = c if hit is None else (hit | c)
+    cand = (
+        off.join(F.broadcast(tot), gcol)
+        .filter(hit)
+        .select(gcol, "_bkt", "_boff")
+    )
+    # corpus pass 2: map-side broadcast-join filter down to candidate
+    # buckets, then collapse to per-value weights so the within-bucket
+    # cumsum window sorts a grid-bounded partition
+    sel = (
+        b.join(F.broadcast(cand), [gcol, "_bkt"])
+        .groupBy(gcol, "_bkt", "_boff", vcol)
+        .agg(F.sum(wcol).cast("long").alias("_w"))
+    )
+    wv = (
+        Window.partitionBy(gcol, "_bkt")
+        .orderBy(vcol)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = sel.select(
+        gcol,
+        vcol,
+        (F.col("_boff") + F.sum("_w").over(wv)).cast("long").alias("_cw"),
+    )
+    carry = ["_n"] + [f"_pos{i}" for i in range(n_p)] + [
+        f"_lo{i}" for i in range(n_p)
+    ]
+    aggs = []
+    for i in range(n_p):
+        aggs.append(
+            F.min(
+                F.when(F.col("_cw") >= F.col(f"_lo{i}") + 1, F.col(vcol))
+            ).alias(f"_lov{i}")
+        )
+        aggs.append(
+            F.min(
+                F.when(F.col("_cw") >= F.col(f"_lo{i}") + 2, F.col(vcol))
+            ).alias(f"_hiv{i}")
+        )
+    picked = (
+        cum.join(F.broadcast(tot), gcol).groupBy(gcol, *carry).agg(*aggs)
+    )
+    out = [F.col(gcol)]
+    for i, name in enumerate(out_cols):
+        pos = F.col(f"_pos{i}")
+        lo_i = F.col(f"_lo{i}")
+        hi_i = F.ceil(pos).cast("long")
+        out.append(
+            F.when(hi_i == lo_i, F.col(f"_lov{i}"))
+            .otherwise(
+                (hi_i.cast("double") - pos) * F.col(f"_lov{i}")
+                + (pos - lo_i.cast("double")) * F.col(f"_hiv{i}")
+            )
+            .alias(name)
+        )
+    return picked.select(*out)
 
 
 @register(
