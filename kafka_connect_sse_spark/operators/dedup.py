@@ -889,7 +889,12 @@ def containment_dedup(
     predicate after the groupBy that already exists), so the cap adds
     zero shuffles beyond the 1/16-sampled profile pass.
     """
-    d = load_table(spark, sf_dir, "documents")
+    from ..plans import spread
+
+    # spread(): three map passes (postings explode, sampled df profile,
+    # per-doc sizes) all serialize on a one-task scan otherwise
+    # (round-13 rule)
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     sh = d.select(
         "doc_id", "lang", F.explode(shingle_array(F.col("text"))).alias("shingle")
     )
@@ -1145,7 +1150,11 @@ def x_contam_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~0.4%, intersection error ~3×RSE×union ≪ 2%·union).  The DECISION
     semantics are unchanged — 'is contamination material?' is a
     union-relative question at corpus scale."""
-    d = load_table(spark, sf_dir, "documents")
+    from ..plans import spread
+
+    # spread(): the gram explode feeds the sketch pass AND the exact
+    # join's two sides — all single-core on a one-task scan otherwise
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     grams = d.select(
         "doc_id", F.explode(F.array_distinct(shingles(F.col("text")))).alias("g")
     )
@@ -1338,7 +1347,11 @@ def x_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary sizes come from re-exploding the posting relation
     (|shingle vocab|-sized, NOT the corpus) and the final joins are
     |sources|-row broadcasts."""
-    d = load_table(spark, sf_dir, "documents")
+    from ..plans import spread
+
+    # spread(): shingle build + md5 is the dominant map work and the
+    # scan is one task on a single-file fixture (round-13 rule)
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     ex = d.select(
         "source", F.explode(shingle_array(F.col("text"))).alias("g")
     ).select("source", F.md5("g").alias("h"))

@@ -554,7 +554,11 @@ def x_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale at all; subsequent iterations re-run with the learned merge
     applied.  Tiebreak on the pair string keeps the learned merge
     deterministic across engines and retries."""
-    d = load_table(spark, sf_dir, "documents")
+    from ..plans import spread
+
+    # spread(): double explode (words, then char bigrams) off a
+    # one-task scan (round-13 rule)
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     words = d.select(F.explode(F.split("text", " ")).alias("w")).filter(
         F.length("w") >= 2
     )
@@ -630,7 +634,16 @@ def x_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bit-identical across engines; smoothing guarantees every scored
     bigram has LM mass (the LM saw the corpus), so no backoff branch is
     needed."""
-    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    from ..plans import spread
+
+    # spread(): the bigram explode feeds LM build AND scoring — both
+    # serialize on a one-task scan otherwise (round-13 rule)
+    d = spread(
+        load_table(spark, sf_dir, "documents").where(
+            F.col("text").isNotNull()
+        ),
+        "doc_id",
+    )
     toks = F.split(F.col("text"), " ")
     bg = d.select(
         "doc_id",
@@ -1430,9 +1443,12 @@ def x_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     both rollups land on |sources| rows, joined broadcast-side.  No
     pairwise anything — this is the linear-cost companion to the
     quadratic overlap matrix."""
+    from ..plans import spread
     from .dedup import shingles
 
-    d = load_table(spark, sf_dir, "documents")
+    # spread(): shingle construction is the dominant map work and the
+    # scan is one task on a single-file fixture (round-13 rule)
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     post = (
         d.select(
             "source",
@@ -1846,7 +1862,11 @@ def x_char_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded count relation (trigram space ≤ charset³), never raw
     text; the entropy reduction is a second partial agg onto |langs|
     rows with the 1-row-per-lang totals joined broadcast."""
-    d = load_table(spark, sf_dir, "documents")
+    from ..plans import spread
+
+    # spread(): the trigram explode is the whole cost and a single
+    # parquet file scans as ONE task (guide §2/§6 — round-13 rule)
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     tri = d.select(
         "lang",
         F.explode(
@@ -2043,8 +2063,14 @@ def x_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows — at CCNet scale that window is the per-shard percentile
     pass the paper runs; the bucket rollup is |langs|x{CCNET_BUCKETS}
     rows."""
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()
+    from ..plans import spread
+
+    # spread(): same one-task-scan fix as x_perplexity_filter
+    d = spread(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull()
+        ),
+        "doc_id",
     )
     toks = d.select("doc_id", "lang", F.split("text", " ").alias("l"))
     # build bigrams without a join: zip the token array against its own
@@ -2151,7 +2177,10 @@ def x_ttr_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a key whose group is ≤{TTR_SEG} rows, and the per-source
     rollup is two integer accumulators.  No corpus-sized sort, no
     window."""
-    d = load_table(spark, sf_dir, "documents")
+    from ..plans import spread
+
+    # spread(): posexplode + per-token md5 off a one-task scan
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     tok = d.select(
         "doc_id",
         "source",
