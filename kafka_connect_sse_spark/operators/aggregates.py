@@ -415,21 +415,28 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits a boolean asserting the HLL estimate (rsd=0.02) landed within
     5% of the exact count; the oracle asserts TRUE.  A drifting sketch
     fails the hash, a healthy one matches exactly."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-            F.countDistinct("l_partkey").alias("exact_parts"),
-        )
-        .select(
-            "l_returnflag",
-            "exact_parts",
-            (
-                F.abs(F.col("approx_parts") - F.col("exact_parts"))
-                <= 0.05 * F.col("exact_parts")
-            ).alias("approx_within_5pct"),
-        )
+    from ..plans import spread
+
+    # round 13: the two legs run as SEPARATE aggregations joined on the
+    # group key.  Mixed in one agg, Catalyst's Expand strategy keys the
+    # partial phase on (flag, partkey, gid) — allocating an HLL sketch
+    # buffer per DISTINCT KEY, not per group (measured 17.7 s combined
+    # vs 0.9 + 1.8 s split at sf1).  spread() parallelizes both legs'
+    # map sides off the one-task scan (round-13 rule).
+    li = spread(load_table(spark, sf_dir, "lineitem"), "l_partkey")
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    return approx.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 0.05 * F.col("exact_parts")
+        ).alias("approx_within_5pct"),
     )
 
 
@@ -2725,7 +2732,11 @@ def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratically but the pass count never leaves 1; the pair
     expansion (explode of a 6-element literal array) runs on the
     |groups|-row relation."""
-    li = load_table(spark, sf_dir, "lineitem")
+    from ..plans import spread
+
+    # spread(): 15 DECIMAL-multiply accumulators per row, all map-side
+    # — single-core on a one-task scan otherwise (round-13 rule)
+    li = spread(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
     aggs = [F.count("*").cast("double").alias("n")]
     for i, c in enumerate(_CORR_VARS):
         aggs.append(

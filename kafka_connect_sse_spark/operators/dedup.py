@@ -417,7 +417,11 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (raise_error), not silently — chunk first (x_doc_chunk); a
     post-chunk doc with 65k DISTINCT tokens does not occur in practice.
     """
-    d = load_table(spark, sf_dir, "documents")
+    from ..plans import spread
+
+    # spread(): token explode + md5 + conv all map-side — single-core
+    # on a one-task scan otherwise (round-13 rule)
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = F.array_distinct(F.split(F.col("text"), " "))
     ex = d.select("doc_id", F.explode(toks).alias("t")).select(
         "doc_id", F.md5("t").alias("h")

@@ -1116,9 +1116,14 @@ def _coactivity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _COACT_CACHE.get(key)
     if cached is not None:
         return cached
-    e = load_table(spark, sf_dir, "events").filter(
-        F.col("user_id") % 2 == 0
-    )
+    from ..plans import spread
+
+    # spread(): the cohort collect_set's map side (date_trunc + partial
+    # sets over the whole events table) is single-core on a one-task
+    # scan otherwise (round-13 rule)
+    e = spread(
+        load_table(spark, sf_dir, "events"), "event_id"
+    ).filter(F.col("user_id") % 2 == 0)
     posts = (
         e.groupBy(
             "event_type",
@@ -1841,12 +1846,29 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = mon.alias("a")
     b = mon.alias("b")
+    # first-overlapping-month emission (round 13): on long-lived
+    # intervals every pair co-occurs in MANY month buckets — at sf1
+    # each supplier spans ~the whole 7-year range, so the plain banded
+    # join emitted every pair ~84x and shuffled 167M duplicate rows
+    # into the distinct.  Restricting the match to the single bucket
+    # m = max(trunc(a.s), trunc(b.s)) — the FIRST month both intervals
+    # cover, shared by construction whenever any bucket is — emits each
+    # candidate exactly once (the standard banded-interval-join dedup
+    # rule).  Candidate SET identical; the distinct stays as a cheap
+    # no-op guard.
     cand = (
         a.join(
             b,
             (F.col("b.nation") == F.col("a.nation"))
             & (F.col("b.m") == F.col("a.m"))
-            & (F.col("a.supp") < F.col("b.supp")),
+            & (F.col("a.supp") < F.col("b.supp"))
+            & (
+                F.col("a.m")
+                == F.greatest(
+                    F.trunc(F.col("a.s"), "month"),
+                    F.trunc(F.col("b.s"), "month"),
+                )
+            ),
         )
         .select(
             F.col("a.nation").alias("nation"),

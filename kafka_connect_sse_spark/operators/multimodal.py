@@ -738,10 +738,16 @@ def x_multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation.  A hot bucket (constant-color rasters) is the df-cap
     case — the COACT_*/GRAPH_PD_* auto-knee applies if it
     materializes."""
-    d = (
+    from ..plans import spread
+
+    # spread(): the mint+decode+hash mapInPandas chain inherits the
+    # scan's partitioning — ONE Python worker does every image on a
+    # one-task scan otherwise (round-13 rule)
+    d = spread(
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 4 == 1)
-        .select("doc_id")
+        .select("doc_id"),
+        "doc_id",
     )
     payloads = d.mapInPandas(_ppm_payloads, "doc_id long, payload binary")
     hashes = payloads.mapInPandas(

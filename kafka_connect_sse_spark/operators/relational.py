@@ -279,7 +279,11 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-column NDV in one pass — swap in approx_count_distinct per
     column when exact cardinality isn't the point); everything lands
     on k single-row aggregates."""
-    ev = load_table(spark, sf_dir, "events")
+    from ..plans import spread
+
+    # spread(): the 5-way Expand + partial distinct maps are the whole
+    # cost and run map-side — single-core on a one-task scan otherwise
+    ev = spread(load_table(spark, sf_dir, "events"), "event_id")
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
     m = ev.agg(
         F.count("*").cast("long").alias("n_rows"),
