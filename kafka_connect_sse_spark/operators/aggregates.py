@@ -2735,8 +2735,10 @@ def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans import spread
 
     # spread(): 15 DECIMAL-multiply accumulators per row, all map-side
-    # — single-core on a one-task scan otherwise (round-13 rule)
-    li = spread(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
+    # — single-core on a one-task scan otherwise (round-13 rule).
+    # Keyed on a measure the op already reads (high-cardinality, and
+    # present in the planted-fixture tests' narrow schema).
+    li = spread(load_table(spark, sf_dir, "lineitem"), "l_extendedprice")
     aggs = [F.count("*").cast("double").alias("n")]
     for i, c in enumerate(_CORR_VARS):
         aggs.append(

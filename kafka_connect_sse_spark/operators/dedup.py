@@ -147,6 +147,12 @@ def minhash_signature(hashed_col, n_hashes: int = N_MINHASH):
 
 MAX_BUCKET = 200  # degenerate-bucket cap (boilerplate guard); see docstring
 
+# Session-scoped cache of x_dedup_near_minhash's checkpointed verified-
+# pair relation (the _COACT_CACHE rule, round 13): x_dup_graph_degree
+# and x_dup_cross_lang consume the same pairs — the pipeline used to run
+# once per consumer per session.
+_MINHASH_PAIRS_CACHE: dict[tuple[str, str], "DataFrame"] = {}
+
 
 def banded_signatures(sh_df: DataFrame) -> DataFrame:
     """(doc_id, band, bucket) LSH index rows from a shingle relation:
@@ -286,9 +292,18 @@ def x_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the operator itself stays
     O(n * bands), which is the 100 TB path.  Jaccard is emitted as the raw
     double ratio (identical int/int division in both engines) — rounding
-    would reintroduce the off-grid round divergence."""
+    would reintroduce the off-grid round divergence.
+
+    Round 13: the checkpointed verified-pair relation is session-cached
+    (the _COACT_CACHE rule) — x_dup_graph_degree and x_dup_cross_lang
+    consume the same pairs, and each used to re-run the whole
+    shingle+signature+verify pipeline."""
     from ..plans import spread
 
+    key = (spark.sparkContext.applicationId, str(sf_dir))
+    cached = _MINHASH_PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
     d = load_table(spark, sf_dir, "documents")
     # ONE persisted shingle relation feeds signature computation AND both
     # sides of the verify join — the corpus is tokenized exactly once;
@@ -320,7 +335,9 @@ def x_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # eager localCheckpoint materializes the (tiny) verified-pair set so
         # the shingle cache can be released before returning — repeated
         # registry/bench invocations must not accumulate pinned partitions
-        return out.localCheckpoint(eager=True)
+        ck = out.localCheckpoint(eager=True)
+        _MINHASH_PAIRS_CACHE[key] = ck
+        return ck
     finally:
         sh.unpersist()
 
