@@ -9089,13 +9089,16 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mechanics: the (flag, price) weight histogram is the only
     corpus-sized stage.  Prices are near-unique (26.7M histogram cells
     at sf10), so a flat per-flag cumulative window would sort millions
-    of rows in |flags| tasks — instead the running weight is a
-    TWO-LEVEL prefix sum: per-(flag, 4096-wide price bucket) subtotals
-    take a small per-flag window for the bucket offsets, and the
-    per-price cumsum runs inside (flag, bucket) partitions of bounded
-    size; cw = bucket offset + within-bucket running sum, exact
-    BIGINTs throughout (measured: the flat window's 3-task sort gone,
-    sf10 wall 20.7 s → see SCALE.md).
+    of rows in |flags| tasks — instead SELECTION over a TWO-LEVEL
+    prefix sum (round 13): per-(flag, 4096-wide price bucket)
+    subtotals take a small per-flag window for the bucket offsets,
+    the ONE bucket per flag whose cumulative span crosses tw/2 is
+    located on that |buckets|-row relation, and only that bucket's
+    prices (≤ 4096 grid cells) ride the within-bucket cumsum; cw =
+    bucket offset + running sum, exact BIGINTs throughout.  The full
+    histogram never rides a window or the final aggregate (it used
+    to: 26.7M-row cumsum + aggregate, sf10 wall 20.7 s → see
+    SCALE.md and OPTIMIZATION_r13.md).
 
     100 TB posture: one partial agg onto |flags|×|prices| groups, then
     bucket-bounded windows — no partition ever holds more than one
@@ -9130,28 +9133,46 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     off = bsum.select(
         "flag",
         "bkt",
+        "bw",
         (F.sum("bw").over(wb) - F.col("bw"))
         .cast("long")
         .alias("boff"),
+    )
+    tot = h.groupBy("flag").agg(
+        F.sum("w").cast("long").alias("tw"),
+        F.sum(F.col("v") * F.col("w")).cast("long").alias("sw"),
+    )
+    # SELECTION (round 13, the percentile_cont_by_hist idea): the lower
+    # weighted median lives in exactly ONE bucket per flag — the first
+    # whose through-bucket cumulative weight reaches half the total:
+    # 2·(boff+bw) ≥ tw and 2·boff < tw (earlier buckets have every
+    # 2·cw ≤ 2·boff < tw; later buckets only hold larger v).  Resolving
+    # v inside that single grid-bounded bucket replaces the cumulative
+    # window + final aggregate over the FULL near-unique histogram
+    # (26.7M rows at sf10) with a map-side broadcast-join filter pass.
+    # Exact integers throughout — the selected v is identical.
+    cand = (
+        off.join(F.broadcast(tot.select("flag", "tw")), "flag")
+        .filter(
+            (2 * (F.col("boff") + F.col("bw")) >= F.col("tw"))
+            & (2 * F.col("boff") < F.col("tw"))
+        )
+        .select("flag", "bkt", "boff")
     )
     wv = (
         Window.partitionBy("flag", "bkt")
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = h.join(F.broadcast(off), ["flag", "bkt"]).select(
+    cum = h.join(F.broadcast(cand), ["flag", "bkt"]).select(
         "flag",
         "v",
         (F.col("boff") + F.sum("w").over(wv))
         .cast("long")
         .alias("cw"),
     )
-    tot = h.groupBy("flag").agg(
-        F.sum("w").cast("long").alias("tw"),
-        F.sum(F.col("v") * F.col("w")).cast("long").alias("sw"),
-    )
     return (
-        cum.join(tot, "flag")
+        cum.join(F.broadcast(tot), "flag")
         .groupBy("flag", "tw", "sw")
         .agg(
             F.min(

@@ -294,16 +294,17 @@ def x_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     double ratio (identical int/int division in both engines) — rounding
     would reintroduce the off-grid round divergence.
 
-    Round 13: the checkpointed verified-pair relation is session-cached
-    (the _COACT_CACHE rule) — x_dup_graph_degree and x_dup_cross_lang
-    consume the same pairs, and each used to re-run the whole
-    shingle+signature+verify pipeline."""
+    Round 13: the checkpointed verified-pair relation is published to a
+    session cache for its DOWNSTREAM consumers (x_dup_graph_degree and
+    x_dup_cross_lang used to re-run the whole shingle+signature+verify
+    pipeline each — the _COACT_CACHE rule).  This op itself NEVER reads
+    the cache: every invocation recomputes from the parquet input, so
+    bench/oracle timings of the op measure the pipeline, not a memo
+    lookup (the cache is strictly a cross-operator artifact share, like
+    the graph family's edge relation)."""
     from ..plans import spread
 
     key = (spark.sparkContext.applicationId, str(sf_dir))
-    cached = _MINHASH_PAIRS_CACHE.get(key)
-    if cached is not None:
-        return cached
     d = load_table(spark, sf_dir, "documents")
     # ONE persisted shingle relation feeds signature computation AND both
     # sides of the verify join — the corpus is tokenized exactly once;
@@ -340,6 +341,19 @@ def x_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         return ck
     finally:
         sh.unpersist()
+
+
+def minhash_pairs_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session's verified near-dup pair artifact, for ops that CONSUME
+    the pairs (x_dup_graph_degree, x_dup_cross_lang): reuse the relation
+    x_dedup_near_minhash already checkpointed this session, else build it.
+    Only consumers come through here — the producing op always recomputes
+    (see its docstring)."""
+    key = (spark.sparkContext.applicationId, str(sf_dir))
+    cached = _MINHASH_PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    return x_dedup_near_minhash(spark, sf_dir)
 
 
 def _simhash_bit_hex(hexes, i: int):
@@ -1639,7 +1653,7 @@ def x_dup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus), so its degree count and the broadcast back onto the
     documents spine add one small shuffle on doc_id + one partial-agg
     shuffle on degree to the minhash pipeline's cost."""
-    pairs = x_dedup_near_minhash(spark, sf_dir)
+    pairs = minhash_pairs_artifact(spark, sf_dir)
     ends = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
         pairs.select(F.col("doc_b").alias("doc_id"))
     )
@@ -1827,7 +1841,7 @@ def x_dup_cross_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair relation against the (doc_id, lang) projection (AQE
     broadcasts the pairs when duplication evidence is small) and a
     |langs|²-group rollup to the minhash pipeline's cost."""
-    pairs = x_dedup_near_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = minhash_pairs_artifact(spark, sf_dir).select("doc_a", "doc_b")
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     da = d.select(
         F.col("doc_id").alias("doc_a"), F.col("lang").alias("la")

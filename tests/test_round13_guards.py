@@ -97,3 +97,24 @@ def test_bollinger_under_knee_unchanged(spark, tmp_path):
     r = out["2024-05-09"]
     assert r["n_win"] == 7 and r["sma"] == 15.0
     assert r["breakout"] == "in"
+
+
+def test_minhash_producer_recomputes_consumers_share(spark):
+    """x_dedup_near_minhash must COMPUTE on every invocation (a bench/
+    oracle run may never be served from the session memo — that would be
+    result caching, not optimization); only downstream consumers
+    (x_dup_graph_degree, x_dup_cross_lang) reuse the session artifact via
+    minhash_pairs_artifact."""
+    from kafka_connect_sse_spark.operators import dedup
+
+    sf = "/root/testdata/sf0.001"
+    df1 = dedup.x_dedup_near_minhash(spark, sf)
+    df2 = dedup.x_dedup_near_minhash(spark, sf)
+    # a fresh checkpointed relation per invocation, never the memo object
+    assert df2 is not df1
+    # the consumer helper DOES hand back the session artifact (the
+    # producer's most recent checkpoint)
+    df3 = dedup.minhash_pairs_artifact(spark, sf)
+    assert df3 is df2
+    # and the results agree, of course
+    assert sorted(map(tuple, df1.collect())) == sorted(map(tuple, df2.collect()))
