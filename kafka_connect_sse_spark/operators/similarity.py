@@ -25,16 +25,65 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from ..io import load_table
+from ..io import fixture_bytes, load_table
 from ..registry import register
 
 N_QUERIES = 10  # bounded query set: vec_id < 10
 TOP_K = 5
 N_PLANES = 8  # LSH code width
+EMB_DIM = 64  # fixture embedding dimensionality (gen_fixture.py)
+# x_sim_topk_cosine path gate: below this input size the JVM fold beats
+# the Arrow round-trip (measured: sf0.1 0.46 s fold vs 0.61 s Arrow;
+# sf10 1.99 s fold vs 0.69 s Arrow) — at production scale the Arrow
+# path always wins and is always selected
+SIM_ARROW_MIN_BYTES = 4_000_000
 
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
+
+
+def _batch_matrix(batch, col: str):
+    """(ids int64[n], n×EMB_DIM float64) from an Arrow record batch of
+    (vec_id, <col>: list<float>).  Zero-copy flatten + reshape; the cast
+    to float64 is exact (every float32 is representable).  Raggedness or
+    NULLs fail loudly — the fixture contract is dense 64-dim vectors,
+    and a silent fallback here could diverge from the oracle."""
+    import numpy as np
+
+    ids = batch.column("vec_id").to_numpy()
+    arr = batch.column(col)
+    if arr.null_count:
+        raise ValueError("NULL embedding in similarity scan")
+    flat = arr.flatten().to_numpy()
+    if flat.shape[0] != ids.shape[0] * EMB_DIM:
+        raise ValueError("ragged embedding array in similarity scan")
+    return ids, flat.astype(np.float64).reshape(ids.shape[0], EMB_DIM)
+
+
+def _fold_dots(mat, qv):
+    """Dot products of every row of `mat` (n×d float64) against the
+    single query vector `qv` (d float64), accumulated in the SAME order
+    as the engine's sequential fold (`dot()` below / DuckDB
+    list_dot_product): acc = (((0 + x0·y0) + x1·y1) + ...).  Vectorized
+    over rows, sequential over dimensions — every row's result is
+    bit-identical to the JVM fold."""
+    import numpy as np
+
+    acc = np.zeros(mat.shape[0], dtype=np.float64)
+    for j in range(mat.shape[1]):
+        acc = acc + qv[j] * mat[:, j]
+    return acc
+
+
+def _fold_sq_norms(mat):
+    """sqrt of the sequential-fold self-dot per row (see _fold_dots)."""
+    import numpy as np
+
+    acc = np.zeros(mat.shape[0], dtype=np.float64)
+    for j in range(mat.shape[1]):
+        acc = acc + mat[:, j] * mat[:, j]
+    return np.sqrt(acc)
 
 
 def dot(a, b):
@@ -72,36 +121,133 @@ def cosine(a, b):
 )
 def x_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k for a bounded query set (the correctness
-    baseline; broadcast the queries, scan candidates once).  Norms are
-    precomputed per side before the join — cosine inside the join would
-    recompute dot(q,q) per *pair*, tripling the flops."""
+    baseline; ship the queries to every scan task, scan candidates once).
+
+    Round 13 (guide §4.2): above SIM_ARROW_MIN_BYTES of input the
+    per-pair JVM higher-order fold — an interpreted lambda chain
+    allocating a zipped array per pair — is replaced by ONE mapInArrow
+    stage that hands each Arrow batch to numpy.  Exactness is preserved,
+    not approximated: dots and norms accumulate in the engine's
+    sequential fold order (see _fold_dots), so every cosine is
+    bit-identical to the old plan's, and the final round(6)+rank runs in
+    Spark exactly as before.  Each task emits only its provably-
+    sufficient candidates: rows within 2e-6 of its k-th best unrounded
+    cosine per query (rounding to 6dp is monotone with 1e-6 granularity,
+    so anything further behind can never enter the global rounded
+    top-k) — the ranking shuffle carries a few dozen rows per task
+    instead of |batch|×|Q|.  Measured: sf10 noop 1.99 s → 0.69 s; below
+    the gate the fold path stays (tiny scans pay more for the Python
+    worker round-trip than the fold costs: sf0.1 0.46 s vs 0.61 s) —
+    both paths emit bit-identical rows (oracle-green on each), and at
+    production scale the Arrow path is always the one selected.
+
+    The query matrix is N_QUERIES×64 doubles (~5 KB) collected on the
+    driver — the bounded-literal precedent of q_join_bloom_prune's
+    16 Ki-word bloom."""
     from ..plans import spread
 
-    # spread(): parallelize the per-pair fold dots off the single-split
-    # scan (x_ann_rerank precedent)
+    # spread(): parallelize the scoring off the single-split scan
+    # (x_ann_rerank precedent; no-op at real scale)
     e = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qv")
-    ).withColumn("qnorm", F.sqrt(dot(F.col("qv"), F.col("qv"))))
-    c = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        _as_double(F.col("embedding")).alias("cv"),
-    ).withColumn("cnorm", F.sqrt(dot(F.col("cv"), F.col("cv"))))
-    scored = (
-        c.join(broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")), 6
-            ).alias("cos_sim"),
+    if fixture_bytes(sf_dir, "embeddings") < SIM_ARROW_MIN_BYTES:
+        q = e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            _as_double(F.col("embedding")).alias("qv"),
+        ).withColumn("qnorm", F.sqrt(dot(F.col("qv"), F.col("qv"))))
+        c = e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            _as_double(F.col("embedding")).alias("cv"),
+        ).withColumn("cnorm", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+        scored_jvm = (
+            c.join(broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    dot(F.col("qv"), F.col("cv"))
+                    / (F.col("qnorm") * F.col("cnorm")),
+                    6,
+                ).alias("cos_sim"),
+            )
         )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), "neighbor_id"
+        )
+        return (
+            scored_jvm.select("*", F.row_number().over(w).alias("rnk"))
+            .filter(F.col("rnk") <= TOP_K)
+        )
+    qrows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    import numpy as np
+
+    qids = [int(r["vec_id"]) for r in qrows]
+    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qnorms = []
+    for qv in qmat:
+        acc = 0.0
+        for j in range(qmat.shape[1]):
+            acc = acc + float(qv[j]) * float(qv[j])
+        qnorms.append(acc ** 0.5)
+
+    def score(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids, c64 = _batch_matrix(batch, "embedding")
+            cnorm = _fold_sq_norms(c64)
+            out_q, out_n, out_c = [], [], []
+            for qi, qid in enumerate(qids):
+                dots = _fold_dots(c64, qmat[qi])
+                # dot / (qnorm * cnorm): same op order as the old plan
+                cos = dots / (qnorms[qi] * cnorm)
+                mask = ids != qid
+                cm, im = cos[mask], ids[mask]
+                if cm.shape[0] == 0:
+                    continue
+                if cm.shape[0] > TOP_K:
+                    kth = np.partition(cm, cm.shape[0] - TOP_K)[
+                        cm.shape[0] - TOP_K
+                    ]
+                    # 2e-6 margin: > one 6dp rounding grid step, so no
+                    # row that could still enter the global rounded
+                    # top-k is cut; NaN kept (Spark sorts NaN first
+                    # under desc — cannot be dropped task-side)
+                    keep = ~(cm < kth - 2e-6)
+                    cm, im = cm[keep], im[keep]
+                out_q.append(np.full(cm.shape[0], qid, dtype=np.int64))
+                out_n.append(im.astype(np.int64))
+                out_c.append(cm)
+            if out_q:
+                yield pa.record_batch(
+                    [
+                        pa.array(np.concatenate(out_q), type=pa.int64()),
+                        pa.array(np.concatenate(out_n), type=pa.int64()),
+                        pa.array(np.concatenate(out_c), type=pa.float64()),
+                    ],
+                    names=["query_id", "neighbor_id", "cos"],
+                )
+
+    scored = e.select("vec_id", "embedding").mapInArrow(
+        score, "query_id long, neighbor_id long, cos double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), "neighbor_id"
     )
     return (
-        scored.select("*", F.row_number().over(w).alias("rnk"))
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cos"), 6).alias("cos_sim"),
+        )
+        .select("*", F.row_number().over(w).alias("rnk"))
         .filter(F.col("rnk") <= TOP_K)
     )
 
@@ -514,28 +660,78 @@ def x_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a quantized first pass."""
     from ..plans import spread
 
-    # spread() the single-row-group fixture scan: quantization and the
-    # broadcast-join dot products are per-element lambda work that
-    # otherwise runs on one core (measured 1.44s -> 1.10s stage-1 noop)
+    # spread() the single-row-group fixture scan so the Arrow scoring
+    # stage gets parallel tasks (no-op at real scale)
     e = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
     v = _as_double(F.col("embedding"))
-    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    q8 = F.when(scale == 0, F.transform(v, lambda x: F.lit(0).cast("long"))).otherwise(
-        F.transform(v, lambda x: F.floor(x / scale * 127))
+    # Round 13 (guide §4.2): stage 1 — int8 quantization + the
+    # |base|×|Q| integer dot scan — moves from a JVM higher-order-fold
+    # broadcast join to ONE mapInArrow stage: per Arrow batch, numpy
+    # quantizes (floor(x/scale·127), the exact engine arithmetic on the
+    # same float64 inputs) and computes every iscore as an int64 GEMM —
+    # exact integers, so the shortlist is IDENTICAL, and each task
+    # pre-ranks so only its top-SHORTLIST per query rides the ranking
+    # shuffle.  The query matrix (N_QUERIES×64, ~5 KB) is quantized on
+    # the driver with the same ops.
+    import numpy as np
+
+    qrows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
     )
-    base = e.select("vec_id", q8.alias("q"))
-    queries_q = (
-        base.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"))
-    )
-    iscore = F.aggregate(
-        F.zip_with(F.col("qq"), F.col("q"), lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    pairs = (
-        base.join(F.broadcast(queries_q), F.col("query_id") != F.col("vec_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), iscore.alias("iscore"))
+    qids = [int(r["vec_id"]) for r in qrows]
+    qraw = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qscale = np.abs(qraw).max(axis=1)
+    qq = np.zeros_like(qraw)
+    nz = qscale != 0
+    qq[nz] = np.floor(qraw[nz] / qscale[nz, None] * 127)
+    qmat = qq.astype(np.int64)
+
+    def score(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids, c64 = _batch_matrix(batch, "embedding")
+            cscale = np.abs(c64).max(axis=1)
+            cq = np.zeros_like(c64)
+            cnz = cscale != 0
+            cq[cnz] = np.floor(c64[cnz] / cscale[cnz, None] * 127)
+            ci = cq.astype(np.int64)
+            iscores = ci @ qmat.T  # n×|Q|, exact int64
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(qids):
+                s = iscores[:, qi]
+                mask = ids != qid
+                sm, im = s[mask], ids[mask]
+                if sm.shape[0] == 0:
+                    continue
+                if sm.shape[0] > SHORTLIST:
+                    # task-local top-SHORTLIST under the exact final
+                    # order (iscore desc, neighbor_id asc): integer
+                    # scores, no rounding surface — the global top-S
+                    # is a subset of the per-task top-S union
+                    order = np.lexsort((im, -sm))[:SHORTLIST]
+                    sm, im = sm[order], im[order]
+                out_q.append(np.full(sm.shape[0], qid, dtype=np.int64))
+                out_n.append(im.astype(np.int64))
+                out_s.append(sm.astype(np.int64))
+            if out_q:
+                yield pa.record_batch(
+                    [
+                        pa.array(np.concatenate(out_q), type=pa.int64()),
+                        pa.array(np.concatenate(out_n), type=pa.int64()),
+                        pa.array(np.concatenate(out_s), type=pa.int64()),
+                    ],
+                    names=["query_id", "neighbor_id", "iscore"],
+                )
+
+    pairs = e.select("vec_id", "embedding").mapInArrow(
+        score, "query_id long, neighbor_id long, iscore long"
     )
     w1 = Window.partitionBy("query_id").orderBy(
         F.col("iscore").desc(), "neighbor_id"

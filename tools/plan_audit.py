@@ -56,6 +56,15 @@ ALLOWLIST = {
     # two-scan design, r12)
     "q_agg_gini_approx": 2,
     "q_agg_median_mode": 2,
+    # round-13 percentile_cont_by_hist selection: per measure, one
+    # map-side-reduced histogram pass + one candidate-bucket resolve
+    # pass that re-reads ONLY the 1-2 bracketing buckets (documented in
+    # the helper: re-scanning beats caching the corpus-sized histogram).
+    # q_agg_percentile runs it for TWO measures (quantity, price) -> 4;
+    # q_agg_percentile_approx adds the exact-reference leg to its
+    # sketch pass -> 3.
+    "q_agg_percentile": 4,
+    "q_agg_percentile_approx": 3,
     "q_agg_theta_overlap": 2,
     "q_exists_correlated": 2,
     "q_funnel_ttc": 2,
