@@ -1094,6 +1094,62 @@ DSIR_TARGET_LANG = "en"
 DSIR_TOP = 100
 
 
+def _dsir_doc_bucket_counts(d):
+    """(doc_id, lang, b, cnt) hashed-unigram bucket histogram per
+    document via ONE mapInArrow stage (see x_importance_resample's
+    inline note).  `d` must carry doc_id, lang, text; a document's text
+    is a single row, so every emitted count is final — no downstream
+    re-aggregation needed.  Emits nothing for NULL text (explode-of-
+    split(NULL) semantics)."""
+
+    def count_batches(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        bucket_of: dict[str, int] = {}  # md5 once per DISTINCT token/task
+
+        def bkt(tok: str) -> int:
+            b = bucket_of.get(tok)
+            if b is None:
+                b = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:2], 16)
+                bucket_of[tok] = b
+            return b
+
+        for batch in batches:
+            ids = batch.column("doc_id").to_pylist()
+            langs = batch.column("lang").to_pylist()
+            texts = batch.column("text").to_pylist()
+            out_id, out_lang, out_b, out_c = [], [], [], []
+            for did, lang, text in zip(ids, langs, texts):
+                if text is None:
+                    continue
+                # Python str.split(' ') == Java split(" ", -1): empty
+                # tokens kept at every position, "" -> [""]
+                bids = [bkt(t) for t in text.split(" ")]
+                cnts = np.bincount(bids, minlength=DSIR_BUCKETS)
+                nz = np.flatnonzero(cnts)
+                out_id.extend([did] * nz.shape[0])
+                out_lang.extend([lang] * nz.shape[0])
+                out_b.extend(nz.tolist())
+                out_c.extend(cnts[nz].tolist())
+            if out_id:
+                yield pa.record_batch(
+                    [
+                        pa.array(out_id, type=pa.int64()),
+                        pa.array(out_lang, type=pa.string()),
+                        pa.array(out_b, type=pa.int32()),
+                        pa.array(out_c, type=pa.int64()),
+                    ],
+                    names=["doc_id", "lang", "b", "cnt"],
+                )
+
+    return d.select("doc_id", "lang", "text").mapInArrow(
+        count_batches, "doc_id long, lang string, b int, cnt long"
+    )
+
+
 @register(
     "x_importance_resample",
     oracle=f"""
@@ -1148,30 +1204,24 @@ def x_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     that dimensionality independence is the point of DSIR's hashing."""
     from ..plans import spread
 
-    # spread() before the token explode: single-row-group fixture scans
-    # would otherwise run the per-token md5 on one core (bootstrap_ci
+    # spread() before the tokenize stage: single-row-group fixture scans
+    # would otherwise run the per-token hashing on one core (bootstrap_ci
     # precedent; no-op at real scale)
     d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    ex = d.select(
-        "doc_id",
-        "lang",
-        F.explode(F.split(F.col("text"), " ")).alias("g"),
-    ).select(
-        "doc_id",
-        "lang",
-        F.conv(F.substring(F.md5(F.col("g")), 1, 2), 16, 10)
-        .cast("int")
-        .alias("b"),
-    )
-    # persist the (doc, bucket) counts: the profile AND the weight sum both
-    # consume this relation, and AQE plans the broadcast branch as its own
-    # stage (no cross-stage exchange reuse) — without the persist the
-    # corpus would be exploded twice.  Bounded: <= 256 rows per document.
-    doc = (
-        ex.groupBy("doc_id", "lang", "b")
-        .agg(F.count("*").alias("cnt"))
-        .persist()
-    )
+    # Round 13 (guide §4.2): the (doc, bucket) counts used to be an
+    # explode + per-OCCURRENCE JVM md5 + corpus-sized hash aggregate
+    # (60M intermediate rows at sf10).  One mapInArrow stage now
+    # tokenizes each document in Python and memoizes md5→bucket per
+    # DISTINCT token per task — the fixture corpora are Zipfian, so the
+    # md5 count collapses by orders of magnitude — and np.bincount
+    # yields each document's final bucket histogram directly (a doc's
+    # text is one row, so per-row counts are complete: the downstream
+    # shuffle starts from ≤256 rows/doc, exactly the old aggregate's
+    # output).  Bucketing is bit-identical: int(md5(token)[:2], 16) on
+    # UTF-8 bytes, the same arithmetic F.conv(substring(md5,1,2),16,10)
+    # performed.  Split semantics mirror F.split(text, " ") (Java
+    # limit=-1: empty tokens kept everywhere, NULL text -> no rows).
+    doc = _dsir_doc_bucket_counts(d).persist()
     prof = doc.groupBy("b").agg(
         F.sum("cnt").alias("cr"),
         F.coalesce(
