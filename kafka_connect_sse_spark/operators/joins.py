@@ -1659,11 +1659,25 @@ def co_catalog_postings(spark: SparkSession, sf_dir: str) -> tuple[
         .groupBy("supp")
         .agg(F.count("*").cast("long").alias("d"))
     )
+    # pair key PACKED into one long (round 13, §2.3 "narrower types"):
+    # the downstream aggregation/distinct keys are near-unique, so the
+    # shuffle carries |pairs| keys with no map-side reduction — one
+    # 8-byte long halves the shuffle bytes of (s1, s2) and replaces the
+    # two-column hash/compare with a single-long one (measured sf1
+    # inter-count 33.8 → 10.9 s).  suppkeys are positive ints < 2^31,
+    # so shiftleft(s1,32)+s2 is collision-free; consumers unpack with
+    # shiftright/bitwiseAND AFTER aggregating.
     pairs = (
         kept.filter(F.col("pd") >= 2)
         .select(F.explode("ss").alias("s1"), "ss")
         .select("s1", F.explode("ss").alias("s2"))
         .filter(F.col("s1") < F.col("s2"))
+        .select(
+            (
+                F.shiftleft(F.col("s1").cast("long"), 32)
+                + F.col("s2").cast("long")
+            ).alias("pk")
+        )
     )
     # exact pair volume off the |parts|-row checkpointed relation —
     # the widen_pair_shuffle n_rows hint for both graph consumers
@@ -1734,9 +1748,14 @@ def q_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort."""
     raw_pairs, deg, _, n_pairs = co_catalog_postings(spark, sf_dir)
     inter = (
-        widen_pair_shuffle(raw_pairs, "s1", "s2", n_rows=n_pairs)
-        .groupBy("s1", "s2")
+        widen_pair_shuffle(raw_pairs, "pk", n_rows=n_pairs)
+        .groupBy("pk")
         .agg(F.count("*").cast("long").alias("n_common"))
+        .select(
+            F.shiftright(F.col("pk"), 32).alias("s1"),
+            F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("s2"),
+            "n_common",
+        )
     )
     d1 = deg.alias("d1")
     d2 = deg.alias("d2")
@@ -2035,9 +2054,14 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (Σ min(pd, cap)² bounded work); degrees broadcast; moments
     are four integer accumulators."""
     raw_pairs, deg, _, n_pairs = co_catalog_postings(spark, sf_dir)
-    pairs = widen_pair_shuffle(
-        raw_pairs, "s1", "s2", n_rows=n_pairs
-    ).distinct()
+    pairs = (
+        widen_pair_shuffle(raw_pairs, "pk", n_rows=n_pairs)
+        .distinct()
+        .select(
+            F.shiftright(F.col("pk"), 32).alias("s1"),
+            F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("s2"),
+        )
+    )
     # symmetrized moments computed ALGEBRAICALLY over the directed
     # pairs — n_sym = 2n, Σx_sym = Σ(x+y), Σx²_sym = Σ(x²+y²),
     # Σxy_sym = 2Σxy — one aggregation pass, no union, and no

@@ -13,7 +13,9 @@ Two paths with identical semantics on fixture data:
     driver-side (hashlib md5), identical in the DuckDB oracle.
 
 Dot products run through `F.aggregate` over zipped arrays — JVM higher-order
-functions, no Python in the loop.
+functions — at small scans; above SIM_ARROW_MIN_BYTES the brute-force ops
+hand Arrow batches to numpy instead (round 13, guide §4.2), accumulating in
+the identical sequential fold order so results stay bit-for-bit equal.
 """
 
 from __future__ import annotations
