@@ -1177,15 +1177,28 @@ def _coactivity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .first()["n"]
         or 0
     )
+    # packed single-long pair key through the near-unique-key distinct
+    # (the co_catalog_postings rule, round 13): half the key bytes, one
+    # long hash/compare; user ids are positive ints < 2^31
     pairs = (
         kept.filter(F.col("cd") >= 2)
         .select(F.explode("us").alias("u"), "us")
         .select("u", F.explode("us").alias("v"))
         .filter(F.col("u") < F.col("v"))
+        .select(
+            (
+                F.shiftleft(F.col("u").cast("long"), 32)
+                + F.col("v").cast("long")
+            ).alias("pk")
+        )
     )
     edges = (
-        widen_pair_shuffle(pairs, "u", "v", n_rows=n_pairs)
+        widen_pair_shuffle(pairs, "pk", n_rows=n_pairs)
         .distinct()
+        .select(
+            F.shiftright(F.col("pk"), 32).alias("u"),
+            F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("v"),
+        )
         .localCheckpoint(eager=True)
     )
     _COACT_CACHE[key] = edges
