@@ -991,12 +991,27 @@ def containment_dedup(
         )
     elif max_df is not None:
         postings = postings.filter(F.size("ds") <= max_df)
+    # packed single-long pair key through the near-unique-key count
+    # (the co_catalog_postings rule, round 13): doc ids are positive
+    # ints < 2^31, so shiftleft(inner,32)+outer is collision-free —
+    # half the key bytes, one long hash/compare; unpacked after
     inter = (
         postings.select(F.explode("ds").alias("inner_id"), "ds")
         .select("inner_id", F.explode("ds").alias("outer_id"))
         .filter(F.col("inner_id") != F.col("outer_id"))
-        .groupBy("inner_id", "outer_id")
+        .select(
+            (
+                F.shiftleft(F.col("inner_id").cast("long"), 32)
+                + F.col("outer_id").cast("long")
+            ).alias("pk")
+        )
+        .groupBy("pk")
         .agg(F.count("*").alias("n_common"))
+        .select(
+            F.shiftright(F.col("pk"), 32).alias("inner_id"),
+            F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("outer_id"),
+            "n_common",
+        )
     )
     s = sizes.alias("s")
     cont = F.col("n_common").cast("double") / F.col("s.n")

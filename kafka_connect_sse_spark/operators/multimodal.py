@@ -778,19 +778,23 @@ def x_multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("band").alias("band_b"),
         F.col("bval").alias("bval_b"),
     )
-    cand = (
+    ham = F.bit_count(
+        F.col("pa").bitwiseXOR(F.col("pb"))
+    ).cast("long")
+    # Round 13 (§2.3/§2.4): verify BEFORE deduplicating — hamming is a
+    # function of the pair, so filter∘distinct ≡ distinct∘filter, and
+    # the ≤{thr}-bit cut runs map-side on the join output: the distinct
+    # shuffle carries only true near-dup pairs (dup-evidence-sized)
+    # instead of every banded candidate (Σ C(bucket,2) ≈ 122M rows at
+    # sf1 — measured 7.0 s → see OPTIMIZATION_r13.md)
+    return (
         a.join(
             b,
             (F.col("band_b") == F.col("band"))
             & (F.col("bval_b") == F.col("bval"))
             & (F.col("doc_a") < F.col("doc_b")),
         )
-        .select("doc_a", "pa", "doc_b", "pb")
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_HAM_THR)
         .distinct()
     )
-    ham = F.bit_count(
-        F.col("pa").bitwiseXOR(F.col("pb"))
-    ).cast("long")
-    return cand.select(
-        "doc_a", "doc_b", ham.alias("hamming")
-    ).filter(F.col("hamming") <= PHASH_HAM_THR)
