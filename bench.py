@@ -65,6 +65,43 @@ COLLECT_CAP_ROWS = 100_000
 
 N_INGEST_EVENTS = 50_000
 
+# FROZEN host canary (round 14, VERDICT r13 item 2).  A fixed
+# scan+shuffle+sort job over spark.range — no fixture input, no operator
+# code — timed with the same warmup/median protocol as the queries and
+# reported as "canary_sec" (start of run) / "canary_end_sec" (end of run)
+# OUTSIDE every total.  Its only purpose is host-drift normalization:
+# the r13 perf window showed 14 untouched queries "regressing" 1.5-3.5x
+# purely from host phase; dividing by the canary ratio separates host
+# from code.  DO NOT OPTIMIZE OR TOUCH THIS JOB — its value is that its
+# cost is code-frozen across rounds.
+CANARY_ROWS = 8_000_000
+
+
+def canary_bench(spark) -> float:
+    from pyspark.sql import functions as F
+
+    times = []
+    for i in range(RUNS + WARMUPS):
+        spark.sparkContext.setJobDescription("bench: frozen host canary")
+        t0 = time.perf_counter()
+        (
+            spark.range(0, CANARY_ROWS)
+            .select(
+                (F.col("id") % 100_000).alias("k"),
+                F.xxhash64("id").alias("h"),
+            )
+            .groupBy("k")
+            .agg(F.sum("h").alias("s"), F.count("*").alias("n"))
+            .orderBy(F.desc("s"))
+            .limit(100)
+            .collect()
+        )
+        dt = time.perf_counter() - t0
+        spark.sparkContext.setJobDescription(None)
+        if i >= WARMUPS:
+            times.append(dt)
+    return round(statistics.median(times), 3)
+
 
 def sse_ingest_bench(spark, n_events: int = N_INGEST_EVENTS,
                      name: str = "bench_sse_ingest") -> float:
@@ -474,6 +511,9 @@ def main() -> None:
         print(f"# {name}: {med}s (n={n})", file=sys.stderr)
         return med
 
+    canary_sec = canary_bench(spark)
+    print(f"# canary (frozen host probe): {canary_sec}s", file=sys.stderr)
+
     results: dict[str, float] = {}
     for name in HEADLINE:
         results[name] = run_query(name)
@@ -502,6 +542,9 @@ def main() -> None:
     extra: dict[str, float] = {}
     for name in EXTRA:
         extra[name] = run_query(name)
+
+    canary_end_sec = canary_bench(spark)
+    print(f"# canary end-of-run: {canary_end_sec}s", file=sys.stderr)
 
     lat = streaming_latency_bench(spark, sf_dir)
     for k, v in lat.items():
@@ -534,6 +577,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {**results, **extra},
                 "extra_total_sec": round(sum(extra.values()), 3),
+                "canary_sec": canary_sec,
+                "canary_end_sec": canary_end_sec,
                 "streaming_latency": lat,
                 "ingest_scaling": ingest_scaling,
                 "sf": sf,
