@@ -330,15 +330,27 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf1 (measured 16-24 s → ~4 s).  The sketch scale path remains
     percentile_approx (one pass, mergeable)."""
     li = load_table(spark, sf_dir, "lineitem")
+    # Round 14: feed the selection an exact (flag, value) -> count
+    # histogram instead of the raw corpus, so percentile_cont_by_hist's
+    # two passes (bucket sums + candidate-bucket resolve) run over the
+    # grid-bounded checkpointed histogram, not the corpus — one lineitem
+    # scan per measure instead of two (the q_agg_mad round-14 rule;
+    # identical weighted multiset -> bit-identical selection output).
+    hq = (
+        li.groupBy("l_returnflag", "l_quantity")
+        .agg(F.count("*").cast("long").alias("w"))
+        .persist()
+    )
+    hp = (
+        li.groupBy("l_returnflag", "l_extendedprice")
+        .agg(F.count("*").cast("long").alias("w"))
+        .persist()
+    )
     pq = percentile_cont_by_hist(
-        li.select("l_returnflag", "l_quantity", F.lit(1).alias("w")),
-        "l_returnflag", "l_quantity", "w", [0.5], ["mq"],
+        hq, "l_returnflag", "l_quantity", "w", [0.5], ["mq"],
     )
     pp = percentile_cont_by_hist(
-        li.select(
-            "l_returnflag", "l_extendedprice", F.lit(1).alias("w")
-        ),
-        "l_returnflag", "l_extendedprice", "w", [0.9, 0.1],
+        hp, "l_returnflag", "l_extendedprice", "w", [0.9, 0.1],
         ["p90", "p10"],
     )
     return pq.join(pp, "l_returnflag").select(
@@ -510,9 +522,15 @@ def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx")
     )
+    # round 14: selection runs over the checkpointed exact-value
+    # histogram (one corpus scan, not two — the q_agg_mad rule)
+    hp = (
+        li.groupBy("l_returnflag", "l_extendedprice")
+        .agg(F.count("*").cast("long").alias("w"))
+        .persist()
+    )
     exact = percentile_cont_by_hist(
-        li.select("l_returnflag", "l_extendedprice", F.lit(1).alias("w")),
-        "l_returnflag", "l_extendedprice", "w", [0.5], ["p50_raw"],
+        hp, "l_returnflag", "l_extendedprice", "w", [0.5], ["p50_raw"],
     ).select("l_returnflag", F.round("p50_raw", 6).alias("exact_p50"))
     return approx.join(exact, "l_returnflag").select(
         "l_returnflag",
@@ -1517,34 +1535,51 @@ def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     the continuous-measure scale path.  The median relations are
     |groups| rows and broadcast back."""
     li = load_table(spark, sf_dir, "lineitem")
-    # round 13: both medians run through percentile_cont_by_hist
-    # (bit-identical interpolation, see its docstring) — every
-    # corpus-sized stage is a map-side pass over the two-column scan;
-    # med/mad are 3-row relations, eagerly localCheckpointed so their
-    # selection subtrees run once instead of once per consumer
-    # (measured 19-22 s → ~6 s at sf1)
-    x = li.select("l_returnflag", "l_extendedprice", F.lit(1).alias("w"))
+    # Round 14 (VERDICT r13 item 4): ONE corpus pass total.  Round 13's
+    # form ran percentile_cont_by_hist twice over the corpus plus a
+    # third corpus pass for the outlier census — 5 lineitem scans.  But
+    # every one of those passes is a pure function of the exact
+    # (flag, price) -> count histogram: the med selection consumes a
+    # weighted multiset (tie-insensitive by design), adev = |p - med|
+    # is a function of the distinct price (med is a per-flag constant),
+    # and the census is a weight sum over the same histogram.  So build
+    # the exact-value histogram ONCE (map-side partial agg collapses
+    # duplicates before the only corpus shuffle), persist it — the
+    # compressed columnar cache, NOT localCheckpoint: the histogram is
+    # ~26.7M rows at sf10 and deserialized checkpoint rows OOM a
+    # default-8g driver (the q_agg_weighted_median measurement); its
+    # size stays bounded by the cents price grid x |flags| at ANY
+    # corpus size — and derive med, the deviation histogram, mad and
+    # the census from that relation.  Every emitted double is the same
+    # IEEE value: identical weighted multisets into the identical
+    # selection arithmetic, identical |p - med| doubles, identical
+    # census predicate — pinned by tests/test_percentile_hist.py.
+    h = (
+        li.groupBy("l_returnflag", "l_extendedprice")
+        .agg(F.count("*").cast("long").alias("w"))
+        .persist()
+    )
     med = (
         percentile_cont_by_hist(
-            x, "l_returnflag", "l_extendedprice", "w", [0.5], ["med_raw"]
+            h, "l_returnflag", "l_extendedprice", "w", [0.5], ["med_raw"]
         )
         .select("l_returnflag", F.round("med_raw", 6).alias("med"))
         .localCheckpoint(eager=True)
     )
-    dev = x.join(broadcast(med), "l_returnflag").select(
+    devh = h.join(broadcast(med), "l_returnflag").select(
         "l_returnflag",
         F.abs(F.col("l_extendedprice") - F.col("med")).alias("adev"),
         "w",
     )
     mad = (
         percentile_cont_by_hist(
-            dev, "l_returnflag", "adev", "w", [0.5], ["mad_raw"]
+            devh, "l_returnflag", "adev", "w", [0.5], ["mad_raw"]
         )
         .select("l_returnflag", F.round("mad_raw", 6).alias("mad"))
         .localCheckpoint(eager=True)
     )
     return (
-        x.join(broadcast(med), "l_returnflag")
+        h.join(broadcast(med), "l_returnflag")
         .join(broadcast(mad), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
@@ -1554,7 +1589,7 @@ def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(
                     F.abs(F.col("l_extendedprice") - F.col("med"))
                     > F.lit(MAD_SIGMAS) * F.lit(MAD_K) * F.col("mad"),
-                    F.lit(1),
+                    F.col("w"),
                 ).otherwise(F.lit(0))
             )
             .cast("long")

@@ -849,7 +849,9 @@ def x_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Mechanics: distinct 3-token shingles per doc (same shingle unit as
     the minhash family), then the INVERTED-INDEX shape proper: ONE
-    groupBy on (shingle, lang) builds posting lists, single-doc
+    groupBy keyed on (16-byte md5 digest of the shingle, lang) builds
+    posting lists (round 14 — the shingle string never reaches the
+    exchange; see containment_dedup), single-doc
     postings are dropped map-side, ordered pairs are expanded from each
     posting list WITHOUT a second pass over the corpus, and the
     per-pair intersection counts aggregate on (inner, outer) doc-id
@@ -930,9 +932,22 @@ def containment_dedup(
     # per-doc sizes) all serialize on a one-task scan otherwise
     # (round-13 rule)
     d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    # Round 14 (VERDICT r13 item 1): the corpus-wide postings shuffle keys
+    # on a FIXED-WIDTH 16-byte md5 digest of the shingle instead of the
+    # variable ~20-30-byte shingle string (the x_dedup_exact_hash
+    # digest-not-text precedent, §2.3 "narrower types" applied to the
+    # key).  The shingle string itself never appears in this op's output
+    # — only posting-list doc ids do — so equality-by-digest is the same
+    # grouping (md5 collision-free at corpus scale, the same assumption
+    # x_dedup_exact_hash's semantics already rest on), the shuffled bytes
+    # drop by ~the string width, and every downstream hash/compare runs
+    # on fixed-width binary.  The md5 was ALREADY being computed once per
+    # occurrence for the 1/16 profile sample filter; the digest key makes
+    # that hash do double duty (the hex form feeds the sample predicate,
+    # unhex packs it to 16 bytes for the exchange).
     sh = d.select(
         "doc_id", "lang", F.explode(shingle_array(F.col("text"))).alias("shingle")
-    )
+    ).select("doc_id", "lang", F.md5("shingle").alias("sh_hex"))
     # per-doc shingle counts MAP-SIDE from the (already-distinct) array
     # — the former explode + doc_id groupBy re-shuffled the whole 45M-row
     # shingle relation just to count it (r11 continuation; output
@@ -944,7 +959,8 @@ def containment_dedup(
     # NULLs; groupBy would silently group them together)
     postings = (
         sh.filter(F.col("lang").isNotNull())
-        .groupBy("shingle", "lang")
+        .select("doc_id", "lang", F.unhex("sh_hex").alias("sh_dig"))
+        .groupBy("sh_dig", "lang")
         .agg(F.collect_list("doc_id").alias("ds"))
         .filter(F.size("ds") >= 2)
     )
@@ -955,10 +971,9 @@ def containment_dedup(
         # no second pass over the full postings aggregation
         prof = (
             sh.filter(F.col("lang").isNotNull())
-            .filter(
-                F.md5(F.col("shingle")).startswith(CONTAIN_PROFILE_PREFIX)
-            )
-            .groupBy("shingle", "lang")
+            .filter(F.col("sh_hex").startswith(CONTAIN_PROFILE_PREFIX))
+            .select("lang", F.unhex("sh_hex").alias("sh_dig"))
+            .groupBy("sh_dig", "lang")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") >= 2)
         )

@@ -50,21 +50,21 @@ SF = "/root/testdata/sf0.001"
 ALLOWLIST = {
     "q_agg_hll_mergeable": 3,
     "q_agg_kll_mergeable": 2,
-    "q_agg_mad": 3,
+    # round 14: q_agg_mad is ONE corpus scan (everything derives from
+    # the persisted exact-value histogram) — no allowlist entry needed;
+    # a reappearing multi-scan should fail the gate.
     "q_agg_mad_approx": 3,
     # sketch-boundary pass + exact Lorenz counting pass (documented
     # two-scan design, r12)
     "q_agg_gini_approx": 2,
     "q_agg_median_mode": 2,
-    # round-13 percentile_cont_by_hist selection: per measure, one
-    # map-side-reduced histogram pass + one candidate-bucket resolve
-    # pass that re-reads ONLY the 1-2 bracketing buckets (documented in
-    # the helper: re-scanning beats caching the corpus-sized histogram).
-    # q_agg_percentile runs it for TWO measures (quantity, price) -> 4;
-    # q_agg_percentile_approx adds the exact-reference leg to its
-    # sketch pass -> 3.
-    "q_agg_percentile": 4,
-    "q_agg_percentile_approx": 3,
+    # round-14 percentile selection: ONE corpus scan per measure builds
+    # a persisted exact-value histogram; percentile_cont_by_hist's two
+    # passes run over that cached relation, not the corpus.
+    # q_agg_percentile has TWO measures (quantity, price) -> 2;
+    # q_agg_percentile_approx = sketch pass + exact-reference leg -> 2.
+    "q_agg_percentile": 2,
+    "q_agg_percentile_approx": 2,
     "q_agg_theta_overlap": 2,
     "q_exists_correlated": 2,
     "q_funnel_ttc": 2,
@@ -212,27 +212,130 @@ def violations(flagged: dict[str, dict]) -> list[str]:
     return out
 
 
+def _git_commit_ts(path: str) -> int | None:
+    """Unix time of the last commit touching `path`; None if untracked
+    (checkout mtimes are meaningless, so freshness compares COMMIT
+    times; an untracked file was generated in this working tree and is
+    fresh by construction)."""
+    import subprocess
+
+    out = subprocess.run(
+        ["git", "log", "-1", "--format=%ct", "--", path],
+        capture_output=True, text=True, cwd="/root/repo",
+    ).stdout.strip()
+    return int(out) if out else None
+
+
+def dump_freshness_violations(plans_root: str = "/root/repo/plans") -> list[str]:
+    """Plan-dump freshness gate (VERDICT r13 item 7: the committed
+    x_containment_dedup_after.txt predated the commit that changed the
+    op).  For every `<op>_after.txt` under plans/r13+, the dump's last
+    commit must not predate the last commit touching the op's source
+    MODULE — unless a LATER round's dump of the same op supersedes it
+    (before-dumps are snapshots of older code by definition and are
+    exempt).  Module granularity is deliberately conservative: editing
+    any op in a module stales every after-dump of that module's ops,
+    and `--refresh-dumps` regenerates them in seconds."""
+    import inspect
+    import os
+
+    from kafka_connect_sse_spark.registry import queries
+
+    qs = queries()
+    rounds = sorted(
+        d for d in os.listdir(plans_root)
+        if re.fullmatch(r"r\d+", d) and int(d[1:]) >= 13
+        and os.path.isdir(os.path.join(plans_root, d))
+    )
+    # op -> latest round dir holding an after-dump for it
+    latest: dict[str, str] = {}
+    for rd in rounds:  # ascending => later rounds overwrite
+        for f in os.listdir(os.path.join(plans_root, rd)):
+            if f.endswith("_after.txt"):
+                latest[f[: -len("_after.txt")]] = rd
+    out = []
+    for op, rd in sorted(latest.items()):
+        fn = qs.get(op)
+        if fn is None:
+            continue  # renamed/removed op; nothing to compare against
+        dump = os.path.join(plans_root, rd, f"{op}_after.txt")
+        dump_ts = _git_commit_ts(dump)
+        if dump_ts is None:
+            continue  # regenerated in this working tree — fresh
+        src = inspect.getfile(inspect.unwrap(fn))
+        src_ts = _git_commit_ts(src)
+        if src_ts is not None and src_ts > dump_ts:
+            out.append(
+                f"{dump}: committed before the last commit touching "
+                f"{os.path.relpath(src, '/root/repo')} — regenerate with "
+                "`python tools/plan_audit.py --refresh-dumps plans/rNN`"
+            )
+    return out
+
+
+def refresh_dumps(spark, out_dir: str, sf: str = SF) -> None:
+    """Regenerate `<op>_after.txt` into `out_dir` for every op that has
+    an after-dump in any plans/r13+ round dir (plus any op named in the
+    current out_dir), so the committed evidence trail matches HEAD."""
+    import os
+
+    from kafka_connect_sse_spark.registry import queries
+
+    qs = queries()
+    plans_root = os.path.dirname(os.path.abspath(out_dir)) or "plans"
+    names = set()
+    for rd in os.listdir(plans_root):
+        p = os.path.join(plans_root, rd)
+        if re.fullmatch(r"r\d+", rd) and int(rd[1:]) >= 13 and os.path.isdir(p):
+            for f in os.listdir(p):
+                if f.endswith("_after.txt"):
+                    names.add(f[: -len("_after.txt")])
+    os.makedirs(out_dir, exist_ok=True)
+    for op in sorted(names):
+        fn = qs.get(op)
+        if fn is None:
+            continue
+        df = fn(spark, sf)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+        with open(os.path.join(out_dir, f"{op}_after.txt"), "w") as fh:
+            fh.write(plan)
+        print("dumped", op)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--gate", action="store_true",
-                    help="exit 1 on any op over its allowlisted scan count")
+                    help="exit 1 on any op over its allowlisted scan "
+                         "count or any stale plans/r13+ after-dump")
+    ap.add_argument("--refresh-dumps", metavar="DIR",
+                    help="regenerate every tracked after-dump into DIR "
+                         "from HEAD code, then exit")
     args = ap.parse_args()
 
     from kafka_connect_sse_spark.session import get_spark
 
     spark = get_spark(shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
+    if args.refresh_dumps:
+        refresh_dumps(spark, args.refresh_dumps)
+        return
     flagged = audit(spark)
     print("ops with >=2 FileScans of one table (see ALLOWLIST triage):")
     for name, multi in sorted(flagged.items(), key=lambda x: -max(x[1].values())):
         print(" ", name, multi)
     bad = violations(flagged)
+    stale = dump_freshness_violations()
     if bad:
         print("\nPLAN-AUDIT VIOLATIONS:")
         for b in bad:
             print(" ", b)
+    if stale:
+        print("\nSTALE PLAN DUMPS:")
+        for s in stale:
+            print(" ", s)
     if args.gate:
-        sys.exit(1 if bad else 0)
+        sys.exit(1 if (bad or stale) else 0)
 
 
 if __name__ == "__main__":
